@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline on /root/testdata/sf0.001;
+``queries()`` maps operator names → callables(sf_dir); ``oracle_sql()``
+gives the DuckDB-equivalent SQL (same column names, same float
+rounding) for every SQL-expressible query. Kernel/selector queries are
+rows-only here — their numeric contract vs the reference is enforced by
+`python -m pytest -x -q` (see tests/test_kernels_parity.py and
+tests/test_stages.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+in here (or the library) calls ray.init / ray.shutdown.
 """
 
 from __future__ import annotations
@@ -18,27 +17,230 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# ---------------------------------------------------------------- SQL pieces
+
+_TRANSCRIPTS_CTE = r"""
+transcripts AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS turn_idx,
+         CASE WHEN event_type IN ('click','view') THEN 'user'
+              WHEN event_type IN ('purchase','signup') THEN 'assistant'
+              WHEN event_type = 'error' THEN 'system'
+              ELSE 'tool' END AS role,
+         props AS text,
+         CASE WHEN event_type = 'purchase' THEN 'search'
+              WHEN event_type = 'signup' THEN 'code'
+              WHEN event_type = 'error' THEN 'calc'
+              ELSE '' END AS tool,
+         ts
+  FROM events
+)
+"""
+
+_FEAT_CTE = r"""
+feat AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+    CAST(length(text) AS DOUBLE) AS f_text_chars,
+    CASE WHEN trim(text) = '' THEN 0.0
+         ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) END AS f_text_words,
+    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS f_nonspace,
+    CASE WHEN role = 'assistant' AND tool <> '' THEN 1 ELSE 0 END AS label
+  FROM transcripts
+)
+"""
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: events-derived
+    transcripts → featurize → OFS selector windows → as-of join onto
+    purchase-label timestamps. Returns the joined Dataset."""
+    import ray.data as rd
+
+    from pystreamfs_ray.pipelines.flagship import flagship
+    from pystreamfs_ray.pipelines.transcripts import transcripts_from_events
+
+    sf_dir = "/root/testdata/sf0.001"
+    trans = transcripts_from_events(sf_dir, num_buckets=16)
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type", "value"])
+    labels = ev.filter(expr="event_type == 'purchase'").map_batches(
+        _purchase_labels, batch_format="pandas"
+    )
+    windows, joined, _summary = flagship(
+        trans, labels, kernel="ofs", batch_size=50, num_features=5, num_buckets=16
+    )
+    return joined
+
+
+def _purchase_labels(df):
+    import numpy as np
+
+    out = df[["ts"]].copy()
+    out.insert(0, "conv_id", df["user_id"].astype(str))
+    out["label"] = (df["value"] > 100.0).astype(np.int8)
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pystreamfs_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core
+        "q1_lineitem_agg": q.q1_lineitem_agg,
+        "q_filter_project": q.q_filter_project,
+        "q_topk_orders": q.q_topk_orders,
+        "q_join_agg": q.q_join_agg,
+        "q_distinct_events": q.q_distinct_events,
+        # transcript pipeline (sessionize / window / lag / backfill / as-of)
+        "q_transcripts": q.q_transcripts,
+        "q_featurize": q.q_featurize,
+        "q_tumbling": q.q_tumbling,
+        "q_sliding": q.q_sliding,
+        "q_lag_lead": q.q_lag_lead,
+        "q_backfill": q.q_backfill,
+        "q_sessionize": q.q_sessionize,
+        "q_asof_events": q.q_asof_events,
+        "q_window_counts": q.q_window_counts,
+        # online feature-selection kernels (non-SQL; pytest oracle covers math)
+        "q_select_ofs": q.q_select_ofs,
+        "q_select_efs": q.q_select_efs,
+        "q_select_fsds": q.q_select_fsds,
+        "q_select_mcnn": q.q_select_mcnn,
+        "q_select_cancelout": q.q_select_cancelout,
+        "q_metrics_summary": q.q_metrics_summary,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        # sums quantized via FLOOR(x*scale + 0.5) → integer, exact and
+        # order-independent: hash-equal to the Ray side by construction
+        "q1_lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+                   SUM(l_quantity) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+                   CAST(SUM(CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   l_extendedprice * (1 - l_discount) AS revenue
+            FROM lineitem
+            WHERE l_quantity > 45 AND l_discount < 0.05
+        """,
+        "q_topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q_join_agg": """
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q_distinct_events": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "q_transcripts": f"""
+            WITH {_TRANSCRIPTS_CTE}
+            SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts
+        """,
+        "q_featurize": f"""
+            WITH {_TRANSCRIPTS_CTE}, {_FEAT_CTE}
+            SELECT conv_id, turn_idx, text,
+                   f_text_chars, f_text_words,
+                   ROUND(CASE WHEN f_text_words = 0 THEN 0.0
+                              ELSE f_nonspace / f_text_words END, 6) AS f_text_avg_word_len,
+                   CASE WHEN role = 'user' THEN 1.0 ELSE 0.0 END AS f_role_user,
+                   CASE WHEN role = 'assistant' THEN 1.0 ELSE 0.0 END AS f_role_assistant,
+                   CASE WHEN role = 'system' THEN 1.0 ELSE 0.0 END AS f_role_system,
+                   CASE WHEN role = 'tool' THEN 1.0 ELSE 0.0 END AS f_role_tool,
+                   CASE WHEN tool = '' THEN 1.0 ELSE 0.0 END AS f_tool_none,
+                   CASE WHEN tool = 'search' THEN 1.0 ELSE 0.0 END AS f_tool_search,
+                   CASE WHEN tool = 'code' THEN 1.0 ELSE 0.0 END AS f_tool_code,
+                   CASE WHEN tool = 'browser' THEN 1.0 ELSE 0.0 END AS f_tool_browser,
+                   CASE WHEN tool = 'calc' THEN 1.0 ELSE 0.0 END AS f_tool_calc,
+                   ROUND(CAST(turn_idx AS DOUBLE) / (CAST(turn_idx AS DOUBLE) + 50.0), 6) AS f_turn_idx_norm,
+                   CAST(label AS TINYINT) AS label,
+                   ROUND(COALESCE(CAST(date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx), ts) AS DOUBLE)
+                         / 1000000.0, 0.0), 6) AS f_ts_delta_s
+            FROM feat
+        """,
+        "q_tumbling": f"""
+            WITH {_TRANSCRIPTS_CTE}, {_FEAT_CTE}
+            SELECT conv_id, CAST(turn_idx // 50 AS BIGINT) AS window_id,
+                   COUNT(*) AS n_turns,
+                   SUM(f_text_words) AS sum_words,
+                   CAST(SUM(label) AS BIGINT) AS n_labels,
+                   MAX(ts) AS ts_end
+            FROM feat
+            GROUP BY conv_id, CAST(turn_idx // 50 AS BIGINT)
+        """,
+        "q_sliding": f"""
+            WITH {_TRANSCRIPTS_CTE}, {_FEAT_CTE}
+            SELECT conv_id, turn_idx,
+                   ROUND(AVG(f_text_chars) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS chars_roll10
+            FROM feat
+        """,
+        "q_lag_lead": """
+            SELECT event_id, user_id, value,
+                   lag(value) OVER w AS value_lag1,
+                   lead(value) OVER w AS value_lead1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "q_backfill": """
+            SELECT event_id, user_id,
+                   last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+            FROM events
+        """,
+        "q_sessionize": """
+            WITH d AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                FROM d
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events, MIN(ts) AS ts_start, MAX(ts) AS ts_end
+            FROM s GROUP BY user_id, session_id
+        """,
+        "q_asof_events": """
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   r.ts AS ts_matched, r.value AS value_r
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF JOIN (SELECT * FROM events WHERE event_type <> 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "q_window_counts": f"""
+            WITH {_TRANSCRIPTS_CTE}
+            SELECT conv_id, CAST(turn_idx // 50 AS BIGINT) AS window_id,
+                   COUNT(*) AS n_rows, MAX(ts) AS ts_end
+            FROM transcripts
+            GROUP BY conv_id, CAST(turn_idx // 50 AS BIGINT)
+        """,
+    }

@@ -1,0 +1,421 @@
+"""Driver-contract query implementations.
+
+Each function takes ``sf_dir`` (a /root/testdata/sf* directory) and
+returns a Ray Dataset / pandas DataFrame. Every SQL-expressible query
+has a matching DuckDB oracle in ``__ray_entry__.oracle_sql`` with
+IDENTICAL column names and float rounding (the driver compares
+row-count + schema + order-insensitive value hash).
+
+Float policy: computed floats are rounded (2 decimals for large
+monetary sums, 6 for unit-scale values) on BOTH sides so double
+summation-order differences can't flip the hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Sum
+
+from pystreamfs_ray.pipelines.flagship import feature_windows
+from pystreamfs_ray.pipelines.transcripts import transcripts_from_events
+from pystreamfs_ray.stages import window as W
+from pystreamfs_ray.stages.asof import asof_join
+from pystreamfs_ray.stages.featurize import featurize
+
+_BUCKETS = 32
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _round_cols(ds, spec: dict[str, int]):
+    def fn(t: pa.Table) -> pa.Table:
+        for col, nd in spec.items():
+            i = t.column_names.index(col)
+            t = t.set_column(i, col, pc.round(t[col], ndigits=nd))
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- relational
+
+
+def _quantize(x, scale: float):
+    """floor(x*scale + 0.5) as int64 — decimal values become exact
+    integers, so distributed sums are order-independent and hash-equal to
+    the DuckDB oracle (same expression on identical doubles)."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(x, scale), 0.5)), pa.int64())
+
+
+def q1_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate with map-side partial combine.
+
+    Money columns are quantized to integer cents/bps before summing
+    (exact, order-independent); averages derive from the exact sums.
+    """
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t["l_tax"]))
+        return (
+            t.select(["l_returnflag", "l_linestatus", "l_quantity"])
+            .append_column("base_c", _quantize(t["l_extendedprice"], 100.0))
+            .append_column("disc_c", _quantize(disc, 10000.0))
+            .append_column("charge_c", _quantize(charge, 1000000.0))
+            .append_column("disc100", _quantize(t["l_discount"], 100.0))
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("base_c", alias_name="_sb"),
+            Sum("disc_c", alias_name="_sd"),
+            Sum("charge_c", alias_name="_sc"),
+            Sum("disc100", alias_name="_s100"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["count_order"], pa.float64())
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": t["sum_qty"],
+                "sum_base_price": pc.divide(pc.cast(t["_sb"], pa.float64()), 100.0),
+                "sum_disc_price": pc.divide(pc.cast(t["_sd"], pa.float64()), 10000.0),
+                "sum_charge": pc.divide(pc.cast(t["_sc"], pa.float64()), 1000000.0),
+                "avg_qty": pc.divide(t["sum_qty"], n),
+                "avg_disc": pc.divide(pc.divide(pc.cast(t["_s100"], pa.float64()), 100.0), n),
+                "count_order": t["count_order"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_filter_project(sf_dir: str):
+    """Vectorized filter + projection + computed column."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater(t["l_quantity"], 45.0), pc.less(t["l_discount"], 0.05)
+        )
+        t = t.filter(m)
+        # per-row product of identical doubles — bit-equal to the oracle
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("revenue", rev)
+        return t.select(["l_orderkey", "l_linenumber", "l_quantity", "revenue"])
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_topk_orders(sf_dir: str):
+    """Global top-10 by price (distributed sort + limit), stable tiebreak."""
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_join_agg(sf_dir: str):
+    """orders ⋈ customer via broadcast small side (ray.put once, lookup
+    per batch — no shuffle), then grouped aggregate."""
+    cust = rd.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()  # small dimension table
+    seg_of = dict(zip(cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy()))
+    ref = ray.put(seg_of)
+
+    class AttachSegment:
+        def __init__(self, ref):
+            # once per actor (ray may auto-resolve the ref in ctor args)
+            self.seg_of = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df["c_mktsegment"] = df["o_custkey"].map(self.seg_of)
+            return df
+
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        return t.append_column("price_c", _quantize(t["o_totalprice"], 100.0))
+
+    agg = (
+        ds.map_batches(quant, batch_format="pyarrow")
+        .map_batches(AttachSegment, batch_format="pandas",
+                     fn_constructor_args=(ref,), concurrency=2)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("price_c", alias_name="_pc"), Count(alias_name="n_orders"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "total_price": pc.divide(pc.cast(t["_pc"], pa.float64()), 100.0),
+                "n_orders": t["n_orders"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_distinct_events(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        return t.append_column("value_c", _quantize(t["value"], 100.0))
+
+    agg = ds.map_batches(quant, batch_format="pyarrow").groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("value_c", alias_name="_vc")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": t["n"],
+                "sum_value": pc.divide(pc.cast(t["_vc"], pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- transcript pipeline
+
+
+def _cast_turn64(ds):
+    def fn(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("turn_idx")
+        return t.set_column(i, "turn_idx", t["turn_idx"].cast(pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_transcripts(sf_dir: str):
+    """events → transcript shape (sessionize + stable turn ordering)."""
+    return _cast_turn64(transcripts_from_events(sf_dir, num_buckets=_BUCKETS))
+
+
+def q_featurize(sf_dir: str):
+    """Full m=14 featurizer incl. the per-entity lag feature."""
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+    feats = featurize(t)
+
+    def add_lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = W.sort_entity(g)
+        return W.add_lag_delta(g)
+
+    out = W.per_bucket(feats, add_lag, num_buckets=_BUCKETS)
+    out = _cast_turn64(out.drop_columns(["role", "tool", "ts"]))
+    return _round_cols(out, {"f_text_avg_word_len": 6, "f_ts_delta_s": 6, "f_turn_idx_norm": 6})
+
+
+def q_tumbling(sf_dir: str):
+    """Per-entity tumbling count windows (size 50) with in-bucket
+    aggregation — grouping keys are bucket-local, so no second shuffle."""
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+    feats = featurize(t)
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = W.sort_entity(g)
+        g = W.assign_tumbling(g, 50)
+        out = (
+            g.groupby(["conv_id", "window_id"], sort=False)
+            .agg(
+                n_turns=("turn_idx", "size"),
+                sum_words=("f_text_words", "sum"),
+                n_labels=("label", "sum"),
+                ts_end=("ts", "max"),
+            )
+            .reset_index()
+        )
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        out["n_labels"] = out["n_labels"].astype(np.int64)
+        # sum of integer-valued doubles — exact, no rounding needed
+        return out
+
+    return W.per_bucket(feats, agg, num_buckets=_BUCKETS)
+
+
+def q_sliding(sf_dir: str):
+    """Sliding count window: rolling mean of chars over 10 rows."""
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+    feats = featurize(t).select_columns(["conv_id", "turn_idx", "f_text_chars"])
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort", ignore_index=True)
+        g = W.rolling_mean(g, "f_text_chars", 10, out_col="chars_roll10")
+        g["chars_roll10"] = g["chars_roll10"].round(6)
+        return g[["conv_id", "turn_idx", "chars_roll10"]]
+
+    return _cast_turn64(W.per_bucket(feats, roll, num_buckets=_BUCKETS))
+
+
+def q_lag_lead(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True)
+        g = W.add_lag_lead(g, "value", lag=1, lead=1, entity_col="user_id")
+        return g[["event_id", "user_id", "value", "value_lag1", "value_lead1"]]
+
+    return W.per_bucket(ds, fn, entity_col="user_id", num_buckets=_BUCKETS)
+
+
+def q_backfill(sf_dir: str):
+    """Forward-fill: carry the last purchase value onto later events."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True)
+        g["purchase_value"] = g["value"].where(g["event_type"] == "purchase")
+        g = W.backfill(g, "purchase_value", entity_col="user_id", out_col="last_purchase_value")
+        return g[["event_id", "user_id", "last_purchase_value"]]
+
+    return W.per_bucket(ds, fn, entity_col="user_id", num_buckets=_BUCKETS)
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessions (30 min) per user over the events stream."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True)
+        g = W.sessionize(g, gap_s=1800, entity_col="user_id")
+        out = (
+            g.groupby(["user_id", "session_id"], sort=False)
+            .agg(n_events=("event_id", "size"), ts_start=("ts", "min"), ts_end=("ts", "max"))
+            .reset_index()
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return W.per_bucket(ds, fn, entity_col="user_id", num_buckets=_BUCKETS)
+
+
+def q_asof_events(sf_dir: str):
+    """Point-in-time join: each purchase ← latest prior non-purchase event."""
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    left = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    )
+    right = ev.filter(expr="event_type != 'purchase'").select_columns(
+        ["user_id", "ts", "value"]
+    )
+    out = asof_join(
+        left, right, by="user_id", left_on="ts", right_on="ts",
+        how="inner", num_buckets=_BUCKETS,
+    )
+    return out.select_columns(["event_id", "user_id", "ts", "value", "ts_matched", "value_r"])
+
+
+# ----------------------------------------------------------- selector kernels
+
+
+def _kernel_query(sf_dir: str, kernel: str):
+    """feature_windows over events-derived transcripts (rows-only check;
+    numeric parity is covered by the pytest oracle suite)."""
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+    wds = feature_windows(t, kernel=kernel, batch_size=50, num_features=5,
+                          num_buckets=_BUCKETS)
+
+    def fmt(tb: pa.Table) -> pa.Table:
+        sel = pa.array(
+            [",".join(map(str, s)) for s in tb["selected"].to_pylist()], type=pa.string()
+        )
+        wsum = pc.round(
+            pa.array([float(np.sum(np.abs(v))) for v in tb["w"].to_pylist()]), ndigits=6
+        )
+        return pa.table(
+            {
+                "conv_id": tb["conv_id"],
+                "window_id": tb["window_id"],
+                "n_rows": tb["n_rows"].cast(pa.int64()),
+                "selected_str": sel,
+                "w_l1": wsum,
+                "fscr": tb["fscr"],
+            }
+        )
+
+    return wds.map_batches(fmt, batch_format="pyarrow")
+
+
+def q_select_ofs(sf_dir: str):
+    return _kernel_query(sf_dir, "ofs")
+
+
+def q_select_efs(sf_dir: str):
+    return _kernel_query(sf_dir, "efs")
+
+
+def q_select_fsds(sf_dir: str):
+    return _kernel_query(sf_dir, "fsds")
+
+
+def q_select_mcnn(sf_dir: str):
+    return _kernel_query(sf_dir, "mcnn")
+
+
+def q_select_cancelout(sf_dir: str):
+    return _kernel_query(sf_dir, "cancelout")
+
+
+def q_window_counts(sf_dir: str):
+    """Selector windowing skeleton (ids/sizes only) — SQL-checkable even
+    though the kernels themselves are not."""
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+    wds = feature_windows(t, kernel="ofs", batch_size=50, num_features=5,
+                          num_buckets=_BUCKETS)
+
+    def fmt(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": tb["conv_id"],
+                "window_id": tb["window_id"],
+                "n_rows": tb["n_rows"].cast(pa.int64()),
+                "ts_end": tb["ts_end"],
+            }
+        )
+
+    return wds.map_batches(fmt, batch_format="pyarrow")
+
+
+def q_metrics_summary(sf_dir: str):
+    """Global stats means (reference stats dict analog) — rows-only
+    (wall-clock fields are nondeterministic by nature)."""
+    from pystreamfs_ray.pipelines.metrics import global_summary
+
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+    wds = feature_windows(t, kernel="ofs", batch_size=50, num_features=5,
+                          num_buckets=_BUCKETS)
+    return global_summary(wds)

@@ -1,0 +1,145 @@
+"""Per-entity windowing toolkit: sessionize, tumbling/sliding windows,
+lag/lead, backfill.
+
+The reference's only window is the count-based tumbling batch slicer
+(`/root/reference/pystreamfs/pystreamfs.py:59,68`); the north rule
+generalizes it to sliding windows, lag/lead and backfill over entity
+(`conv_id`) streams ordered by (turn_idx, ts).
+
+Execution model: ONE hash shuffle — entities are bucketed
+(``hash(conv_id) % num_buckets``) and each bucket is processed as a
+group (`groupby("__bucket").map_groups`), with every per-entity
+operation *vectorized across the whole bucket* via pandas groupby
+transforms (no Python loop per entity). Entities are mutually unordered
+(embarrassingly parallel); order within an entity is recovered by a
+stable sort inside the bucket — never assumed from input order.
+
+At cluster scale the bucket count is the partitioning knob: buckets ≫
+cores → even load; a mega-conversation is still one group (its kernel
+fold is inherently sequential) but shares its bucket with nothing else
+when ``num_buckets`` is large.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+
+from pystreamfs_ray.util import bucket_array
+
+DEFAULT_BUCKETS = 64
+
+
+def add_bucket(ds, entity_col: str = "conv_id", num_buckets: int = DEFAULT_BUCKETS):
+    def _assign(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = bucket_array(batch[entity_col].tolist(), num_buckets)
+        return batch
+
+    return ds.map_batches(_assign, batch_format="pandas")
+
+
+def per_bucket(
+    ds,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    *,
+    entity_col: str = "conv_id",
+    num_buckets: int = DEFAULT_BUCKETS,
+    concurrency=None,
+    drop_bucket: bool = True,
+):
+    """Hash-bucket entities, apply ``fn`` to each sorted bucket DataFrame."""
+
+    def _run(group: pd.DataFrame) -> pd.DataFrame:
+        out = fn(group)
+        if drop_bucket and "__bucket" in out.columns:
+            out = out.drop(columns="__bucket")
+        return out
+
+    grouped = add_bucket(ds, entity_col, num_buckets).groupby("__bucket")
+    return grouped.map_groups(_run, batch_format="pandas", concurrency=concurrency)
+
+
+def sort_entity(df: pd.DataFrame, entity_col: str = "conv_id",
+                order_cols: tuple = ("turn_idx",)) -> pd.DataFrame:
+    """Stable (mergesort) per-entity ordering — 'stable turn ordering'."""
+    return df.sort_values([entity_col, *order_cols], kind="mergesort", ignore_index=True)
+
+
+# --- vectorized per-entity transforms (operate on a sorted bucket) ---
+
+
+def add_lag_delta(df: pd.DataFrame, *, entity_col="conv_id", ts_col="ts",
+                  out_col="f_ts_delta_s") -> pd.DataFrame:
+    """Lag-1 timestamp gap in seconds, backfilled with 0.0 for each
+    entity's first turn (FIXTURES.md F2 ``f_ts_delta_s``)."""
+    delta = df.groupby(entity_col, sort=False)[ts_col].diff()
+    df[out_col] = (delta.dt.total_seconds()).fillna(0.0)
+    return df
+
+
+def assign_tumbling(df: pd.DataFrame, size: int, *, entity_col="conv_id",
+                    out_col="window_id") -> pd.DataFrame:
+    """Count-based tumbling window id = seq // size (short tail window
+    included), the reference's batch slicer semantics."""
+    seq = df.groupby(entity_col, sort=False).cumcount()
+    df[out_col] = (seq // size).astype(np.int64)
+    return df
+
+
+def add_lag_lead(df: pd.DataFrame, col: str, *, entity_col="conv_id",
+                 lag: int = 1, lead: int = 1) -> pd.DataFrame:
+    g = df.groupby(entity_col, sort=False)[col]
+    if lag:
+        df[f"{col}_lag{lag}"] = g.shift(lag)
+    if lead:
+        df[f"{col}_lead{lead}"] = g.shift(-lead)
+    return df
+
+
+def backfill(df: pd.DataFrame, col: str, *, entity_col="conv_id",
+             out_col: str | None = None) -> pd.DataFrame:
+    """Forward-fill (carry last observed value) within each entity."""
+    df[out_col or f"{col}_ffill"] = df.groupby(entity_col, sort=False)[col].ffill()
+    return df
+
+
+def sessionize(df: pd.DataFrame, gap_s: float, *, entity_col="conv_id",
+               ts_col="ts", out_col="session_id") -> pd.DataFrame:
+    """Gap-based session ids per entity: a new session starts when the
+    time since the previous event exceeds ``gap_s`` seconds."""
+    delta = df.groupby(entity_col, sort=False)[ts_col].diff().dt.total_seconds()
+    new_session = (delta > gap_s) | delta.isna()
+    df[out_col] = new_session.groupby(df[entity_col], sort=False).cumsum().astype(np.int64) - 1
+    return df
+
+
+def rolling_mean(df: pd.DataFrame, col: str, window: int, *, entity_col="conv_id",
+                 out_col: str | None = None) -> pd.DataFrame:
+    """Sliding count-window mean over the current + (window-1) preceding
+    rows per entity (partial windows at the head use what exists)."""
+    r = (
+        df.groupby(entity_col, sort=False)[col]
+        .rolling(window=window, min_periods=1)
+        .mean()
+        .reset_index(level=0, drop=True)
+    )
+    df[out_col or f"{col}_roll{window}"] = r
+    return df
+
+
+def welford_running(df: pd.DataFrame, col: str, *, entity_col="conv_id") -> pd.DataFrame:
+    """Running mean / (population) variance per entity up to each row —
+    the streaming-moments analog of MCNN's cluster statistics
+    (`/root/reference/pystreamfs/algorithms/mcnn.py:339-344`), computed
+    via vectorized cumulative sums (numerically the same recurrence)."""
+    g = df.groupby(entity_col, sort=False)[col]
+    n = g.cumcount() + 1
+    s1 = g.cumsum()
+    s2 = df[col].pow(2).groupby(df[entity_col], sort=False).cumsum()
+    mean = s1 / n
+    var = (s2 / n - mean**2).clip(lower=0.0)
+    df[f"{col}_runmean"] = mean
+    df[f"{col}_runvar"] = var
+    return df

@@ -1,0 +1,105 @@
+"""Mirror of the driver's correctness gate: run every ``queries()``
+entry at sf0.001 and compare against its ``oracle_sql()`` via DuckDB
+(row count, column names, order-insensitive values)."""
+
+import importlib.util
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _entry_module():
+    if "__ray_entry__" in sys.modules:
+        return sys.modules["__ray_entry__"]
+    spec = importlib.util.spec_from_file_location("__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["__ray_entry__"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns), ignore_index=True, na_position="last")
+
+
+def assert_frames_match(mine: pd.DataFrame, want: pd.DataFrame, name: str):
+    a, b = _normalize(mine), _normalize(want)
+    assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} != {list(b.columns)}"
+    assert len(a) == len(b), f"{name}: rows {len(a)} != {len(b)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if a[c].dtype.kind == "f":
+            both_nan = np.isnan(av) & np.isnan(bv)
+            close = np.isclose(av, bv, rtol=0, atol=1e-8)
+            assert (both_nan | close).all(), f"{name}: column {c} float mismatch"
+        else:
+            assert (pd.isna(av) == pd.isna(bv)).all() and (
+                (av == bv) | pd.isna(av)
+            ).all(), f"{name}: column {c} mismatch"
+
+
+_SQL_QUERIES = sorted(
+    set(_entry_module().oracle_sql()) & set(_entry_module().queries())
+)
+
+
+@pytest.mark.parametrize("name", _SQL_QUERIES)
+def test_query_vs_oracle(ray_session, name):
+    mod = _entry_module()
+    mine = _to_pandas(mod.queries()[name](SF_DIR))
+    want = _duck().execute(mod.oracle_sql()[name]).df()
+    assert_frames_match(mine, want, name)
+
+
+def test_all_oracles_have_queries():
+    mod = _entry_module()
+    assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+def test_entry_smoke(ray_session):
+    mod = _entry_module()
+    res = mod.entry()
+    df = _to_pandas(res)
+    assert len(df) >= 0
+    assert "conv_id" in df.columns
+
+
+def test_rows_only_queries_run(ray_session):
+    """Non-SQL queries must at least execute and return rows at sf0.001."""
+    mod = _entry_module()
+    non_sql = set(mod.queries()) - set(mod.oracle_sql())
+    for name in sorted(non_sql):
+        df = _to_pandas(mod.queries()[name](SF_DIR))
+        assert len(df) > 0, name

@@ -1,0 +1,225 @@
+"""Ray-stage tests: featurizer, windowing ops, selector-vs-oracle,
+as-of join leakage, checkpoint/resume."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import pystreamfs_ray.synth as synth
+from pystreamfs_ray.oracle import run_stream
+from pystreamfs_ray.schema import FEATURE_COLS, STATELESS_FEATURE_COLS
+from pystreamfs_ray.stages.featurize import featurize, featurize_batch
+from pystreamfs_ray.stages import window as W
+
+
+def _read_all(dirpath) -> pa.Table:
+    import glob
+
+    return pa.concat_tables(
+        [pq.read_table(p) for p in sorted(glob.glob(f"{dirpath}/*.parquet"))]
+    )
+
+
+def test_featurize_batch_no_ray():
+    t = synth.generate_transcripts(5, seed=3, mega_convs=0)
+    out = featurize_batch(t)
+    assert set(STATELESS_FEATURE_COLS + ["label"]).issubset(out.column_names)
+    df = out.to_pandas()
+    # hand-check one row
+    row = df.iloc[0]
+    assert row["f_text_chars"] == len(row["text"])
+    assert row["f_text_words"] == len(row["text"].split())
+    toks = row["text"].split()
+    assert np.isclose(row["f_text_avg_word_len"], sum(len(w) for w in toks) / len(toks))
+    onehots = df[[c for c in STATELESS_FEATURE_COLS if c.startswith("f_role_")]].sum(axis=1)
+    assert (onehots == 1.0).all()
+    lbl = ((df["role"] == "assistant") & (df["tool"] != "")).astype(int)
+    assert (df["label"] == lbl).all()
+
+
+def test_window_ops_no_ray():
+    t = synth.generate_transcripts(6, seed=5, mega_convs=0).to_pandas()
+    df = W.sort_entity(t)
+    df = W.add_lag_delta(df)
+    # first turn of each conv backfilled to 0.0; others positive
+    firsts = df.groupby("conv_id").head(1)
+    assert (firsts["f_ts_delta_s"] == 0.0).all()
+    assert (df.groupby("conv_id").tail(-1)["f_ts_delta_s"] > 0).all()
+
+    df = W.assign_tumbling(df, 10)
+    g = df[df.conv_id == df.conv_id.iloc[0]]
+    assert (g["window_id"].to_numpy() == np.arange(len(g)) // 10).all()
+
+    df = W.add_lag_lead(df, "turn_idx", lag=1, lead=1)
+    g = df[df.conv_id == df.conv_id.iloc[0]]
+    assert np.isnan(g["turn_idx_lag1"].iloc[0])
+    assert g["turn_idx_lag1"].iloc[1] == g["turn_idx"].iloc[0]
+    assert g["turn_idx_lead1"].iloc[0] == g["turn_idx"].iloc[1]
+
+    df["maybe"] = df["f_ts_delta_s"].where(df["turn_idx"] % 3 == 0)
+    df = W.backfill(df, "maybe")
+    g = df[df.conv_id == df.conv_id.iloc[0]]
+    assert g["maybe_ffill"].iloc[1] == g["maybe"].iloc[0]  # carried forward
+
+    df = W.sessionize(df, gap_s=600)
+    assert (df.groupby("conv_id")["session_id"].first() == 0).all()
+    df = W.rolling_mean(df, "f_ts_delta_s", 5)
+    df = W.welford_running(df, "f_ts_delta_s")
+    g = df[df.conv_id == df.conv_id.iloc[0]]
+    x = g["f_ts_delta_s"].to_numpy()
+    assert np.isclose(g["f_ts_delta_s_runmean"].iloc[-1], x.mean())
+    assert np.isclose(g["f_ts_delta_s_runvar"].iloc[-1], x.var())
+
+
+@pytest.mark.parametrize("kernel", ["ofs", "efs", "fsds", "mcnn", "cancelout"])
+def test_selector_matches_oracle(ray_session, synth_dirs, kernel):
+    """Engine output == sequential oracle per entity×window (allclose w,
+    set-equal selected, exact fscr) on shuffled multi-file input."""
+    import ray.data as rd
+
+    from pystreamfs_ray.pipelines.flagship import feature_windows
+
+    bs = 20
+    ds = rd.read_parquet(synth_dirs["transcripts"])
+    out = feature_windows(
+        ds, kernel=kernel, batch_size=bs, num_features=5, num_buckets=8
+    ).to_pandas()
+
+    # oracle: per entity on the sorted full table
+    t = _read_all(synth_dirs["transcripts"])
+    df = W.sort_entity(featurize_batch(t).to_pandas())
+    df = W.add_lag_delta(df)
+    n_checked = 0
+    for cid, g in df.groupby("conv_id"):
+        X = g[FEATURE_COLS].to_numpy(dtype=np.float64)
+        Y = g["label"].to_numpy()
+        oracle = run_stream(X, Y, kernel, batch_size=bs, num_features=5, conv_id=cid)
+        mine = out[out.conv_id == cid].sort_values("window_id")
+        assert len(mine) == len(oracle)
+        for _, row in mine.iterrows():
+            o = oracle[int(row["window_id"])]
+            np.testing.assert_allclose(np.array(row["w"]), o["w"], rtol=1e-9, atol=1e-12)
+            assert set(row["selected"]) == set(o["selected"])
+            if o["fscr"] is None:
+                assert pd.isna(row["fscr"])
+            else:
+                assert row["fscr"] == o["fscr"]
+        n_checked += 1
+        if kernel in ("mcnn", "cancelout") and n_checked >= 4:
+            break  # slow kernels: spot-check a few entities
+
+
+def test_selector_text_order_invariance(ray_session, synth_dirs):
+    """Per-turn text equality under stable turn ordering: sessionized
+    rows reproduce the generator's per-entity text sequence exactly."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(synth_dirs["transcripts"])
+    got = W.per_bucket(ds, lambda g: W.sort_entity(g), num_buckets=8).to_pandas()
+    got = got.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    want = W.sort_entity(_read_all(synth_dirs["transcripts"]).to_pandas())
+    assert (got["text"].to_numpy() == want["text"].to_numpy()).all()
+    assert (got["turn_idx"].to_numpy() == want["turn_idx"].to_numpy()).all()
+
+
+def test_selector_evaluation(ray_session, synth_dirs):
+    import ray.data as rd
+
+    from pystreamfs_ray.pipelines.flagship import feature_windows
+
+    ds = rd.read_parquet(synth_dirs["transcripts"])
+    out = feature_windows(
+        ds, kernel="ofs", batch_size=20, num_features=5, num_buckets=8, evaluate="knn"
+    ).to_pandas()
+    assert out["acc"].notna().all()
+    assert ((out["acc"] >= 0) & (out["acc"] <= 1)).all()
+
+
+def test_asof_join_leakage_and_duckdb(ray_session, synth_dirs):
+    import duckdb
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.asof import asof_join
+
+    labels = rd.read_parquet(synth_dirs["labels"])
+    trans = rd.read_parquet(synth_dirs["transcripts"]).select_columns(
+        ["conv_id", "turn_idx", "ts"]
+    )
+    joined = asof_join(
+        labels, trans, by="conv_id", left_on="ts", right_on="ts",
+        how="inner", num_buckets=8,
+    ).to_pandas()
+
+    # zero-leakage property: matched feature ts <= label ts, always
+    assert (joined["ts_matched"] <= joined["ts"]).all()
+
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT l.conv_id, l.ts, l.label, t.turn_idx, t.ts AS ts_matched
+        FROM read_parquet('{synth_dirs["labels"]}/*.parquet') l
+        ASOF JOIN read_parquet('{synth_dirs["transcripts"]}/*.parquet') t
+          ON l.conv_id = t.conv_id AND l.ts >= t.ts
+        """
+    ).df()
+    a = joined[["conv_id", "ts", "label", "turn_idx", "ts_matched"]].sort_values(
+        ["conv_id", "ts", "label"], ignore_index=True
+    )
+    b = want.sort_values(["conv_id", "ts", "label"], ignore_index=True)
+    assert len(a) == len(b)
+    assert (a["turn_idx"].to_numpy() == b["turn_idx"].to_numpy()).all()
+    assert (a["ts_matched"].to_numpy() == b["ts_matched"].to_numpy()).all()
+    # the no-match probe (label before first turn) must be dropped by inner
+    n_labels = _read_all(synth_dirs["labels"]).num_rows
+    assert len(a) < n_labels
+
+
+def test_checkpoint_resume(ray_session, synth_dirs, tmp_path):
+    import ray.data as rd
+
+    from pystreamfs_ray.pipelines.flagship import feature_windows
+    from pystreamfs_ray.state.checkpoint import (
+        completed_buckets,
+        lineage_summary,
+        resume_selector,
+    )
+    from pystreamfs_ray.stages.featurize import featurize
+    from pystreamfs_ray.util import params_fingerprint
+
+    ckpt = str(tmp_path / "ckpt")
+    ds = rd.read_parquet(synth_dirs["transcripts"])
+    full = feature_windows(
+        ds, kernel="ofs", batch_size=20, num_buckets=8,
+        checkpoint_dir=ckpt, fingerprint="fixture-v1",
+    ).to_pandas()
+
+    params_fp = params_fingerprint({"num_features": 5})
+    done = completed_buckets(ckpt, kernel="ofs", params_fp=params_fp, input_fp="fixture-v1")
+    assert len(done) > 0
+    mani = lineage_summary(ckpt)
+    assert all(m["rows_per_sec"] > 0 for m in mani)
+
+    # simulate partial failure: drop some buckets, resume, expect equality
+    import shutil, os
+
+    victims = sorted(done)[: len(done) // 2]
+    for b in victims:
+        shutil.rmtree(os.path.join(ckpt, f"bucket={b}"))
+
+    feats = featurize(rd.read_parquet(synth_dirs["transcripts"]))
+    resumed = resume_selector(
+        feats, checkpoint_dir=ckpt, kernel="ofs", kernel_params=None,
+        fingerprint="fixture-v1", num_buckets=8, batch_size=20,
+    ).to_pandas()
+
+    key = ["conv_id", "window_id"]
+    a = full.sort_values(key, ignore_index=True)
+    b = resumed.sort_values(key, ignore_index=True)
+    assert len(a) == len(b)
+    assert (a["conv_id"] == b["conv_id"]).all()
+    for x, y in zip(a["w"], b["w"]):
+        np.testing.assert_array_equal(np.array(x), np.array(y))
+    # wrong lineage is not trusted
+    assert completed_buckets(ckpt, kernel="ofs", params_fp=params_fp, input_fp="other") == {}
