@@ -109,6 +109,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_select_mcnn": q.q_select_mcnn,
         "q_select_cancelout": q.q_select_cancelout,
         "q_metrics_summary": q.q_metrics_summary,
+        # dedup / similarity / text analysis / multimodal
+        "q_dedup_exact": q.q_dedup_exact,
+        "q_token_stats": q.q_token_stats,
+        "q_fingerprint": q.q_fingerprint,
+        "q_ann_topk": q.q_ann_topk,
+        "q_ivf_topk": q.q_ivf_topk,
+        "q_minhash_pairs": q.q_minhash_pairs,
+        "q_simhash": q.q_simhash,
+        "q_embedding_neardup": q.q_embedding_neardup,
+        "q_text_quality": q.q_text_quality,
+        "q_lang_id": q.q_lang_id,
+        "q_decode_media": q.q_decode_media,
     }
 
 
@@ -242,5 +254,42 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows, MAX(ts) AS ts_end
             FROM transcripts
             GROUP BY conv_id, CAST(turn_idx // 50 AS BIGINT)
+        """,
+        "q_dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes, text
+            FROM documents GROUP BY text
+        """,
+        "q_token_stats": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS n_chars_f,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                     / GREATEST(CASE WHEN trim(text) = '' THEN 0.0
+                                     ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) END, 1.0) AS avg_token_len,
+                   CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                     / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                     / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS digit_ratio
+            FROM documents
+        """,
+        "q_fingerprint": """
+            SELECT doc_id, md5(text) AS md5 FROM documents
+        """,
+        "q_ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 10
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       ROUND(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+                FROM q CROSS JOIN embeddings e
+            ), ranked AS (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
         """,
     }

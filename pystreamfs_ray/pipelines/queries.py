@@ -410,6 +410,132 @@ def q_window_counts(sf_dir: str):
     return wds.map_batches(fmt, batch_format="pyarrow")
 
 
+# ------------------------------------------- dedup / similarity / text ops
+
+
+def q_dedup_exact(sf_dir: str):
+    from pystreamfs_ray.stages.dedup import exact_dedup
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return exact_dedup(docs)
+
+
+def q_token_stats(sf_dir: str):
+    from pystreamfs_ray.stages.textstats import token_stats
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = token_stats(docs).drop_columns(["text"])
+    return out
+
+
+def q_fingerprint(sf_dir: str):
+    from pystreamfs_ray.stages.textstats import fingerprint
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id", "md5"]]
+
+    return fingerprint(docs).map_batches(fmt, batch_format="pandas")
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the first 10 vectors as queries."""
+    from pystreamfs_ray.stages.similarity import brute_force_topk
+
+    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 10").to_pandas()  # tiny query side
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    out = brute_force_topk(emb, qdf["vec_id"].to_numpy(), qmat, k=10, concurrency=2)
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["query_id", "vec_id", "cosine", "rank"]]
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF-probed approximate top-10 (scale path; rows-only check)."""
+    from pystreamfs_ray.stages.similarity import ivf_topk
+
+    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 10").to_pandas()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    out = ivf_topk(emb, qdf["vec_id"].to_numpy(), qmat, k=10, n_cells=16,
+                   nprobe=4, concurrency=2)
+    return out.map_batches(
+        lambda df: df[["query_id", "vec_id", "cosine", "rank"]], batch_format="pandas"
+    )
+
+
+def q_minhash_pairs(sf_dir: str):
+    from pystreamfs_ray.stages.dedup import minhash_lsh_pairs
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return minhash_lsh_pairs(docs, threshold=0.2, concurrency=2)
+
+
+def q_simhash(sf_dir: str):
+    from pystreamfs_ray.stages.dedup import SimHasher
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = SimHasher()(df)
+        out["simhash"] = out["simhash"].astype("uint64")
+        return out
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def q_embedding_neardup(sf_dir: str):
+    """LSH near-dup over the embeddings table plus 5 known duplicate
+    probes (vec_id + 1_000_000) — the probes guarantee true near-dups
+    exist (the raw table's max pairwise cosine is < 0.5)."""
+    from pystreamfs_ray.stages.dedup import embedding_neardup_pairs
+
+    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def probes(t: pa.Table) -> pa.Table:
+        mask = pc.less(t["vec_id"], 5)
+        dup = t.filter(mask)
+        dup = dup.set_column(
+            0, "vec_id", pc.add(dup["vec_id"], pa.scalar(1_000_000, type=pa.int64()))
+        )
+        return pa.concat_tables([t, dup])
+
+    with_probes = emb.map_batches(probes, batch_format="pyarrow")
+    return embedding_neardup_pairs(with_probes, threshold=0.95, concurrency=2)
+
+
+def q_text_quality(sf_dir: str):
+    from pystreamfs_ray.stages.textstats import quality_score
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return quality_score(docs, concurrency=2).map_batches(
+        lambda df: df[["doc_id", "stopword_ratio", "quality_score"]],
+        batch_format="pandas",
+    )
+
+
+def q_lang_id(sf_dir: str):
+    from pystreamfs_ray.stages.textstats import lang_id
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    return lang_id(docs, concurrency=2).map_batches(
+        lambda df: df[["doc_id", "lang", "pred_lang"]], batch_format="pandas"
+    )
+
+
+def q_decode_media(sf_dir: str):
+    """Multimodal plumbing: synthesized binary payloads → decode-stub
+    actor pool → numeric features (deterministic; rows-only check)."""
+    from pystreamfs_ray.stages.multimodal import decode_features, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(500, seed=21))
+    return decode_features(media, fake=True, concurrency=2, batch_size=64)
+
+
 def q_metrics_summary(sf_dir: str):
     """Global stats means (reference stats dict analog) — rows-only
     (wall-clock fields are nondeterministic by nature)."""

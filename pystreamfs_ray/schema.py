@@ -66,6 +66,7 @@ LABELS_SCHEMA = pa.schema(
 # the reference's per-batch stats dict, pystreamfs/pystreamfs.py:48-90).
 SELECTOR_OUTPUT_SCHEMA = pa.schema(
     [
+        pa.field("kernel", pa.string()),
         pa.field("conv_id", pa.string()),
         pa.field("window_id", pa.int64()),
         pa.field("ts_end", pa.timestamp("us")),

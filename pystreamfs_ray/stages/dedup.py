@@ -1,0 +1,343 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes (per the Ray Data dedup playbook):
+
+- exact: content-hash column per batch (vectorized) → hash-partitioned
+  group → keep the smallest id. One shuffle of (hash, id) — text never
+  shuffles twice.
+- MinHash-LSH: shingle→minhash per batch (numpy, no Python loop over
+  permutations) → explode to (band_id, band_hash, doc_id) rows →
+  groupby banding buckets → candidate pairs → verify with the
+  *signature-estimated* Jaccard via two hash joins back to the
+  signature table (no O(n²) text comparison, no driver materialization).
+- SimHash: 64-bit signature per doc, banded into 16-bit blocks for
+  candidate generation, Hamming-verified.
+- embedding near-dup: random-hyperplane LSH buckets → exact cosine
+  verify inside buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+# ------------------------------------------------------------------- exact
+
+
+def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Keep the smallest ``id_col`` per distinct ``text_col`` value.
+    Groups by a 64-bit content hash (collisions resolved by grouping on
+    the text inside the group)."""
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[id_col, text_col]].copy()
+        df["__h"] = [
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+            for s in df[text_col]
+        ]
+        df["__h"] = df["__h"].astype(np.uint64)
+        return df
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(text_col, sort=False)[id_col]
+            .agg(["min", "size"])
+            .reset_index()
+            .rename(columns={"min": id_col, "size": "n_dupes"})
+        )
+        out["n_dupes"] = out["n_dupes"].astype(np.int64)
+        return out[[id_col, "n_dupes", text_col]]
+
+    return (
+        ds.map_batches(add_hash, batch_format="pandas")
+        .groupby("__h")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
+# -------------------------------------------------------------- minhash-LSH
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """64-bit hashes of the k-word shingles of ``text``."""
+    words = text.split()
+    if len(words) < k:
+        shingles = [" ".join(words)] if words else [""]
+    else:
+        shingles = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+            for s in set(shingles)
+        ),
+        dtype=np.uint64,
+        count=len(set(shingles)),
+    )
+
+
+def _perm_params(num_perm: int, seed: int = 12345):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+class MinHasher:
+    """Actor: permutation parameters generated once per actor."""
+
+    def __init__(self, id_col="doc_id", text_col="text", num_perm=128, shingle_k=3,
+                 seed=12345):
+        self.id_col, self.text_col = id_col, text_col
+        self.num_perm, self.k = num_perm, shingle_k
+        self.a, self.b = _perm_params(num_perm, seed)
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _shingle_hashes(text, self.k)
+        # (n_shingles, num_perm) universal hashing, min over shingles
+        with np.errstate(over="ignore"):
+            vals = (h[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        return vals.min(axis=0)
+
+    def __call__(self, df: pd.DataFrame) -> pa.Table:
+        # signatures travel as binary blobs: primitive type → survives
+        # pandas round-trips and Arrow hash joins untouched
+        sigs = [self.signature(t).tobytes() for t in df[self.text_col]]
+        return pa.table(
+            {
+                self.id_col: pa.array(df[self.id_col].to_numpy()),
+                "sig": pa.array(sigs, type=pa.binary()),
+            }
+        )
+
+
+def minhash_signatures(ds, *, id_col="doc_id", text_col="text", num_perm=128,
+                       shingle_k=3, concurrency=4, batch_size=1024):
+    return ds.map_batches(
+        MinHasher, batch_format="pandas", concurrency=concurrency,
+        batch_size=batch_size,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
+                                   num_perm=num_perm, shingle_k=shingle_k),
+    )
+
+
+def minhash_lsh_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=128,
+                      bands=32, shingle_k=3, threshold=0.5, concurrency=4):
+    """Candidate pairs via LSH banding, Jaccard estimated from the full
+    signatures (join back, no text shuffle). Returns
+    (id_a, id_b, jaccard_est) with id_a < id_b, est >= threshold."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+
+    sigs = minhash_signatures(
+        ds, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        shingle_k=shingle_k, concurrency=concurrency,
+    ).materialize()  # reused twice (banding + verification join)
+
+    def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
+        ids, band_ids, band_hash = [], [], []
+        for rid, sig in zip(df[id_col], df["sig"]):
+            sig = np.frombuffer(sig, dtype=np.uint64)
+            for b in range(bands):
+                chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                ids.append(rid)
+                band_ids.append(b)
+                band_hash.append(
+                    int.from_bytes(
+                        hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "little"
+                    ) >> 1
+                )
+        return pd.DataFrame({id_col: ids, "band_id": band_ids, "band_hash": band_hash})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    cand = (
+        sigs.map_batches(explode_bands, batch_format="pandas")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    # distinct pairs (a pair can fire in many bands)
+    def first_of_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    cand = cand.groupby(["id_a", "id_b"]).map_groups(first_of_pair, batch_format="pandas")
+
+    # signature-estimated Jaccard via two hash joins (scales; no driver pull)
+    sig_a = sigs.map_batches(
+        lambda t: t.rename_columns(["id_a", "sig_a"]), batch_format="pyarrow"
+    )
+    sig_b = sigs.map_batches(
+        lambda t: t.rename_columns(["id_b", "sig_b"]), batch_format="pyarrow"
+    )
+    joined = cand.join(sig_a, join_type="inner", num_partitions=8, on=("id_a",))
+    joined = joined.join(sig_b, join_type="inner", num_partitions=8, on=("id_b",))
+    joined = joined.select_columns(["id_a", "id_b", "sig_a", "sig_b"])
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        est = np.array(
+            [
+                float(np.mean(np.frombuffer(a, dtype=np.uint64)
+                              == np.frombuffer(b, dtype=np.uint64)))
+                for a, b in zip(df["sig_a"], df["sig_b"])
+            ]
+        )
+        out = df[["id_a", "id_b"]].copy()
+        out["jaccard_est"] = np.round(est, 6)
+        return out[out["jaccard_est"] >= threshold]
+
+    return joined.map_batches(estimate, batch_format="pandas")
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard (verification primitive / test oracle)."""
+    a = set(map(tuple, zip(*[text_a.split()[i:] for i in range(k)]))) or {(text_a,)}
+    b = set(map(tuple, zip(*[text_b.split()[i:] for i in range(k)]))) or {(text_b,)}
+    return len(a & b) / max(1, len(a | b))
+
+
+# ------------------------------------------------------------------ simhash
+
+
+class SimHasher:
+    """64-bit SimHash over word features (weight = term frequency)."""
+
+    def __init__(self, id_col="doc_id", text_col="text"):
+        self.id_col, self.text_col = id_col, text_col
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for w in text.split():
+            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[self.id_col]].copy()
+        out["simhash"] = np.array(
+            [self.simhash64(t) for t in df[self.text_col]], dtype=np.uint64
+        )
+        return out
+
+
+def simhash_pairs(ds, *, id_col="doc_id", text_col="text", max_hamming=3,
+                  concurrency=4):
+    """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit keys
+    (any pair within Hamming ≤ 3 of each other shares ≥ 1 exact band),
+    then verify Hamming distance inside buckets."""
+    sigs = ds.map_batches(
+        SimHasher, batch_format="pandas", concurrency=concurrency,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+    )
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        sh = df["simhash"].to_numpy(dtype=np.uint64)
+        out = []
+        for band in range(4):
+            key = (sh >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            out.append(pd.DataFrame({
+                id_col: df[id_col].to_numpy(), "simhash": sh,
+                "band_id": band, "band_key": key.astype(np.int64),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sh = g["simhash"].to_numpy(dtype=np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "hamming": pd.Series(dtype=np.int64)})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = sh[ia] ^ sh[ib]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
+                             "hamming": ham[keep]})
+
+    pairs = (
+        sigs.map_batches(explode, batch_format="pandas")
+        .groupby(["band_id", "band_key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1)[["id_a", "id_b", "hamming"]], batch_format="pandas"
+    )
+
+
+# ------------------------------------------------------- embedding near-dup
+
+
+def embedding_neardup_pairs(ds, *, id_col="vec_id", vec_col="embedding",
+                            threshold=0.95, n_planes=10, n_tables=8, seed=99,
+                            concurrency=4):
+    """Near-duplicate vector pairs by random-hyperplane LSH with
+    ``n_tables`` independent hash tables of ``n_planes`` sign bits each
+    (multi-probe recall, same trick as MinHash banding), then exact
+    cosine verification inside buckets and pair dedup across tables
+    (the scale path; the brute-force baseline lives in
+    stages/similarity.py)."""
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        rng = np.random.default_rng(seed)  # same planes in every task
+        planes = rng.standard_normal((vecs.shape[1], n_planes * n_tables))
+        bits = (vecs @ planes) > 0
+        frames = []
+        weights = 1 << np.arange(n_planes)
+        for t in range(n_tables):
+            key = bits[:, t * n_planes:(t + 1) * n_planes] @ weights
+            f = df[[id_col, vec_col]].copy()
+            f["table_id"] = t
+            f["bucket"] = key.astype(np.int64)
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "cosine": pd.Series(dtype=np.float64)})
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (vecs / norms) @ (vecs / norms).T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame({
+            "id_a": ids[ia][keep], "id_b": ids[ib][keep],
+            "cosine": np.round(sims[ia, ib][keep], 6),
+        })
+
+    pairs = (
+        ds.map_batches(bucketize, batch_format="pandas", concurrency=concurrency)
+        .groupby(["table_id", "bucket"])
+        .map_groups(verify, batch_format="pandas")
+    )
+    # a pair can fire in several tables — keep one
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

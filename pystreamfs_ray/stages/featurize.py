@@ -68,8 +68,13 @@ def featurize_batch(batch: pa.Table) -> pa.Table:
     return out.append_column(LABEL_COL, label)
 
 
-def featurize(ds, *, batch_size: int = 65536):
-    """Dataset → Dataset with feature + label columns (stateless tasks)."""
+def featurize(ds, *, batch_size: int | None = None):
+    """Dataset → Dataset with feature + label columns (stateless tasks).
+
+    ``batch_size=None`` (default) keeps one batch per block: forcing big
+    batches coalesces blocks, throttling the task fan-out of this stage
+    AND the downstream shuffle (measured 5-10× wall-time difference at
+    sf0.1)."""
     return ds.map_batches(
         featurize_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
     )

@@ -1,0 +1,96 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata.
+
+Image/audio/video bytes ride as Arrow ``binary`` columns; decode /
+feature-extract / resize / frame-sample are actor-pool ``map_batches``
+stages with SMALL batch sizes (payloads are big — batch × concurrency
+must fit worker heap; see the memory notes in SURVEY.md §4).
+
+The sandbox has no image/audio libraries, so the actual codec step is
+STUBBED: ``DecodeStub(fake=True)`` produces deterministic pseudo-decoded
+features from the payload bytes (hash-derived width/height/duration,
+mean byte value); ``fake=False`` raises ``NotImplementedError`` with the
+library it would use. The Ray-side plumbing — schema, actor signature,
+batch sizing, output layout — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("kind", pa.string()),  # image | audio | video
+        pa.field("payload", pa.binary()),
+        pa.field("meta", pa.string()),  # JSON sidecar
+    ]
+)
+
+
+def synth_media_table(n: int, seed: int = 21, payload_bytes: int = 2048) -> pa.Table:
+    """Deterministic fake media fixture (binary payloads from seeded RNG)."""
+    rng = np.random.default_rng(seed)
+    kinds = np.array(["image", "audio", "video"], dtype=object)[
+        rng.integers(0, 3, size=n)
+    ]
+    payloads = [rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes()
+                for _ in range(n)]
+    meta = [f'{{"src": "synth", "i": {i}}}' for i in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(kinds, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "meta": pa.array(meta, type=pa.string()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class DecodeStub:
+    """Actor-pool decode stage. ``fake=True`` → deterministic pseudo
+    decode; ``fake=False`` → NotImplementedError naming the real codec
+    dependency (Pillow / torchaudio / pyav), which this container lacks.
+    """
+
+    def __init__(self, fake: bool = True):
+        self.fake = fake
+
+    def _decode_one(self, kind: str, payload: bytes) -> tuple[float, float, float, float]:
+        if not self.fake:
+            raise NotImplementedError(
+                "real decode requires Pillow/torchaudio/pyav (not in container); "
+                "run with fake=True for the deterministic stub"
+            )
+        h = hashlib.blake2b(payload, digest_size=16).digest()
+        width = 64 + h[0] % 192          # pseudo pixel / sample geometry
+        height = 64 + h[1] % 192
+        duration = (h[2] % 300) / 10.0 if kind in ("audio", "video") else 0.0
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        return float(width), float(height), float(duration), float(arr.mean())
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        kinds = t["kind"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        decoded = [self._decode_one(k, p) for k, p in zip(kinds, payloads)]
+        w, h, d, m = (np.array(x) for x in zip(*decoded)) if decoded else (
+            np.array([]),) * 4
+        return (
+            t.drop_columns(["payload"])  # bytes don't travel past decode
+            .append_column("width", pa.array(w, type=pa.float64()))
+            .append_column("height", pa.array(h, type=pa.float64()))
+            .append_column("duration_s", pa.array(d, type=pa.float64()))
+            .append_column("mean_val", pa.array(m, type=pa.float64()))
+        )
+
+
+def decode_features(ds, *, fake: bool = True, concurrency=2, batch_size: int = 64):
+    """Binary payloads → numeric features; small batches on purpose."""
+    return ds.map_batches(
+        DecodeStub, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, fn_constructor_kwargs=dict(fake=fake),
+    )

@@ -56,7 +56,7 @@ class BucketSelector:
 
     def __init__(
         self,
-        kernel: str = "ofs",
+        kernel: str | list[str] = "ofs",
         batch_size: int = 50,
         num_features: int = 5,
         kernel_params: dict[str, Any] | None = None,
@@ -70,11 +70,14 @@ class BucketSelector:
         checkpoint_dir: str | None = None,
         fingerprint: str = "",
     ):
-        # actor-pool setup: resolve kernel once per actor, not per batch
+        # actor-pool setup: resolve kernels once per actor, not per batch.
+        # A list runs several kernels per entity in ONE pass — the shuffle
+        # is paid once and amortized over every kernel's fold.
         from pystreamfs_ray.kernels import get_kernel
 
-        self.kernel = get_kernel(kernel)
-        self.kernel_name = kernel
+        names = [kernel] if isinstance(kernel, str) else list(kernel)
+        self.kernels = [(n, get_kernel(n)) for n in names]
+        self.kernel_name = ",".join(names)
         self.batch_size = batch_size
         self.num_features = num_features
         self.kernel_params = dict(kernel_params or {})
@@ -115,6 +118,7 @@ class BucketSelector:
             else None
         )
 
+        o_kern: list[str] = []
         o_conv: list[str] = []
         o_wid: list[int] = []
         o_tsend: list = []
@@ -130,44 +134,48 @@ class BucketSelector:
             n_convs += 1
             cid = conv[s]
             X, Y = X_all[s:e], Y_all[s:e]
-            state = self.kernel.init_state(X.shape[1], self.kernel_params)
-            model = MODELS[self.evaluate]() if self.evaluate else None
-            prev_sel = None
-            for wid, i in enumerate(range(0, X.shape[0], self.batch_size)):
-                t0 = time.perf_counter()
-                w, state = self.kernel.update(
-                    state,
-                    X[i:i + self.batch_size],
-                    Y[i:i + self.batch_size],
-                    {"conv_id": cid, "window_id": wid},
-                    **self.kernel_params,
-                )
-                selected = top_m_features(w, self.num_features)
-                wall_ms = (time.perf_counter() - t0) * 1000.0
-
-                acc = None
-                if model is not None:
-                    acc = classify_window(
-                        X, Y, i, self.batch_size, selected, model,
-                        max_history=self.max_history,
+            for kname, kernel in self.kernels:
+                state = kernel.init_state(X.shape[1], self.kernel_params)
+                model = MODELS[self.evaluate]() if self.evaluate else None
+                prev_sel = None
+                for wid, i in enumerate(range(0, X.shape[0], self.batch_size)):
+                    t0 = time.perf_counter()
+                    w, state = kernel.update(
+                        state,
+                        X[i:i + self.batch_size],
+                        Y[i:i + self.batch_size],
+                        {"conv_id": cid, "window_id": wid},
+                        **self.kernel_params,
                     )
-                o_conv.append(cid)
-                o_wid.append(wid)
-                o_tsend.append(
-                    ts_all[min(e - 1, s + i + self.batch_size - 1)] if ts_all is not None else None
-                )
-                o_nrows.append(min(self.batch_size, X.shape[0] - i))
-                o_w.append(np.asarray(w, dtype=np.float64))
-                o_sel.append(selected.astype(np.int32))
-                o_fscr.append(
-                    fscr_score(prev_sel, selected, self.num_features) if wid >= 1 else None
-                )
-                o_acc.append(acc)
-                o_wall.append(wall_ms)
-                prev_sel = selected
+                    selected = top_m_features(w, self.num_features)
+                    wall_ms = (time.perf_counter() - t0) * 1000.0
+
+                    acc = None
+                    if model is not None:
+                        acc = classify_window(
+                            X, Y, i, self.batch_size, selected, model,
+                            max_history=self.max_history,
+                        )
+                    o_kern.append(kname)
+                    o_conv.append(cid)
+                    o_wid.append(wid)
+                    o_tsend.append(
+                        ts_all[min(e - 1, s + i + self.batch_size - 1)]
+                        if ts_all is not None else None
+                    )
+                    o_nrows.append(min(self.batch_size, X.shape[0] - i))
+                    o_w.append(np.asarray(w, dtype=np.float64))
+                    o_sel.append(selected.astype(np.int32))
+                    o_fscr.append(
+                        fscr_score(prev_sel, selected, self.num_features) if wid >= 1 else None
+                    )
+                    o_acc.append(acc)
+                    o_wall.append(wall_ms)
+                    prev_sel = selected
 
         out = pa.table(
             {
+                "kernel": pa.array(o_kern, type=pa.string()),
                 "conv_id": pa.array(o_conv, type=pa.string()),
                 "window_id": pa.array(o_wid, type=pa.int64()),
                 "ts_end": pa.array(o_tsend, type=pa.timestamp("us")),

@@ -1,0 +1,154 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``), every batch does one numpy matmul against it, per-batch
+partial top-k rows are emitted, and the tiny (n_queries × k × n_blocks)
+partial set is reduced to the global top-k. The full corpus streams;
+only partial winners move.
+
+Scale path: ``stages/dedup.embedding_neardup_pairs`` (random-hyperplane
+LSH buckets) and ``ivf_topk`` here (coarse-quantizer IVF: assign each
+vector to its nearest of C seeded centroids, probe the closest P lists
+only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceScorer:
+    """Actor: fetches + normalizes the broadcast query matrix once."""
+
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = q["qids"]
+        self.qmat = _normalize(q["qmat"])
+        self.id_col, self.vec_col, self.k = id_col, vec_col, k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        vecs = _normalize(_as_matrix(df[self.vec_col]))
+        sims = self.qmat @ vecs.T  # (nq, batch)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows_q, rows_id, rows_sim = [], [], []
+        ids = df[self.id_col].to_numpy()
+        for qi in range(sims.shape[0]):
+            rows_q.extend([self.qids[qi]] * k)
+            rows_id.extend(ids[top[qi]])
+            rows_sim.extend(sims[qi, top[qi]])
+        return pd.DataFrame({
+            "query_id": np.array(rows_q, dtype=np.int64),
+            self.id_col: np.array(rows_id, dtype=np.int64),
+            "cosine": np.array(rows_sim, dtype=np.float64),
+        })
+
+
+def brute_force_topk(ds, query_ids, query_matrix, *, k=10, id_col="vec_id",
+                     vec_col="embedding", concurrency=4, batch_size=4096):
+    """Global cosine top-k per query. Returns (query_id, id, cosine, rank)
+    with deterministic (round(cosine,6) desc, id asc) ranking."""
+    ref = ray.put({"qids": np.asarray(query_ids, dtype=np.int64),
+                   "qmat": np.asarray(query_matrix, dtype=np.float64)})
+    partials = ds.map_batches(
+        BruteForceScorer, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_args=(ref, id_col, vec_col, k),
+    )
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["cosine"] = g["cosine"].round(6)
+        g = g.sort_values(["cosine", id_col], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+
+
+class IVFScorer:
+    """IVF probe: score only vectors whose coarse cell is among the
+    ``nprobe`` cells closest to each query."""
+
+    def __init__(self, state_ref, id_col: str, vec_col: str, k: int, nprobe: int):
+        s = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
+        self.qids, self.qmat = s["qids"], _normalize(s["qmat"])
+        self.centroids = s["centroids"]
+        self.id_col, self.vec_col, self.k = id_col, vec_col, k
+        # cells each query probes
+        qc = self.qmat @ self.centroids.T
+        self.probe = np.argsort(-qc, axis=1)[:, :nprobe]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        vecs = _normalize(_as_matrix(df[self.vec_col]))
+        cell = np.argmax(vecs @ self.centroids.T, axis=1)
+        ids = df[self.id_col].to_numpy()
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(len(self.qids)):
+            mask = np.isin(cell, self.probe[qi])
+            if not mask.any():
+                continue
+            sims = self.qmat[qi] @ vecs[mask].T
+            k = min(self.k, sims.shape[0])
+            top = np.argpartition(-sims, k - 1)[:k]
+            out_q.extend([self.qids[qi]] * k)
+            out_id.extend(ids[mask][top])
+            out_sim.extend(sims[top])
+        return pd.DataFrame({
+            "query_id": np.array(out_q, dtype=np.int64),
+            self.id_col: np.array(out_id, dtype=np.int64),
+            "cosine": np.array(out_sim, dtype=np.float64),
+        })
+
+
+def ivf_topk(ds, query_ids, query_matrix, *, k=10, n_cells=16, nprobe=4,
+             id_col="vec_id", vec_col="embedding", concurrency=4,
+             train_sample: int = 2048, seed=7):
+    """Approximate top-k: seeded k-means-lite centroids (a few Lloyd
+    iterations over a driver-side sample), then probe-limited scoring."""
+    sample = ds.limit(train_sample).to_pandas()
+    mat = _normalize(_as_matrix(sample[vec_col]))
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(5):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(centroids.shape[0]):
+            pts = mat[assign == c]
+            if len(pts):
+                v = pts.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+
+    ref = ray.put({"qids": np.asarray(query_ids, dtype=np.int64),
+                   "qmat": np.asarray(query_matrix, dtype=np.float64),
+                   "centroids": centroids})
+    partials = ds.map_batches(
+        IVFScorer, batch_format="pandas", concurrency=concurrency,
+        fn_constructor_args=(ref, id_col, vec_col, k, nprobe),
+    )
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["cosine"] = g["cosine"].round(6)
+        g = g.sort_values(["cosine", id_col], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")

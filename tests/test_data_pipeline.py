@@ -1,0 +1,169 @@
+"""Dedup / similarity / text-analysis / multimodal operator tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pystreamfs_ray.stages import dedup as D
+from pystreamfs_ray.stages import multimodal as M
+from pystreamfs_ray.stages import similarity as S
+from pystreamfs_ray.stages import textstats as T
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def docs_with_dups() -> pa.Table:
+    """50 base docs + exact dups + near-dups (few words changed)."""
+    rng = np.random.default_rng(17)
+    vocab = [f"tok{i}" for i in range(80)]
+    base = [" ".join(rng.choice(vocab, size=40)) for _ in range(50)]
+    texts, ids = [], []
+    i = 0
+    for b in base:
+        texts.append(b); ids.append(i); i += 1
+    for b in base[:10]:  # exact duplicates
+        texts.append(b); ids.append(i); i += 1
+    for b in base[10:20]:  # near-duplicates: change 2 of 40 words
+        w = b.split(); w[5] = "CHANGED"; w[20] = "ALSO"
+        texts.append(" ".join(w)); ids.append(i); i += 1
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                     "text": pa.array(texts, type=pa.string())})
+
+
+def test_exact_dedup(ray_session, docs_with_dups):
+    import ray.data as rd
+
+    out = D.exact_dedup(rd.from_arrow(docs_with_dups)).to_pandas()
+    assert len(out) == 60  # 50 distinct base + 10 near-dups
+    dup_rows = out[out["n_dupes"] == 2]
+    assert len(dup_rows) == 10
+    assert (dup_rows["doc_id"] < 50).all()  # keeper is the smallest id
+
+
+def test_minhash_lsh_near_dups(ray_session, docs_with_dups):
+    import ray.data as rd
+
+    pairs = D.minhash_lsh_pairs(
+        rd.from_arrow(docs_with_dups), threshold=0.5, concurrency=2
+    ).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    # all 10 exact-dup pairs (jaccard 1.0) must be found
+    for j, orig in enumerate(range(0, 10)):
+        assert (orig, 50 + j) in got
+    # near-dup pairs (2/40 words changed → high jaccard) mostly found
+    near_found = sum((orig, 60 + j) in got for j, orig in enumerate(range(10, 20)))
+    assert near_found >= 8
+    # estimates are sane vs exact n-gram jaccard
+    texts = docs_with_dups["text"].to_pylist()
+    for _, r in pairs.iterrows():
+        exact = D.ngram_jaccard(texts[int(r.id_a)], texts[int(r.id_b)], 3)
+        assert abs(r.jaccard_est - exact) < 0.25
+
+
+def test_simhash_pairs(ray_session, docs_with_dups):
+    import ray.data as rd
+
+    pairs = D.simhash_pairs(rd.from_arrow(docs_with_dups), max_hamming=6,
+                            concurrency=2).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    for j, orig in enumerate(range(0, 10)):
+        assert (orig, 50 + j) in got  # exact dups → hamming 0
+    ham0 = pairs[pairs["hamming"] == 0]
+    assert len(ham0) >= 10
+
+
+def test_embedding_neardup_and_ann(ray_session):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.to_pandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    nmat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    # brute-force top-k vs numpy oracle
+    qids = pdf["vec_id"].to_numpy()[:5]
+    qmat = mat[:5]
+    out = S.brute_force_topk(emb, qids, qmat, k=10, concurrency=2).to_pandas()
+    sims = (qmat / np.linalg.norm(qmat, axis=1, keepdims=True)) @ nmat.T
+    for qi, qid in enumerate(qids):
+        mine = out[out.query_id == qid].sort_values("rank")["vec_id"].to_numpy()
+        order = np.lexsort((pdf["vec_id"].to_numpy(), -np.round(sims[qi], 6)))
+        want = pdf["vec_id"].to_numpy()[order][:10]
+        assert list(mine) == list(want), f"query {qid}"
+
+    # IVF recall vs brute force
+    ivf = S.ivf_topk(emb, qids, qmat, k=10, n_cells=8, nprobe=3, concurrency=2).to_pandas()
+    recalls = []
+    for qid in qids:
+        bf = set(out[out.query_id == qid]["vec_id"])
+        iv = set(ivf[ivf.query_id == qid]["vec_id"])
+        recalls.append(len(bf & iv) / 10)
+    assert np.mean(recalls) >= 0.5, recalls
+
+    # LSH near-dup: self-pairs excluded, found pairs verified ≥ threshold
+    dup = pdf.head(3).copy()
+    dup["vec_id"] = dup["vec_id"] + 10_000  # exact duplicate vectors
+    both = rd.from_arrow(pa.Table.from_pandas(pd.concat([pdf, dup]), preserve_index=False))
+    pairs = D.embedding_neardup_pairs(both, threshold=0.99, concurrency=2).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    for v in dup["vec_id"]:
+        assert (v - 10_000, v) in got
+    assert (pairs["cosine"] >= 0.99).all()
+
+
+def test_token_stats_and_fingerprint(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    out = T.token_stats(docs).to_pandas()
+    row = out.iloc[0]
+    assert row["n_tokens"] == len(row["text"].split())
+    assert row["n_chars_f"] == len(row["text"])
+
+    fp = T.fingerprint(docs.limit(50)).to_pandas()
+    for _, r in fp.head(5).iterrows():
+        assert r["md5"] == hashlib.md5(r["text"].encode()).hexdigest()
+    # rolling fp deterministic
+    fp2 = T.fingerprint(docs.limit(50)).to_pandas()
+    assert (fp.sort_values("doc_id")["rolling_fp"].to_numpy()
+            == fp2.sort_values("doc_id")["rolling_fp"].to_numpy()).all()
+
+
+def test_quality_and_langid(ray_session):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    q = T.quality_score(docs, concurrency=2).to_pandas()
+    assert ((q["quality_score"] >= 0) & (q["quality_score"] <= 1)).all()
+    assert ((q["stopword_ratio"] >= 0) & (q["stopword_ratio"] <= 1)).all()
+
+    lid = T.lang_id(docs, concurrency=2).to_pandas()
+    assert set(lid["pred_lang"]) <= {"en", "de", "fr", "es", "zh"}
+    # deterministic
+    lid2 = T.lang_id(docs, concurrency=2).to_pandas()
+    a = lid.sort_values("doc_id")["pred_lang"].to_numpy()
+    b = lid2.sort_values("doc_id")["pred_lang"].to_numpy()
+    assert (a == b).all()
+
+
+def test_multimodal_stub(ray_session):
+    import ray.data as rd
+
+    media = M.synth_media_table(100, seed=21)
+    out = M.decode_features(rd.from_arrow(media), fake=True, concurrency=2,
+                            batch_size=16).to_pandas()
+    assert len(out) == 100
+    assert "payload" not in out.columns  # bytes dropped after decode
+    assert ((out["width"] >= 64) & (out["width"] < 256)).all()
+    # deterministic decode
+    out2 = M.decode_features(rd.from_arrow(media), fake=True).to_pandas()
+    a = out.sort_values("media_id")["mean_val"].to_numpy()
+    b = out2.sort_values("media_id")["mean_val"].to_numpy()
+    assert np.array_equal(a, b)
+    # non-fake path is explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        M.DecodeStub(fake=False)._decode_one("image", b"xx")
