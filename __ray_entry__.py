@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_featurize": q.q_featurize,
         "q_tumbling": q.q_tumbling,
         "q_sliding": q.q_sliding,
+        "q_sliding_stride": q.q_sliding_stride,
+        "q_union_counts": q.q_union_counts,
         "q_lag_lead": q.q_lag_lead,
         "q_backfill": q.q_backfill,
         "q_sessionize": q.q_sessionize,
@@ -208,6 +210,28 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY conv_id ORDER BY turn_idx
                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS chars_roll10
             FROM feat
+        """,
+        "q_sliding_stride": f"""
+            WITH {_TRANSCRIPTS_CTE}, {_FEAT_CTE},
+            starts AS (
+                SELECT DISTINCT conv_id, CAST((turn_idx // 4) * 4 AS BIGINT) AS window_start
+                FROM feat
+            )
+            SELECT s.conv_id, s.window_start,
+                   COUNT(*) AS n_rows,
+                   SUM(f.f_text_chars) AS sum_chars
+            FROM starts s JOIN feat f
+              ON f.conv_id = s.conv_id
+             AND f.turn_idx >= s.window_start
+             AND f.turn_idx < s.window_start + 10
+            GROUP BY s.conv_id, s.window_start
+        """,
+        "q_union_counts": """
+            SELECT event_type, COUNT(*) AS n FROM (
+                SELECT event_id, event_type FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT event_id, event_type FROM events WHERE event_type = 'purchase'
+            ) GROUP BY event_type
         """,
         "q_lag_lead": """
             SELECT event_id, user_id, value,

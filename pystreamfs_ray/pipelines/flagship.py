@@ -37,6 +37,9 @@ def feature_windows(
     concurrency=None,
     checkpoint_dir: str | None = None,
     fingerprint: str = "",
+    streaming: bool = False,
+    flush: bool = True,
+    load_state: bool = False,
 ):
     """transcripts → per-(entity, window) selector output Dataset."""
     feats = featurize(transcripts_ds)
@@ -53,6 +56,9 @@ def feature_windows(
         concurrency=concurrency,
         checkpoint_dir=checkpoint_dir,
         fingerprint=fingerprint,
+        streaming=streaming,
+        flush=flush,
+        load_state=load_state,
     )
 
 

@@ -142,22 +142,18 @@ def q_topk_orders(sf_dir: str):
 
 
 def q_join_agg(sf_dir: str):
-    """orders ⋈ customer via broadcast small side (ray.put once, lookup
-    per batch — no shuffle), then grouped aggregate."""
+    """orders ⋈ customer via broadcast small side (ray.put once on the
+    driver; each task fetches the shared copy from the local object
+    store — no shuffle), then grouped aggregate."""
     cust = rd.read_parquet(
         _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     ).to_pandas()  # small dimension table
     seg_of = dict(zip(cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy()))
     ref = ray.put(seg_of)
 
-    class AttachSegment:
-        def __init__(self, ref):
-            # once per actor (ray may auto-resolve the ref in ctor args)
-            self.seg_of = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df["c_mktsegment"] = df["o_custkey"].map(self.seg_of)
-            return df
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        df["c_mktsegment"] = df["o_custkey"].map(ray.get(ref))
+        return df
 
     ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
 
@@ -166,8 +162,7 @@ def q_join_agg(sf_dir: str):
 
     agg = (
         ds.map_batches(quant, batch_format="pyarrow")
-        .map_batches(AttachSegment, batch_format="pandas",
-                     fn_constructor_args=(ref,), concurrency=2)
+        .map_batches(attach, batch_format="pandas")
         .groupby("c_mktsegment")
         .aggregate(Sum("price_c", alias_name="_pc"), Count(alias_name="n_orders"))
     )
@@ -275,6 +270,34 @@ def q_sliding(sf_dir: str):
         return g[["conv_id", "turn_idx", "chars_roll10"]]
 
     return _cast_turn64(W.per_bucket(feats, roll, num_buckets=_BUCKETS))
+
+
+def q_sliding_stride(sf_dir: str):
+    """Overlapping sliding windows (size 10, stride 4) per entity —
+    flat-expanded membership + in-bucket aggregation."""
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+    feats = featurize(t).select_columns(["conv_id", "turn_idx", "f_text_chars"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort", ignore_index=True)
+        g = W.assign_sliding(g, size=10, stride=4, seq_col="turn_idx")
+        out = (
+            g.groupby(["conv_id", "window_start"], sort=False)
+            .agg(n_rows=("turn_idx", "size"), sum_chars=("f_text_chars", "sum"))
+            .reset_index()
+        )
+        out["n_rows"] = out["n_rows"].astype(np.int64)
+        return out
+
+    return W.per_bucket(feats, agg, num_buckets=_BUCKETS)
+
+
+def q_union_counts(sf_dir: str):
+    """Dataset.union of two filtered event streams + grouped count."""
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "event_type"])
+    a = ev.filter(expr="event_type == 'click'")
+    b = ev.filter(expr="event_type == 'purchase'")
+    return a.union(b).groupby("event_type").aggregate(Count(alias_name="n"))
 
 
 def q_lag_lead(sf_dir: str):

@@ -69,6 +69,9 @@ class BucketSelector:
         max_history: int | None = None,
         checkpoint_dir: str | None = None,
         fingerprint: str = "",
+        streaming: bool = False,
+        flush: bool = True,
+        load_state: bool = False,
     ):
         # actor-pool setup: resolve kernels once per actor, not per batch.
         # A list runs several kernels per entity in ONE pass — the shuffle
@@ -91,6 +94,38 @@ class BucketSelector:
         self.max_history = max_history
         self.checkpoint_dir = checkpoint_dir
         self.fingerprint = fingerprint
+        # streaming continuation: don't emit the short tail window —
+        # carry it (plus bounded eval history) in per-bucket state so a
+        # later run over NEW rows continues the same stream exactly
+        # (reference semantics resume mid-stream). flush=True emits the
+        # tail (reference one-shot behavior, pystreamfs.py:59).
+        self.streaming = streaming
+        self.flush = flush
+        self.load_state = load_state
+        if streaming and evaluate and max_history is None:
+            raise ValueError(
+                "streaming continuation with evaluation needs a bounded "
+                "max_history (the unbounded prefix cannot be carried)"
+            )
+
+    def _classify(self, hist_X, hist_Y, X, Y, i, selected, model, first: bool):
+        """Prequential eval with cross-run history: train on (carried
+        history + this run's prefix), bounded by max_history — identical
+        to oracle.classify_window when history is empty."""
+        x_test = X[i:i + self.batch_size][:, selected]
+        y_test = Y[i:i + self.batch_size]
+        if first and i == 0 and hist_X.shape[0] == 0:
+            x_train, y_train = x_test, y_test  # reference window-0 case
+        else:
+            trainX = np.concatenate([hist_X, X[:i]]) if hist_X.shape[0] else X[:i]
+            trainY = np.concatenate([hist_Y, Y[:i]]) if hist_Y.shape[0] else Y[:i]
+            if self.max_history is not None:
+                trainX = trainX[-self.max_history:]
+                trainY = trainY[-self.max_history:]
+            x_train, y_train = trainX[:, selected], trainY
+        model.fit(x_train, y_train)
+        pred = model.predict(x_test)
+        return float(np.mean(pred == np.asarray(y_test, dtype=np.int64)))
 
     def __call__(self, group: pd.DataFrame) -> pa.Table:
         t_start = time.perf_counter()
@@ -129,22 +164,70 @@ class BucketSelector:
         o_acc: list = []
         o_wall: list[float] = []
 
+        prior_states: dict = {}
+        if self.load_state and self.checkpoint_dir is not None and bucket_id >= 0:
+            from pystreamfs_ray.state.checkpoint import read_bucket_state
+
+            prior_states = read_bucket_state(self.checkpoint_dir, bucket_id)
+        new_states: dict = {}
+
+        bs = self.batch_size
         n_convs = 0
         for s, e in _entity_slices(conv):
             n_convs += 1
             cid = conv[s]
-            X, Y = X_all[s:e], Y_all[s:e]
+            prior = prior_states.get(cid)
+            Xn, Yn = X_all[s:e], Y_all[s:e]
+            tsn = ts_all[s:e] if ts_all is not None else None
+            if (
+                prior is not None
+                and tsn is not None
+                and len(Xn)
+                and "f_ts_delta_s" in self.feature_cols
+            ):
+                # the first new row's lag-delta predecessor lives in the
+                # previous run: patch it from the carried timestamp
+                pend_ts = prior.get("pending_ts")
+                last_ts = (
+                    pend_ts[-1] if pend_ts is not None and len(pend_ts)
+                    else prior.get("last_ts")
+                )
+                if last_ts is not None:
+                    li = self.feature_cols.index("f_ts_delta_s")
+                    Xn[0, li] = float(
+                        (tsn[0] - last_ts) / np.timedelta64(1, "ns")
+                    ) / 1e9
+            if prior is not None:
+                X = np.concatenate([prior["pending_X"], Xn])
+                Y = np.concatenate([prior["pending_Y"], Yn])
+                tsv = (np.concatenate([prior["pending_ts"], tsn])
+                       if tsn is not None and prior["pending_ts"] is not None else tsn)
+                hist_X, hist_Y = prior["hist_X"], prior["hist_Y"]
+                wid0 = prior["next_window"]
+            else:
+                X, Y, tsv = Xn, Yn, tsn
+                hist_X = np.zeros((0, X_all.shape[1]))
+                hist_Y = np.zeros((0,), dtype=Y_all.dtype)
+                wid0 = 0
+
+            n_full = (X.shape[0] // bs) * bs
+            stop = X.shape[0] if (not self.streaming or self.flush) else n_full
+
+            kstates = {}
             for kname, kernel in self.kernels:
-                state = kernel.init_state(X.shape[1], self.kernel_params)
+                if prior is not None:
+                    state = prior["kstate"][kname]
+                    prev_sel = prior["prev_sel"][kname]
+                else:
+                    state = kernel.init_state(X.shape[1], self.kernel_params)
+                    prev_sel = None
                 model = MODELS[self.evaluate]() if self.evaluate else None
-                prev_sel = None
-                for wid, i in enumerate(range(0, X.shape[0], self.batch_size)):
+                for wid, i in enumerate(range(0, stop, bs)):
+                    gwid = wid0 + wid
                     t0 = time.perf_counter()
                     w, state = kernel.update(
-                        state,
-                        X[i:i + self.batch_size],
-                        Y[i:i + self.batch_size],
-                        {"conv_id": cid, "window_id": wid},
+                        state, X[i:i + bs], Y[i:i + bs],
+                        {"conv_id": cid, "window_id": gwid},
                         **self.kernel_params,
                     )
                     selected = top_m_features(w, self.num_features)
@@ -152,26 +235,42 @@ class BucketSelector:
 
                     acc = None
                     if model is not None:
-                        acc = classify_window(
-                            X, Y, i, self.batch_size, selected, model,
-                            max_history=self.max_history,
-                        )
+                        acc = self._classify(hist_X, hist_Y, X, Y, i, selected,
+                                             model, first=(gwid == 0))
                     o_kern.append(kname)
                     o_conv.append(cid)
-                    o_wid.append(wid)
+                    o_wid.append(gwid)
                     o_tsend.append(
-                        ts_all[min(e - 1, s + i + self.batch_size - 1)]
-                        if ts_all is not None else None
+                        tsv[min(X.shape[0] - 1, i + bs - 1)] if tsv is not None else None
                     )
-                    o_nrows.append(min(self.batch_size, X.shape[0] - i))
+                    o_nrows.append(min(bs, X.shape[0] - i))
                     o_w.append(np.asarray(w, dtype=np.float64))
                     o_sel.append(selected.astype(np.int32))
                     o_fscr.append(
-                        fscr_score(prev_sel, selected, self.num_features) if wid >= 1 else None
+                        fscr_score(prev_sel, selected, self.num_features)
+                        if gwid >= 1 and prev_sel is not None else None
                     )
                     o_acc.append(acc)
                     o_wall.append(wall_ms)
                     prev_sel = selected
+                kstates[kname] = (state, prev_sel)
+
+            if self.streaming:
+                keep = self.max_history or 0
+                hist_all = np.concatenate([hist_X, X[:n_full]])
+                histY_all = np.concatenate([hist_Y, Y[:n_full]])
+                new_states[cid] = {
+                    "pending_X": X[n_full:] if not self.flush else X[:0],
+                    "pending_Y": Y[n_full:] if not self.flush else Y[:0],
+                    "pending_ts": (tsv[n_full:] if tsv is not None else None)
+                    if not self.flush else (tsv[:0] if tsv is not None else None),
+                    "hist_X": hist_all[-keep:] if keep else hist_all[:0],
+                    "hist_Y": histY_all[-keep:] if keep else histY_all[:0],
+                    "next_window": wid0 + stop // bs + (1 if self.flush and stop % bs else 0),
+                    "kstate": {k: st for k, (st, _) in kstates.items()},
+                    "prev_sel": {k: ps for k, (_, ps) in kstates.items()},
+                    "last_ts": tsv[-1] if tsv is not None and len(tsv) else None,
+                }
 
         out = pa.table(
             {
@@ -188,6 +287,11 @@ class BucketSelector:
             },
             schema=SELECTOR_OUTPUT_SCHEMA,
         )
+
+        if self.streaming and self.checkpoint_dir is not None and bucket_id >= 0:
+            from pystreamfs_ray.state.checkpoint import write_bucket_state
+
+            write_bucket_state(self.checkpoint_dir, bucket_id, new_states)
 
         if self.checkpoint_dir is not None and bucket_id >= 0:
             from pystreamfs_ray.state.checkpoint import write_bucket_checkpoint
@@ -225,9 +329,15 @@ def run_selector(
     concurrency=None,
     checkpoint_dir: str | None = None,
     fingerprint: str = "",
+    streaming: bool = False,
+    flush: bool = True,
+    load_state: bool = False,
 ):
     """features Dataset → selector-output Dataset (one shuffle)."""
     kwargs = dict(
+        streaming=streaming,
+        flush=flush,
+        load_state=load_state,
         kernel=kernel,
         batch_size=batch_size,
         num_features=num_features,

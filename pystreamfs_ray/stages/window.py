@@ -115,6 +115,30 @@ def sessionize(df: pd.DataFrame, gap_s: float, *, entity_col="conv_id",
     return df
 
 
+def assign_sliding(df: pd.DataFrame, size: int, stride: int, *,
+                   entity_col="conv_id", seq_col: str | None = None,
+                   out_col="window_start") -> pd.DataFrame:
+    """Overlapping count-based sliding windows: window w covers rows
+    [w*stride, w*stride + size) of each entity's sequence. Rows are
+    flat-expanded to every window that contains them (replication factor
+    ≈ size/stride), so a plain groupby on (entity, window_start) gives
+    sliding aggregates. ``seq_col=None`` uses the per-entity row rank."""
+    if seq_col is None:
+        seq = df.groupby(entity_col, sort=False).cumcount().to_numpy()
+    else:
+        seq = df[seq_col].to_numpy()
+    w_last = seq // stride
+    w_first = np.maximum(np.ceil((seq - size + 1) / stride), 0).astype(np.int64)
+    reps = (w_last - w_first + 1).astype(np.int64)
+    idx = np.repeat(np.arange(len(df)), reps)
+    offsets = np.concatenate(([0], np.cumsum(reps)))
+    pos = np.arange(int(reps.sum())) - np.repeat(offsets[:-1], reps)
+    starts = (w_first[idx] + pos) * stride
+    out = df.iloc[idx].copy()
+    out[out_col] = starts.astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 def rolling_mean(df: pd.DataFrame, col: str, window: int, *, entity_col="conv_id",
                  out_col: str | None = None) -> pd.DataFrame:
     """Sliding count-window mean over the current + (window-1) preceding

@@ -54,6 +54,31 @@ def write_bucket_checkpoint(root: str, bucket_id: int, table: pa.Table, *,
     os.replace(tmp_m, os.path.join(d, "MANIFEST.json"))
 
 
+def write_bucket_state(root: str, bucket_id: int, states: dict) -> None:
+    """Per-bucket streaming-continuation state (kernel state, pending
+    partial-window rows, bounded eval history, next window id per
+    entity) — pickled atomically. This is the 'kernel_state_blob' of the
+    checkpoint design (SURVEY.md §4)."""
+    import pickle
+
+    d = _bucket_dir(root, bucket_id)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, ".state.pkl.tmp")
+    with open(tmp, "wb") as f:
+        pickle.dump(states, f)
+    os.replace(tmp, os.path.join(d, "state.pkl"))
+
+
+def read_bucket_state(root: str, bucket_id: int) -> dict:
+    import pickle
+
+    p = os.path.join(_bucket_dir(root, bucket_id), "state.pkl")
+    if not os.path.exists(p):
+        return {}
+    with open(p, "rb") as f:
+        return pickle.load(f)
+
+
 def completed_buckets(root: str, *, kernel: str, params_fp: str, input_fp: str) -> dict[int, dict]:
     """Bucket ids whose manifest exists and matches the current lineage."""
     done: dict[int, dict] = {}
