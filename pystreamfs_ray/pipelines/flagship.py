@@ -66,21 +66,23 @@ def flagship(
     transcripts_ds,
     labels_ds=None,
     *,
-    kernel: str = "ofs",
+    kernel: str | list = "ofs",
     batch_size: int = 50,
     num_features: int = 5,
     evaluate: str | None = None,
+    max_history: int | None = None,
     num_buckets: int = 64,
     concurrency=None,
     checkpoint_dir: str | None = None,
 ):
-    """Full pipeline; returns (windows_ds, joined_ds_or_None, summary_ds)."""
+    """Full pipeline; returns (windows_ds, joined_ds_or_None, summary_df)."""
     windows = feature_windows(
         transcripts_ds,
         kernel=kernel,
         batch_size=batch_size,
         num_features=num_features,
         evaluate=evaluate,
+        max_history=max_history,
         num_buckets=num_buckets,
         concurrency=concurrency,
         checkpoint_dir=checkpoint_dir,

@@ -297,6 +297,13 @@ class BucketSelector:
             from pystreamfs_ray.state.checkpoint import write_bucket_checkpoint
 
             wall_s = time.perf_counter() - t_start
+            # watermark age: wall-clock at checkpoint minus the newest
+            # event time processed (the live-stream window-lag metric;
+            # large for historical backfills, by definition)
+            lag_s = None
+            if o_tsend and o_tsend[-1] is not None:
+                watermark = max(t for t in o_tsend if t is not None)
+                lag_s = time.time() - pd.Timestamp(watermark).timestamp()
             write_bucket_checkpoint(
                 self.checkpoint_dir,
                 bucket_id,
@@ -307,6 +314,7 @@ class BucketSelector:
                 n_convs=n_convs,
                 rows_done=len(conv),
                 wall_s=wall_s,
+                window_lag_s=lag_s,
             )
         return out
 

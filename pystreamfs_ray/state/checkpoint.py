@@ -31,7 +31,8 @@ def _bucket_dir(root: str, bucket_id: int) -> str:
 
 def write_bucket_checkpoint(root: str, bucket_id: int, table: pa.Table, *,
                             kernel: str, params_fp: str, input_fp: str,
-                            n_convs: int, rows_done: int, wall_s: float) -> None:
+                            n_convs: int, rows_done: int, wall_s: float,
+                            window_lag_s: float | None = None) -> None:
     d = _bucket_dir(root, bucket_id)
     os.makedirs(d, exist_ok=True)
     tmp_data = os.path.join(d, ".data.parquet.tmp")
@@ -47,6 +48,7 @@ def write_bucket_checkpoint(root: str, bucket_id: int, table: pa.Table, *,
         "rows_done": rows_done,
         "wall_s": wall_s,
         "rows_per_sec": rows_done / wall_s if wall_s > 0 else None,
+        "window_lag_s": window_lag_s,
     }
     tmp_m = os.path.join(d, ".MANIFEST.json.tmp")
     with open(tmp_m, "w") as f:
