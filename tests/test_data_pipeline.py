@@ -42,6 +42,22 @@ def test_exact_dedup(ray_session, docs_with_dups):
     assert (dup_rows["doc_id"] < 50).all()  # keeper is the smallest id
 
 
+def test_minhash_join_path_equals_broadcast(ray_session, docs_with_dups):
+    """The hash-join verification (scale path) == the broadcast path."""
+    import ray.data as rd
+
+    a = D.minhash_lsh_pairs(rd.from_arrow(docs_with_dups), threshold=0.5,
+                            concurrency=2).to_pandas()
+    b = D.minhash_lsh_pairs(rd.from_arrow(docs_with_dups), threshold=0.5,
+                            concurrency=2, broadcast_threshold=0).to_pandas()
+    key = ["id_a", "id_b"]
+    a = a.sort_values(key, ignore_index=True)
+    b = b.sort_values(key, ignore_index=True)
+    assert len(a) == len(b)
+    assert (a[key].to_numpy() == b[key].to_numpy()).all()
+    assert (a["jaccard_est"].to_numpy() == b["jaccard_est"].to_numpy()).all()
+
+
 def test_minhash_lsh_near_dups(ray_session, docs_with_dups):
     import ray.data as rd
 
