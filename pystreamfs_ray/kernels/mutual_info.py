@@ -29,14 +29,15 @@ import numpy as np
 
 
 def digamma(x) -> np.ndarray:
-    """Digamma for positive arguments (vectorized; ~1e-12 accuracy)."""
+    """Digamma for positive arguments (vectorized; ~1e-12 accuracy —
+    recurrence pushes x ≥ 12 before the asymptotic series)."""
     x = np.array(x, dtype=np.float64, copy=True)
     res = np.zeros_like(x)
-    mask = x < 6.0
+    mask = x < 12.0
     while np.any(mask):
         res[mask] -= 1.0 / x[mask]
         x[mask] += 1.0
-        mask = x < 6.0
+        mask = x < 12.0
     inv = 1.0 / x
     inv2 = inv * inv
     res += np.log(x) - 0.5 * inv - inv2 * (

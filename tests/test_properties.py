@@ -1,0 +1,152 @@
+"""Property-based invariants (hypothesis) for window ops and kernels —
+no Ray needed; complements the example-based and oracle tests."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pystreamfs_ray.kernels import get_kernel
+from pystreamfs_ray.kernels.base import fscr, top_m_features
+from pystreamfs_ray.kernels.mutual_info import digamma, mutual_info_classif
+from pystreamfs_ray.stages import window as W
+
+
+def _entity_frame(n_entities, rows_per_entity, seed):
+    rng = np.random.default_rng(seed)
+    frames = []
+    base = pd.Timestamp("2024-01-01")
+    for k in range(n_entities):
+        n = rows_per_entity[k % len(rows_per_entity)]
+        gaps = rng.integers(1, 4000, size=n)
+        frames.append(pd.DataFrame({
+            "conv_id": f"c{k}",
+            "turn_idx": np.arange(n, dtype=np.int32),
+            "ts": base + pd.to_timedelta(np.cumsum(gaps), unit="s"),
+            "value": rng.normal(size=n),
+        }))
+    df = pd.concat(frames, ignore_index=True)
+    return df.iloc[rng.permutation(len(df))].reset_index(drop=True)
+
+
+@given(st.integers(1, 6), st.lists(st.integers(1, 40), min_size=1, max_size=4),
+       st.integers(0, 10_000))
+@settings(max_examples=25, deadline=None)
+def test_sessionize_and_lag_invariants(n_entities, rows_per_entity, seed):
+    df = W.sort_entity(_entity_frame(n_entities, rows_per_entity, seed))
+    df = W.add_lag_delta(df)
+    df = W.sessionize(df, gap_s=1800)
+    g = df.groupby("conv_id")
+    # lag: first row 0, others strictly positive (ts strictly increasing)
+    assert (g["f_ts_delta_s"].first() == 0.0).all()
+    assert (g["f_ts_delta_s"].apply(lambda s: (s.iloc[1:] > 0).all())).all()
+    # sessions: ids start at 0, non-decreasing, +1 only across >gap_s
+    for _, grp in g:
+        sid = grp["session_id"].to_numpy()
+        assert sid[0] == 0
+        d = np.diff(sid)
+        assert ((d == 0) | (d == 1)).all()
+        gaps = grp["f_ts_delta_s"].to_numpy()[1:]
+        np.testing.assert_array_equal(d == 1, gaps > 1800)
+
+
+@given(st.integers(1, 50), st.integers(1, 12), st.integers(1, 12),
+       st.integers(0, 10_000))
+@settings(max_examples=25, deadline=None)
+def test_sliding_window_membership(n_rows, size, stride, seed):
+    df = pd.DataFrame({"conv_id": "c0", "turn_idx": np.arange(n_rows, dtype=np.int64)})
+    out = W.assign_sliding(df, size=size, stride=stride, seq_col="turn_idx")
+    # every (row, window) pair is valid and complete
+    r = out["turn_idx"].to_numpy()
+    s = out["window_start"].to_numpy()
+    assert ((r >= s) & (r < s + size) & (s % stride == 0) & (s >= 0)).all()
+    # exhaustive: every valid pair is present exactly once
+    expect = {(row, w * stride) for row in range(n_rows)
+              for w in range(0, row // stride + 1)
+              if w * stride + size > row}
+    assert set(zip(r, s)) == expect
+    assert len(out) == len(expect)
+
+
+@given(st.integers(2, 30), st.integers(1, 8), st.integers(0, 10_000))
+@settings(max_examples=25, deadline=None)
+def test_ofs_truncation_sparsity(n_rows, num_features, seed):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n_rows, 10))
+    Y = rng.integers(0, 2, size=n_rows)
+    k = get_kernel("ofs")
+    w, _ = k.update(k.init_state(10, {}), X, Y, num_features=num_features)
+    assert np.count_nonzero(w) <= max(num_features, 10 if num_features >= 10 else num_features)
+    assert np.all(np.isfinite(w))
+
+
+@given(st.integers(2, 30), st.integers(0, 10_000))
+@settings(max_examples=25, deadline=None)
+def test_efs_weights_nonnegative(n_rows, seed):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n_rows, 7))
+    Y = rng.integers(0, 2, size=n_rows)
+    k = get_kernel("efs")
+    w, (u, v) = k.update(k.init_state(7, {}), X, Y)
+    assert (w >= 0).all() and np.isfinite(w).all()
+    # multiplicative updates stay non-negative; exactly 0 is reachable
+    # (reference: v_j *= beta*(1-x_j) with x_j = 1 → absorbing zero)
+    assert (u >= 0).all() and (v >= 0).all()
+
+
+@given(st.integers(5, 60), st.integers(0, 10_000))
+@settings(max_examples=15, deadline=None)
+def test_mcnn_bounded_buffers(n_rows, seed):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n_rows, 4))
+    Y = rng.integers(0, 2, size=n_rows)
+    k = get_kernel("mcnn")
+    state = k.init_state(4, {})
+    w, state = k.update(state, X, Y, max_n=8, e_threshold=2)
+    for c in state["clusters"].values():
+        assert c.n <= 8 and c.instances.shape[0] == c.n
+        assert np.isfinite(c.centroid).all()
+    assert (w >= 0).all()
+
+
+@given(st.integers(1, 200))
+@settings(max_examples=50, deadline=None)
+def test_digamma_recurrence(n):
+    # psi(x+1) = psi(x) + 1/x
+    a = digamma(np.array([n + 1.0]))[0]
+    b = digamma(np.array([float(n)]))[0] + 1.0 / n
+    assert abs(a - b) < 1e-10
+
+
+@given(st.integers(10, 80), st.integers(0, 10_000))
+@settings(max_examples=15, deadline=None)
+def test_mutual_info_properties(n, seed):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, 3))
+    y = rng.integers(0, 2, size=n)
+    mi = mutual_info_classif(X, y, random_state=0)
+    assert mi.shape == (3,)
+    assert (mi >= 0).all()  # clipped at zero, as sklearn
+    # deterministic for fixed random_state
+    np.testing.assert_array_equal(mi, mutual_info_classif(X, y, random_state=0))
+
+
+@given(st.lists(st.integers(0, 9), min_size=1, max_size=5, unique=True),
+       st.lists(st.integers(0, 9), min_size=1, max_size=5, unique=True))
+@settings(max_examples=50, deadline=None)
+def test_fscr_bounds(prev, cur):
+    n = max(len(prev), len(cur))
+    v = fscr(prev, cur, n)
+    assert 0.0 <= v <= 1.0
+    assert fscr(prev, prev, n) == 0.0
+
+
+@given(st.integers(1, 14), st.integers(0, 10_000))
+@settings(max_examples=30, deadline=None)
+def test_top_m_is_argmax_set(m, seed):
+    rng = np.random.default_rng(seed)
+    w = rng.normal(size=14)
+    sel = top_m_features(w, m)
+    assert len(sel) == m
+    thresh = np.sort(np.abs(w))[-m]
+    assert (np.abs(w[sel]) >= thresh).all()
