@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_select_mcnn": q.q_select_mcnn,
         "q_select_cancelout": q.q_select_cancelout,
         "q_metrics_summary": q.q_metrics_summary,
+        "q_accuracy_over_time": q.q_accuracy_over_time,
+        "q_eval_salted": q.q_eval_salted,
         # dedup / similarity / text analysis / multimodal
         "q_dedup_exact": q.q_dedup_exact,
         "q_token_stats": q.q_token_stats,

@@ -559,6 +559,47 @@ def q_decode_media(sf_dir: str):
     return decode_features(media, fake=True, concurrency=2, batch_size=64)
 
 
+def q_accuracy_over_time(sf_dir: str):
+    """Accuracy mean + Q1/Q3 band per window ordinal across entities
+    (reference plot panel analog; wall-free → deterministic)."""
+    from pystreamfs_ray.pipelines.metrics import accuracy_over_time
+
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+    wds = feature_windows(t, kernel="ofs", batch_size=50, num_features=5,
+                          num_buckets=_BUCKETS, evaluate="knn")
+    out = accuracy_over_time(wds)
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("acc_mean", "acc_q1", "acc_q3", "fscr_mean"):
+            df[c] = df[c].astype(np.float64).round(6)
+        return df
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
+def q_eval_salted(sf_dir: str):
+    """Salted distributed prequential evaluation over window chunks
+    (the mega-entity skew path; equality vs inline eval is pytest-gated)."""
+    from pystreamfs_ray.stages.evaluate import evaluate_windows
+    from pystreamfs_ray.stages.featurize import featurize as _feat
+
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+    specs = feature_windows(t, kernel="ofs", batch_size=50, num_features=5,
+                            num_buckets=_BUCKETS)
+    acc = evaluate_windows(
+        _feat(transcripts_from_events(sf_dir, num_buckets=_BUCKETS)),
+        specs.select_columns(["kernel", "conv_id", "window_id", "selected"]),
+        batch_size=50, max_history=2000, model="knn",
+        chunk_windows=50, num_buckets=16,
+    )
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        df["acc"] = df["acc"].round(6)
+        return df
+
+    return acc.map_batches(fmt, batch_format="pandas")
+
+
 def q_metrics_summary(sf_dir: str):
     """Global stats means (reference stats dict analog) — rows-only
     (wall-clock fields are nondeterministic by nature)."""
