@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minhash_pairs": q.q_minhash_pairs,
         "q_simhash": q.q_simhash,
         "q_embedding_neardup": q.q_embedding_neardup,
+        "q_dedup_groups": q.q_dedup_groups,
         "q_text_quality": q.q_text_quality,
         "q_lang_id": q.q_lang_id,
         "q_decode_media": q.q_decode_media,

@@ -531,6 +531,14 @@ def q_embedding_neardup(sf_dir: str):
     return embedding_neardup_pairs(with_probes, threshold=0.95, concurrency=2)
 
 
+def q_dedup_groups(sf_dir: str):
+    """Duplicate groups: near-dup pairs → connected components (the
+    probes guarantee non-trivial components exist)."""
+    from pystreamfs_ray.stages.dedup import dedup_groups
+
+    return dedup_groups(q_embedding_neardup(sf_dir))
+
+
 def q_text_quality(sf_dir: str):
     from pystreamfs_ray.stages.textstats import quality_score
 

@@ -318,6 +318,125 @@ def simhash_pairs(ds, *, id_col="doc_id", text_col="text", max_hamming=3,
     )
 
 
+# ------------------------------------------------- duplicate-group assembly
+
+
+def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
+                         max_rounds: int = 12):
+    """Duplicate groups from near-dup pairs: distributed min-label
+    propagation (each node repeatedly adopts the smallest label among
+    itself and its neighbors; converges in O(diameter) rounds, bounded
+    by ``max_rounds``). All-Dataset: per round one cogroup (union +
+    sort-based groupby) to fan labels out along edges and one
+    groupby-min to adopt them — no driver-side union-find, so
+    components of any size fit; convergence is detected by the
+    monotonically decreasing label sum (no join needed).
+
+    Returns (node, component) where component = min node id reachable.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = pd.DataFrame({"src": df[id_a], "dst": df[id_b]})
+        rev = pd.DataFrame({"src": df[id_b], "dst": df[id_a]})
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pandas").materialize()
+    node_type = dict(zip(edges.schema().names, edges.schema().types))["src"]
+    label_schema = pa.schema([("node", node_type), ("component", node_type)])
+
+    def norm(t: pa.Table) -> pa.Table:
+        # empty shuffle partitions arrive as schema-less blocks, which
+        # crash downstream Arrow joins — pin the schema everywhere
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return label_schema.empty_table()
+        return pa.table({"node": t["node"].cast(node_type),
+                         "component": t["component"].cast(node_type)})
+
+    def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["src"].unique()})
+
+    labels = (
+        edges.map_batches(to_nodes, batch_format="pandas")
+        .groupby("node")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .map_batches(lambda df: df.assign(component=df["node"]),
+                     batch_format="pandas")
+        .map_batches(norm, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # cogroup union schema: edges tagged side=0 keyed by src, labels
+    # tagged side=1 keyed by node (sort-based groupby only — Ray's hash
+    # join operator chokes on empty partitions' schema-less blocks)
+    co_schema = pa.schema([("key", node_type), ("dst", node_type),
+                           ("component", node_type), ("side", pa.int8())])
+
+    def tag_edges(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "key": pa.array(df["src"], type=node_type),
+            "dst": pa.array(df["dst"], type=node_type),
+            "component": pa.nulls(len(df), node_type),
+            "side": pa.array(np.zeros(len(df), dtype=np.int8)),
+        }, schema=co_schema)
+
+    tagged_edges = edges.map_batches(tag_edges, batch_format="pandas").materialize()
+
+    from ray.data.aggregate import Min, Sum
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["side"] == 1]["component"]
+        if len(lab) == 0:
+            return pd.DataFrame({"node": [], "component": []})
+        comp = lab.iloc[0]
+        dsts = g[g["side"] == 0]["dst"]
+        return pd.DataFrame({"node": dsts, "component": comp})
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return co_schema.empty_table()
+        return pa.table({
+            "key": t["node"].cast(node_type),
+            "dst": pa.nulls(len(t), node_type),
+            "component": t["component"].cast(node_type),
+            "side": pa.array(np.ones(len(t), dtype=np.int8)),
+        }, schema=co_schema)
+
+    def label_sum(ds_):
+        return ds_.aggregate(Sum("component", alias_name="s"))["s"]
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_rounds):
+        lt = labels.map_batches(tag_labels, batch_format="pyarrow")
+        msgs = (
+            tagged_edges.union(lt)
+            .groupby("key")
+            .map_groups(propagate, batch_format="pandas")
+            .map_batches(norm, batch_format="pyarrow")
+        )
+        new_labels = (
+            msgs.union(labels.select_columns(["node", "component"]))
+            .groupby("node")
+            .aggregate(Min("component", alias_name="component"))
+            .map_batches(norm, batch_format="pyarrow")
+            .materialize()
+        )
+        # labels only ever decrease → the total is a convergence witness
+        new_sum = label_sum(new_labels)
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def dedup_groups(pairs_ds, **kw):
+    """(node, component) groups from a near-dup pair Dataset; the
+    canonical keeper of each duplicate group is its min id."""
+    return connected_components(pairs_ds, **kw)
+
+
 # ------------------------------------------------------- embedding near-dup
 
 

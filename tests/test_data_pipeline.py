@@ -129,6 +129,33 @@ def test_embedding_neardup_and_ann(ray_session):
     assert (pairs["cosine"] >= 0.99).all()
 
 
+def test_connected_components(ray_session):
+    import pyarrow as pa_
+    import ray.data as rd
+
+    # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star on 21)
+    pairs = pa_.table({
+        "id_a": pa_.array([1, 2, 3, 10, 21, 21], type=pa_.int64()),
+        "id_b": pa_.array([2, 3, 4, 11, 20, 22], type=pa_.int64()),
+    })
+    out = D.connected_components(rd.from_arrow(pairs)).to_pandas()
+    got = dict(zip(out["node"], out["component"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_groups_from_minhash(ray_session, docs_with_dups):
+    import ray.data as rd
+
+    pairs = D.minhash_lsh_pairs(rd.from_arrow(docs_with_dups), threshold=0.5,
+                                concurrency=2)
+    groups = D.dedup_groups(pairs).to_pandas()
+    got = dict(zip(groups["node"], groups["component"]))
+    # each exact duplicate joins its original's group (keeper = min id)
+    for j, orig in enumerate(range(0, 10)):
+        assert got[50 + j] == orig
+    assert all(comp <= node for node, comp in got.items())
+
+
 def test_token_stats_and_fingerprint(ray_session):
     import hashlib
 
