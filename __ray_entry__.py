@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_filter_project": q.q_filter_project,
         "q_topk_orders": q.q_topk_orders,
         "q_join_agg": q.q_join_agg,
+        "q_semi_join": q.q_semi_join,
+        "q_anti_join": q.q_anti_join,
         "q_distinct_events": q.q_distinct_events,
         # transcript pipeline (sessionize / window / lag / backfill / as-of)
         "q_transcripts": q.q_transcripts,
@@ -164,6 +166,18 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "q_semi_join": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+        """,
+        "q_anti_join": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
         """,
         "q_distinct_events": """
             SELECT event_type, COUNT(*) AS n,

@@ -179,6 +179,36 @@ def q_join_agg(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_semi_join(sf_dir: str):
+    """Lineitems of urgent orders — broadcast semi join (no shuffle)."""
+    from pystreamfs_ray.stages.joins import semi_join
+
+    urgent = rd.read_parquet(_p(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    keys = (
+        urgent.filter(expr="o_orderpriority == '1-URGENT'")
+        .select_columns(["o_orderkey"]).to_pandas()["o_orderkey"].to_numpy()
+    )
+    li = rd.read_parquet(_p(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    return semi_join(li, keys, on="l_orderkey")
+
+
+def q_anti_join(sf_dir: str):
+    """Customers with no urgent orders — broadcast anti join."""
+    from pystreamfs_ray.stages.joins import anti_join
+
+    urgent = rd.read_parquet(_p(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderpriority"])
+    keys = (
+        urgent.filter(expr="o_orderpriority == '1-URGENT'")
+        .select_columns(["o_custkey"]).to_pandas()["o_custkey"].unique()
+    )
+    cust = rd.read_parquet(_p(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name", "c_mktsegment"])
+    return anti_join(cust, keys, on="c_custkey")
+
+
 def q_distinct_events(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
 
