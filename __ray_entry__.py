@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_filter_project": q.q_filter_project,
         "q_topk_orders": q.q_topk_orders,
         "q_join_agg": q.q_join_agg,
+        "q_join_shuffle": q.q_join_shuffle,
         "q_semi_join": q.q_semi_join,
         "q_anti_join": q.q_anti_join,
         "q_distinct_events": q.q_distinct_events,
@@ -125,13 +126,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash": q.q_simhash,
         "q_embedding_neardup": q.q_embedding_neardup,
         "q_dedup_groups": q.q_dedup_groups,
+        "q_dedup_groups_exact": q.q_dedup_groups_exact,
         "q_text_quality": q.q_text_quality,
         "q_lang_id": q.q_lang_id,
         "q_decode_media": q.q_decode_media,
     }
 
 
+def _minhash_perm_values(num_perm: int = 128) -> str:
+    """The engine's seeded permutation constants as SQL VALUES rows —
+    same rng/seed as stages/dedup._perm_params, so the oracle replays
+    the exact universal-hash family."""
+    from pystreamfs_ray.stages.dedup import _perm_params
+
+    a, b = _perm_params(num_perm)
+    return ", ".join(
+        f"({p}, {int(a[p])}::UBIGINT, {int(b[p])}::UBIGINT)" for p in range(num_perm)
+    )
+
+
+def _sql_word_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(words)) + "]"
+
+
+_WORD_CLASS = "[a-z0-9_一-鿿]+"  # mirrors textstats' explicit tokenizer class
+
+_EMBED_PAIRS_SQL = """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.e, b.e) AS cos_raw
+    FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.95
+"""
+
+_ALLV_CTE = """
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    allv AS (SELECT vec_id, e FROM v
+             UNION ALL
+             SELECT vec_id + 1000000, e FROM v WHERE vec_id < 5)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    from pystreamfs_ray.stages.textstats import STOPWORDS
+
+    all_stop = _sql_word_list(set().union(*STOPWORDS.values()))
+    lang_lists = {lang: _sql_word_list(sw) for lang, sw in STOPWORDS.items()}
     return {
         # sums quantized via FLOOR(x*scale + 0.5) → integer, exact and
         # order-independent: hash-equal to the Ray side by construction
@@ -332,5 +371,137 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+        """,
+        "q_join_shuffle": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        # word hash = md5_number_lower = the engine's _md5_lower64 (last 8
+        # digest bytes, little-endian) — bit-identical simhash
+        "q_simhash": r"""
+            WITH w AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS wd
+              FROM documents
+            ), h AS (SELECT doc_id, md5_number_lower(wd) AS hv FROM w WHERE wd <> ''),
+            bits AS (
+              SELECT doc_id, b.b AS bit,
+                     SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+              FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) b
+              GROUP BY doc_id, b.b
+            ), agg AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN acc > 0 THEN CAST(1 AS UBIGINT) << bit ELSE 0 END) AS s
+              FROM bits GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN COALESCE(agg.s, 0) >= 9223372036854775808
+                             THEN CAST(COALESCE(agg.s, 0) AS HUGEINT) - 18446744073709551616
+                             ELSE CAST(COALESCE(agg.s, 0) AS HUGEINT) END AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN agg USING (doc_id)
+        """,
+        # full signature replay (same md5 shingle hash + seeded permutation
+        # constants), pairs sharing >=1 exact band, est = lane-match
+        # fraction (exact k/128 double — no rounding on either side)
+        "q_minhash_pairs": r"""
+            WITH docs AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+                     ELSE array_to_string(ws[i.i:i.i+2], ' ') END AS s
+              FROM docs CROSS JOIN LATERAL (
+                SELECT unnest(range(1, GREATEST(len(ws) - 2, 1) + 1)) AS i) i
+            ),
+            perms(p, pa, pb) AS (VALUES __PERM_VALUES__),
+            sigs AS (
+              SELECT doc_id, p,
+                MIN(CAST((CAST(md5_number_lower(s) AS HUGEINT) * pa + pb)
+                         % 18446744073709551616 AS UBIGINT)
+                    % 2305843009213693951) AS v
+              FROM sh CROSS JOIN perms GROUP BY doc_id, p
+            ),
+            per_band AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p // 4 AS band,
+                     SUM(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS eq
+              FROM sigs a JOIN sigs b ON a.p = b.p AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3
+            )
+            SELECT id_a, id_b, SUM(eq) / 128.0 AS jaccard_est
+            FROM per_band
+            GROUP BY id_a, id_b
+            HAVING MAX(CASE WHEN eq = 4 THEN 1 ELSE 0 END) = 1
+               AND SUM(eq) / 128.0 >= 0.2
+        """.replace("__PERM_VALUES__", _minhash_perm_values(128)),
+        "q_text_quality": f"""
+            WITH toks AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '{_WORD_CLASS}') AS ws
+              FROM documents
+            ), agg AS (
+              SELECT doc_id, text,
+                     CAST(GREATEST(len(ws), 1) AS DOUBLE) AS n,
+                     CAST(len(list_filter(ws, w -> list_contains({all_stop}, w))) AS DOUBLE) AS stop
+              FROM toks
+            )
+            SELECT doc_id,
+                   stop / n AS stopword_ratio,
+                   ROUND(0.6 * (LEAST(GREATEST(CAST(length(text) AS DOUBLE) / 200.0, 0), 1)
+                                * LEAST(GREATEST((4000.0 - CAST(length(text) AS DOUBLE)) / 2000.0, 0), 1))
+                         + 0.4 * (stop / n), 6) AS quality_score
+            FROM agg
+        """,
+        "q_lang_id": f"""
+            WITH toks AS (
+              SELECT doc_id, lang, text,
+                     list_distinct(regexp_extract_all(lower(text), '{_WORD_CLASS}')) AS ws
+              FROM documents
+            ), cnt AS (
+              SELECT doc_id, lang, text,
+                len(list_filter(ws, w -> list_contains({lang_lists["en"]}, w))) AS n_en,
+                len(list_filter(ws, w -> list_contains({lang_lists["de"]}, w))) AS n_de,
+                len(list_filter(ws, w -> list_contains({lang_lists["fr"]}, w))) AS n_fr,
+                len(list_filter(ws, w -> list_contains({lang_lists["es"]}, w))) AS n_es
+              FROM toks
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                        WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+                        WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+                        WHEN n_fr >= n_es THEN 'fr'
+                        ELSE 'es' END AS pred_lang
+            FROM cnt
+        """,
+        "q_embedding_neardup": f"""
+            WITH {_ALLV_CTE}
+            SELECT id_a, id_b, ROUND(cos_raw, 6) AS cosine
+            FROM ({_EMBED_PAIRS_SQL})
+        """,
+        "q_dedup_groups": f"""
+            WITH RECURSIVE {_ALLV_CTE},
+            pairs AS ({_EMBED_PAIRS_SQL}),
+            edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            cc(node, comp) AS (
+              SELECT DISTINCT s, s FROM edges
+              UNION
+              SELECT e.d, c.comp FROM cc c JOIN edges e ON e.s = c.node
+            )
+            SELECT node, MIN(comp) AS component FROM cc GROUP BY node
+        """,
+        "q_dedup_groups_exact": """
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10
+              UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 10
+              UNION ALL SELECT doc_id + 3000000, text FROM documents WHERE doc_id < 10
+            ), g AS (
+              SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS component,
+                     COUNT(*) OVER (PARTITION BY text) AS n
+              FROM aug
+            )
+            SELECT doc_id AS node, component FROM g WHERE n >= 2
         """,
     }

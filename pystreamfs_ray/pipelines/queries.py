@@ -147,13 +147,17 @@ def q_join_agg(sf_dir: str):
     store — no shuffle), then grouped aggregate."""
     cust = rd.read_parquet(
         _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
-    ).to_pandas()  # small dimension table
-    seg_of = dict(zip(cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy()))
-    ref = ray.put(seg_of)
+    ).to_arrow_refs()
+    dim = pa.concat_tables(ray.get(cust)).combine_chunks()  # small dimension table
+    ref = ray.put({"keys": dim["c_custkey"].combine_chunks(),
+                   "seg": dim["c_mktsegment"].combine_chunks()})
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        df["c_mktsegment"] = df["o_custkey"].map(ray.get(ref))
-        return df
+    def attach(t: pa.Table) -> pa.Table:
+        # vectorized Arrow dimension lookup: index_in + take, no per-row
+        # Python dict probing
+        d = ray.get(ref)
+        pos = pc.index_in(t["o_custkey"], value_set=d["keys"])
+        return t.append_column("c_mktsegment", pc.take(d["seg"], pos))
 
     ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
 
@@ -162,7 +166,7 @@ def q_join_agg(sf_dir: str):
 
     agg = (
         ds.map_batches(quant, batch_format="pyarrow")
-        .map_batches(attach, batch_format="pandas")
+        .map_batches(attach, batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(Sum("price_c", alias_name="_pc"), Count(alias_name="n_orders"))
     )
@@ -173,6 +177,42 @@ def q_join_agg(sf_dir: str):
                 "c_mktsegment": t["c_mktsegment"],
                 "total_price": pc.divide(pc.cast(t["_pc"], pa.float64()), 100.0),
                 "n_orders": t["n_orders"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_join_shuffle(sf_dir: str):
+    """orders ⋈ lineitem as a DISTRIBUTED hash-shuffle join
+    (``Dataset.join``: both sides hash-partition on the key — the
+    pattern for fact⋈fact where neither side fits a broadcast), then
+    grouped revenue per order priority."""
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def quant(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_c": _quantize(rev, 10000.0)})
+
+    li = li.map_batches(quant, batch_format="pyarrow")
+    ords = rd.read_parquet(_p(sf_dir, "orders"),
+                           columns=["o_orderkey", "o_orderpriority"])
+    num_partitions = min(32, max(4, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    joined = li.join(ords, join_type="inner", num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = joined.groupby("o_orderpriority").aggregate(
+        Sum("rev_c", alias_name="_rc"), Count(alias_name="n_items")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "revenue": pc.divide(pc.cast(t["_rc"], pa.float64()), 10000.0),
+                "n_items": t["n_items"],
             }
         )
 
@@ -535,7 +575,9 @@ def q_simhash(sf_dir: str):
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         out = SimHasher()(df)
-        out["simhash"] = out["simhash"].astype("uint64")
+        # reinterpret the u64 as i64 (two's complement) — int64 is what
+        # the driver's schema/hash normalization handles portably
+        out["simhash"] = out["simhash"].to_numpy(dtype=np.uint64).view(np.int64)
         return out
 
     return docs.map_batches(fn, batch_format="pandas")
@@ -567,6 +609,31 @@ def q_dedup_groups(sf_dir: str):
     from pystreamfs_ray.stages.dedup import dedup_groups
 
     return dedup_groups(q_embedding_neardup(sf_dir))
+
+
+def q_dedup_groups_exact(sf_dir: str):
+    """Connected components over CHAINED exact-duplicate pairs: docs
+    0..9 are replicated at +1M/+2M/+3M id offsets, so each duplicate
+    group is a 4-node chain (diameter 3 — multi-hop label propagation
+    actually exercised). SQL oracle: min id per text group."""
+    from pystreamfs_ray.stages.dedup import dedup_groups, exact_dup_chain_pairs
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def probes(t: pa.Table) -> pa.Table:
+        base = t.filter(pc.less(t["doc_id"], 10))
+        parts = [t]
+        for off in (1_000_000, 2_000_000, 3_000_000):
+            parts.append(
+                base.set_column(
+                    base.column_names.index("doc_id"), "doc_id",
+                    pc.add(base["doc_id"], pa.scalar(off, type=pa.int64())),
+                )
+            )
+        return pa.concat_tables(parts)
+
+    aug = docs.map_batches(probes, batch_format="pyarrow")
+    return dedup_groups(exact_dup_chain_pairs(aug))
 
 
 def q_text_quality(sf_dir: str):

@@ -20,12 +20,22 @@ Scale shapes (per the Ray Data dedup playbook):
 from __future__ import annotations
 
 import hashlib
+import warnings
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _md5_lower64(strings) -> np.ndarray:
+    """md5-low-64 per string: the LAST 8 digest bytes, little-endian —
+    exactly DuckDB's ``md5_number_lower``, so every operator built on it
+    has a SQL oracle. One C-level md5 call per string, zero per-bit
+    Python work (callers hash UNIQUE strings only)."""
+    buf = b"".join(hashlib.md5(s.encode()).digest()[8:] for s in strings)
+    return np.frombuffer(buf, dtype="<u8")
 
 
 # ------------------------------------------------------------------- exact
@@ -62,24 +72,45 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def exact_dup_chain_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Consecutive-id pairs within each exact-duplicate group (sorted by
+    id): a group of n identical texts yields an n-1 edge CHAIN — the
+    worst-case diameter input for ``connected_components``, with a
+    trivial SQL oracle (min id per text group). Same single shuffle as
+    ``exact_dedup``."""
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[id_col, text_col]].copy()
+        df["__h"] = _md5_lower64(df[text_col].tolist())
+        return df
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, grp in g.groupby(text_col, sort=False):
+            ids = np.sort(grp[id_col].to_numpy())
+            if len(ids) >= 2:
+                frames.append(pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]}))
+        if not frames:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        ds.map_batches(add_hash, batch_format="pandas")
+        .groupby("__h")
+        .map_groups(chain, batch_format="pandas")
+    )
+
+
 # -------------------------------------------------------------- minhash-LSH
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """64-bit hashes of the k-word shingles of ``text``."""
+def _shingle_set(text: str, k: int) -> list[str]:
+    """Distinct k-word shingles of ``text`` (whole text when < k words)."""
     words = text.split()
     if len(words) < k:
-        shingles = [" ".join(words)] if words else [""]
-    else:
-        shingles = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-            for s in set(shingles)
-        ),
-        dtype=np.uint64,
-        count=len(set(shingles)),
-    )
+        return [" ".join(words)] if words else [""]
+    return sorted({" ".join(words[i:i + k]) for i in range(len(words) - k + 1)})
 
 
 def _perm_params(num_perm: int, seed: int = 12345):
@@ -90,7 +121,14 @@ def _perm_params(num_perm: int, seed: int = 12345):
 
 
 class MinHasher:
-    """Actor: permutation parameters generated once per actor."""
+    """Actor: permutation parameters generated once per actor.
+
+    Shingle hash is md5-low-64 (``_md5_lower64``) and the permutation is
+    ``((h*a + b) mod 2^64) mod (2^61-1)`` — both exactly expressible in
+    DuckDB (``md5_number_lower`` + HUGEINT arithmetic), which is what
+    gives ``q_minhash_pairs`` a SQL oracle. The batch path hashes only
+    the UNIQUE shingles of a batch and reduces per-doc minima with
+    ``np.minimum.reduceat`` — no per-row Python hashing loop."""
 
     def __init__(self, id_col="doc_id", text_col="text", num_perm=128, shingle_k=3,
                  seed=12345):
@@ -99,40 +137,73 @@ class MinHasher:
         self.a, self.b = _perm_params(num_perm, seed)
 
     def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text, self.k)
-        # (n_shingles, num_perm) universal hashing, min over shingles
+        """Single-doc reference path (tests / verification)."""
+        h = _md5_lower64(_shingle_set(text, self.k))
         with np.errstate(over="ignore"):
             vals = (h[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
         return vals.min(axis=0)
 
     def __call__(self, df: pd.DataFrame) -> pa.Table:
+        sh_lists = [_shingle_set(t, self.k) for t in df[self.text_col]]
+        counts = np.fromiter((len(s) for s in sh_lists), dtype=np.int64,
+                             count=len(sh_lists))
+        alls = np.asarray([s for l in sh_lists for s in l], dtype=object)
+        if len(alls):
+            uniq, inv = np.unique(alls, return_inverse=True)
+            h_uniq = _md5_lower64(uniq)
+            with np.errstate(over="ignore"):
+                vals_uniq = (h_uniq[:, None] * self.a[None, :]
+                             + self.b[None, :]) % _MERSENNE
+            per_sh = vals_uniq[inv]  # (total_shingles, num_perm)
+            offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            sigs = np.ascontiguousarray(
+                np.minimum.reduceat(per_sh, offsets, axis=0)
+            )
+        else:
+            sigs = np.zeros((0, self.num_perm), dtype=np.uint64)
         # signatures travel as binary blobs: primitive type → survives
         # pandas round-trips and Arrow hash joins untouched
-        sigs = [self.signature(t).tobytes() for t in df[self.text_col]]
+        raw = sigs.tobytes()
+        stride = self.num_perm * 8
+        blobs = [raw[i * stride:(i + 1) * stride] for i in range(len(sigs))]
         return pa.table(
             {
                 self.id_col: pa.array(df[self.id_col].to_numpy()),
-                "sig": pa.array(sigs, type=pa.binary()),
+                "sig": pa.array(blobs, type=pa.binary()),
             }
         )
 
 
 def minhash_signatures(ds, *, id_col="doc_id", text_col="text", num_perm=128,
                        shingle_k=3, concurrency=4, batch_size=1024):
+    # positional ctor args (a hashable tuple, not a dict) so Ray's
+    # operator-fusion schema hashing works — kwargs dicts defeat it
     return ds.map_batches(
         MinHasher, batch_format="pandas", concurrency=concurrency,
         batch_size=batch_size,
-        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
-                                   num_perm=num_perm, shingle_k=shingle_k),
+        fn_constructor_args=(id_col, text_col, num_perm, shingle_k),
     )
+
+
+def _sig_matrix(blobs, num_perm: int) -> np.ndarray:
+    """(n, num_perm) uint64 matrix from a column of signature blobs."""
+    n = len(blobs)
+    if n == 0:
+        return np.zeros((0, num_perm), dtype=np.uint64)
+    return np.frombuffer(b"".join(blobs), dtype=np.uint64).reshape(n, num_perm)
 
 
 def minhash_lsh_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=128,
                       bands=32, shingle_k=3, threshold=0.5, concurrency=4,
-                      broadcast_threshold=200_000):
+                      broadcast_threshold=200_000, num_partitions=None):
     """Candidate pairs via LSH banding, Jaccard estimated from the full
     signatures (no text shuffle). Returns (id_a, id_b, jaccard_est)
     with id_a < id_b, est >= threshold.
+
+    Band buckets key on a 64-bit mix of the band's raw signature lanes —
+    collisions only ever ADD candidates, which the est>=threshold
+    verification then filters, so the output equals "pairs sharing >=1
+    exact band" (the form the DuckDB oracle computes) w.h.p.
 
     Verification side: below ``broadcast_threshold`` docs the signature
     table is broadcast once (`ray.put`) and looked up per batch — the
@@ -147,19 +218,22 @@ def minhash_lsh_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=128,
     ).materialize()  # reused twice (banding + verification join)
 
     def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
-        ids, band_ids, band_hash = [], [], []
-        for rid, sig in zip(df[id_col], df["sig"]):
-            sig = np.frombuffer(sig, dtype=np.uint64)
-            for b in range(bands):
-                chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
-                ids.append(rid)
-                band_ids.append(b)
-                band_hash.append(
-                    int.from_bytes(
-                        hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "little"
-                    ) >> 1
-                )
-        return pd.DataFrame({id_col: ids, "band_id": band_ids, "band_hash": band_hash})
+        n = len(df)
+        lanes = _sig_matrix(df["sig"].tolist(), num_perm).reshape(
+            n, bands, rows_per_band
+        )
+        # vectorized 64-bit lane mix (xor-multiply-shift) per band —
+        # replaces the old per-row × per-band blake2b Python loop
+        h = np.zeros((n, bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(rows_per_band):
+                h = (h ^ lanes[:, :, j]) * np.uint64(0x9E3779B97F4A7C15)
+                h ^= h >> np.uint64(29)
+        return pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(), bands),
+            "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
+            "band_hash": (h >> np.uint64(1)).astype(np.int64).ravel(),
+        })
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g[id_col].to_numpy())
@@ -189,44 +263,47 @@ def minhash_lsh_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=128,
         ref = ray.put(dict(zip(sig_pdf[id_col], sig_pdf["sig"])))
 
         def estimate_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                out = df[["id_a", "id_b"]].copy()
+                out["jaccard_est"] = np.zeros(0)
+                return out
             table = ray.get(ref)
-            est = np.array(
-                [
-                    float(np.mean(np.frombuffer(table[a], dtype=np.uint64)
-                                  == np.frombuffer(table[b], dtype=np.uint64)))
-                    for a, b in zip(df["id_a"], df["id_b"])
-                ]
-            ) if len(df) else np.zeros(0)
+            sa = _sig_matrix([table[a] for a in df["id_a"]], num_perm)
+            sb = _sig_matrix([table[b] for b in df["id_b"]], num_perm)
             out = df[["id_a", "id_b"]].copy()
-            out["jaccard_est"] = np.round(est, 6)
+            # k/num_perm is exact in double — no rounding, so the DuckDB
+            # oracle (SUM(eq)/num_perm) is bit-equal
+            out["jaccard_est"] = (sa == sb).mean(axis=1)
             return out[out["jaccard_est"] >= threshold]
 
         return cand.map_batches(estimate_bcast, batch_format="pandas")
 
-    # signature-estimated Jaccard via two hash joins (scales; no driver pull)
+    # signature-estimated Jaccard via two hash joins (scales; no driver
+    # pull). num_partitions tracks the session's CPU count — a join
+    # aggregator pool larger than the CPUs of a small session stalls
+    # the pipeline, a tiny one bottlenecks a big cluster.
+    if num_partitions is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = min(64, max(4, cpus // 2))
     sig_a = sigs.map_batches(
         lambda t: t.rename_columns(["id_a", "sig_a"]), batch_format="pyarrow"
     )
     sig_b = sigs.map_batches(
         lambda t: t.rename_columns(["id_b", "sig_b"]), batch_format="pyarrow"
     )
-    # num_partitions should scale with cluster size at real scale; kept
-    # small here so the join aggregator actors never outnumber the CPUs
-    # of a small session (an oversized pool stalls the pipeline)
-    joined = cand.join(sig_a, join_type="inner", num_partitions=4, on=("id_a",))
-    joined = joined.join(sig_b, join_type="inner", num_partitions=4, on=("id_b",))
+    joined = cand.join(sig_a, join_type="inner", num_partitions=num_partitions,
+                       on=("id_a",))
+    joined = joined.join(sig_b, join_type="inner", num_partitions=num_partitions,
+                         on=("id_b",))
     joined = joined.select_columns(["id_a", "id_b", "sig_a", "sig_b"])
 
     def estimate(df: pd.DataFrame) -> pd.DataFrame:
-        est = np.array(
-            [
-                float(np.mean(np.frombuffer(a, dtype=np.uint64)
-                              == np.frombuffer(b, dtype=np.uint64)))
-                for a, b in zip(df["sig_a"], df["sig_b"])
-            ]
-        )
+        sa = _sig_matrix(df["sig_a"].tolist(), num_perm)
+        sb = _sig_matrix(df["sig_b"].tolist(), num_perm)
         out = df[["id_a", "id_b"]].copy()
-        out["jaccard_est"] = np.round(est, 6)
+        out["jaccard_est"] = (sa == sb).mean(axis=1) if len(df) else np.zeros(0)
         return out[out["jaccard_est"] >= threshold]
 
     return joined.map_batches(estimate, batch_format="pandas")
@@ -243,16 +320,22 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 
 class SimHasher:
-    """64-bit SimHash over word features (weight = term frequency)."""
+    """64-bit SimHash over word features (weight = term frequency).
+
+    Word hash is md5-low-64 (DuckDB ``md5_number_lower``), so the whole
+    operator has a SQL oracle. The batch path hashes UNIQUE words once,
+    unpacks their bit matrix, and segment-sums signed bits per document
+    (``np.add.reduceat``) — no per-row / per-bit Python loop."""
 
     def __init__(self, id_col="doc_id", text_col="text"):
         self.id_col, self.text_col = id_col, text_col
 
     @staticmethod
     def simhash64(text: str) -> int:
+        """Scalar reference path (tests)."""
         acc = np.zeros(64, dtype=np.int64)
         for w in text.split():
-            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+            h = _md5_lower64([w])[0]
             bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
             acc += np.where(bits.astype(bool), 1, -1)
         out = 0
@@ -262,28 +345,51 @@ class SimHasher:
         return out
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = [t.split() for t in df[self.text_col]]
+        counts = np.fromiter((len(l) for l in toks), dtype=np.int64, count=len(toks))
+        simh = np.zeros(len(toks), dtype=np.uint64)
+        nz = counts > 0
+        if nz.any():
+            allw = np.asarray([w for l in toks for w in l], dtype=object)
+            uniq, inv = np.unique(allw, return_inverse=True)
+            h = _md5_lower64(uniq)
+            bits = np.unpackbits(
+                h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int32)
+            signs = bits * 2 - 1            # (n_uniq, 64) in {-1, +1}
+            per_word = signs[inv]           # (total_words, 64)
+            offsets = np.concatenate(([0], np.cumsum(counts[nz])))[:-1]
+            acc = np.add.reduceat(per_word, offsets, axis=0)
+            packed = np.packbits(acc > 0, axis=1, bitorder="little")
+            simh[nz] = np.ascontiguousarray(packed).view("<u8").ravel()
         out = df[[self.id_col]].copy()
-        out["simhash"] = np.array(
-            [self.simhash64(t) for t in df[self.text_col]], dtype=np.uint64
-        )
+        out["simhash"] = simh
         return out
 
 
 def simhash_pairs(ds, *, id_col="doc_id", text_col="text", max_hamming=3,
                   concurrency=4):
-    """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit keys
-    (any pair within Hamming ≤ 3 of each other shares ≥ 1 exact band),
-    then verify Hamming distance inside buckets."""
+    """Near-dup pairs by SimHash: band the 64 bits into ``max_hamming+1``
+    equal-width keys (pigeonhole: a pair within Hamming ≤ max_hamming
+    must agree on at least one whole band), then verify Hamming distance
+    inside buckets."""
+    n_bands = max_hamming + 1
+    if 64 % n_bands != 0:
+        # round the band count up to the next divisor of 64 — more bands
+        # only ADD candidate recall, never lose it
+        n_bands = next(d for d in (1, 2, 4, 8, 16, 32, 64) if d >= n_bands)
+    band_bits = 64 // n_bands
+    band_mask = np.uint64((1 << band_bits) - 1)
     sigs = ds.map_batches(
         SimHasher, batch_format="pandas", concurrency=concurrency,
-        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+        fn_constructor_args=(id_col, text_col),
     )
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         sh = df["simhash"].to_numpy(dtype=np.uint64)
         out = []
-        for band in range(4):
-            key = (sh >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+        for band in range(n_bands):
+            key = (sh >> np.uint64(band * band_bits)) & band_mask
             out.append(pd.DataFrame({
                 id_col: df[id_col].to_numpy(), "simhash": sh,
                 "band_id": band, "band_key": key.astype(np.int64),
@@ -322,15 +428,21 @@ def simhash_pairs(ds, *, id_col="doc_id", text_col="text", max_hamming=3,
 
 
 def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
-                         max_rounds: int = 12):
+                         max_rounds: int = 12, num_partitions: int | None = None):
     """Duplicate groups from near-dup pairs: distributed min-label
-    propagation (each node repeatedly adopts the smallest label among
-    itself and its neighbors; converges in O(diameter) rounds, bounded
-    by ``max_rounds``). All-Dataset: per round one cogroup (union +
-    sort-based groupby) to fan labels out along edges and one
-    groupby-min to adopt them — no driver-side union-find, so
-    components of any size fit; convergence is detected by the
-    monotonically decreasing label sum (no join needed).
+    propagation with POINTER DOUBLING — each round every node adopts
+    the smallest of (its label, its neighbors' labels, its label's
+    label). The label-of-label hop halves the remaining distance to the
+    component minimum, so convergence is O(log diameter) rounds: the
+    default ``max_rounds=12`` covers diameters up to ~2^12. All-Dataset:
+    per round one cogroup (union + sort-based groupby) fans labels out
+    along edges and pointer hops, one groupby-min adopts them — no
+    driver-side union-find, so components of any size fit; convergence
+    is detected by the monotonically decreasing label sum (no join).
+
+    If the label sum is still decreasing when ``max_rounds`` is
+    exhausted a ``RuntimeWarning`` is emitted — results would be split
+    groups, never merged-wrong ones.
 
     Returns (node, component) where component = min node id reachable.
     """
@@ -342,7 +454,22 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
         rev = pd.DataFrame({"src": df[id_b], "dst": df[id_a]})
         return pd.concat([fwd, rev], ignore_index=True)
 
-    edges = pairs_ds.map_batches(to_edges, batch_format="pandas").materialize()
+    if num_partitions is None:
+        import ray
+
+        num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+
+    # block-count discipline: every per-round sort's output partition
+    # count tracks its input block count, so WITHOUT a repartition the
+    # label dataset's blocks compound each round (16 → 48 → 112 → ...)
+    # and the sort's O(blocks²) shuffle-object cost quadruples per
+    # round. Pinning to a fixed num_partitions keeps every round the
+    # same price; at cluster scale, pass a larger num_partitions.
+    edges = (
+        pairs_ds.map_batches(to_edges, batch_format="pandas")
+        .repartition(num_partitions)
+        .materialize()
+    )
     node_type = dict(zip(edges.schema().names, edges.schema().types))["src"]
     label_schema = pa.schema([("node", node_type), ("component", node_type)])
 
@@ -364,6 +491,7 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
         .map_batches(lambda df: df.assign(component=df["node"]),
                      batch_format="pandas")
         .map_batches(norm, batch_format="pyarrow")
+        .repartition(num_partitions)
         .materialize()
     )
 
@@ -403,14 +531,28 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
             "side": pa.array(np.ones(len(t), dtype=np.int8)),
         }, schema=co_schema)
 
+    def tag_ptr_edges(t: pa.Table) -> pa.Table:
+        # pointer-doubling hop: an "edge" from each node's LABEL back to
+        # the node, so the node learns component(component(node))
+        if t.num_rows == 0:
+            return co_schema.empty_table()
+        return pa.table({
+            "key": t["component"].cast(node_type),
+            "dst": t["node"].cast(node_type),
+            "component": pa.nulls(len(t), node_type),
+            "side": pa.array(np.zeros(len(t), dtype=np.int8)),
+        }, schema=co_schema)
+
     def label_sum(ds_):
         return ds_.aggregate(Sum("component", alias_name="s"))["s"]
 
     prev_sum = label_sum(labels)
+    converged = False
     for _ in range(max_rounds):
         lt = labels.map_batches(tag_labels, batch_format="pyarrow")
+        ptr = labels.map_batches(tag_ptr_edges, batch_format="pyarrow")
         msgs = (
-            tagged_edges.union(lt)
+            tagged_edges.union(ptr).union(lt)
             .groupby("key")
             .map_groups(propagate, batch_format="pandas")
             .map_batches(norm, batch_format="pyarrow")
@@ -420,14 +562,23 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
             .groupby("node")
             .aggregate(Min("component", alias_name="component"))
             .map_batches(norm, batch_format="pyarrow")
+            .repartition(num_partitions)
             .materialize()
         )
         # labels only ever decrease → the total is a convergence witness
         new_sum = label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        warnings.warn(
+            f"connected_components: label propagation still converging after "
+            f"{max_rounds} rounds — groups may be split; raise max_rounds "
+            f"(each round doubles the reachable diameter)",
+            RuntimeWarning,
+        )
     return labels
 
 

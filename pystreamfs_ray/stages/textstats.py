@@ -61,7 +61,9 @@ class QualityScorer:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word_re = re.compile(r"[\w一-鿿]+", re.UNICODE)
+        # explicit class (not \w) so DuckDB regexp_extract_all with the
+        # IDENTICAL pattern is an exact oracle
+        self.word_re = re.compile(r"[a-z0-9_一-鿿]+")
         self.all_stop = set().union(*STOPWORDS.values())
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -89,7 +91,8 @@ class LangId:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word_re = re.compile(r"\w+", re.UNICODE)
+        # explicit class (not \w) → mirrorable in DuckDB regexp functions
+        self.word_re = re.compile(r"[a-z0-9_一-鿿]+")
         self.tables = {lang: sw for lang, sw in STOPWORDS.items()}
         self.cjk = re.compile(r"[一-鿿]")
 
@@ -117,19 +120,37 @@ def lang_id(ds, *, concurrency=4, batch_size: int = 4096):
     )
 
 
-_MOD64 = np.uint64((1 << 61) - 1)
+_MOD61 = np.uint64((1 << 61) - 1)  # Mersenne prime 2^61 - 1
 
 
-def rolling_fingerprint(texts: pd.Series, *, base: int = 257) -> np.ndarray:
-    """Deterministic polynomial rolling hash per document (uint64)."""
-    out = np.empty(len(texts), dtype=np.uint64)
-    b = np.uint64(base)
-    for i, s in enumerate(texts):
-        h = np.uint64(0)
-        for ch in s.encode("utf-8"):
-            h = (h * b + np.uint64(ch)) % _MOD64
-        out[i] = h
-    return out
+def rolling_fingerprint(texts, *, base: int = 257) -> np.ndarray:
+    """Deterministic polynomial rolling hash per document:
+    ``h = (h*257 + byte) mod (2^61-1)`` over the utf-8 bytes.
+
+    Vectorized across the batch: documents are padded into a byte
+    matrix and the recurrence runs column-by-column over character
+    positions (numpy ops over all rows at once — no per-character
+    Python loop). ``h*257 mod p`` uses the Mersenne fold
+    ``(h<<8) mod p = (h >> 53) + ((h & (2^53-1)) << 8)`` so nothing
+    overflows uint64."""
+    assert base == 257, "the Mersenne-fold shift is specialized to base 257"
+    bufs = [s.encode("utf-8") for s in texts]
+    n = len(bufs)
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    mat = np.zeros((n, maxlen), dtype=np.uint64)
+    for i, b in enumerate(bufs):  # O(n) memcpys, not O(n·len) Python work
+        mat[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+    h = np.zeros(n, dtype=np.uint64)
+    mask53 = np.uint64((1 << 53) - 1)
+    for j in range(maxlen):
+        m = j < lens
+        hm = h[m]
+        # h*257 + c = (h<<8) + h + c, with (h<<8) Mersenne-folded
+        t = (hm >> np.uint64(53)) + ((hm & mask53) << np.uint64(8)) + hm + mat[m, j]
+        t = (t & _MOD61) + (t >> np.uint64(61))
+        h[m] = np.where(t >= _MOD61, t - _MOD61, t)
+    return h
 
 
 def fingerprint(ds, text_col: str = "text"):

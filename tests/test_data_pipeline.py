@@ -143,6 +143,75 @@ def test_connected_components(ray_session):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_long_chain(ray_session):
+    """30-hop chain: pointer doubling must converge well inside
+    max_rounds (the old propagate-only loop silently capped at 12)."""
+    import pyarrow as pa_
+    import ray.data as rd
+
+    n = 31  # diameter 30 chain 0-1-...-30
+    pairs = pa_.table({
+        "id_a": pa_.array(list(range(n - 1)), type=pa_.int64()),
+        "id_b": pa_.array(list(range(1, n)), type=pa_.int64()),
+    })
+    out = D.connected_components(rd.from_arrow(pairs), max_rounds=8).to_pandas()
+    got = dict(zip(out["node"], out["component"]))
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_warns_on_round_cap(ray_session):
+    import pyarrow as pa_
+    import ray.data as rd
+
+    n = 9  # diameter 8 — one doubling round can't finish
+    pairs = pa_.table({
+        "id_a": pa_.array(list(range(n - 1)), type=pa_.int64()),
+        "id_b": pa_.array(list(range(1, n)), type=pa_.int64()),
+    })
+    with pytest.warns(RuntimeWarning, match="still converging"):
+        D.connected_components(rd.from_arrow(pairs), max_rounds=1).to_pandas()
+
+
+def test_exact_dup_chain_pairs(ray_session, docs_with_dups):
+    import ray.data as rd
+
+    pairs = D.exact_dup_chain_pairs(rd.from_arrow(docs_with_dups)).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    # each of the 10 exact-dup groups {orig, 50+j} yields exactly one edge
+    assert got == {(orig, 50 + j) for j, orig in enumerate(range(0, 10))}
+
+
+def test_simhash_batch_equals_scalar(ray_session, docs_with_dups):
+    df = docs_with_dups.to_pandas().head(20)
+    sh = D.SimHasher()
+    batch = sh(df.copy())["simhash"].to_numpy(dtype=np.uint64)
+    scalar = np.array([sh.simhash64(t) for t in df["text"]], dtype=np.uint64)
+    assert np.array_equal(batch, scalar)
+
+
+def test_minhash_batch_equals_scalar(ray_session, docs_with_dups):
+    df = docs_with_dups.to_pandas().head(20)
+    mh = D.MinHasher(num_perm=32)
+    tab = mh(df.copy())
+    sigs = np.frombuffer(b"".join(tab["sig"].to_pylist()), dtype=np.uint64).reshape(-1, 32)
+    scalar = np.stack([mh.signature(t) for t in df["text"]])
+    assert np.array_equal(sigs, scalar)
+
+
+def test_rolling_fingerprint_matches_naive():
+    texts = ["", "a", "hello world", "x" * 300, "Ünïcode ÷ bytes"]
+
+    def naive(s):
+        h = 0
+        for ch in s.encode("utf-8"):
+            h = (h * 257 + ch) % ((1 << 61) - 1)
+        return h
+
+    got = T.rolling_fingerprint(pd.Series(texts))
+    want = np.array([naive(s) for s in texts], dtype=np.uint64)
+    assert np.array_equal(got, want)
+
+
 def test_dedup_groups_from_minhash(ray_session, docs_with_dups):
     import ray.data as rd
 
