@@ -98,7 +98,11 @@ def run_bench() -> dict:
         kernel="ofs", batch_size=50, num_features=5, num_buckets=16,
     ).materialize()
 
-    num_buckets = max(64, NUM_CPUS * 8)
+    # partitioning constants are FIXED (not NUM_CPUS-derived) so the
+    # scaling comparison runs bit-identical work at every CPU count —
+    # sized for the 32-CPU leg, harmless at 8
+    num_buckets = 256
+    read_blocks = 64
     t0 = time.perf_counter()
     # kernel folds + inline prequential eval (sequential per entity,
     # parallel across entities). The salted two-phase alternative
@@ -106,7 +110,7 @@ def run_bench() -> dict:
     # straggler-free mega-entities — the right call on a real cluster
     # with big hot keys, slower on this single node (see BASELINE.md).
     windows = feature_windows(
-        rd.read_parquet(dirs["transcripts"], override_num_blocks=NUM_CPUS * 2),
+        rd.read_parquet(dirs["transcripts"], override_num_blocks=read_blocks),
         kernel=HEADLINE_KERNELS, batch_size=50, num_features=5,
         num_buckets=num_buckets, concurrency=None,
         evaluate="knn", max_history=EVAL_HISTORY,
@@ -116,7 +120,7 @@ def run_bench() -> dict:
     joined = asof_join(
         rd.read_parquet(dirs["labels"], override_num_blocks=8),
         windows.select_columns(["conv_id", "window_id", "ts_end", "w", "selected"])
-        .repartition(NUM_CPUS),
+        .repartition(32),
         by="conv_id", left_on="ts", right_on="ts_end", how="inner",
         num_buckets=32,
     )
@@ -162,24 +166,31 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # N vs 4N proxy = 4 vs 16 CPUs. Running the hi leg at all 32 cores
-    # saturates this single node's MEMORY BANDWIDTH (the KNN evaluation
-    # streams large prefix matrices), which understates what 4N separate
-    # nodes — each with its own memory bus — would do; 4→16 keeps both
-    # legs inside the node's bandwidth envelope. Override with
-    # BENCH_SCALE_LO.
-    lo = int(os.environ.get("BENCH_SCALE_LO", "4"))
+    # N vs 4N proxy = 8 vs 32 CPUs (the honest full-node pair). The
+    # sandbox is a SHARED machine with ±30% interference noise, so each
+    # leg runs `reps` times interleaved and the MIN wall per leg is
+    # used — the minimum is the standard least-interference estimator
+    # on noisy shared hardware; all raw runs are reported alongside.
+    lo = int(os.environ.get("BENCH_SCALE_LO", "8"))
+    reps = int(os.environ.get("BENCH_SCALE_REPS", "2"))
     hi = 4 * lo
-    r_lo, r_hi = one(lo), one(hi)
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     speedup = r_lo["value"] / r_hi["value"]
     eff = speedup / (hi / lo)
     return {
-        "metric": f"scaling efficiency (N={lo} vs 4N={hi} CPUs, fresh ray.init each)",
+        "metric": f"scaling efficiency (N={lo} vs 4N={hi} CPUs, fresh ray.init each, best of {reps})",
         "sf": SF_TAG,
         "n_cpus_lo": lo,
         "n_cpus_hi": hi,
         "sec_lo": r_lo["value"],
         "sec_hi": r_hi["value"],
+        "sec_lo_runs": [r["value"] for r in runs_lo],
+        "sec_hi_runs": [r["value"] for r in runs_hi],
         "turns_per_sec_lo": r_lo["turns_per_sec"],
         "turns_per_sec_hi": r_hi["turns_per_sec"],
         "speedup": round(speedup, 3),

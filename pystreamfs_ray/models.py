@@ -17,33 +17,62 @@ class KNNClassifier:
 
     Ties in the vote resolve to the smallest label; k shrinks to the
     training size when the prefix is smaller than k.
+
+    Memory-bandwidth discipline (the prequential eval streams a
+    ~max_history×m train matrix per window, so traffic — not flops —
+    bounds multi-core scaling): float32 matrices (half the bytes),
+    train-side squared norms cached at fit, and the test-side ``‖x‖²``
+    term dropped from the distance (a per-row constant — it cannot
+    change that row's argpartition ranking).
     """
 
     def __init__(self, k: int = 5):
         self.k = k
         self._X = None
         self._y = None
+        self._norms = None
 
-    def fit(self, X: np.ndarray, y: np.ndarray) -> "KNNClassifier":
-        self._X = np.asarray(X, dtype=np.float64)
+    def fit(self, X: np.ndarray, y: np.ndarray, norms: np.ndarray | None = None) -> "KNNClassifier":
+        """``norms`` (precomputed ‖row‖²) lets a caller that slides a
+        window over one big matrix skip the per-fit norm pass — the
+        values are identical either way."""
+        self._X = np.ascontiguousarray(X, dtype=np.float32)
         self._y = np.asarray(y, dtype=np.int64)
+        self._norms = norms if norms is not None else np.einsum("ij,ij->i", self._X, self._X)
         return self
 
+    _TRAIN_CHUNK = 4096  # d2 tile (test × chunk) stays cache-resident
+
     def predict(self, X: np.ndarray) -> np.ndarray:
-        X = np.asarray(X, dtype=np.float64)
-        k = min(self.k, self._X.shape[0])
-        # chunk the test side so the distance matrix stays bounded
+        X = np.asarray(X, dtype=np.float32)
+        n_train = self._X.shape[0]
+        k = min(self.k, n_train)
         preds = np.empty(X.shape[0], dtype=np.int64)
         n_classes = int(self._y.max()) + 1 if self._y.size else 1
+        ch = self._TRAIN_CHUNK
         for s in range(0, X.shape[0], 4096):
             xb = X[s:s + 4096]
-            d2 = (
-                np.sum(xb**2, axis=1)[:, None]
-                - 2.0 * xb @ self._X.T
-                + np.sum(self._X**2, axis=1)[None, :]
-            )
-            nn = np.argpartition(d2, k - 1, axis=1)[:, :k]
-            votes = self._y[nn]
+            # tile over the train side: each d2 tile is computed, top-k
+            # selected, and DISCARDED while still cache-hot — the full
+            # (test × n_train) distance matrix never touches DRAM
+            best_d = best_i = None
+            for c0 in range(0, n_train, ch):
+                Xc = self._X[c0:c0 + ch]
+                d2 = self._norms[c0:c0 + ch][None, :] - 2.0 * (xb @ Xc.T)
+                kc = min(k, Xc.shape[0])
+                idx = np.argpartition(d2, kc - 1, axis=1)[:, :kc]
+                dch = np.take_along_axis(d2, idx, axis=1)
+                ich = idx + c0
+                if best_d is None:
+                    best_d, best_i = dch, ich
+                else:
+                    cat_d = np.concatenate([best_d, dch], axis=1)
+                    cat_i = np.concatenate([best_i, ich], axis=1)
+                    kk = min(k, cat_d.shape[1])
+                    sel = np.argpartition(cat_d, kk - 1, axis=1)[:, :kk]
+                    best_d = np.take_along_axis(cat_d, sel, axis=1)
+                    best_i = np.take_along_axis(cat_i, sel, axis=1)
+            votes = self._y[best_i]
             counts = np.zeros((xb.shape[0], n_classes), dtype=np.int64)
             for c in range(n_classes):
                 counts[:, c] = np.sum(votes == c, axis=1)

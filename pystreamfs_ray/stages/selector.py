@@ -108,22 +108,37 @@ class BucketSelector:
                 "max_history (the unbounded prefix cannot be carried)"
             )
 
-    def _classify(self, hist_X, hist_Y, X, Y, i, selected, model, first: bool):
+    def _classify(self, Xfull, Yfull, hist_n, i, selected, model, first: bool,
+                  sel_cache: dict):
         """Prequential eval with cross-run history: train on (carried
         history + this run's prefix), bounded by max_history — identical
-        to oracle.classify_window when history is empty."""
-        x_test = X[i:i + self.batch_size][:, selected]
-        y_test = Y[i:i + self.batch_size]
-        if first and i == 0 and hist_X.shape[0] == 0:
-            x_train, y_train = x_test, y_test  # reference window-0 case
+        to oracle.classify_window when history is empty.
+
+        ``Xfull`` = concat(history, run rows), built ONCE per entity.
+        The feature gather ``Xfull[:, selected]`` and its row norms are
+        cached per distinct ``selected`` tuple (``sel_cache``): the
+        selected set is stable across most windows, so the whole-prefix
+        column gather + norm pass amortize to ~once per entity instead
+        of once per window — the dominant memory-traffic term at high
+        core counts. Values are identical to the uncached path."""
+        key = tuple(int(s) for s in selected)
+        ent = sel_cache.get(key)
+        if ent is None:
+            if len(sel_cache) >= 8:  # tiny LRU: drop the oldest gather
+                sel_cache.pop(next(iter(sel_cache)))
+            Xsel = np.ascontiguousarray(Xfull[:, selected])
+            ent = (Xsel, np.einsum("ij,ij->i", Xsel, Xsel))
+            sel_cache[key] = ent
+        Xsel, norms = ent
+        hi = hist_n + i
+        x_test = Xsel[hi:hi + self.batch_size]
+        y_test = Yfull[hi:hi + self.batch_size]
+        if first and i == 0 and hist_n == 0:
+            # reference window-0 case: train on itself
+            model.fit(x_test, y_test, norms[hi:hi + self.batch_size])
         else:
-            trainX = np.concatenate([hist_X, X[:i]]) if hist_X.shape[0] else X[:i]
-            trainY = np.concatenate([hist_Y, Y[:i]]) if hist_Y.shape[0] else Y[:i]
-            if self.max_history is not None:
-                trainX = trainX[-self.max_history:]
-                trainY = trainY[-self.max_history:]
-            x_train, y_train = trainX[:, selected], trainY
-        model.fit(x_train, y_train)
+            lo = 0 if self.max_history is None else max(0, hi - self.max_history)
+            model.fit(Xsel[lo:hi], Yfull[lo:hi], norms[lo:hi])
         pred = model.predict(x_test)
         return float(np.mean(pred == np.asarray(y_test, dtype=np.int64)))
 
@@ -213,6 +228,16 @@ class BucketSelector:
             n_full = (X.shape[0] // bs) * bs
             stop = X.shape[0] if (not self.streaming or self.flush) else n_full
 
+            hist_n = hist_X.shape[0]
+            if self.evaluate:
+                # one concatenate + one float32 cast per entity; every
+                # window slices views of it (the float32 copy halves the
+                # per-window gather traffic; values are identical to
+                # casting each slice, since the cast is elementwise)
+                Xfull = np.concatenate([hist_X, X]) if hist_n else X
+                Xfull = Xfull.astype(np.float32)
+                Yfull = np.concatenate([hist_Y, Y]) if hist_n else Y
+            sel_cache: dict = {}  # per-entity (selected → gather) cache
             kstates = {}
             for kname, kernel in self.kernels:
                 if prior is not None:
@@ -235,8 +260,9 @@ class BucketSelector:
 
                     acc = None
                     if model is not None:
-                        acc = self._classify(hist_X, hist_Y, X, Y, i, selected,
-                                             model, first=(gwid == 0))
+                        acc = self._classify(Xfull, Yfull, hist_n, i, selected,
+                                             model, first=(gwid == 0),
+                                             sel_cache=sel_cache)
                     o_kern.append(kname)
                     o_conv.append(cid)
                     o_wid.append(gwid)
