@@ -682,9 +682,12 @@ def q_accuracy_over_time(sf_dir: str):
     return out.map_batches(fmt, batch_format="pandas")
 
 
-def q_eval_salted(sf_dir: str):
+def q_eval_salted(sf_dir: str, model: str = "knn"):
     """Salted distributed prequential evaluation over window chunks
-    (the mega-entity skew path; equality vs inline eval is pytest-gated)."""
+    (the mega-entity skew path; equality vs inline eval is pytest-gated).
+    ``model`` picks the evaluation model — "knn" | "logistic" | "tree" |
+    "svm" — mirroring the reference examples' KNeighbors / DecisionTree /
+    SVC choices (`/root/reference/pystreamfs/utils.py:48-51`)."""
     from pystreamfs_ray.stages.evaluate import evaluate_windows
     from pystreamfs_ray.stages.featurize import featurize as _feat
 
@@ -694,7 +697,7 @@ def q_eval_salted(sf_dir: str):
     acc = evaluate_windows(
         _feat(transcripts_from_events(sf_dir, num_buckets=_BUCKETS)),
         specs.select_columns(["kernel", "conv_id", "window_id", "selected"]),
-        batch_size=50, max_history=2000, model="knn",
+        batch_size=50, max_history=2000, model=model,
         chunk_windows=50, num_buckets=16,
     )
 

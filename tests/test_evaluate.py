@@ -2,9 +2,11 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 
 
-def test_salted_eval_matches_inline(ray_session, synth_dirs):
+@pytest.mark.parametrize("model", ["knn", "tree"])
+def test_salted_eval_matches_inline(ray_session, synth_dirs, model):
     import ray.data as rd
 
     from pystreamfs_ray.pipelines.flagship import feature_windows
@@ -16,7 +18,7 @@ def test_salted_eval_matches_inline(ray_session, synth_dirs):
 
     inline = feature_windows(
         ds, kernel="ofs", batch_size=bs, num_features=5, num_buckets=8,
-        evaluate="knn", max_history=hist,
+        evaluate=model, max_history=hist,
     ).to_pandas()
 
     # two-phase: selector without eval → salted eval stage.
@@ -38,7 +40,7 @@ def test_salted_eval_matches_inline(ray_session, synth_dirs):
     acc = evaluate_windows(
         feats,
         specs.select_columns(["kernel", "conv_id", "window_id", "selected"]),
-        batch_size=bs, max_history=hist, model="knn",
+        batch_size=bs, max_history=hist, model=model,
         chunk_windows=3, num_buckets=8,
     ).to_pandas()
 
