@@ -56,13 +56,15 @@ def entry() -> Any:
     purchase-label timestamps. Returns the joined Dataset."""
     import ray.data as rd
 
+    from pystreamfs_ray.sources import read_parquet
+
     from pystreamfs_ray.pipelines.flagship import flagship
     from pystreamfs_ray.pipelines.transcripts import transcripts_from_events
 
     sf_dir = "/root/testdata/sf0.001"
     trans = transcripts_from_events(sf_dir, num_buckets=16)
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_type", "value"])
     labels = ev.filter(expr="event_type == 'purchase'").map_batches(
         _purchase_labels, batch_format="pandas"

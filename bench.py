@@ -79,6 +79,8 @@ def run_bench() -> dict:
 
     import ray.data as rd
 
+    from pystreamfs_ray.sources import read_parquet
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pystreamfs_ray.pipelines.flagship import feature_windows
     from pystreamfs_ray.pipelines.metrics import global_summary
@@ -89,12 +91,12 @@ def run_bench() -> dict:
     # --- synthesized headline input (cached, deterministic) ---
     dirs = build_fixture(SYNTH_ROOT, n_convs=SYNTH_CONVS, seed=7, mega_convs=4,
                         n_files=16, mega_turns=MEGA_TURNS)
-    n_turns = rd.read_parquet(dirs["transcripts"]).count()  # warms page cache
+    n_turns = read_parquet(dirs["transcripts"]).count()  # warms page cache
 
     # warm the Ray worker pool on a slice so the timed run measures
     # compute + shuffle, not process spin-up
     feature_windows(
-        rd.read_parquet(dirs["transcripts"]).limit(20_000),
+        read_parquet(dirs["transcripts"]).limit(20_000),
         kernel="ofs", batch_size=50, num_features=5, num_buckets=16,
     ).materialize()
 
@@ -110,7 +112,7 @@ def run_bench() -> dict:
     # straggler-free mega-entities — the right call on a real cluster
     # with big hot keys, slower on this single node (see BASELINE.md).
     windows = feature_windows(
-        rd.read_parquet(dirs["transcripts"], override_num_blocks=read_blocks),
+        read_parquet(dirs["transcripts"], override_num_blocks=read_blocks),
         kernel=HEADLINE_KERNELS, batch_size=50, num_features=5,
         num_buckets=num_buckets, concurrency=None,
         evaluate="knn", max_history=EVAL_HISTORY,
@@ -118,7 +120,7 @@ def run_bench() -> dict:
     # join sides are small (labels + window rows): coalesce to a few
     # blocks and a modest bucket count so the join isn't latency-bound
     joined = asof_join(
-        rd.read_parquet(dirs["labels"], override_num_blocks=8),
+        read_parquet(dirs["labels"], override_num_blocks=8),
         windows.select_columns(["conv_id", "window_id", "ts_end", "w", "selected"])
         .repartition(32),
         by="conv_id", left_on="ts", right_on="ts_end", how="inner",

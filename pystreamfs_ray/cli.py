@@ -60,12 +60,14 @@ def main(argv=None) -> int:
 
     import ray.data as rd
 
+    from pystreamfs_ray.sources import read_parquet
+
     from pystreamfs_ray.pipelines.flagship import flagship
     from pystreamfs_ray.util import params_fingerprint
 
     t0 = time.perf_counter()
-    trans = rd.read_parquet(args.transcripts)
-    labels = rd.read_parquet(args.labels) if args.labels else None
+    trans = read_parquet(args.transcripts)
+    labels = read_parquet(args.labels) if args.labels else None
 
     windows, joined, summary = flagship(
         trans, labels,

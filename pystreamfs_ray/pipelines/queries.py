@@ -22,6 +22,8 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
+
+from pystreamfs_ray.sources import read_parquet
 from ray.data.aggregate import Count, Max, Mean, Sum
 
 from pystreamfs_ray.pipelines.flagship import feature_windows
@@ -63,7 +65,7 @@ def q1_lineitem_agg(sf_dir: str):
     Money columns are quantized to integer cents/bps before summing
     (exact, order-independent); averages derive from the exact sums.
     """
-    ds = rd.read_parquet(
+    ds = read_parquet(
         _p(sf_dir, "lineitem"),
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
@@ -117,7 +119,7 @@ def q1_lineitem_agg(sf_dir: str):
 
 def q_filter_project(sf_dir: str):
     """Vectorized filter + projection + computed column."""
-    ds = rd.read_parquet(
+    ds = read_parquet(
         _p(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -137,7 +139,7 @@ def q_filter_project(sf_dir: str):
 
 def q_topk_orders(sf_dir: str):
     """Global top-10 by price (distributed sort + limit), stable tiebreak."""
-    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    ds = read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"])
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
 
@@ -145,7 +147,7 @@ def q_join_agg(sf_dir: str):
     """orders ⋈ customer via broadcast small side (ray.put once on the
     driver; each task fetches the shared copy from the local object
     store — no shuffle), then grouped aggregate."""
-    cust = rd.read_parquet(
+    cust = read_parquet(
         _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     ).to_arrow_refs()
     dim = pa.concat_tables(ray.get(cust)).combine_chunks()  # small dimension table
@@ -159,7 +161,7 @@ def q_join_agg(sf_dir: str):
         pos = pc.index_in(t["o_custkey"], value_set=d["keys"])
         return t.append_column("c_mktsegment", pc.take(d["seg"], pos))
 
-    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    ds = read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
 
     def quant(t: pa.Table) -> pa.Table:
         return t.append_column("price_c", _quantize(t["o_totalprice"], 100.0))
@@ -188,7 +190,7 @@ def q_join_shuffle(sf_dir: str):
     (``Dataset.join``: both sides hash-partition on the key — the
     pattern for fact⋈fact where neither side fits a broadcast), then
     grouped revenue per order priority."""
-    li = rd.read_parquet(
+    li = read_parquet(
         _p(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -198,7 +200,7 @@ def q_join_shuffle(sf_dir: str):
         return pa.table({"l_orderkey": t["l_orderkey"], "rev_c": _quantize(rev, 10000.0)})
 
     li = li.map_batches(quant, batch_format="pyarrow")
-    ords = rd.read_parquet(_p(sf_dir, "orders"),
+    ords = read_parquet(_p(sf_dir, "orders"),
                            columns=["o_orderkey", "o_orderpriority"])
     num_partitions = min(32, max(4, int(ray.cluster_resources().get("CPU", 8)) // 2))
     joined = li.join(ords, join_type="inner", num_partitions=num_partitions,
@@ -223,13 +225,13 @@ def q_semi_join(sf_dir: str):
     """Lineitems of urgent orders — broadcast semi join (no shuffle)."""
     from pystreamfs_ray.stages.joins import semi_join
 
-    urgent = rd.read_parquet(_p(sf_dir, "orders"),
+    urgent = read_parquet(_p(sf_dir, "orders"),
                              columns=["o_orderkey", "o_orderpriority"])
     keys = (
         urgent.filter(expr="o_orderpriority == '1-URGENT'")
         .select_columns(["o_orderkey"]).to_pandas()["o_orderkey"].to_numpy()
     )
-    li = rd.read_parquet(_p(sf_dir, "lineitem"),
+    li = read_parquet(_p(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_linenumber", "l_quantity"])
     return semi_join(li, keys, on="l_orderkey")
 
@@ -238,19 +240,19 @@ def q_anti_join(sf_dir: str):
     """Customers with no urgent orders — broadcast anti join."""
     from pystreamfs_ray.stages.joins import anti_join
 
-    urgent = rd.read_parquet(_p(sf_dir, "orders"),
+    urgent = read_parquet(_p(sf_dir, "orders"),
                              columns=["o_custkey", "o_orderpriority"])
     keys = (
         urgent.filter(expr="o_orderpriority == '1-URGENT'")
         .select_columns(["o_custkey"]).to_pandas()["o_custkey"].unique()
     )
-    cust = rd.read_parquet(_p(sf_dir, "customer"),
+    cust = read_parquet(_p(sf_dir, "customer"),
                            columns=["c_custkey", "c_name", "c_mktsegment"])
     return anti_join(cust, keys, on="c_custkey")
 
 
 def q_distinct_events(sf_dir: str):
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+    ds = read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
 
     def quant(t: pa.Table) -> pa.Table:
         return t.append_column("value_c", _quantize(t["value"], 100.0))
@@ -364,14 +366,14 @@ def q_sliding_stride(sf_dir: str):
 
 def q_union_counts(sf_dir: str):
     """Dataset.union of two filtered event streams + grouped count."""
-    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "event_type"])
+    ev = read_parquet(_p(sf_dir, "events"), columns=["event_id", "event_type"])
     a = ev.filter(expr="event_type == 'click'")
     b = ev.filter(expr="event_type == 'purchase'")
     return a.union(b).groupby("event_type").aggregate(Count(alias_name="n"))
 
 
 def q_lag_lead(sf_dir: str):
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+    ds = read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True)
@@ -383,7 +385,7 @@ def q_lag_lead(sf_dir: str):
 
 def q_backfill(sf_dir: str):
     """Forward-fill: carry the last purchase value onto later events."""
-    ds = rd.read_parquet(
+    ds = read_parquet(
         _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type", "value"]
     )
 
@@ -398,7 +400,7 @@ def q_backfill(sf_dir: str):
 
 def q_sessionize(sf_dir: str):
     """Gap-based sessions (30 min) per user over the events stream."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    ds = read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True)
@@ -416,7 +418,7 @@ def q_sessionize(sf_dir: str):
 
 def q_asof_events(sf_dir: str):
     """Point-in-time join: each purchase ← latest prior non-purchase event."""
-    ev = rd.read_parquet(
+    ev = read_parquet(
         _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type", "value"]
     )
     left = ev.filter(expr="event_type == 'purchase'").select_columns(
@@ -509,14 +511,14 @@ def q_window_counts(sf_dir: str):
 def q_dedup_exact(sf_dir: str):
     from pystreamfs_ray.stages.dedup import exact_dedup
 
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return exact_dedup(docs)
 
 
 def q_token_stats(sf_dir: str):
     from pystreamfs_ray.stages.textstats import token_stats
 
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     out = token_stats(docs).drop_columns(["text"])
     return out
 
@@ -524,7 +526,7 @@ def q_token_stats(sf_dir: str):
 def q_fingerprint(sf_dir: str):
     from pystreamfs_ray.stages.textstats import fingerprint
 
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def fmt(df: pd.DataFrame) -> pd.DataFrame:
         return df[["doc_id", "md5"]]
@@ -536,7 +538,7 @@ def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 for the first 10 vectors as queries."""
     from pystreamfs_ray.stages.similarity import brute_force_topk
 
-    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    emb = read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     qdf = emb.filter(expr="vec_id < 10").to_pandas()  # tiny query side
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
     out = brute_force_topk(emb, qdf["vec_id"].to_numpy(), qmat, k=10, concurrency=2)
@@ -551,7 +553,7 @@ def q_ivf_topk(sf_dir: str):
     """IVF-probed approximate top-10 (scale path; rows-only check)."""
     from pystreamfs_ray.stages.similarity import ivf_topk
 
-    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    emb = read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     qdf = emb.filter(expr="vec_id < 10").to_pandas()
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
     out = ivf_topk(emb, qdf["vec_id"].to_numpy(), qmat, k=10, n_cells=16,
@@ -564,14 +566,14 @@ def q_ivf_topk(sf_dir: str):
 def q_minhash_pairs(sf_dir: str):
     from pystreamfs_ray.stages.dedup import minhash_lsh_pairs
 
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return minhash_lsh_pairs(docs, threshold=0.2, concurrency=2)
 
 
 def q_simhash(sf_dir: str):
     from pystreamfs_ray.stages.dedup import SimHasher
 
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         out = SimHasher()(df)
@@ -589,7 +591,7 @@ def q_embedding_neardup(sf_dir: str):
     exist (the raw table's max pairwise cosine is < 0.5)."""
     from pystreamfs_ray.stages.dedup import embedding_neardup_pairs
 
-    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    emb = read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
     def probes(t: pa.Table) -> pa.Table:
         mask = pc.less(t["vec_id"], 5)
@@ -618,7 +620,7 @@ def q_dedup_groups_exact(sf_dir: str):
     actually exercised). SQL oracle: min id per text group."""
     from pystreamfs_ray.stages.dedup import dedup_groups, exact_dup_chain_pairs
 
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def probes(t: pa.Table) -> pa.Table:
         base = t.filter(pc.less(t["doc_id"], 10))
@@ -639,7 +641,7 @@ def q_dedup_groups_exact(sf_dir: str):
 def q_text_quality(sf_dir: str):
     from pystreamfs_ray.stages.textstats import quality_score
 
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return quality_score(docs, concurrency=2).map_batches(
         lambda df: df[["doc_id", "stopword_ratio", "quality_score"]],
         batch_format="pandas",
@@ -649,7 +651,7 @@ def q_text_quality(sf_dir: str):
 def q_lang_id(sf_dir: str):
     from pystreamfs_ray.stages.textstats import lang_id
 
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
     return lang_id(docs, concurrency=2).map_batches(
         lambda df: df[["doc_id", "lang", "pred_lang"]], batch_format="pandas"
     )

@@ -20,6 +20,8 @@ import pandas as pd
 
 import ray.data as rd
 
+from pystreamfs_ray.sources import read_parquet
+
 from pystreamfs_ray.stages.window import per_bucket, sort_entity
 
 ROLE_OF_EVENT = {"click": "user", "view": "user", "purchase": "assistant",
@@ -28,11 +30,11 @@ TOOL_OF_EVENT = {"purchase": "search", "signup": "code", "error": "calc"}
 
 
 def read_transcripts(path: str):
-    return rd.read_parquet(path)
+    return read_parquet(path)
 
 
 def transcripts_from_events(sf_dir: str, *, num_buckets: int = 64, concurrency=None):
-    events = rd.read_parquet(
+    events = read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type", "props"],
     )

@@ -90,6 +90,6 @@ CHECKPOINT_MANIFEST_SCHEMA = pa.schema(
         pa.field("rows_done", pa.int64()),
         pa.field("wall_s", pa.float64()),
         pa.field("rows_per_sec", pa.float64()),
-        pa.field("max_window_lag_s", pa.float64()),
+        pa.field("window_lag_s", pa.float64()),
     ]
 )

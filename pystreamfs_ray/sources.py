@@ -1,0 +1,123 @@
+"""Dataset sources: Parquet (primary) and CSV (reference parity, S1).
+
+The reference ingests CSV via pandas (`/root/reference/examples/
+example_ofs.py:8-10`: ``pd.read_csv('credit.csv')`` → ``.values``); the
+engine's primary source is column-pruned Parquet. Both wrappers here
+also strip the writer-embedded ``pandas`` schema metadata from every
+block: pyarrow 16's ``Schema.__hash__`` chokes on the metadata dict,
+which disables Ray Data's schema-deduplication fast path inside every
+shuffle ("Failed to hash the schemas" warning spam in reduce tasks) and
+forces repeated full schema unification. Stripping at the read (the
+map fuses with the read task — no extra stage at runtime) keeps every
+downstream block schema hashable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _strip_meta(t: pa.Table) -> pa.Table:
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def strip_schema_metadata(ds):
+    """Drop per-block schema metadata (zero-copy; fuses with the read)."""
+    return ds.map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def read_parquet(paths, **kwargs):
+    """``ray.data.read_parquet`` with hashable (metadata-free) block
+    schemas. Pass ``columns=[...]`` so only needed columns leave storage."""
+    return strip_schema_metadata(rd.read_parquet(paths, **kwargs))
+
+
+def read_csv(paths, **kwargs):
+    """``ray.data.read_csv`` with hashable block schemas (S1 parity
+    source — the reference's datasets ship as CSV)."""
+    return strip_schema_metadata(rd.read_csv(paths, **kwargs))
+
+
+def csv_stream_source(path: str, *, target_col: str = "target",
+                      entity: str | None = None, shuffle: bool = False,
+                      seed: int | None = None):
+    """A reference CSV dataset as a transcript-shaped stream Dataset.
+
+    Columns become ``f00..fNN`` float64 features plus ``label``; rows
+    become turns of one entity (``conv_id``, ``turn_idx``) in file
+    order — the reference's row-order-is-stream-order contract
+    (`/root/reference/pystreamfs/pystreamfs.py:29`). The file is read
+    as ONE block per file because CSV carries no intrinsic order key to
+    recover ordering from; at scale, convert to Parquet with an
+    explicit order column instead (this source exists for parity with
+    the reference's small CSV datasets).
+
+    ``shuffle=True`` applies the reference's opt-in whole-dataset
+    shuffle (`/root/reference/pystreamfs/pystreamfs.py:20-21`) as a
+    seeded ``Dataset.random_shuffle`` — O2 in SURVEY.md §2.
+    """
+    ds = read_csv(path, override_num_blocks=1)
+    ent = entity if entity is not None else "stream"
+
+    def to_stream(t: pa.Table) -> pa.Table:
+        cols = [c for c in t.column_names if c != target_col]
+        n = len(t)
+        arrays = {
+            "conv_id": pa.array(np.full(n, ent, dtype=object), type=pa.string()),
+            "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+        }
+        for i, c in enumerate(cols):
+            arrays[f"f{i:02d}"] = t[c].cast(pa.float64(), safe=False)
+        arrays["label"] = t[target_col].cast(pa.int8(), safe=False)
+        return pa.table(arrays)
+
+    # batch_size=None → whole block in one call, so turn_idx is the
+    # contiguous file row number
+    ds = ds.map_batches(to_stream, batch_format="pyarrow", batch_size=None)
+    if shuffle:
+        ds = shuffle_stream(ds, seed=seed)
+    return ds
+
+
+def random_shuffle(ds, *, seed: int | None = None):
+    """Opt-in whole-dataset physical shuffle — the Dataset-path analog
+    of the reference's pre-stream shuffle flag
+    (`/root/reference/pystreamfs/pystreamfs.py:20-21`). A seeded
+    all-to-all exchange; use only when randomized ROW PLACEMENT is the
+    goal (e.g. decorrelating storage order before sampling). Stream
+    ORDER is carried by (conv_id, turn_idx), which this does not touch —
+    for randomized stream order use ``shuffle_stream``."""
+    return ds.random_shuffle(seed=seed)
+
+
+def shuffle_stream(ds, *, seed: int = 0, entity_col: str = "conv_id",
+                   order_col: str = "turn_idx", num_buckets: int = 64,
+                   concurrency=None):
+    """Randomize each entity's STREAM ORDER (O2 stream semantics).
+
+    The reference shuffles the matrix before the stream loop, so
+    position in the shuffled order becomes the new stream order; with
+    one matrix == one entity, the distributed lift is a seeded
+    permutation of each entity's ``order_col`` ranks. The permutation
+    is derived from ``(seed, entity)`` only, so the result is
+    independent of block layout and task scheduling (tested)."""
+    import pandas as pd
+
+    from pystreamfs_ray.stages.window import per_bucket, sort_entity
+    from pystreamfs_ray.util import stable_hash64
+
+    def permute(group: pd.DataFrame) -> pd.DataFrame:
+        group = sort_entity(group, entity_col=entity_col, order_cols=(order_col,))
+        out = []
+        for ent, g in group.groupby(entity_col, sort=False):
+            rng = np.random.default_rng([seed, stable_hash64(ent) & 0x7FFFFFFF])
+            g = g.copy()
+            g[order_col] = g[order_col].to_numpy()[rng.permutation(len(g))]
+            out.append(g)
+        return pd.concat(out) if out else group
+
+    return per_bucket(ds, permute, entity_col=entity_col,
+                      num_buckets=num_buckets, concurrency=concurrency)

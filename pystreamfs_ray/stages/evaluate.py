@@ -47,6 +47,7 @@ def evaluate_windows(
     chunk_windows: int = 200,
     num_buckets: int = 64,
     concurrency=None,
+    broadcast_threshold: int = 2_000_000,
 ):
     """specs_ds: (kernel, conv_id, window_id, selected) — selector output."""
     feature_cols = list(feature_cols or FEATURE_COLS)
@@ -110,26 +111,48 @@ def evaluate_windows(
 
     # Replication cap: a row never needs chunks beyond its entity's last
     # window. The per-entity max window comes from the (small) specs side
-    # and is broadcast once — without it every SHORT conversation would
-    # be replicated 1 + hist/chunk times and the shuffle volume explodes.
+    # — broadcast once below the threshold; above it (10^9 entities
+    # would be a driver-side materialization) fall back to a distributed
+    # hash join of the cap onto the feature rows. Without the cap every
+    # SHORT conversation would be replicated 1 + hist/chunk times and
+    # the shuffle volume explodes.
     import ray
     from ray.data.aggregate import Max
 
-    maxw_pdf = (
+    maxw_ds = (
         specs_ds.groupby(entity_col)
-        .aggregate(Max("window_id", alias_name="maxw"))
-        .to_pandas()
+        .aggregate(Max("window_id", alias_name="__maxw"))
+        .materialize()
     )
-    maxw_ref = ray.put(dict(zip(maxw_pdf[entity_col], maxw_pdf["maxw"].astype(np.int64))))
+    if maxw_ds.count() <= broadcast_threshold:
+        maxw_pdf = maxw_ds.to_pandas()
+        maxw_ref = ray.put(
+            dict(zip(maxw_pdf[entity_col], maxw_pdf["__maxw"].astype(np.int64)))
+        )
 
-    def explode_features_capped(t: pa.Table) -> pa.Table:
-        maxw = ray.get(maxw_ref)
-        ents = t[entity_col].to_pylist()
-        cap = np.fromiter((maxw.get(e, 0) for e in ents), dtype=np.int64,
-                          count=len(ents)) // chunk_windows
-        return explode_features(t, cap)
+        def explode_features_capped(t: pa.Table) -> pa.Table:
+            maxw = ray.get(maxw_ref)
+            ents = t[entity_col].to_pylist()
+            cap = np.fromiter((maxw.get(e, 0) for e in ents), dtype=np.int64,
+                              count=len(ents)) // chunk_windows
+            return explode_features(t, cap)
 
-    lt = features_ds.map_batches(explode_features_capped, batch_format="pyarrow")
+        lt = features_ds.map_batches(explode_features_capped, batch_format="pyarrow")
+    else:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        capped = features_ds.join(
+            maxw_ds, join_type="inner", num_partitions=num_partitions,
+            on=(entity_col,), right_on=(entity_col,),
+        )
+
+        def explode_features_joined(t: pa.Table) -> pa.Table:
+            cap = (
+                pc.cast(t["__maxw"], pa.int64()).to_numpy(zero_copy_only=False)
+                // chunk_windows
+            )
+            return explode_features(t.drop_columns(["__maxw"]), cap)
+
+        lt = capped.map_batches(explode_features_joined, batch_format="pyarrow")
     rt = specs_ds.map_batches(explode_specs, batch_format="pyarrow")
     both = lt.union(rt)
 

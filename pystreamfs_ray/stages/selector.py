@@ -108,6 +108,15 @@ class BucketSelector:
                 "max_history (the unbounded prefix cannot be carried)"
             )
 
+    def _lineage(self) -> dict:
+        """Kernel/params/input identity stored with per-bucket state and
+        checked on load — same trust rule as ``completed_buckets``."""
+        return {
+            "kernel": self.kernel_name,
+            "params_fingerprint": params_fingerprint(self.kernel_params),
+            "input_fingerprint": self.fingerprint,
+        }
+
     def _classify(self, Xfull, Yfull, hist_n, i, selected, model, first: bool,
                   sel_cache: dict):
         """Prequential eval with cross-run history: train on (carried
@@ -183,7 +192,9 @@ class BucketSelector:
         if self.load_state and self.checkpoint_dir is not None and bucket_id >= 0:
             from pystreamfs_ray.state.checkpoint import read_bucket_state
 
-            prior_states = read_bucket_state(self.checkpoint_dir, bucket_id)
+            prior_states = read_bucket_state(
+                self.checkpoint_dir, bucket_id, lineage=self._lineage()
+            )
         new_states: dict = {}
 
         bs = self.batch_size
@@ -317,7 +328,8 @@ class BucketSelector:
         if self.streaming and self.checkpoint_dir is not None and bucket_id >= 0:
             from pystreamfs_ray.state.checkpoint import write_bucket_state
 
-            write_bucket_state(self.checkpoint_dir, bucket_id, new_states)
+            write_bucket_state(self.checkpoint_dir, bucket_id, new_states,
+                               lineage=self._lineage())
 
         if self.checkpoint_dir is not None and bucket_id >= 0:
             from pystreamfs_ray.state.checkpoint import write_bucket_checkpoint

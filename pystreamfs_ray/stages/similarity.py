@@ -31,6 +31,13 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _topk_rounded(sims: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k by (round(sim,6) desc, id asc) — the same
+    ordering the global reduce (and the DuckDB oracle) ranks by, so
+    per-batch truncation agrees with the final rank at tie boundaries."""
+    return np.lexsort((ids, -np.round(sims, 6)))[:k]
+
+
 class BruteForceScorer:
     """Actor: fetches + normalizes the broadcast query matrix once."""
 
@@ -44,13 +51,15 @@ class BruteForceScorer:
         vecs = _normalize(_as_matrix(df[self.vec_col]))
         sims = self.qmat @ vecs.T  # (nq, batch)
         k = min(self.k, sims.shape[1])
-        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
         rows_q, rows_id, rows_sim = [], [], []
         ids = df[self.id_col].to_numpy()
         for qi in range(sims.shape[0]):
+            # truncate with the FINAL ordering (round-6 desc, id asc) so a
+            # rounded tie at the k boundary can't cut the wrong candidate
+            top = _topk_rounded(sims[qi], ids, k)
             rows_q.extend([self.qids[qi]] * k)
-            rows_id.extend(ids[top[qi]])
-            rows_sim.extend(sims[qi, top[qi]])
+            rows_id.extend(ids[top])
+            rows_sim.extend(sims[qi, top])
         return pd.DataFrame({
             "query_id": np.array(rows_q, dtype=np.int64),
             self.id_col: np.array(rows_id, dtype=np.int64),
@@ -105,7 +114,7 @@ class IVFScorer:
                 continue
             sims = self.qmat[qi] @ vecs[mask].T
             k = min(self.k, sims.shape[0])
-            top = np.argpartition(-sims, k - 1)[:k]
+            top = _topk_rounded(sims, ids[mask], k)
             out_q.extend([self.qids[qi]] * k)
             out_id.extend(ids[mask][top])
             out_sim.extend(sims[top])

@@ -56,29 +56,41 @@ def write_bucket_checkpoint(root: str, bucket_id: int, table: pa.Table, *,
     os.replace(tmp_m, os.path.join(d, "MANIFEST.json"))
 
 
-def write_bucket_state(root: str, bucket_id: int, states: dict) -> None:
+def write_bucket_state(root: str, bucket_id: int, states: dict, *,
+                       lineage: dict | None = None) -> None:
     """Per-bucket streaming-continuation state (kernel state, pending
     partial-window rows, bounded eval history, next window id per
     entity) — pickled atomically. This is the 'kernel_state_blob' of the
-    checkpoint design (SURVEY.md §4)."""
+    checkpoint design (SURVEY.md §4). ``lineage`` (kernel name +
+    params/input fingerprints) is stored alongside the blob so a resume
+    with different kernels/params/input rejects the state instead of
+    silently continuing from a mismatched stream."""
     import pickle
 
     d = _bucket_dir(root, bucket_id)
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, ".state.pkl.tmp")
     with open(tmp, "wb") as f:
-        pickle.dump(states, f)
+        pickle.dump({"__lineage__": lineage, "states": states}, f)
     os.replace(tmp, os.path.join(d, "state.pkl"))
 
 
-def read_bucket_state(root: str, bucket_id: int) -> dict:
+def read_bucket_state(root: str, bucket_id: int, *,
+                      lineage: dict | None = None) -> dict:
+    """Stored state, or ``{}`` when absent or the stored lineage does
+    not match ``lineage`` (same trust rule as ``completed_buckets``)."""
     import pickle
 
     p = os.path.join(_bucket_dir(root, bucket_id), "state.pkl")
     if not os.path.exists(p):
         return {}
     with open(p, "rb") as f:
-        return pickle.load(f)
+        blob = pickle.load(f)
+    if not (isinstance(blob, dict) and "states" in blob):  # pre-lineage layout
+        return {}
+    if lineage is not None and blob.get("__lineage__") != lineage:
+        return {}
+    return blob["states"]
 
 
 def completed_buckets(root: str, *, kernel: str, params_fp: str, input_fp: str) -> dict[int, dict]:
@@ -118,6 +130,8 @@ def resume_selector(features_ds, *, checkpoint_dir: str, kernel: str,
     """
     import ray.data as rd
 
+    from pystreamfs_ray.sources import read_parquet
+
     from pystreamfs_ray.stages.selector import run_selector
     from pystreamfs_ray.util import bucket_array
 
@@ -154,7 +168,7 @@ def resume_selector(features_ds, *, checkpoint_dir: str, kernel: str,
     )
     if not done:
         return fresh
-    saved = rd.read_parquet(
+    saved = read_parquet(
         [os.path.join(_bucket_dir(checkpoint_dir, b), "data.parquet") for b in sorted(done)]
     )
     return fresh.union(saved)

@@ -63,3 +63,18 @@ def test_two_run_streaming_equals_one_shot(ray_session, synth_dirs, tmp_path,
     if evaluate:
         ea, eb = a["acc"].to_numpy(), b["acc"].to_numpy()
         np.testing.assert_array_equal(ea, eb)
+
+
+def test_bucket_state_lineage_validation(tmp_path):
+    """State written under one kernel/params/input lineage is rejected
+    (→ {}) when read back under a different lineage (ADVICE r1)."""
+    from pystreamfs_ray.state.checkpoint import read_bucket_state, write_bucket_state
+
+    root = str(tmp_path / "ckpt")
+    lin_a = {"kernel": "ofs", "params_fingerprint": "p1", "input_fingerprint": "i1"}
+    lin_b = {"kernel": "fsds", "params_fingerprint": "p2", "input_fingerprint": "i1"}
+    states = {"conv-0": {"next_window": 7}}
+    write_bucket_state(root, 3, states, lineage=lin_a)
+    assert read_bucket_state(root, 3, lineage=lin_a) == states
+    assert read_bucket_state(root, 3, lineage=lin_b) == {}
+    assert read_bucket_state(root, 99, lineage=lin_a) == {}
