@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_topk": q.q_ann_topk,
         "q_ivf_topk": q.q_ivf_topk,
         "q_minhash_pairs": q.q_minhash_pairs,
+        "q_ngram_jaccard": q.q_ngram_jaccard,
         "q_simhash": q.q_simhash,
         "q_embedding_neardup": q.q_embedding_neardup,
         "q_dedup_groups": q.q_dedup_groups,
@@ -492,6 +493,40 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.d, c.comp FROM cc c JOIN edges e ON e.s = c.node
             )
             SELECT node, MIN(comp) AS component FROM cc GROUP BY node
+        """,
+        "q_ngram_jaccard": """
+            WITH docs AS (
+              SELECT doc_id, lower(text) AS s FROM documents
+              WHERE doc_id < 100 AND length(text) >= 3
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, substr(s, i, 3) AS g
+              FROM (SELECT doc_id, s,
+                           unnest(generate_series(1, length(s) - 2)) AS i
+                    FROM docs)
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1
+              WHERE a.doc_id % 2 = 0
+            ),
+            inter AS (
+              SELECT p.id_a, p.id_b, count(*) AS n_inter
+              FROM pairs p
+              JOIN grams ga ON ga.doc_id = p.id_a
+              JOIN grams gb ON gb.doc_id = p.id_b AND gb.g = ga.g
+              GROUP BY p.id_a, p.id_b
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id)
+            SELECT p.id_a, p.id_b,
+                   COALESCE(i.n_inter, 0) AS n_inter,
+                   sa.n + sb.n - COALESCE(i.n_inter, 0) AS n_union,
+                   CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                     / (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS jaccard
+            FROM pairs p
+            LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+            JOIN sizes sa ON sa.doc_id = p.id_a
+            JOIN sizes sb ON sb.doc_id = p.id_b
         """,
         "q_dedup_groups_exact": """
             WITH aug AS (

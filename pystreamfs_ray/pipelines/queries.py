@@ -638,6 +638,25 @@ def q_dedup_groups_exact(sf_dir: str):
     return dedup_groups(exact_dup_chain_pairs(aug))
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Exact char-trigram Jaccard over a deterministic candidate-pair
+    set (consecutive doc ids) — the LSH-verification stage run
+    standalone so it gets a full SQL oracle."""
+    from pystreamfs_ray.stages.dedup import ngram_jaccard_pairs
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = docs.filter(expr="doc_id < 100")
+
+    def mk_pairs(t: pa.Table) -> pa.Table:
+        ids = t.filter(
+            pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+        )["doc_id"]
+        return pa.table({"id_a": ids, "id_b": pc.add(ids, 1)})
+
+    pairs = docs.map_batches(mk_pairs, batch_format="pyarrow")
+    return ngram_jaccard_pairs(pairs, docs, k=3, num_partitions=4)
+
+
 def q_text_quality(sf_dir: str):
     from pystreamfs_ray.stages.textstats import quality_score
 

@@ -25,6 +25,7 @@ import warnings
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -314,6 +315,64 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     a = set(map(tuple, zip(*[text_a.split()[i:] for i in range(k)]))) or {(text_a,)}
     b = set(map(tuple, zip(*[text_b.split()[i:] for i in range(k)]))) or {(text_b,)}
     return len(a & b) / max(1, len(a | b))
+
+
+def _char_grams(text: str, k: int) -> set:
+    s = text.lower()
+    return {s[i:i + k] for i in range(len(s) - k + 1)}
+
+
+def ngram_jaccard_pairs(pairs_ds, docs_ds, *, k=3, id_a="id_a", id_b="id_b",
+                        id_col="doc_id", text_col="text", threshold=0.0,
+                        num_partitions=8):
+    """Exact character-k-gram Jaccard for candidate pairs — the
+    verification stage that follows LSH candidate generation (MinHash /
+    SimHash emit candidates; this confirms them exactly).
+
+    Texts are attached via TWO distributed hash joins (pair←text_a,
+    pair←text_b): no broadcast, both sides shuffle on doc id — the
+    scalable shape when the pair list and the corpus are both large.
+    The per-pair gram-set intersection is a Python set op, but it runs
+    only on CANDIDATE pairs (a vanishing fraction of the corpus after
+    LSH), never all-pairs. Documents shorter than ``k`` chars are
+    dropped (no gram set), matching the SQL-oracle semantics.
+
+    Returns (id_a, id_b, n_inter, n_union, jaccard) with
+    jaccard = n_inter / n_union (exact integer division → bit-stable
+    across engines)."""
+    docs = docs_ds.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(pc.utf8_length(t[text_col]), k)
+        ).select([id_col, text_col]),
+        batch_format="pyarrow",
+    )
+
+    def side(name_id, name_text):
+        return docs.map_batches(
+            lambda t, ni=name_id, nt=name_text: t.rename_columns([ni, nt]),
+            batch_format="pyarrow",
+        )
+
+    j = pairs_ds.join(side(id_a, "__ta"), join_type="inner",
+                      num_partitions=num_partitions, on=(id_a,))
+    j = j.join(side(id_b, "__tb"), join_type="inner",
+               num_partitions=num_partitions, on=(id_b,))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        n_i = np.zeros(len(df), dtype=np.int64)
+        n_u = np.zeros(len(df), dtype=np.int64)
+        for r, (a, b) in enumerate(zip(df["__ta"], df["__tb"])):
+            ga, gb = _char_grams(a, k), _char_grams(b, k)
+            n_i[r] = len(ga & gb)
+            n_u[r] = len(ga | gb)
+        out = pd.DataFrame({
+            id_a: df[id_a].to_numpy(), id_b: df[id_b].to_numpy(),
+            "n_inter": n_i, "n_union": n_u,
+            "jaccard": n_i / np.maximum(n_u, 1),
+        })
+        return out[out["jaccard"] >= threshold]
+
+    return j.map_batches(verify, batch_format="pandas")
 
 
 # ------------------------------------------------------------------ simhash

@@ -60,11 +60,16 @@ def per_bucket(
 ):
     """Hash-bucket entities, apply ``fn`` to each sorted bucket DataFrame."""
 
-    def _run(group: pd.DataFrame) -> pd.DataFrame:
+    def _run(group: pd.DataFrame):
+        import pyarrow as pa
+
         out = fn(group)
         if drop_bucket and "__bucket" in out.columns:
             out = out.drop(columns="__bucket")
-        return out
+        # hand back Arrow without the pandas schema metadata blob — a
+        # metadata-bearing schema is unhashable and disables Ray's
+        # shuffle schema-dedup fast path downstream (see sources.py)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     grouped = add_bucket(ds, entity_col, num_buckets).groupby("__bucket")
     return grouped.map_groups(_run, batch_format="pandas", concurrency=concurrency)

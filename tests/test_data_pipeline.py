@@ -279,3 +279,46 @@ def test_multimodal_stub(ray_session):
     # non-fake path is explicitly stubbed
     with pytest.raises(NotImplementedError):
         M.DecodeStub(fake=False)._decode_one("image", b"xx")
+
+
+def test_ngram_jaccard_pairs_exact(ray_session):
+    """Distributed char-k-gram Jaccard == a pure-Python reference on
+    the same pairs; threshold filters; short docs drop out."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.dedup import ngram_jaccard_pairs
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumped over a lazy dog",
+        3: "completely different content here",
+        4: "ab",  # shorter than k=3 → dropped
+        5: "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG",  # case-folds to 1
+    }
+    docs = rd.from_arrow(pa.table({
+        "doc_id": list(texts), "text": list(texts.values())
+    })).repartition(2)
+    pairs = rd.from_arrow(pa.table({
+        "id_a": [1, 1, 1, 2], "id_b": [2, 3, 4, 5]
+    }))
+    out = ngram_jaccard_pairs(pairs, docs, k=3, num_partitions=2).to_pandas()
+    out = out.set_index(["id_a", "id_b"]).sort_index()
+
+    def ref(a, b):
+        ga = {a.lower()[i:i + 3] for i in range(len(a) - 2)}
+        gb = {b.lower()[i:i + 3] for i in range(len(b) - 2)}
+        return len(ga & gb), len(ga | gb)
+
+    assert (1, 4) not in out.index  # short doc dropped by the join
+    for (ia, ib) in [(1, 2), (1, 3), (2, 5)]:
+        ni, nu = ref(texts[ia], texts[ib])
+        row = out.loc[(ia, ib)]
+        assert row["n_inter"] == ni and row["n_union"] == nu
+        assert row["jaccard"] == ni / nu
+    # near-dup (casefolded) pair is similar but not identical
+    assert 0.5 < out.loc[(2, 5)]["jaccard"] < 1.0
+    out2 = ngram_jaccard_pairs(pairs, docs, k=3, threshold=0.5,
+                               num_partitions=2).to_pandas()
+    assert (out2["jaccard"] >= 0.5).all()
+    assert len(out2) < len(out)
