@@ -168,6 +168,23 @@ _ALLV_CTE = """
              SELECT vec_id + 1000000, e FROM v WHERE vec_id < 5)
 """
 
+_ANN_TOPK_SQL = """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+        FROM q CROSS JOIN embeddings e
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     from pystreamfs_ray.stages.textstats import STOPWORDS
@@ -359,22 +376,11 @@ def oracle_sql() -> dict[str, str]:
         "q_fingerprint": """
             SELECT doc_id, md5(text) AS md5 FROM documents
         """,
-        "q_ann_topk": """
-            WITH q AS (
-                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-                FROM embeddings WHERE vec_id < 10
-            ), scored AS (
-                SELECT q.query_id, e.vec_id,
-                       ROUND(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS cosine
-                FROM q CROSS JOIN embeddings e
-            ), ranked AS (
-                SELECT query_id, vec_id, cosine,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY cosine DESC, vec_id) AS rank
-                FROM scored
-            )
-            SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
-        """,
+        "q_ann_topk": _ANN_TOPK_SQL,
+        # IVF at full probe (nprobe = n_cells) scans every cell → exact
+        # top-k → shares the brute-force oracle; approximate settings
+        # are recall-gated in pytest instead
+        "q_ivf_topk": _ANN_TOPK_SQL,
         "q_join_shuffle": """
             SELECT o_orderpriority,
                    CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,

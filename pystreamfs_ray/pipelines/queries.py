@@ -550,14 +550,19 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ivf_topk(sf_dir: str):
-    """IVF-probed approximate top-10 (scale path; rows-only check)."""
+    """IVF top-10 at FULL probe (nprobe = n_cells): exercises the whole
+    IVF machinery — centroid training, cell assignment, probe-masked
+    scoring — while scanning every cell, so the result is exact and
+    shares the brute-force SQL oracle. The approximate scale path
+    (nprobe < n_cells) is recall-gated in pytest
+    (`test_embedding_neardup_and_ann`)."""
     from pystreamfs_ray.stages.similarity import ivf_topk
 
     emb = read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     qdf = emb.filter(expr="vec_id < 10").to_pandas()
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
     out = ivf_topk(emb, qdf["vec_id"].to_numpy(), qmat, k=10, n_cells=16,
-                   nprobe=4, concurrency=2)
+                   nprobe=16, concurrency=2)
     return out.map_batches(
         lambda df: df[["query_id", "vec_id", "cosine", "rank"]], batch_format="pandas"
     )
@@ -567,7 +572,8 @@ def q_minhash_pairs(sf_dir: str):
     from pystreamfs_ray.stages.dedup import minhash_lsh_pairs
 
     docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    return minhash_lsh_pairs(docs, threshold=0.2, concurrency=2)
+    # autoscaling actor pool: signature hashing is the CPU-heavy stage
+    return minhash_lsh_pairs(docs, threshold=0.2, concurrency=(2, 8))
 
 
 def q_simhash(sf_dir: str):

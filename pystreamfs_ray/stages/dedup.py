@@ -176,7 +176,7 @@ class MinHasher:
 
 
 def minhash_signatures(ds, *, id_col="doc_id", text_col="text", num_perm=128,
-                       shingle_k=3, concurrency=4, batch_size=1024):
+                       shingle_k=3, concurrency=4, batch_size=512):
     # positional ctor args (a hashable tuple, not a dict) so Ray's
     # operator-fusion schema hashing works — kwargs dicts defeat it
     return ds.map_batches(
@@ -236,53 +236,104 @@ def minhash_lsh_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=128,
             "band_hash": (h >> np.uint64(1)).astype(np.int64).ravel(),
         })
 
+    # Banding buckets are mostly singletons (that is the point of LSH):
+    # a groupby keyed on (band_id, band_hash) would pay a per-GROUP
+    # Python call for ~n_docs×bands tiny groups. Instead the band rows
+    # hash-partition into a FIXED number of buckets and each bucket
+    # generates every group's pairs in one vectorized pass (group
+    # boundaries via sorted-run detection; the inner loop touches only
+    # groups with >=2 members — a vanishing fraction).
+    pair_buckets = 64
+
+    def assign_pb(df: pd.DataFrame) -> pd.DataFrame:
+        with np.errstate(over="ignore"):
+            mix = (df["band_hash"].to_numpy().astype(np.uint64)
+                   * np.uint64(0x9E3779B97F4A7C15)
+                   + df["band_id"].to_numpy().astype(np.uint64))
+            mix ^= mix >> np.uint64(31)
+        df["__pb"] = (mix % np.uint64(pair_buckets)).astype(np.int32)
+        return df
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+        bid = g["band_id"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, bh, bid))
+        bid, bh, ids = bid[order], bh[order], ids[order]
+        change = np.flatnonzero((bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(g)]))
+        out_a, out_b = [], []
+        for gi in np.flatnonzero(ends - starts >= 2):
+            seg = ids[starts[gi]:ends[gi]]  # already sorted within group
+            ia, ib = np.triu_indices(len(seg), k=1)
+            out_a.append(seg[ia])
+            out_b.append(seg[ib])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
 
     cand = (
         sigs.map_batches(explode_bands, batch_format="pandas")
-        .groupby(["band_id", "band_hash"])
+        .map_batches(assign_pb, batch_format="pandas")
+        .groupby("__pb")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
 
-    # distinct pairs (a pair can fire in many bands)
-    def first_of_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    cand = cand.groupby(["id_a", "id_b"]).map_groups(first_of_pair, batch_format="pandas")
-
     n_docs = sigs.count()
     if n_docs <= broadcast_threshold:
-        # small corpus: broadcast the signature dict, verify per batch
+        # small corpus: ONE more shuffle keyed on the pair hash does
+        # distinct (a pair fires in many bands) AND the broadcast-dict
+        # verification together, all vectorized per bucket
         import ray
 
         sig_pdf = sigs.to_pandas()
         ref = ray.put(dict(zip(sig_pdf[id_col], sig_pdf["sig"])))
 
-        def estimate_bcast(df: pd.DataFrame) -> pd.DataFrame:
-            if not len(df):
-                out = df[["id_a", "id_b"]].copy()
+        def assign_vb(df: pd.DataFrame) -> pd.DataFrame:
+            with np.errstate(over="ignore"):
+                mix = (df["id_a"].to_numpy().astype(np.uint64)
+                       * np.uint64(0x9E3779B97F4A7C15)
+                       + df["id_b"].to_numpy().astype(np.uint64))
+                mix ^= mix >> np.uint64(31)
+            df["__vb"] = (mix % np.uint64(pair_buckets)).astype(np.int32)
+            return df
+
+        def estimate_bcast(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop_duplicates(["id_a", "id_b"])
+            if not len(g):
+                out = g[["id_a", "id_b"]].copy()
                 out["jaccard_est"] = np.zeros(0)
                 return out
             table = ray.get(ref)
-            sa = _sig_matrix([table[a] for a in df["id_a"]], num_perm)
-            sb = _sig_matrix([table[b] for b in df["id_b"]], num_perm)
-            out = df[["id_a", "id_b"]].copy()
+            sa = _sig_matrix([table[a] for a in g["id_a"]], num_perm)
+            sb = _sig_matrix([table[b] for b in g["id_b"]], num_perm)
+            out = g[["id_a", "id_b"]].copy()
             # k/num_perm is exact in double — no rounding, so the DuckDB
             # oracle (SUM(eq)/num_perm) is bit-equal
             out["jaccard_est"] = (sa == sb).mean(axis=1)
             return out[out["jaccard_est"] >= threshold]
 
-        return cand.map_batches(estimate_bcast, batch_format="pandas")
+        return (
+            cand.map_batches(assign_vb, batch_format="pandas")
+            .groupby("__vb")
+            .map_groups(estimate_bcast, batch_format="pandas")
+        )
 
-    # signature-estimated Jaccard via two hash joins (scales; no driver
-    # pull). num_partitions tracks the session's CPU count — a join
-    # aggregator pool larger than the CPUs of a small session stalls
-    # the pipeline, a tiny one bottlenecks a big cluster.
+    # scale path: distinct via a C-backed hash aggregate (no per-group
+    # Python), then signature-estimated Jaccard via two hash joins (no
+    # driver pull). num_partitions tracks the session's CPU count — a
+    # join aggregator pool larger than the CPUs of a small session
+    # stalls the pipeline, a tiny one bottlenecks a big cluster.
+    from ray.data.aggregate import Count as _Count
+
+    cand = (
+        cand.groupby(["id_a", "id_b"])
+        .aggregate(_Count(alias_name="__nb"))
+        .drop_columns(["__nb"])
+    )
     if num_partitions is None:
         import ray
 
