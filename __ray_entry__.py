@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_topk_orders": q.q_topk_orders,
         "q_join_agg": q.q_join_agg,
         "q_join_shuffle": q.q_join_shuffle,
+        "q_region_revenue": q.q_region_revenue,
         "q_semi_join": q.q_semi_join,
         "q_anti_join": q.q_anti_join,
         "q_distinct_events": q.q_distinct_events,
@@ -132,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_groups_exact": q.q_dedup_groups_exact,
         "q_text_quality": q.q_text_quality,
         "q_lang_id": q.q_lang_id,
+        "q_corpus_curation": q.q_corpus_curation,
         "q_decode_media": q.q_decode_media,
     }
 
@@ -225,6 +227,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "q_region_revenue": """
+            SELECT r.r_name,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name
         """,
         "q_semi_join": """
             SELECT l_orderkey, l_linenumber, l_quantity
@@ -482,6 +494,48 @@ def oracle_sql() -> dict[str, str]:
                         WHEN n_fr >= n_es THEN 'fr'
                         ELSE 'es' END AS pred_lang
             FROM cnt
+        """,
+        "q_corpus_curation": f"""
+            WITH dedup AS (
+              SELECT MIN(doc_id) AS doc_id,
+                     arg_min(source, doc_id) AS source, text
+              FROM documents GROUP BY text
+            ), toks AS (
+              SELECT doc_id, source, text,
+                     regexp_extract_all(lower(text), '{_WORD_CLASS}') AS ws
+              FROM dedup
+            ), scored AS (
+              SELECT doc_id, source, text, ws,
+                     ROUND(0.6 * (LEAST(GREATEST(CAST(length(text) AS DOUBLE) / 200.0, 0), 1)
+                                  * LEAST(GREATEST((4000.0 - CAST(length(text) AS DOUBLE)) / 2000.0, 0), 1))
+                           + 0.4 * (CAST(len(list_filter(ws, w -> list_contains({all_stop}, w))) AS DOUBLE)
+                                    / CAST(GREATEST(len(ws), 1) AS DOUBLE)), 6) AS quality_score
+              FROM toks
+            ), pred AS (
+              SELECT doc_id, source, text, quality_score,
+                len(list_filter(list_distinct(ws), w -> list_contains({lang_lists["en"]}, w))) AS n_en,
+                len(list_filter(list_distinct(ws), w -> list_contains({lang_lists["de"]}, w))) AS n_de,
+                len(list_filter(list_distinct(ws), w -> list_contains({lang_lists["fr"]}, w))) AS n_fr,
+                len(list_filter(list_distinct(ws), w -> list_contains({lang_lists["es"]}, w))) AS n_es
+              FROM scored
+            ), kept AS (
+              SELECT source, text, quality_score
+              FROM pred
+              WHERE quality_score >= 0.3
+                AND (CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                          WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+                          WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+                          WHEN n_fr >= n_es THEN 'fr'
+                          ELSE 'es' END) = 'en'
+            )
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   SUM(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS total_tokens,
+                   CAST(SUM(CAST(FLOOR(quality_score * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / 1000000.0 / COUNT(*) AS avg_quality
+            FROM kept
+            GROUP BY source
         """,
         "q_embedding_neardup": f"""
             WITH {_ALLV_CTE}

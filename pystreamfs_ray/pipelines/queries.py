@@ -221,6 +221,62 @@ def q_join_shuffle(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_region_revenue(sf_dir: str):
+    """Star join: orders ⋈ customer via a distributed hash join (both
+    sides big at scale), then the nation→region dimension chain applied
+    as ONE composed broadcast lookup (the tiny side pre-joined on the
+    driver), grouped revenue per region. The canonical mixed strategy:
+    shuffle only what must shuffle, broadcast the rest."""
+    ords = read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "price_c": _quantize(t["o_totalprice"], 100.0),
+        })
+
+    ords = ords.map_batches(quant, batch_format="pyarrow")
+    cust = read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    num_partitions = min(32, max(4, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    joined = ords.join(cust, join_type="inner", num_partitions=num_partitions,
+                       on=("o_custkey",), right_on=("c_custkey",))
+
+    # nation ⋈ region composed once on the driver (both tiny), shipped
+    # as one broadcast map
+    nat = read_parquet(_p(sf_dir, "nation"),
+                       columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = read_parquet(_p(sf_dir, "region"),
+                       columns=["r_regionkey", "r_name"]).to_pandas()
+    dim = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    ref = ray.put({
+        "keys": pa.array(dim["n_nationkey"].to_numpy()),
+        "r_name": pa.array(dim["r_name"]),
+    })
+
+    def attach_region(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        pos = pc.index_in(t["c_nationkey"], value_set=d["keys"])
+        return pa.table({
+            "r_name": pc.take(d["r_name"], pos),
+            "price_c": t["price_c"],
+        })
+
+    out = (
+        joined.map_batches(attach_region, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="_rev_c"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": t["r_name"],
+            "n_orders": t["n_orders"],
+            "revenue": pc.divide(pc.cast(t["_rev_c"], pa.float64()), 100.0),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_semi_join(sf_dir: str):
     """Lineitems of urgent orders — broadcast semi join (no shuffle)."""
     from pystreamfs_ray.stages.joins import semi_join
@@ -661,6 +717,16 @@ def q_ngram_jaccard(sf_dir: str):
 
     pairs = docs.map_batches(mk_pairs, batch_format="pyarrow")
     return ngram_jaccard_pairs(pairs, docs, k=3, num_partitions=4)
+
+
+def q_corpus_curation(sf_dir: str):
+    """End-to-end curation: dedup → quality → lang-ID → filter →
+    per-source token accounting, one streaming pipeline."""
+    from pystreamfs_ray.pipelines.curation import curate_corpus
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "text", "source"])
+    return curate_corpus(docs, lang="en", quality_min=0.3, concurrency=2)
 
 
 def q_text_quality(sf_dir: str):

@@ -42,13 +42,16 @@ def _md5_lower64(strings) -> np.ndarray:
 # ------------------------------------------------------------------- exact
 
 
-def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                extra_cols: tuple = ()):
     """Keep the smallest ``id_col`` per distinct ``text_col`` value.
     Groups by a 64-bit content hash (collisions resolved by grouping on
-    the text inside the group)."""
+    the text inside the group). ``extra_cols`` ride through, carrying
+    the kept (min-id) row's values."""
+    extra = [c for c in extra_cols]
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[[id_col, text_col]].copy()
+        df = df[[id_col, text_col, *extra]].copy()
         df["__h"] = [
             int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
             for s in df[text_col]
@@ -57,14 +60,14 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
         return df
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        out = (
-            g.groupby(text_col, sort=False)[id_col]
-            .agg(["min", "size"])
-            .reset_index()
-            .rename(columns={"min": id_col, "size": "n_dupes"})
-        )
+        g = g.sort_values(id_col, kind="mergesort")
+        grp = g.groupby(text_col, sort=False)
+        out = grp.agg(
+            **{id_col: (id_col, "first"), "n_dupes": (id_col, "size"),
+               **{c: (c, "first") for c in extra}}
+        ).reset_index()
         out["n_dupes"] = out["n_dupes"].astype(np.int64)
-        return out[[id_col, "n_dupes", text_col]]
+        return out[[id_col, "n_dupes", text_col, *extra]]
 
     return (
         ds.map_batches(add_hash, batch_format="pandas")

@@ -322,3 +322,52 @@ def test_ngram_jaccard_pairs_exact(ray_session):
                                num_partitions=2).to_pandas()
     assert (out2["jaccard"] >= 0.5).all()
     assert len(out2) < len(out)
+
+
+def test_curate_corpus_matches_stagewise(ray_session):
+    """The composed curation pipeline equals running its stages
+    one-by-one in pandas on the same input (incl. dup removal and the
+    exact integer-micro quality sum)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pystreamfs_ray.pipelines.curation import curate_corpus
+    from pystreamfs_ray.stages.textstats import LangId, QualityScorer
+
+    base = (
+        "the quick brown fox and the lazy dog met in a field of "
+        "data and it is that for " * 12
+    )
+    texts = [base + f" tail{i}" for i in range(20)]
+    texts += texts[:5]  # exact duplicates (different ids, later sources)
+    texts += ["der die das und ist ein eine nicht mit zu " * 20]  # German
+    texts += ["x"]  # too short → quality below threshold
+    srcs = [f"s{i % 2}" for i in range(len(texts))]
+    docs_pdf = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts, "source": srcs,
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(docs_pdf, preserve_index=False))
+    got = curate_corpus(ds.repartition(3), lang="en", quality_min=0.3,
+                        concurrency=2).to_pandas()
+    got = got.sort_values("source", ignore_index=True)
+
+    # stagewise pandas reference using the engine's own scalar stages
+    ref = docs_pdf.sort_values("doc_id").drop_duplicates("text")
+    ref = QualityScorer()(ref.copy())
+    ref = LangId()(ref)
+    ref = ref[(ref["pred_lang"] == "en") & (ref["quality_score"] >= 0.3)]
+    ref["n_tokens"] = ref["text"].str.split().map(len)
+    ref["q_micro"] = np.floor(ref["quality_score"] * 1e6 + 0.5).astype(np.int64)
+    want = ref.groupby("source").agg(
+        n_docs=("doc_id", "size"), total_tokens=("n_tokens", "sum"),
+        q_micro=("q_micro", "sum"),
+    ).reset_index()
+    want["avg_quality"] = want["q_micro"] / 1e6 / want["n_docs"]
+    want = want.drop(columns="q_micro").sort_values("source", ignore_index=True)
+
+    assert got["source"].tolist() == want["source"].tolist()
+    assert got["n_docs"].tolist() == want["n_docs"].tolist()
+    assert got["total_tokens"].tolist() == want["total_tokens"].tolist()
+    np.testing.assert_array_equal(got["avg_quality"].to_numpy(),
+                                  want["avg_quality"].to_numpy())
