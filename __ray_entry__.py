@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minhash_pairs": q.q_minhash_pairs,
         "q_ngram_jaccard": q.q_ngram_jaccard,
         "q_simhash": q.q_simhash,
+        "q_simhash_pairs": q.q_simhash_pairs,
         "q_embedding_neardup": q.q_embedding_neardup,
         "q_dedup_groups": q.q_dedup_groups,
         "q_dedup_groups_exact": q.q_dedup_groups_exact,
@@ -456,6 +457,32 @@ def oracle_sql() -> dict[str, str]:
             HAVING MAX(CASE WHEN eq = 4 THEN 1 ELSE 0 END) = 1
                AND SUM(eq) / 128.0 >= 0.2
         """.replace("__PERM_VALUES__", _minhash_perm_values(128)),
+        # hamming <= h implies a shared band over h+1 bands (pigeonhole),
+        # so the engine's LSH banding is EXACT for this predicate and the
+        # all-pairs SQL below is its oracle
+        "q_simhash_pairs": r"""
+            WITH w AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS wd
+              FROM documents
+            ), h AS (SELECT doc_id, md5_number_lower(wd) AS hv FROM w WHERE wd <> ''),
+            bits AS (
+              SELECT doc_id, b.b AS bit,
+                     SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+              FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) b
+              GROUP BY doc_id, b.b
+            ), agg AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN acc > 0 THEN CAST(1 AS UBIGINT) << bit ELSE 0 END) AS s
+              FROM bits GROUP BY doc_id
+            ), sig AS (
+              SELECT d.doc_id, CAST(COALESCE(agg.s, 0) AS UBIGINT) AS s
+              FROM documents d LEFT JOIN agg USING (doc_id)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.s, b.s)) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.s, b.s)) <= 3
+        """,
         "q_text_quality": f"""
             WITH toks AS (
               SELECT doc_id, text,

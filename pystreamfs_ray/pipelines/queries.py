@@ -647,6 +647,17 @@ def q_simhash(sf_dir: str):
     return docs.map_batches(fn, batch_format="pandas")
 
 
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (banded LSH + Hamming verify). Exact vs
+    SQL: hamming ≤ h implies a shared band (pigeonhole over h+1 bands),
+    so the engine's banding finds exactly the pairs the all-pairs SQL
+    oracle keeps."""
+    from pystreamfs_ray.stages.dedup import simhash_pairs
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return simhash_pairs(docs, max_hamming=3, concurrency=2)
+
+
 def q_embedding_neardup(sf_dir: str):
     """LSH near-dup over the embeddings table plus 5 known duplicate
     probes (vec_id + 1_000_000) — the probes guarantee true near-dups
@@ -726,7 +737,7 @@ def q_corpus_curation(sf_dir: str):
 
     docs = read_parquet(_p(sf_dir, "documents"),
                         columns=["doc_id", "text", "source"])
-    return curate_corpus(docs, lang="en", quality_min=0.3, concurrency=2)
+    return curate_corpus(docs, lang="en", quality_min=0.3)
 
 
 def q_text_quality(sf_dir: str):

@@ -78,10 +78,33 @@ class QualityScorer:
         return df
 
 
-def quality_score(ds, *, concurrency=4, batch_size: int = 4096):
+_SINGLETONS: dict = {}
+
+
+def _singleton(cls, text_col: str):
+    """Per-worker-process instance (setup once per process, like an
+    actor's __init__ — but for task-based stages, which fuse with
+    neighbors at full parallelism instead of being capped at the actor
+    pool's size)."""
+    key = (cls, text_col)
+    if key not in _SINGLETONS:
+        _SINGLETONS[key] = cls(text_col)
+    return _SINGLETONS[key]
+
+
+def quality_score(ds, *, concurrency=4, batch_size: int = 4096,
+                  text_col: str = "text"):
+    """``concurrency=None`` → stateless task stage (fuses freely with
+    upstream shuffle output; right choice inside composed pipelines);
+    an int/tuple → actor pool (right when setup is genuinely heavy)."""
+    if concurrency is None:
+        return ds.map_batches(
+            lambda df: _singleton(QualityScorer, text_col)(df),
+            batch_format="pandas", batch_size=batch_size,
+        )
     return ds.map_batches(
         QualityScorer, batch_format="pandas", concurrency=concurrency,
-        batch_size=batch_size,
+        batch_size=batch_size, fn_constructor_args=(text_col,),
     )
 
 
@@ -114,9 +137,17 @@ class LangId:
         return df
 
 
-def lang_id(ds, *, concurrency=4, batch_size: int = 4096):
+def lang_id(ds, *, concurrency=4, batch_size: int = 4096,
+            text_col: str = "text"):
+    """``concurrency=None`` → stateless task stage (see quality_score)."""
+    if concurrency is None:
+        return ds.map_batches(
+            lambda df: _singleton(LangId, text_col)(df),
+            batch_format="pandas", batch_size=batch_size,
+        )
     return ds.map_batches(
-        LangId, batch_format="pandas", concurrency=concurrency, batch_size=batch_size
+        LangId, batch_format="pandas", concurrency=concurrency,
+        batch_size=batch_size, fn_constructor_args=(text_col,),
     )
 
 

@@ -45,6 +45,15 @@ def bucket_array(keys, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+def content_hash64(values) -> np.ndarray:
+    """Vectorized deterministic 64-bit content hash of a string array
+    (SipHash, pinned key) — a PARTITIONER, not an identity: callers
+    must resolve collisions by grouping on the value itself."""
+    import pandas as pd
+
+    return pd.util.hash_array(np.asarray(values, dtype=object), hash_key=_HASH_KEY)
+
+
 def params_fingerprint(obj: Any) -> str:
     """Stable fingerprint of a JSON-serializable params dict."""
     return hashlib.blake2b(
