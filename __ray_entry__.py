@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lag_lead": q.q_lag_lead,
         "q_backfill": q.q_backfill,
         "q_sessionize": q.q_sessionize,
+        "q_rolling_1h": q.q_rolling_1h,
         "q_asof_events": q.q_asof_events,
         "q_window_counts": q.q_window_counts,
         # online feature-selection kernels (non-SQL; pytest oracle covers math)
@@ -353,6 +354,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    COUNT(*) AS n_events, MIN(ts) AS ts_start, MAX(ts) AS ts_end
             FROM s GROUP BY user_id, session_id
+        """,
+        "q_rolling_1h": """
+            SELECT event_id, user_id, ts,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) / 100.0 AS sum_1h
+            FROM events
         """,
         "q_asof_events": """
             SELECT l.event_id, l.user_id, l.ts, l.value,

@@ -472,6 +472,33 @@ def q_sessionize(sf_dir: str):
     return W.per_bucket(ds, fn, entity_col="user_id", num_buckets=_BUCKETS)
 
 
+def q_rolling_1h(sf_dir: str):
+    """Time-RANGE rolling sum: per user, sum of event value over the
+    trailing 1 hour (peers at the current ts included) — SQL's
+    ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW``.
+    Values quantize to integer cents first so the windowed sums are
+    exact and order-independent."""
+    from pystreamfs_ray.stages.window import per_bucket, rolling_time_sum
+
+    ds = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "user_id", "ts", "value"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "ts": t["ts"], "value_c": _quantize(t["value"], 100.0),
+        })
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = rolling_time_sum(g, "value_c", 3600.0, entity_col="user_id",
+                               ts_col="ts", out_col="sum_1h_c")
+        out["sum_1h"] = out["sum_1h_c"] / 100.0
+        return out[["event_id", "user_id", "ts", "sum_1h"]]
+
+    return per_bucket(ds.map_batches(quant, batch_format="pyarrow"), fn,
+                      entity_col="user_id", num_buckets=_BUCKETS)
+
+
 def q_asof_events(sf_dir: str):
     """Point-in-time join: each purchase ← latest prior non-purchase event."""
     ev = read_parquet(

@@ -181,3 +181,34 @@ def welford_running(df: pd.DataFrame, col: str, *, entity_col="conv_id") -> pd.D
     df[f"{col}_runmean"] = mean
     df[f"{col}_runvar"] = var
     return df
+
+
+def rolling_time_sum(df: pd.DataFrame, col: str, window_s: float, *,
+                     entity_col="conv_id", ts_col="ts",
+                     out_col: str | None = None) -> pd.DataFrame:
+    """Time-RANGE rolling sum per entity: for each row, the sum of
+    ``col`` over rows with ts in ``[ts - window_s, ts]`` — including
+    ALL peers at the current timestamp, i.e. SQL's
+    ``RANGE BETWEEN <w> PRECEDING AND CURRENT ROW`` frame semantics.
+
+    Vectorized: one stable sort per bucket, then two ``searchsorted``
+    passes against the entity's timestamp run + a cumulative sum —
+    O(n log n), no per-row Python. Works on integer-quantized values
+    for exact (order-independent) sums; the caller picks the dtype."""
+    df = sort_entity(df, entity_col=entity_col, order_cols=(ts_col,))
+    vals = df[col].to_numpy()
+    ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ent = df[entity_col].to_numpy()
+    out = np.zeros(len(df), dtype=vals.dtype)
+    # entity run boundaries on the sorted frame
+    bounds = np.flatnonzero(np.concatenate(([True], ent[1:] != ent[:-1])))
+    ends = np.concatenate((bounds[1:], [len(df)]))
+    win_us = np.int64(round(window_s * 1e6))
+    for s, e in zip(bounds, ends):
+        t = ts[s:e]
+        cum = np.concatenate(([0], np.cumsum(vals[s:e])))
+        lo = np.searchsorted(t, t - win_us, side="left")
+        hi = np.searchsorted(t, t, side="right")  # all current-ts peers
+        out[s:e] = cum[hi] - cum[lo]
+    df[out_col or f"{col}_tsum"] = out
+    return df

@@ -223,3 +223,32 @@ def test_checkpoint_resume(ray_session, synth_dirs, tmp_path):
         np.testing.assert_array_equal(np.array(x), np.array(y))
     # wrong lineage is not trusted
     assert completed_buckets(ckpt, kernel="ofs", params_fp=params_fp, input_fp="other") == {}
+
+
+def test_rolling_time_sum_range_semantics():
+    """RANGE-frame semantics: peers at the current ts all included,
+    boundary exactly window_s ago included, per-entity isolation."""
+    import pandas as pd
+
+    from pystreamfs_ray.stages.window import rolling_time_sum
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:00", "2024-01-01 00:30:00",
+        "2024-01-01 01:00:00",  # exactly 1h after row 0 → includes it
+        "2024-01-01 01:00:00",  # peer of previous row (same ts)
+        "2024-01-01 02:30:01",  # all prior rows out of the 1h window
+        "2024-01-01 00:10:00",  # other entity
+    ])
+    df = pd.DataFrame({
+        "conv_id": ["a"] * 5 + ["b"],
+        "ts": ts,
+        "v": [1, 2, 4, 8, 16, 100],
+    })
+    out = rolling_time_sum(df, "v", 3600.0, ts_col="ts")
+    got = dict(zip(out["v"], out["v_tsum"]))
+    assert got[1] == 1
+    assert got[2] == 3           # 1+2
+    assert got[4] == 15          # 1+2+4+8 (boundary + peer included)
+    assert got[8] == 15          # peer sees the same frame
+    assert got[16] == 16         # everything else aged out
+    assert got[100] == 100       # entity isolation
