@@ -94,3 +94,99 @@ def decode_features(ds, *, fake: bool = True, concurrency=2, batch_size: int = 6
         DecodeStub, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, fn_constructor_kwargs=dict(fake=fake),
     )
+
+
+class ResizeStub:
+    """Actor-pool image-resize stage. Real resize needs Pillow
+    (absent); ``fake=True`` performs a deterministic byte-level
+    downsample (strided slice to the target byte budget) so the
+    plumbing — binary in, binary out, metadata updated, non-image rows
+    passed through untouched — is real and testable."""
+
+    def __init__(self, width: int = 64, height: int = 64, fake: bool = True):
+        self.width, self.height, self.fake = width, height, fake
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "real resize requires Pillow (not in container); "
+                "run with fake=True for the deterministic stub"
+            )
+        budget = max(1, (self.width * self.height) // 64)
+        kinds = t["kind"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        out = []
+        for k, p in zip(kinds, payloads):
+            if k != "image" or len(p) <= budget:
+                out.append(p)
+            else:
+                step = max(1, len(p) // budget)
+                out.append(p[::step][:budget])
+        return (
+            t.drop_columns(["payload"])
+            .append_column("payload", pa.array(out, type=pa.binary()))
+            .append_column("target_w", pa.array([float(self.width)] * len(t)))
+            .append_column("target_h", pa.array([float(self.height)] * len(t)))
+        )
+
+
+def resize_images(ds, *, width: int = 64, height: int = 64, fake: bool = True,
+                  concurrency=2, batch_size: int = 64):
+    """Image payloads → resized payloads (small batches: payload bytes
+    dominate the block)."""
+    return ds.map_batches(
+        ResizeStub, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_args=(width, height, fake),
+    )
+
+
+class FrameSampleStub:
+    """Actor-pool video frame sampler: one input video row →
+    one OUTPUT ROW PER SAMPLED FRAME (the flat-map shape real
+    pyav-based sampling would have). ``fake=True`` derives the frame
+    count from the stub duration (same hash as DecodeStub) and slices
+    the payload per frame; non-video rows are dropped."""
+
+    def __init__(self, every_s: float = 1.0, max_frames: int = 16,
+                 fake: bool = True):
+        self.every_s, self.max_frames, self.fake = every_s, max_frames, fake
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "real frame sampling requires pyav (not in container); "
+                "run with fake=True for the deterministic stub"
+            )
+        ids, kinds = t["media_id"].to_pylist(), t["kind"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        out_id, out_fi, out_ts, out_fp = [], [], [], []
+        for mid, k, p in zip(ids, kinds, payloads):
+            if k != "video":
+                continue
+            h = hashlib.blake2b(p, digest_size=16).digest()
+            duration = (h[2] % 300) / 10.0  # same stub duration as decode
+            n = min(self.max_frames, max(1, int(duration / self.every_s)))
+            step = max(1, len(p) // n)
+            for fi in range(n):
+                out_id.append(mid)
+                out_fi.append(fi)
+                out_ts.append(fi * self.every_s)
+                out_fp.append(p[fi * step:(fi + 1) * step])
+        return pa.table({
+            "media_id": pa.array(out_id, type=pa.int64()),
+            "frame_idx": pa.array(out_fi, type=pa.int32()),
+            "frame_ts_s": pa.array(out_ts, type=pa.float64()),
+            "frame_payload": pa.array(out_fp, type=pa.binary()),
+        })
+
+
+def sample_frames(ds, *, every_s: float = 1.0, max_frames: int = 16,
+                  fake: bool = True, concurrency=2, batch_size: int = 32):
+    """Video payloads → per-frame rows (row-expanding stage: batches
+    kept SMALL because output bytes ≈ input bytes × frames)."""
+    return ds.map_batches(
+        FrameSampleStub, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_args=(every_s, max_frames, fake),
+    )

@@ -371,3 +371,40 @@ def test_curate_corpus_matches_stagewise(ray_session):
     assert got["total_tokens"].tolist() == want["total_tokens"].tolist()
     np.testing.assert_array_equal(got["avg_quality"].to_numpy(),
                                   want["avg_quality"].to_numpy())
+
+
+def test_multimodal_resize_and_frames(ray_session):
+    """Resize keeps non-image payloads untouched and shrinks image
+    payloads; frame sampling expands videos to one row per frame,
+    deterministically."""
+    import ray.data as rd
+
+    media = M.synth_media_table(120, seed=21)
+    ds = rd.from_arrow(media).repartition(2)
+
+    resized = M.resize_images(ds, width=32, height=32, concurrency=1).to_pandas()
+    src = media.to_pandas().set_index("media_id")
+    budget = (32 * 32) // 64
+    for _, r in resized.iterrows():
+        orig = src.loc[r["media_id"], "payload"]
+        if r["kind"] == "image":
+            assert len(r["payload"]) <= budget < len(orig)
+        else:
+            assert r["payload"] == orig
+
+    frames = M.sample_frames(ds, every_s=1.0, concurrency=1).to_pandas()
+    assert set(frames.columns) == {"media_id", "frame_idx", "frame_ts_s", "frame_payload"}
+    vids = src[src["kind"] == "video"]
+    assert set(frames["media_id"]) <= set(vids.index)
+    # per-video frame counts are deterministic and contiguous from 0
+    for mid, g in frames.groupby("media_id"):
+        assert sorted(g["frame_idx"]) == list(range(len(g)))
+        assert (g["frame_payload"].str.len() > 0).all()
+    # two runs identical
+    frames2 = M.sample_frames(ds, every_s=1.0, concurrency=1).to_pandas()
+    a = frames.sort_values(["media_id", "frame_idx"], ignore_index=True)
+    b = frames2.sort_values(["media_id", "frame_idx"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    with pytest.raises(Exception, match="Pillow"):
+        M.resize_images(ds, fake=False, concurrency=1).materialize()
