@@ -33,7 +33,11 @@ def featurize_batch(batch: pa.Table) -> pa.Table:
     text = batch["text"]
     chars = pc.cast(pc.utf8_length(text), _F64)
     words = pc.cast(pc.count_substring_regex(text, r"\S+"), _F64)
-    nonspace = pc.cast(pc.count_substring_regex(text, r"\S"), _F64)
+    # \S and \s partition every codepoint, so len - count(\s) ==
+    # count(\S) exactly — but whitespace is ~1/6 of the text, so the
+    # regex engine does ~6x fewer matches (this one count was 80% of
+    # the whole featurize stage)
+    nonspace = pc.subtract(chars, pc.cast(pc.count_substring_regex(text, r"\s"), _F64))
     avg_word_len = pc.if_else(
         pc.equal(words, 0.0), pa.scalar(0.0), pc.divide(nonspace, pc.max_element_wise(words, 1.0))
     )

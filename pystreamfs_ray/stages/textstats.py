@@ -34,7 +34,9 @@ def token_stats_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     text = t[text_col]
     chars = pc.cast(pc.utf8_length(text), _F64)
     tokens = pc.cast(pc.count_substring_regex(text, r"\S+"), _F64)
-    nonspace = pc.cast(pc.count_substring_regex(text, r"\S"), _F64)
+    # len - count(\s) == count(\S) exactly, with ~6x fewer regex
+    # matches (see featurize.py)
+    nonspace = pc.subtract(chars, pc.cast(pc.count_substring_regex(text, r"\s"), _F64))
     punct = pc.cast(pc.count_substring_regex(text, r"[.,!?;:]"), _F64)
     digits = pc.cast(pc.count_substring_regex(text, r"[0-9]"), _F64)
     safe_tokens = pc.max_element_wise(tokens, 1.0)
