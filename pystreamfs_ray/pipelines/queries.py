@@ -199,10 +199,10 @@ def q_join_shuffle(sf_dir: str):
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.table({"l_orderkey": t["l_orderkey"], "rev_c": _quantize(rev, 10000.0)})
 
+    num_partitions = _join_partitions(li)  # data-sized actor pool
     li = li.map_batches(quant, batch_format="pyarrow")
     ords = read_parquet(_p(sf_dir, "orders"),
                            columns=["o_orderkey", "o_orderpriority"])
-    num_partitions = min(32, max(4, int(ray.cluster_resources().get("CPU", 8)) // 2))
     joined = li.join(ords, join_type="inner", num_partitions=num_partitions,
                      on=("l_orderkey",), right_on=("o_orderkey",))
     agg = joined.groupby("o_orderpriority").aggregate(
@@ -221,6 +221,15 @@ def q_join_shuffle(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _join_partitions(ds, *, target_bytes: int = 128 << 20,
+                     lo: int = 2, hi: int = 256) -> int:
+    """Hash-join partition count from the probe side's (pre-execution,
+    parquet-metadata) size estimate — each partition is an actor with
+    non-trivial spin-up, so small inputs get few, 100 TB gets many."""
+    nbytes = ds.size_bytes() or 0
+    return max(lo, min(hi, nbytes // target_bytes + 1))
+
+
 def q_region_revenue(sf_dir: str):
     """Star join: orders ⋈ customer via a distributed hash join (both
     sides big at scale), then the nation→region dimension chain applied
@@ -235,9 +244,13 @@ def q_region_revenue(sf_dir: str):
             "price_c": _quantize(t["o_totalprice"], 100.0),
         })
 
-    ords = ords.map_batches(quant, batch_format="pyarrow")
     cust = read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
-    num_partitions = min(32, max(4, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    # size the join's aggregator pool to the DATA, not the CPU count:
+    # each hash-join partition is an actor with real spin-up cost, so
+    # tiny inputs want few partitions while 100 TB wants hundreds
+    # (~128 MB of probe side per partition, parquet-metadata estimate)
+    num_partitions = _join_partitions(ords)
+    ords = ords.map_batches(quant, batch_format="pyarrow")
     joined = ords.join(cust, join_type="inner", num_partitions=num_partitions,
                        on=("o_custkey",), right_on=("c_custkey",))
 
