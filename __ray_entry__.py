@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessionize": q.q_sessionize,
         "q_rolling_1h": q.q_rolling_1h,
         "q_asof_events": q.q_asof_events,
+        "q_asof_global": q.q_asof_global,
         "q_window_counts": q.q_window_counts,
         # online feature-selection kernels (non-SQL; pytest oracle covers math)
         "q_select_ofs": q.q_select_ofs,
@@ -354,6 +355,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    COUNT(*) AS n_events, MIN(ts) AS ts_start, MAX(ts) AS ts_end
             FROM s GROUP BY user_id, session_id
+        """,
+        "q_asof_global": """
+            WITH l AS (SELECT event_id, ts, value FROM events WHERE event_type = 'purchase'),
+                 r AS (SELECT event_id, ts, value FROM events WHERE event_type = 'view')
+            SELECT l.event_id, l.ts, l.value,
+                   MAX(r.ts) AS ts_matched,
+                   arg_max(r.event_id, CAST(epoch_us(r.ts) AS HUGEINT) * 100000000 + r.event_id) AS event_id_r,
+                   arg_max(r.value, CAST(epoch_us(r.ts) AS HUGEINT) * 100000000 + r.event_id) AS value_r
+            FROM l JOIN r ON r.ts <= l.ts
+            GROUP BY l.event_id, l.ts, l.value
         """,
         "q_rolling_1h": """
             SELECT event_id, user_id, ts,

@@ -581,6 +581,27 @@ def q_select_cancelout(sf_dir: str):
     return _kernel_query(sf_dir, "cancelout")
 
 
+def q_asof_global(sf_dir: str):
+    """KEYLESS (global) as-of join via time-range partitioning: each
+    purchase ← the latest prior 'view' event of ANY user (global-state
+    lookup, e.g. latest price tick). Tie-broken on event_id so the
+    result is deterministic and SQL-exact."""
+    from pystreamfs_ray.stages.asof import asof_join_time
+
+    ev = read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "ts", "event_type", "value"]
+    )
+    left = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "ts", "value"]
+    )
+    right = ev.filter(expr="event_type == 'view'").select_columns(
+        ["event_id", "ts", "value"]
+    )
+    return asof_join_time(left, right, left_on="ts", right_on="ts",
+                          how="inner", right_tiebreak="event_id",
+                          num_partitions=8)
+
+
 def q_window_counts(sf_dir: str):
     """Selector windowing skeleton (ids/sizes only) — SQL-checkable even
     though the kernels themselves are not."""

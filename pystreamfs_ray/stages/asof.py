@@ -170,3 +170,176 @@ def asof_join(
         .groupby(_BUCKET)
         .map_groups(_merge, batch_format="pyarrow", concurrency=concurrency)
     )
+
+
+def asof_join_time(
+    left_ds,
+    right_ds,
+    *,
+    left_on: str = "ts",
+    right_on: str = "ts",
+    how: str = "inner",
+    allow_exact_matches: bool = True,
+    right_suffix: str = "_r",
+    matched_name: str | None = None,
+    num_partitions: int = 32,
+    boundary_sample: int = 4096,
+    right_tiebreak: str | None = None,
+):
+    """GLOBAL (keyless) backward as-of join — the time-RANGE-partitioned
+    variant for when there is no entity key to hash on (e.g. join every
+    event to the latest preceding global state/price tick).
+
+    Execution: time-range partition both sides on boundaries sampled
+    from the right side, then fix the partition-edge case exactly: the
+    latest right row of every PRECEDING partition is computed (one tiny
+    per-partition argmax pass), cumulated on the driver (P rows), and
+    the relevant carry row is replicated into each partition — so a
+    left row at the start of a partition still sees its true
+    predecessor. Output is EXACT for any boundary choice; boundary
+    quality affects only balance. Payloads stay in Arrow; only
+    timestamps and row indices are compared.
+
+    ``right_tiebreak`` names a right column that breaks ties among
+    right rows sharing the matched timestamp (the max value wins) —
+    set it when right timestamps can repeat, so the join is
+    deterministic and SQL-oracle-exact.
+    """
+    left_ds, ltypes = _ensure_arrow(left_ds)
+    right_ds, rtypes = _ensure_arrow(right_ds)
+    import ray
+    import ray.data as rd
+
+    left_cols = list(ltypes)
+    right_payload = [c for c in rtypes if c != right_on]
+    rename_right = {c: (c + right_suffix if c in ltypes else c) for c in right_payload}
+    matched = matched_name or f"{right_on}_matched"
+
+    fields = [pa.field(_SIDE, pa.int8()), pa.field(_RTS, rtypes[right_on])]
+    fields += [pa.field(c, ltypes[c]) for c in left_cols]
+    fields += [pa.field(rename_right[c], rtypes[c]) for c in right_payload]
+    union_schema = pa.schema(fields)
+    right_out_cols = [rename_right[c] for c in right_payload]
+    out_schema = pa.schema(
+        [pa.field(c, ltypes[c]) for c in left_cols]
+        + [pa.field(matched, rtypes[right_on])]
+        + [pa.field(rename_right[c], rtypes[c]) for c in right_payload]
+    )
+
+    # boundaries from a cheap right-side sample (exactness does NOT
+    # depend on them — only partition balance does)
+    sample = right_ds.select_columns([right_on]).limit(boundary_sample).to_pandas()
+    ts_sample = np.sort(sample[right_on].to_numpy().astype("datetime64[us]").astype(np.int64))
+    if len(ts_sample) == 0 or num_partitions <= 1:
+        bounds = np.array([], dtype=np.int64)
+    else:
+        qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
+        bounds = np.unique(np.quantile(ts_sample, qs).astype(np.int64))
+
+    def _ts64(arr) -> np.ndarray:
+        return arr.cast(pa.timestamp("us")).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _project(side: int, src_names: dict[str, str], on_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            arrays = []
+            for field in union_schema:
+                if field.name == _SIDE:
+                    arrays.append(pa.array(np.full(n, side, dtype=np.int8)))
+                elif field.name == _RTS:
+                    arrays.append(t[on_col].cast(field.type))
+                elif field.name in src_names:
+                    arrays.append(t[src_names[field.name]].cast(field.type))
+                else:
+                    arrays.append(pa.nulls(n, field.type))
+            out = pa.Table.from_arrays(arrays, schema=union_schema)
+            part = np.searchsorted(bounds, _ts64(out[_RTS]), side="left")
+            return out.append_column("__part", pa.array(part.astype(np.int32)))
+
+        return fn
+
+    lt = left_ds.map_batches(
+        _project(0, {c: c for c in left_cols}, left_on), batch_format="pyarrow"
+    )
+    rt = right_ds.map_batches(
+        _project(1, {rename_right[c]: c for c in right_payload}, right_on),
+        batch_format="pyarrow",
+    )
+
+    # per-partition latest right row → cumulative carry (P rows total)
+    def _latest(group: pa.Table) -> pa.Table:
+        if isinstance(group, dict):
+            group = pa.table(group)
+        r = group.filter(pc.equal(group[_SIDE], 1))
+        if len(r) == 0:
+            return group.schema.empty_table()
+        ts = _ts64(r[_RTS])
+        if right_tiebreak is not None:
+            tb = r[rename_right.get(right_tiebreak, right_tiebreak)].to_numpy(zero_copy_only=False)
+            i = int(np.lexsort((tb, ts))[-1])
+        else:
+            i = int(np.argmax(ts))
+        return r.slice(i, 1)
+
+    latest_pdf = (
+        rt.groupby("__part").map_groups(_latest, batch_format="pyarrow").to_pandas()
+    )
+    carries = []
+    if len(latest_pdf):
+        latest_pdf = latest_pdf.sort_values("__part", ignore_index=True)
+        best = None  # latest right row among parts <= current
+        by_part = {int(r["__part"]): r for _, r in latest_pdf.iterrows()}
+        for p in range(len(bounds) + 1):
+            if best is not None:
+                c = best.copy()
+                c["__part"] = p
+                carries.append(c)
+            cand = by_part.get(p)
+            if cand is not None and (best is None or cand[_RTS] >= best[_RTS]):
+                best = cand
+    both = lt.union(rt)
+    if carries:
+        carry_t = pa.Table.from_pandas(
+            pd.DataFrame(carries), preserve_index=False
+        ).select([f.name for f in union_schema] + ["__part"])
+        carry_t = pa.table(
+            {
+                **{f.name: carry_t[f.name].cast(f.type) for f in union_schema},
+                "__part": carry_t["__part"].cast(pa.int32()),
+            }
+        )
+        both = both.union(rd.from_arrow(carry_t))
+
+    def _merge(group: pa.Table) -> pa.Table:
+        if isinstance(group, dict):
+            group = pa.table(group)
+        left_t = group.filter(pc.equal(group[_SIDE], 0))
+        right_t = group.filter(pc.equal(group[_SIDE], 1))
+        if len(left_t) == 0:
+            return out_schema.empty_table()
+        lts = _ts64(left_t[_RTS])
+        rts = _ts64(right_t[_RTS])
+        if right_tiebreak is not None and len(right_t):
+            tb = right_t[rename_right.get(right_tiebreak, right_tiebreak)].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, rts))
+        else:
+            order = np.argsort(rts, kind="stable")
+        rts_sorted = rts[order]
+        side = "right" if allow_exact_matches else "left"
+        pos = np.searchsorted(rts_sorted, lts, side=side) - 1
+        have = pos >= 0
+        if how == "inner":
+            keep = np.flatnonzero(have)
+        else:
+            keep = np.arange(len(left_t))
+        ri = pa.array(
+            [int(order[pos[i]]) if have[i] else None for i in keep], type=pa.int64()
+        )
+        left_sel = left_t.take(pa.array(keep.astype(np.int64)))
+        right_sel = right_t.take(ri)
+        arrays = [left_sel[c] for c in left_cols]
+        arrays.append(right_sel[_RTS])
+        arrays += [right_sel[c] for c in right_out_cols]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return both.groupby("__part").map_groups(_merge, batch_format="pyarrow")

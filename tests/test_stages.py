@@ -252,3 +252,49 @@ def test_rolling_time_sum_range_semantics():
     assert got[8] == 15          # peer sees the same frame
     assert got[16] == 16         # everything else aged out
     assert got[100] == 100       # entity isolation
+
+
+def test_asof_join_time_boundary_exact(ray_session):
+    """Global as-of: result is exact regardless of range partitioning —
+    matches a brute-force reference even when the true predecessor
+    lives many partitions earlier (carry propagation)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.asof import asof_join_time
+
+    rng = np.random.default_rng(9)
+    # sparse right side: long gaps force cross-partition carries
+    r_ts = np.sort(rng.choice(1_000_000, size=12, replace=False))
+    l_ts = np.sort(rng.choice(1_000_000, size=200, replace=False))
+    base = np.datetime64("2024-01-01", "us")
+    right = pd.DataFrame({
+        "event_id": np.arange(12, dtype=np.int64),
+        "ts": base + r_ts.astype("timedelta64[us]") * 1000,
+        "value": rng.random(12),
+    })
+    left = pd.DataFrame({
+        "event_id": 1000 + np.arange(200, dtype=np.int64),
+        "ts": base + l_ts.astype("timedelta64[us]") * 1000,
+        "value": rng.random(200),
+    })
+    for nparts in (1, 4, 16):
+        out = asof_join_time(
+            rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)).repartition(3),
+            rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)).repartition(2),
+            how="inner", right_tiebreak="event_id", num_partitions=nparts,
+        ).to_pandas().sort_values("event_id", ignore_index=True)
+        # brute-force reference
+        rows = []
+        for _, lrow in left.iterrows():
+            elig = right[right["ts"] <= lrow["ts"]]
+            if len(elig):
+                m = elig.sort_values(["ts", "event_id"]).iloc[-1]
+                rows.append((lrow["event_id"], m["ts"], m["event_id"], m["value"]))
+        want = pd.DataFrame(rows, columns=["event_id", "ts_matched", "event_id_r", "value_r"])
+        assert len(out) == len(want), nparts
+        assert (out["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+        assert (out["ts_matched"].to_numpy() == want["ts_matched"].to_numpy()).all()
+        assert (out["event_id_r"].to_numpy() == want["event_id_r"].to_numpy()).all()
+        np.testing.assert_array_equal(out["value_r"].to_numpy(), want["value_r"].to_numpy())
