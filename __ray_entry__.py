@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rolling_1h": q.q_rolling_1h,
         "q_asof_events": q.q_asof_events,
         "q_asof_global": q.q_asof_global,
+        "q_interval_join": q.q_interval_join,
         "q_window_counts": q.q_window_counts,
         # online feature-selection kernels (non-SQL; pytest oracle covers math)
         "q_select_ofs": q.q_select_ofs,
@@ -355,6 +356,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    COUNT(*) AS n_events, MIN(ts) AS ts_start, MAX(ts) AS ts_end
             FROM s GROUP BY user_id, session_id
+        """,
+        "q_interval_join": """
+            SELECT l.user_id,
+                   l.event_id AS event_id_l, l.ts AS ts_l,
+                   l.event_type AS event_type_l,
+                   r.event_id AS event_id_r, r.ts AS ts_r,
+                   r.event_type AS event_type_r
+            FROM events l
+            JOIN events r ON r.user_id = l.user_id
+                         AND r.ts >= l.ts - INTERVAL 30 MINUTE
+                         AND r.ts < l.ts
+            WHERE l.event_type = 'purchase'
         """,
         "q_asof_global": """
             WITH l AS (SELECT event_id, ts, value FROM events WHERE event_type = 'purchase'),

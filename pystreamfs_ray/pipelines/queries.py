@@ -581,6 +581,31 @@ def q_select_cancelout(sf_dir: str):
     return _kernel_query(sf_dir, "cancelout")
 
 
+def q_interval_join(sf_dir: str):
+    """Per-user INTERVAL (range) join: each purchase paired with every
+    same-user event in the strictly-preceding 30 minutes — one shuffle,
+    vectorized searchsorted range expansion inside buckets."""
+    from pystreamfs_ray.stages.window import interval_join_pairs, per_bucket
+
+    ds = read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__is_l", pc.equal(t["event_type"], "purchase")
+        )
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        return interval_join_pairs(
+            g.drop(columns="__bucket"), left_mask_col="__is_l",
+            window_s=1800.0, entity_col="user_id", ts_col="ts",
+        )
+
+    return per_bucket(ds.map_batches(mark, batch_format="pyarrow"), fn,
+                      entity_col="user_id", num_buckets=_BUCKETS)
+
+
 def q_asof_global(sf_dir: str):
     """KEYLESS (global) as-of join via time-range partitioning: each
     purchase ← the latest prior 'view' event of ANY user (global-state

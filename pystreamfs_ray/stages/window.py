@@ -212,3 +212,55 @@ def rolling_time_sum(df: pd.DataFrame, col: str, window_s: float, *,
         out[s:e] = cum[hi] - cum[lo]
     df[out_col or f"{col}_tsum"] = out
     return df
+
+
+def interval_join_pairs(df: pd.DataFrame, *, left_mask_col: str,
+                        window_s: float, entity_col="conv_id", ts_col="ts",
+                        include_self: bool = False,
+                        suffixes=("_l", "_r")) -> pd.DataFrame:
+    """Per-entity INTERVAL (range) join: for every row where
+    ``left_mask_col`` is true, emit one pair row per same-entity row
+    with ``ts in [left.ts - window_s, left.ts)`` (strictly before;
+    ``include_self=True`` widens to ``<=`` and keeps the self pair).
+
+    Vectorized: sort once, entity-run boundaries, two ``searchsorted``
+    passes clamped to the run, then a repeat/cumsum expansion — the
+    same shape as ``assign_sliding``, no per-row Python. Replication
+    factor = average rows per window; SQL equivalent:
+    ``JOIN ON same entity AND r.ts BETWEEN l.ts - w AND l.ts``."""
+    df = sort_entity(df, entity_col=entity_col, order_cols=(ts_col,))
+    ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ent = df[entity_col].to_numpy()
+    runs = np.flatnonzero(np.concatenate(([True], ent[1:] != ent[:-1])))
+    run_ends = np.concatenate((runs[1:], [len(df)]))
+
+    # ts is sorted only WITHIN an entity run — searchsorted per run
+    # (vectorized across the run's rows; the loop is over entities)
+    win_us = np.int64(round(window_s * 1e6))
+    side = "right" if include_self else "left"
+    lo = np.empty(len(df), dtype=np.int64)
+    hi = np.empty(len(df), dtype=np.int64)
+    for s, e in zip(runs, run_ends):
+        t = ts[s:e]
+        lo[s:e] = s + np.searchsorted(t, t - win_us, side="left")
+        hi[s:e] = s + np.searchsorted(t, t, side=side)
+
+    left_idx = np.flatnonzero(df[left_mask_col].to_numpy())
+    lo, hi = lo[left_idx], hi[left_idx]
+    reps = np.maximum(hi - lo, 0)
+    li = np.repeat(left_idx, reps)
+    offsets = np.concatenate(([0], np.cumsum(reps)))
+    pos = np.arange(int(reps.sum())) - np.repeat(offsets[:-1], reps)
+    ri = np.repeat(lo, reps) + pos
+    if not include_self:
+        keep = li != ri
+        li, ri = li[keep], ri[keep]
+
+    lpart = df.iloc[li].reset_index(drop=True).drop(columns=[left_mask_col])
+    rpart = df.iloc[ri].reset_index(drop=True).drop(
+        columns=[left_mask_col, entity_col]
+    )
+    lpart.columns = [entity_col if c == entity_col else c + suffixes[0]
+                     for c in lpart.columns]
+    rpart.columns = [c + suffixes[1] for c in rpart.columns]
+    return pd.concat([lpart, rpart], axis=1)

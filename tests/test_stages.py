@@ -298,3 +298,34 @@ def test_asof_join_time_boundary_exact(ray_session):
         assert (out["ts_matched"].to_numpy() == want["ts_matched"].to_numpy()).all()
         assert (out["event_id_r"].to_numpy() == want["event_id_r"].to_numpy()).all()
         np.testing.assert_array_equal(out["value_r"].to_numpy(), want["value_r"].to_numpy())
+
+
+def test_interval_join_pairs_semantics():
+    """Range-join window edges: strictly-before default, BETWEEN with
+    include_self, entity isolation, multi-entity interleaved ts."""
+    import pandas as pd
+
+    from pystreamfs_ray.stages.window import interval_join_pairs
+
+    base = pd.Timestamp("2024-01-01")
+    mins = lambda m: base + pd.Timedelta(minutes=m)
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "a", "a", "b", "b"],
+        "ts": [mins(0), mins(20), mins(30), mins(45), mins(29), mins(30)],
+        "eid": [1, 2, 3, 4, 10, 11],
+        "is_l": [False, False, True, True, False, True],
+    })
+    out = interval_join_pairs(df, left_mask_col="is_l", window_s=1800.0,
+                              ts_col="ts")
+    pairs = set(zip(out["eid_l"], out["eid_r"]))
+    # eid 3 (t=30): window [0, 30) → eid 1 (t=0, boundary incl), eid 2
+    # eid 4 (t=45): window [15, 45) → eid 2, eid 3
+    # eid 11 (b, t=30): window [0,30) → eid 10 only (entity isolation)
+    assert pairs == {(3, 1), (3, 2), (4, 2), (4, 3), (11, 10)}
+
+    out2 = interval_join_pairs(df, left_mask_col="is_l", window_s=1800.0,
+                               ts_col="ts", include_self=True)
+    pairs2 = set(zip(out2["eid_l"], out2["eid_r"]))
+    # BETWEEN keeps self and current-ts peers
+    assert pairs2 == {(3, 1), (3, 2), (3, 3), (4, 2), (4, 3), (4, 4),
+                      (11, 10), (11, 11)}
