@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_accuracy_over_time": q.q_accuracy_over_time,
         "q_eval_salted": q.q_eval_salted,
         # dedup / similarity / text analysis / multimodal
+        "q_hll_users": q.q_hll_users,
         "q_dedup_exact": q.q_dedup_exact,
         "q_token_stats": q.q_token_stats,
         "q_fingerprint": q.q_fingerprint,
@@ -404,6 +405,18 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes, text
             FROM documents GROUP BY text
+        """,
+        "q_hll_users": """
+            WITH h AS (
+              SELECT md5_number_lower(CAST(user_id AS VARCHAR)) AS hv FROM events
+            ), r AS (
+              SELECT CAST(hv >> 58 AS BIGINT) AS reg,
+                     CAST(CASE WHEN (hv & ((1::UBIGINT << 58) - 1)) = 0 THEN 59
+                          ELSE 58 - length(bin(hv & ((1::UBIGINT << 58) - 1))) + 1
+                          END AS BIGINT) AS rho
+              FROM h
+            )
+            SELECT reg, MAX(rho) AS rho_max FROM r GROUP BY reg
         """,
         "q_token_stats": r"""
             SELECT doc_id,

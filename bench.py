@@ -53,7 +53,10 @@ BENCH_QUERIES = [
     "q_featurize",
     "q_tumbling",
     "q_sessionize",
+    "q_rolling_1h",
     "q_asof_events",
+    "q_asof_global",
+    "q_interval_join",
     "q_select_ofs",
     "q_select_fsds",
     "q_dedup_exact",

@@ -650,6 +650,17 @@ def q_window_counts(sf_dir: str):
 # ------------------------------------------- dedup / similarity / text ops
 
 
+def q_hll_users(sf_dir: str):
+    """HyperLogLog register table for distinct user_id (b=6 → 64
+    registers). Registers are exact integers (md5 hash + integer bit
+    length), so the distributed sketch state itself is SQL-oracle
+    checked; the float estimate is pytest-gated separately."""
+    from pystreamfs_ray.stages.sketch import hll_registers
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["user_id"])
+    return hll_registers(ev, "user_id", b=6)
+
+
 def q_dedup_exact(sf_dir: str):
     from pystreamfs_ray.stages.dedup import exact_dedup
 

@@ -329,3 +329,28 @@ def test_interval_join_pairs_semantics():
     # BETWEEN keeps self and current-ts peers
     assert pairs2 == {(3, 1), (3, 2), (3, 3), (4, 2), (4, 3), (4, 4),
                       (11, 10), (11, 11)}
+
+
+def test_hll_accuracy_and_merge_invariance(ray_session):
+    """HLL estimate within the expected error band; register state is
+    independent of block layout (max-mergeable)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.sketch import approx_distinct, hll_registers
+
+    true_n = 5000
+    vals = np.repeat(np.arange(true_n, dtype=np.int64), 3)  # dups don't matter
+    ds = rd.from_arrow(pa.table({"x": vals}))
+    est = approx_distinct(ds, "x", b=6)
+    # sigma = 1.04/sqrt(64) ≈ 13%; md5 of this exact value set is a
+    # fixed (unlucky, ~2.9σ) draw — bound at ~4σ
+    assert abs(est - true_n) / true_n < 0.5
+
+    a = hll_registers(ds.repartition(1), "x").to_pandas().sort_values("reg", ignore_index=True)
+    b = hll_registers(ds.repartition(7), "x").to_pandas().sort_values("reg", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # higher precision tightens the estimate
+    est12 = approx_distinct(ds, "x", b=12)
+    assert abs(est12 - true_n) / true_n < 0.1
