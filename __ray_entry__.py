@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_accuracy_over_time": q.q_accuracy_over_time,
         "q_eval_salted": q.q_eval_salted,
         # dedup / similarity / text analysis / multimodal
+        "q_word_topk": q.q_word_topk,
         "q_hll_users": q.q_hll_users,
         "q_dedup_exact": q.q_dedup_exact,
         "q_token_stats": q.q_token_stats,
@@ -405,6 +406,16 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes, text
             FROM documents GROUP BY text
+        """,
+        "q_word_topk": """
+            WITH w AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
+              FROM documents
+            )
+            SELECT word, COUNT(*) AS n_total
+            FROM w GROUP BY word
+            ORDER BY n_total DESC, word
+            LIMIT 20
         """,
         "q_hll_users": """
             WITH h AS (

@@ -650,6 +650,28 @@ def q_window_counts(sf_dir: str):
 # ------------------------------------------- dedup / similarity / text ops
 
 
+def q_word_topk(sf_dir: str):
+    """Exact corpus-wide top-20 words: the canonical COMBINER pattern —
+    each batch pre-aggregates its own word counts (the shuffle moves
+    (word, partial_count) rows, ~vocabulary-sized, not one row per
+    token), then a small groupby-sum and a tiny sort."""
+    ev = read_parquet(_p(sf_dir, "documents"), columns=["text"])
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.lower().str.findall(r"[a-z0-9_]+").explode()
+        vc = words.value_counts()
+        return pd.DataFrame({"word": vc.index.astype(str), "n": vc.to_numpy()})
+
+    total = (
+        ev.map_batches(partial_counts, batch_format="pandas")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n_total"))
+    )
+    return (
+        total.sort(["n_total", "word"], descending=[True, False]).limit(20)
+    )
+
+
 def q_hll_users(sf_dir: str):
     """HyperLogLog register table for distinct user_id (b=6 → 64
     registers). Registers are exact integers (md5 hash + integer bit
