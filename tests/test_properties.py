@@ -150,3 +150,53 @@ def test_top_m_is_argmax_set(m, seed):
     assert len(sel) == m
     thresh = np.sort(np.abs(w))[-m]
     assert (np.abs(w[sel]) >= thresh).all()
+
+
+@given(st.integers(1, 4), st.integers(2, 60), st.integers(1, 3600),
+       st.integers(0, 10_000))
+@settings(max_examples=30, deadline=None)
+def test_rolling_time_sum_vs_bruteforce(n_ents, n_rows, window_s, seed):
+    """Time-RANGE rolling sum equals the O(n²) definition on random
+    entity streams with duplicate timestamps."""
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2024-01-01", "s")
+    ent = rng.integers(0, n_ents, size=n_rows)
+    # coarse offsets force ts duplicates (peer semantics)
+    off = rng.integers(0, max(2, window_s * 2), size=n_rows)
+    df = pd.DataFrame({
+        "conv_id": [f"e{i}" for i in ent],
+        "ts": base + off.astype("timedelta64[s]"),
+        "v": rng.integers(-5, 10, size=n_rows).astype(np.int64),
+    })
+    out = W.rolling_time_sum(df.copy(), "v", float(window_s), ts_col="ts")
+    for _, row in out.iterrows():
+        m = (out["conv_id"] == row["conv_id"]) & \
+            (out["ts"] >= row["ts"] - pd.Timedelta(seconds=window_s)) & \
+            (out["ts"] <= row["ts"])
+        assert row["v_tsum"] == out.loc[m, "v"].sum()
+
+
+@given(st.integers(1, 3), st.integers(2, 40), st.integers(1, 1800),
+       st.integers(0, 10_000))
+@settings(max_examples=30, deadline=None)
+def test_interval_join_vs_bruteforce(n_ents, n_rows, window_s, seed):
+    """Interval join pair set equals the O(n²) definition (strictly
+    before, same entity) on random streams with duplicate timestamps."""
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2024-01-01", "s")
+    df = pd.DataFrame({
+        "conv_id": [f"e{i}" for i in rng.integers(0, n_ents, size=n_rows)],
+        "ts": base + rng.integers(0, max(2, window_s * 2), size=n_rows).astype("timedelta64[s]"),
+        "eid": np.arange(n_rows, dtype=np.int64),
+        "is_l": rng.random(n_rows) < 0.4,
+    })
+    out = W.interval_join_pairs(df.copy(), left_mask_col="is_l",
+                                window_s=float(window_s), ts_col="ts")
+    got = set(zip(out["eid_l"], out["eid_r"]))
+    want = set()
+    for _, l in df[df["is_l"]].iterrows():
+        m = df[(df["conv_id"] == l["conv_id"])
+               & (df["ts"] >= l["ts"] - pd.Timedelta(seconds=window_s))
+               & (df["ts"] < l["ts"])]
+        want |= {(l["eid"], r) for r in m["eid"]}
+    assert got == want
