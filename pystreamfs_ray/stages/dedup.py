@@ -644,11 +644,14 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
     def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": df["src"].unique()})
 
+    from ray.data.aggregate import Count as _Count
+
     labels = (
         edges.map_batches(to_nodes, batch_format="pandas")
         .groupby("node")
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-        .map_batches(lambda df: df.assign(component=df["node"]),
+        .aggregate(_Count(alias_name="__c"))  # C-backed distinct
+        .map_batches(lambda df: pd.DataFrame({"node": df["node"],
+                                              "component": df["node"]}),
                      batch_format="pandas")
         .map_batches(norm, batch_format="pyarrow")
         .repartition(num_partitions)
@@ -674,12 +677,16 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
     from ray.data.aggregate import Min, Sum
 
     def propagate(g: pd.DataFrame) -> pd.DataFrame:
-        lab = g[g["side"] == 1]["component"]
-        if len(lab) == 0:
+        # one call per HASH BUCKET of keys (not per key): a vectorized
+        # label lookup joins each edge to its source's label
+        lab = g[g["side"] == 1]
+        ed = g[g["side"] == 0]
+        if len(lab) == 0 or len(ed) == 0:
             return pd.DataFrame({"node": [], "component": []})
-        comp = lab.iloc[0]
-        dsts = g[g["side"] == 0]["dst"]
-        return pd.DataFrame({"node": dsts, "component": comp})
+        comp = ed["key"].map(pd.Series(lab["component"].to_numpy(),
+                                       index=lab["key"].to_numpy()))
+        out = pd.DataFrame({"node": ed["dst"].to_numpy(), "component": comp.to_numpy()})
+        return out[out["component"].notna()]
 
     def tag_labels(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -711,9 +718,24 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
     for _ in range(max_rounds):
         lt = labels.map_batches(tag_labels, batch_format="pyarrow")
         ptr = labels.map_batches(tag_ptr_edges, batch_format="pyarrow")
+
+        def assign_cb(t: pa.Table) -> pa.Table:
+            if pa.types.is_integer(t["key"].type):
+                k = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                with np.errstate(over="ignore"):
+                    mix = k * np.uint64(0x9E3779B97F4A7C15)
+                    mix ^= mix >> np.uint64(31)
+                b = (mix % np.uint64(num_partitions)).astype(np.int32)
+            else:
+                from pystreamfs_ray.util import bucket_array
+
+                b = bucket_array(t["key"].to_pandas(), num_partitions)
+            return t.append_column("__cb", pa.array(b, type=pa.int32()))
+
         msgs = (
             tagged_edges.union(ptr).union(lt)
-            .groupby("key")
+            .map_batches(assign_cb, batch_format="pyarrow")
+            .groupby("__cb")
             .map_groups(propagate, batch_format="pandas")
             .map_batches(norm, batch_format="pyarrow")
         )
