@@ -70,8 +70,17 @@ class QualityScorer:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         toks = df[self.text_col].str.lower().str.findall(self.word_re)
-        n = toks.map(len).clip(lower=1)
-        stop = toks.map(lambda ws: sum(w in self.all_stop for w in ws))
+        counts = toks.str.len().to_numpy(dtype=np.int64)
+        # vectorized stopword counting: one explode + isin over ALL
+        # tokens of the batch, segment-summed back per document
+        flat = toks.explode()
+        hit = flat.isin(self.all_stop).to_numpy(dtype=np.float64)
+        # explode keeps the source row index → exact segment boundaries
+        offsets = np.concatenate(([0], np.cumsum(np.maximum(counts, 1))))
+        stop = np.add.reduceat(
+            np.concatenate((hit, [0.0])), offsets[:-1]
+        ) * (counts > 0)
+        n = np.maximum(counts, 1).astype(np.float64)
         df["stopword_ratio"] = stop / n
         length = df[self.text_col].str.len().to_numpy(dtype=np.float64)
         # quality: prefer 200..2000 chars, some stopwords, few repeats
@@ -122,6 +131,7 @@ class LangId:
         self.cjk = re.compile(r"[一-鿿]")
 
     def _score(self, text: str) -> str:
+        """Single-doc reference path (tests)."""
         if self.cjk.search(text):
             return "zh"
         words = set(self.word_re.findall(text.lower()))
@@ -134,8 +144,26 @@ class LangId:
                 best, best_n = lang, n
         return best
 
+    _LANG_ORDER = ("en", "de", "fr", "es")  # tie → earliest (same as _score)
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        df["pred_lang"] = df[self.text_col].map(self._score)
+        # vectorized: one explode of DISTINCT words per doc, one isin
+        # per language, segment-sum per doc, argmax with first-wins tie
+        # order — identical to the scalar path (tested)
+        toks = df[self.text_col].str.lower().str.findall(self.word_re).map(
+            lambda ws: list(dict.fromkeys(ws))
+        )
+        counts = toks.str.len().to_numpy(dtype=np.int64)
+        flat = toks.explode()
+        offsets = np.concatenate(([0], np.cumsum(np.maximum(counts, 1))))[:-1]
+        scores = np.zeros((len(df), len(self._LANG_ORDER)), dtype=np.int64)
+        for j, lang in enumerate(self._LANG_ORDER):
+            hit = flat.isin(self.tables[lang]).to_numpy(dtype=np.int64)
+            scores[:, j] = np.add.reduceat(np.concatenate((hit, [0])), offsets)[: len(df)]
+        best = np.argmax(scores, axis=1)  # argmax → first max (tie order)
+        pred = np.array(self._LANG_ORDER, dtype=object)[best]
+        is_zh = df[self.text_col].str.contains(self.cjk).to_numpy(dtype=bool)
+        df["pred_lang"] = np.where(is_zh, "zh", pred)
         return df
 
 

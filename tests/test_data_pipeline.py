@@ -408,3 +408,35 @@ def test_multimodal_resize_and_frames(ray_session):
 
     with pytest.raises(Exception, match="Pillow"):
         M.resize_images(ds, fake=False, concurrency=1).materialize()
+
+
+def test_quality_langid_batch_equals_scalar():
+    """Vectorized batch paths == per-row scalar definitions, incl.
+    empty/zh/tie cases."""
+    from pystreamfs_ray.stages.textstats import LangId, QualityScorer, STOPWORDS
+
+    texts = [
+        "the and of to a in is it that for common english text here",
+        "der die das und ist ein eine nicht mit zu deutsch",
+        "le la les et est un une pas pour que francais",
+        "el la los y es un una no por que espanol",
+        "这 是 中文 文本",          # zh via CJK chars
+        "",                       # empty
+        "zzz qqq www",            # no stopwords at all → tie → en
+        "the der le el",          # one stopword of each → tie → en
+    ] * 5
+    df = pd.DataFrame({"text": texts})
+    li = LangId()
+    batch = li(df.copy())["pred_lang"].tolist()
+    scalar = [li._score(t) for t in texts]
+    assert batch == scalar
+
+    qs = QualityScorer()
+    out = qs(df.copy())
+    allstop = set().union(*STOPWORDS.values())
+    import re
+    wre = re.compile(r"[a-z0-9_一-鿿]+")
+    for t, ratio in zip(texts, out["stopword_ratio"]):
+        ws = wre.findall(t.lower())
+        want = sum(w in allstop for w in ws) / max(len(ws), 1)
+        assert ratio == want, t
