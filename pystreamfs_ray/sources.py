@@ -41,6 +41,24 @@ def read_csv(paths, **kwargs):
     return strip_schema_metadata(rd.read_csv(paths, **kwargs))
 
 
+def read_jsonl(paths, **kwargs):
+    """``ray.data.read_json`` (newline-delimited JSON — the common
+    interchange format for LLM transcript corpora) with hashable block
+    schemas. Prefer Parquet for anything reread more than once; JSONL
+    is the ingest edge."""
+    return strip_schema_metadata(rd.read_json(paths, **kwargs))
+
+
+def write_partitioned_parquet(ds, path: str, *, by: str | list[str],
+                              mode: str = "overwrite", **kwargs) -> None:
+    """Resumable-layout sink: one Hive-style directory per value of
+    ``by`` (``path/by=value/part-*.parquet``) — a failed run reruns
+    only the partitions whose directories are missing, and readers
+    prune partitions at the path level. Never one giant file."""
+    cols = [by] if isinstance(by, str) else list(by)
+    ds.write_parquet(path, partition_cols=cols, mode=mode, **kwargs)
+
+
 def csv_stream_source(path: str, *, target_col: str = "target",
                       entity: str | None = None, shuffle: bool = False,
                       seed: int | None = None):

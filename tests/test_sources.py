@@ -112,3 +112,47 @@ def test_random_shuffle_preserves_rows(ray_session):
     base = read_parquet("/root/testdata/sf0.001/events.parquet",
                         columns=["event_id"]).to_pandas()["event_id"]
     assert sorted(a) == sorted(base)
+
+
+def test_read_jsonl_roundtrip(ray_session, tmp_path):
+    """JSONL ingest edge: transcript-shaped rows round-trip with the
+    same values the parquet path yields."""
+    import json
+
+    import ray.data as rd
+
+    from pystreamfs_ray.sources import read_jsonl
+
+    rows = [
+        {"conv_id": f"c{i % 3}", "turn_idx": i, "role": "user",
+         "text": f"turn {i}", "tool": ""}
+        for i in range(50)
+    ]
+    p = tmp_path / "t.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    ds = read_jsonl(str(p))
+    df = ds.to_pandas().sort_values("turn_idx", ignore_index=True)
+    assert len(df) == 50
+    assert df["conv_id"].tolist() == [f"c{i % 3}" for i in range(50)]
+    t = ds.take_batch(5, batch_format="pyarrow")
+    hash(t.schema)  # metadata-free
+
+
+def test_write_partitioned_parquet_layout(ray_session, tmp_path):
+    """Hive-style partition dirs; a reader prunes by partition value."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pystreamfs_ray.sources import read_parquet, write_partitioned_parquet
+
+    ds = rd.from_arrow(pa.table({
+        "bucket": [0, 0, 1, 1, 2], "v": [1, 2, 3, 4, 5]
+    }))
+    out = str(tmp_path / "out")
+    write_partitioned_parquet(ds, out, by="bucket")
+    import os
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("bucket="))
+    assert dirs == ["bucket=0", "bucket=1", "bucket=2"]
+    only1 = read_parquet(os.path.join(out, "bucket=1")).to_pandas()
+    assert sorted(only1["v"]) == [3, 4]
