@@ -35,7 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="one or more of: ofs efs fsds mcnn cancelout")
     p.add_argument("--batch-size", type=int, default=50)
     p.add_argument("--num-features", type=int, default=5)
-    p.add_argument("--evaluate", default=None, choices=[None, "knn", "logistic"])
+    p.add_argument("--evaluate", default=None,
+                   choices=[None, "knn", "logistic", "tree", "svm"])
     p.add_argument("--max-history", type=int, default=None)
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--concurrency", type=int, default=None,
