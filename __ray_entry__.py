@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_join_agg": q.q_join_agg,
         "q_join_shuffle": q.q_join_shuffle,
         "q_region_revenue": q.q_region_revenue,
+        "q_part_supplier_revenue": q.q_part_supplier_revenue,
         "q_semi_join": q.q_semi_join,
         "q_anti_join": q.q_anti_join,
         "q_distinct_events": q.q_distinct_events,
@@ -233,6 +234,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "q_part_supplier_revenue": """
+            SELECT p.p_brand, n.n_name,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY p.p_brand, n.n_name
         """,
         "q_region_revenue": """
             SELECT r.r_name,

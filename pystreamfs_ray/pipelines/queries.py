@@ -290,6 +290,59 @@ def q_region_revenue(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_part_supplier_revenue(sf_dir: str):
+    """Two-dimension star join on the fact table: lineitem revenue per
+    (part brand × supplier nation). Both dimension chains (part,
+    supplier∘nation) broadcast once; the fact table streams through a
+    single vectorized double-lookup stage — zero shuffles before the
+    final small aggregate."""
+    part = read_parquet(_p(sf_dir, "part"),
+                        columns=["p_partkey", "p_brand"]).to_pandas()
+    supp = read_parquet(_p(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = read_parquet(_p(sf_dir, "nation"),
+                       columns=["n_nationkey", "n_name"]).to_pandas()
+    sn = supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    ref = ray.put({
+        "pkeys": pa.array(part["p_partkey"].to_numpy()),
+        "brand": pa.array(part["p_brand"]),
+        "skeys": pa.array(sn["s_suppkey"].to_numpy()),
+        "nation": pa.array(sn["n_name"]),
+    })
+
+    li = read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "p_brand": pc.take(d["brand"],
+                               pc.index_in(t["l_partkey"], value_set=d["pkeys"])),
+            "n_name": pc.take(d["nation"],
+                              pc.index_in(t["l_suppkey"], value_set=d["skeys"])),
+            "rev_c": _quantize(rev, 10000.0),
+        })
+
+    agg = (
+        li.map_batches(attach, batch_format="pyarrow")
+        .groupby(["p_brand", "n_name"])
+        .aggregate(Sum("rev_c", alias_name="_rc"), Count(alias_name="n_items"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": t["p_brand"], "n_name": t["n_name"],
+            "n_items": t["n_items"],
+            "revenue": pc.divide(pc.cast(t["_rc"], pa.float64()), 10000.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_semi_join(sf_dir: str):
     """Lineitems of urgent orders — broadcast semi join (no shuffle)."""
     from pystreamfs_ray.stages.joins import semi_join
