@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_accuracy_over_time": q.q_accuracy_over_time,
         "q_eval_salted": q.q_eval_salted,
         # dedup / similarity / text analysis / multimodal
+        "q_chunk_docs": q.q_chunk_docs,
         "q_word_topk": q.q_word_topk,
         "q_hll_users": q.q_hll_users,
         "q_dedup_exact": q.q_dedup_exact,
@@ -417,6 +418,23 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes, text
             FROM documents GROUP BY text
+        """,
+        "q_chunk_docs": r"""
+            WITH d AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+              FROM documents WHERE doc_id < 200
+            ), starts AS (
+              SELECT doc_id, toks, n,
+                     unnest(generate_series(0,
+                        CAST(FLOOR((GREATEST(n - 16, 1) - 1) / 48.0) AS BIGINT) * 48, 48)) AS start
+              FROM d
+            )
+            SELECT doc_id, CAST(start / 48 AS BIGINT) AS chunk_id,
+                   array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text,
+                   LEAST(n - start, 64) AS n_chunk_tokens
+            FROM starts
         """,
         "q_word_topk": """
             WITH w AS (

@@ -703,6 +703,17 @@ def q_window_counts(sf_dir: str):
 # ------------------------------------------- dedup / similarity / text ops
 
 
+def q_chunk_docs(sf_dir: str):
+    """Overlapping token-window chunking (64-token chunks, 16-token
+    overlap) — the standard pre-training/RAG corpus step, as a
+    row-expanding vectorized stage."""
+    from pystreamfs_ray.stages.textstats import chunk_documents
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return chunk_documents(docs.filter(expr="doc_id < 200"),
+                           chunk_tokens=64, overlap=16)
+
+
 def q_word_topk(sf_dir: str):
     """Exact corpus-wide top-20 words: the canonical COMBINER pattern —
     each batch pre-aggregates its own word counts (the shuffle moves

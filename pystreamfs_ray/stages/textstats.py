@@ -223,3 +223,45 @@ def fingerprint(ds, text_col: str = "text"):
         return df
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def chunk_documents(ds, *, chunk_tokens: int = 128, overlap: int = 32,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Split documents into overlapping token-window chunks — the
+    standard pre-training / retrieval corpus step. One row in, one row
+    per chunk out (``flat``-style batch expansion): chunk ``k`` covers
+    whitespace tokens ``[k*stride, k*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the final partial chunk is
+    kept, empty docs yield one empty chunk. Token join is
+    single-space, so the chunk text is a normalized view (byte-exact
+    reconstruction is not the contract — token coverage is).
+
+    Vectorized: one split pass, numpy repeat/cumsum for the row→chunk
+    expansion, and per-chunk joins over pre-split token lists.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.split()
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        n_chunks = (np.maximum(n - overlap, 1) - 1) // stride + 1
+        idx = np.repeat(np.arange(len(df)), n_chunks)
+        offsets = np.concatenate(([0], np.cumsum(n_chunks)))
+        chunk_id = np.arange(int(n_chunks.sum())) - np.repeat(offsets[:-1], n_chunks)
+        starts = chunk_id * stride
+        tok_lists = toks.to_numpy()
+        texts = [
+            " ".join(tok_lists[i][s:s + chunk_tokens])
+            for i, s in zip(idx, starts)
+        ]
+        n_tok = np.minimum(n[idx] - starts, chunk_tokens)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[idx],
+            "chunk_id": chunk_id.astype(np.int64),
+            "chunk_text": texts,
+            "n_chunk_tokens": np.maximum(n_tok, 0).astype(np.int64),
+        })
+
+    return ds.map_batches(expand, batch_format="pandas")

@@ -440,3 +440,33 @@ def test_quality_langid_batch_equals_scalar():
         ws = wre.findall(t.lower())
         want = sum(w in allstop for w in ws) / max(len(ws), 1)
         assert ratio == want, t
+
+
+def test_chunk_documents_coverage(ray_session):
+    """Every token is covered; consecutive chunks overlap by exactly
+    `overlap`; short/empty docs produce one chunk."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.textstats import chunk_documents
+
+    texts = {
+        0: " ".join(f"t{i}" for i in range(150)),
+        1: "a b c",   # shorter than one chunk
+        2: "",        # empty
+    }
+    ds = rd.from_arrow(pa.table({"doc_id": list(texts), "text": list(texts.values())}))
+    out = chunk_documents(ds, chunk_tokens=64, overlap=16).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_id"], ignore_index=True)
+
+    d0 = out[out["doc_id"] == 0]
+    assert d0["chunk_id"].tolist() == [0, 1, 2]  # starts 0, 48, 96
+    toks0 = [c.split() for c in d0["chunk_text"]]
+    assert toks0[0][-16:] == toks0[1][:16]  # exact overlap
+    covered = set().union(*[set(t) for t in toks0])
+    assert covered == {f"t{i}" for i in range(150)}
+    assert d0["n_chunk_tokens"].tolist() == [64, 64, 150 - 96]
+
+    assert out[out["doc_id"] == 1]["chunk_text"].tolist() == ["a b c"]
+    assert out[out["doc_id"] == 2]["chunk_text"].tolist() == [""]
+    assert out[out["doc_id"] == 2]["n_chunk_tokens"].tolist() == [0]
