@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_accuracy_over_time": q.q_accuracy_over_time,
         "q_eval_salted": q.q_eval_salted,
         # dedup / similarity / text analysis / multimodal
+        "q_sample_docs": q.q_sample_docs,
         "q_chunk_docs": q.q_chunk_docs,
         "q_word_topk": q.q_word_topk,
         "q_hll_users": q.q_hll_users,
@@ -418,6 +419,11 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes, text
             FROM documents GROUP BY text
+        """,
+        "q_sample_docs": """
+            SELECT doc_id, source FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 65536
+                  < CAST(0.25 * 65536 AS UBIGINT)
         """,
         "q_chunk_docs": r"""
             WITH d AS (

@@ -703,6 +703,15 @@ def q_window_counts(sf_dir: str):
 # ------------------------------------------- dedup / similarity / text ops
 
 
+def q_sample_docs(sf_dir: str):
+    """Deterministic hash-keyed 25% sample of documents — the
+    reproducible-split pattern (same rows kept at any parallelism)."""
+    from pystreamfs_ray.sources import sample_by_hash
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "source"])
+    return sample_by_hash(docs, "doc_id", 0.25)
+
+
 def q_chunk_docs(sf_dir: str):
     """Overlapping token-window chunking (64-token chunks, 16-token
     overlap) — the standard pre-training/RAG corpus step, as a

@@ -100,6 +100,28 @@ def csv_stream_source(path: str, *, target_col: str = "target",
     return ds
 
 
+def sample_by_hash(ds, col: str, rate: float, *, salt: str = ""):
+    """Deterministic content-keyed sampling: keep rows where
+    ``md5(salt || col) mod 2^16 < rate * 2^16``. Unlike random
+    sampling, the decision is a pure function of the KEY — the same
+    row is kept in every run, on every cluster, at any parallelism
+    (reproducible train/eval splits, consistent downsampling across
+    derived tables keyed on the same id). SQL-mirrorable via
+    ``md5_number_lower``."""
+    import numpy as np
+
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+
+    threshold = int(rate * 65536)
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = _md5_lower64([salt + str(v) for v in t[col].to_pylist()])
+        mask = (h % np.uint64(65536)) < threshold
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def random_shuffle(ds, *, seed: int | None = None):
     """Opt-in whole-dataset physical shuffle — the Dataset-path analog
     of the reference's pre-stream shuffle flag
