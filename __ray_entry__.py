@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash": q.q_simhash,
         "q_simhash_pairs": q.q_simhash_pairs,
         "q_embedding_neardup": q.q_embedding_neardup,
+        "q_semantic_dedup": q.q_semantic_dedup,
         "q_dedup_groups": q.q_dedup_groups,
         "q_dedup_groups_exact": q.q_dedup_groups_exact,
         "q_text_quality": q.q_text_quality,
@@ -660,6 +661,15 @@ def oracle_sql() -> dict[str, str]:
             WITH {_ALLV_CTE}
             SELECT id_a, id_b, ROUND(cos_raw, 6) AS cosine
             FROM ({_EMBED_PAIRS_SQL})
+        """,
+        # keep-first semantic dedup: drop every vector that appears as
+        # the HIGHER id of a >=0.95-cosine pair (mirrors the engine's
+        # anti-join on pairs.id_b exactly, including chains)
+        "q_semantic_dedup": f"""
+            WITH {_ALLV_CTE},
+            pairs AS ({_EMBED_PAIRS_SQL})
+            SELECT vec_id FROM allv
+            WHERE vec_id NOT IN (SELECT id_b FROM pairs)
         """,
         "q_dedup_groups": f"""
             WITH RECURSIVE {_ALLV_CTE},

@@ -870,6 +870,31 @@ def q_embedding_neardup(sf_dir: str):
     return embedding_neardup_pairs(with_probes, threshold=0.95, concurrency=2)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SEMANTIC dedup composition — the training-data flow: embedding
+    LSH near-dup pairs → drop every vector that near-duplicates a
+    lower id (keep-first). Uses the probe-augmented set so true
+    near-dups exist; the 5 probe duplicates must vanish."""
+    from pystreamfs_ray.stages.dedup import embedding_neardup_pairs
+    from pystreamfs_ray.stages.joins import anti_join
+
+    emb = read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def probes(t: pa.Table) -> pa.Table:
+        mask = pc.less(t["vec_id"], 5)
+        dup = t.filter(mask)
+        dup = dup.set_column(
+            0, "vec_id", pc.add(dup["vec_id"], pa.scalar(1_000_000, type=pa.int64()))
+        )
+        return pa.concat_tables([t, dup])
+
+    with_probes = emb.map_batches(probes, batch_format="pyarrow")
+    pairs = embedding_neardup_pairs(with_probes, threshold=0.95, concurrency=2)
+    dup_ids = pairs.select_columns(["id_b"]).to_pandas()["id_b"].unique()
+    kept = anti_join(with_probes.select_columns(["vec_id"]), dup_ids, on="vec_id")
+    return kept
+
+
 def q_dedup_groups(sf_dir: str):
     """Duplicate groups: near-dup pairs → connected components (the
     probes guarantee non-trivial components exist)."""

@@ -129,6 +129,17 @@ def test_embedding_neardup_and_ann(ray_session):
     assert (pairs["cosine"] >= 0.99).all()
 
 
+def test_semantic_dedup_query(ray_session):
+    """q_semantic_dedup: the 5 probe duplicates (vec_id >= 1_000_000)
+    must be dropped (keep-first), every other id must survive."""
+    from pystreamfs_ray.pipelines.queries import q_semantic_dedup
+
+    kept = q_semantic_dedup(SF).to_pandas()["vec_id"].to_numpy()
+    n_orig = pd.read_parquet(f"{SF}/embeddings.parquet").shape[0]
+    assert not (kept >= 1_000_000).any()  # all probes dropped
+    assert len(kept) == n_orig  # nothing else near-duplicated at 0.95
+
+
 def test_connected_components(ray_session):
     import pyarrow as pa_
     import ray.data as rd
