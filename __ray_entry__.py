@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_semi_join": q.q_semi_join,
         "q_anti_join": q.q_anti_join,
         "q_distinct_events": q.q_distinct_events,
+        "q_grouped_topk": q.q_grouped_topk,
+        "q_grouped_quantiles": q.q_grouped_quantiles,
         # transcript pipeline (sessionize / window / lag / backfill / as-of)
         "q_transcripts": q.q_transcripts,
         "q_featurize": q.q_featurize,
@@ -273,6 +275,21 @@ def oracle_sql() -> dict[str, str]:
         "q_distinct_events": """
             SELECT event_type, COUNT(*) AS n,
                    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "q_grouped_topk": """
+            SELECT event_type, event_id, value, rank FROM (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value DESC, event_id) AS rank
+                FROM events
+            ) WHERE rank <= 3
+        """,
+        "q_grouped_quantiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5), 6) AS median_value,
+                   ROUND(quantile_cont(value, 0.9), 6) AS p90_value,
+                   COUNT(value) AS n
             FROM events GROUP BY event_type
         """,
         "q_transcripts": f"""

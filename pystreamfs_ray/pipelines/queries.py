@@ -373,6 +373,28 @@ def q_anti_join(sf_dir: str):
     return anti_join(cust, keys, on="c_custkey")
 
 
+def q_grouped_topk(sf_dir: str):
+    """Top-3 events by value per event_type: per-batch partial top-k
+    combiner → one hash shuffle → per-group final rank."""
+    from pystreamfs_ray.stages.grouped import grouped_topk
+
+    ds = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_type", "event_id", "value"])
+    out = grouped_topk(ds, "event_type", "value", 3,
+                       tiebreak_col="event_id", descending=True)
+    return out.select_columns(["event_type", "event_id", "value", "rank"])
+
+
+def q_grouped_quantiles(sf_dir: str):
+    """Exact per-event_type median / p90 of value (linear
+    interpolation, = DuckDB quantile_cont)."""
+    from pystreamfs_ray.stages.grouped import grouped_quantiles
+
+    ds = read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+    return grouped_quantiles(ds, "event_type", "value",
+                             [0.5, 0.9], ["median_value", "p90_value"])
+
+
 def q_distinct_events(sf_dir: str):
     ds = read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
 

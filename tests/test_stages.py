@@ -354,3 +354,39 @@ def test_hll_accuracy_and_merge_invariance(ray_session):
     # higher precision tightens the estimate
     est12 = approx_distinct(ds, "x", b=12)
     assert abs(est12 - true_n) / true_n < 0.1
+
+
+def test_grouped_topk_and_quantiles(ray_session):
+    """Grouped top-k (combiner → shuffle → final rank) and exact grouped
+    quantiles vs a pandas oracle, block-layout independent."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.grouped import grouped_quantiles, grouped_topk
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], size=n),
+        "id": np.arange(n, dtype=np.int64),
+        "v": np.round(rng.normal(100, 25, size=n), 2),
+    })
+    # ties at the boundary: force duplicate values inside one group
+    df.loc[df.index[:20], "v"] = 555.0
+    df.loc[df.index[:20], "g"] = "a"
+
+    for n_blocks in (1, 7):
+        ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+               .repartition(n_blocks)
+        top = grouped_topk(ds, "g", "v", 5, tiebreak_col="id").to_pandas()
+        for g, sub in df.groupby("g"):
+            want = sub.sort_values(["v", "id"], ascending=[False, True]).head(5)
+            mine = top[top.g == g].sort_values("rank")
+            assert list(mine["id"]) == list(want["id"]), (g, n_blocks)
+            assert list(mine["rank"]) == [1, 2, 3, 4, 5]
+
+        qt = grouped_quantiles(ds, "g", "v", [0.5, 0.9], ["med", "p90"]).to_pandas()
+        for g, sub in df.groupby("g"):
+            row = qt[qt.g == g].iloc[0]
+            assert row["med"] == round(float(np.quantile(sub["v"], 0.5)), 6)
+            assert row["p90"] == round(float(np.quantile(sub["v"], 0.9)), 6)
+            assert row["n"] == len(sub)
