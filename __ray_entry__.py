@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hll_users": q.q_hll_users,
         "q_dedup_exact": q.q_dedup_exact,
         "q_token_stats": q.q_token_stats,
+        "q_bpe_tokens": q.q_bpe_tokens,
         "q_fingerprint": q.q_fingerprint,
         "q_ann_topk": q.q_ann_topk,
         "q_ivf_topk": q.q_ivf_topk,
@@ -498,6 +499,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_fingerprint": """
             SELECT doc_id, md5(text) AS md5 FROM documents
+        """,
+        # same RE2 pattern as textstats.BPE_TOKEN_RE ('' = escaped quote)
+        "q_bpe_tokens": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'
+                   )) AS BIGINT) AS n_bpe_tokens
+            FROM documents
         """,
         "q_ann_topk": _ANN_TOPK_SQL,
         # IVF at full probe (nprobe = n_cells) scans every cell → exact

@@ -793,6 +793,15 @@ def q_token_stats(sf_dir: str):
     return out
 
 
+def q_bpe_tokens(sf_dir: str):
+    """GPT-2-style pre-tokenizer token counts (RE2 on both sides →
+    bit-identical to the DuckDB oracle)."""
+    from pystreamfs_ray.stages.textstats import bpe_token_count
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return bpe_token_count(docs).drop_columns(["text"])
+
+
 def q_fingerprint(sf_dir: str):
     from pystreamfs_ray.stages.textstats import fingerprint
 

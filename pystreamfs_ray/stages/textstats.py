@@ -57,6 +57,27 @@ def token_stats(ds, text_col: str = "text"):
     )
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to RE2-safe constructs
+# (no lookahead, explicit ASCII classes): contractions, letter runs,
+# digit runs, punctuation runs — each optionally space-prefixed — then
+# residual whitespace. pyarrow.compute and DuckDB both run RE2 with
+# leftmost-first alternation, so the per-document match COUNT is
+# bit-identical between the engine and the SQL oracle.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_token_count(ds, text_col: str = "text"):
+    """Approximate BPE token count: number of pre-tokenizer segments
+    (the upper bound real BPE merges start from). Pure
+    ``pyarrow.compute`` regex counting, zero-copy."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t[text_col], BPE_TOKEN_RE), pa.int64())
+        return t.append_column("n_bpe_tokens", n)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 class QualityScorer:
     """Actor-pool quality scorer: length / punctuation / stopword-ratio
     heuristics (regex compiled once per actor)."""

@@ -481,3 +481,15 @@ def test_chunk_documents_coverage(ray_session):
     assert out[out["doc_id"] == 1]["chunk_text"].tolist() == ["a b c"]
     assert out[out["doc_id"] == 2]["chunk_text"].tolist() == [""]
     assert out[out["doc_id"] == 2]["n_chunk_tokens"].tolist() == [0]
+
+
+def test_bpe_token_count(ray_session):
+    """Pre-tokenizer segment counts on known strings."""
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                  "text": ["I don't know.", "abc123  x!", ""]})
+    out = T.bpe_token_count(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    # "I don't know." → [I][ don]['t][ know][.]  = 5
+    # "abc123  x!"    → [abc][123][ ][ x][!]     = 5
+    assert list(out["n_bpe_tokens"]) == [5, 5, 0]
