@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_events": q.q_distinct_events,
         "q_grouped_topk": q.q_grouped_topk,
         "q_grouped_quantiles": q.q_grouped_quantiles,
+        "q_pivot_events": q.q_pivot_events,
+        "q_stratified_sample": q.q_stratified_sample,
         # transcript pipeline (sessionize / window / lag / backfill / as-of)
         "q_transcripts": q.q_transcripts,
         "q_featurize": q.q_featurize,
@@ -292,6 +294,22 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(value, 0.9), 6) AS p90_value,
                    COUNT(value) AS n
             FROM events GROUP BY event_type
+        """,
+        "q_pivot_events": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+            FROM events GROUP BY user_id
+        """,
+        "q_stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 65536 <
+                  CASE source WHEN 'src0' THEN 16384
+                              WHEN 'src1' THEN 49152
+                              ELSE 32768 END
         """,
         "q_transcripts": f"""
             WITH {_TRANSCRIPTS_CTE}

@@ -395,6 +395,28 @@ def q_grouped_quantiles(sf_dir: str):
                              [0.5, 0.9], ["median_value", "p90_value"])
 
 
+def q_pivot_events(sf_dir: str):
+    """Long → wide: per-user counts of each event type (two-level
+    aggregation; shuffle bounded by user cardinality)."""
+    from pystreamfs_ray.stages.grouped import pivot_counts
+
+    ds = read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+    return pivot_counts(ds, "user_id", "event_type",
+                        ["click", "view", "purchase", "signup", "error"])
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-source deterministic sampling (corpus re-weighting): src0
+    25%, src1 75%, everything else 50%."""
+    from pystreamfs_ray.sources import stratified_sample_by_hash
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "source"])
+    return stratified_sample_by_hash(
+        docs, "source", "doc_id",
+        {"src0": 0.25, "src1": 0.75}, default_rate=0.5)
+
+
 def q_distinct_events(sf_dir: str):
     ds = read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
 

@@ -122,6 +122,30 @@ def sample_by_hash(ds, col: str, rate: float, *, salt: str = ""):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_sample_by_hash(ds, strata_col: str, key_col: str,
+                              rates: dict[str, float], *,
+                              default_rate: float = 0.0, salt: str = ""):
+    """Deterministic per-stratum sampling: each stratum keeps its own
+    fraction (corpus mixing / source re-weighting), same md5-threshold
+    rule as ``sample_by_hash`` so the kept set is a pure function of
+    the key — identical at any parallelism. Shuffle-free: one
+    streaming filter."""
+    import numpy as np
+
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+
+    thresholds = {s: np.uint64(int(r * 65536)) for s, r in rates.items()}
+    default_t = np.uint64(int(default_rate * 65536))
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = _md5_lower64([salt + str(v) for v in t[key_col].to_pylist()])
+        strata = t[strata_col].to_pandas()
+        thr = strata.map(thresholds).fillna(default_t).to_numpy(dtype=np.uint64)
+        return t.filter(pa.array((h % np.uint64(65536)) < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def random_shuffle(ds, *, seed: int | None = None):
     """Opt-in whole-dataset physical shuffle — the Dataset-path analog
     of the reference's pre-stream shuffle flag

@@ -52,6 +52,28 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int, *,
               .map_groups(final, batch_format="pandas"))
 
 
+def pivot_counts(ds, key_col: str, pivot_col: str, values: list[str]):
+    """Long → wide: one row per key with an ``n_<value>`` count column
+    per pivoted value. The in-batch combiner (indicator columns +
+    per-batch groupby-sum) shrinks the shuffle to distinct-keys-per-
+    batch rows; the global groupby then sums partials — the standard
+    two-level aggregation, so the exchange volume is bounded by key
+    cardinality, not input size."""
+    from ray.data.aggregate import Sum
+
+    cols = [f"n_{v}" for v in values]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({key_col: df[key_col]})
+        for v, c in zip(values, cols):
+            out[c] = (df[pivot_col] == v).to_numpy(dtype=np.int64)
+        return out.groupby(key_col, as_index=False, sort=False).sum()
+
+    return (ds.map_batches(partial, batch_format="pandas")
+              .groupby(key_col)
+              .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+
+
 def grouped_quantiles(ds, group_col: str, value_col: str,
                       qs: list[float], names: list[str], *,
                       ndigits: int = 6):

@@ -156,3 +156,35 @@ def test_write_partitioned_parquet_layout(ray_session, tmp_path):
     assert dirs == ["bucket=0", "bucket=1", "bucket=2"]
     only1 = read_parquet(os.path.join(out, "bucket=1")).to_pandas()
     assert sorted(only1["v"]) == [3, 4]
+
+
+def test_hash_sampling_deterministic_and_stratified(ray_session):
+    """sample_by_hash: layout-invariant keep set; stratified variant
+    applies per-stratum rates with the same keep rule (so a stratum
+    sampled at the same rate keeps IDENTICAL rows)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pystreamfs_ray.sources import sample_by_hash, stratified_sample_by_hash
+
+    n = 4000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "src": np.where(np.arange(n) % 2 == 0, "a", "b")})
+    t = pa.Table.from_pandas(df, preserve_index=False)
+
+    kept1 = set(sample_by_hash(rd.from_arrow(t), "id", 0.5)
+                .to_pandas()["id"])
+    kept7 = set(sample_by_hash(rd.from_arrow(t).repartition(7), "id", 0.5)
+                .to_pandas()["id"])
+    assert kept1 == kept7  # pure function of the key, any parallelism
+    assert 0.4 < len(kept1) / n < 0.6
+
+    strat = stratified_sample_by_hash(
+        rd.from_arrow(t), "src", "id", {"a": 0.5, "b": 0.1}).to_pandas()
+    a = strat[strat.src == "a"]; b = strat[strat.src == "b"]
+    # stratum 'a' at 0.5 == plain 0.5 sampling restricted to 'a'
+    assert set(a["id"]) == {i for i in kept1 if i % 2 == 0}
+    assert set(b["id"]) <= kept1  # 0.1 threshold is a subset of 0.5's
+    assert 0.05 < len(b) / (n / 2) < 0.2

@@ -390,3 +390,25 @@ def test_grouped_topk_and_quantiles(ray_session):
             assert row["med"] == round(float(np.quantile(sub["v"], 0.5)), 6)
             assert row["p90"] == round(float(np.quantile(sub["v"], 0.9)), 6)
             assert row["n"] == len(sub)
+
+
+def test_pivot_counts(ray_session):
+    """Long→wide pivot vs a pandas crosstab oracle, layout-invariant."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.grouped import pivot_counts
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, size=3000),
+        "ev": rng.choice(["x", "y", "z"], size=3000),
+    })
+    want = pd.crosstab(df["k"], df["ev"]).reindex(columns=["x", "y", "z"],
+                                                  fill_value=0)
+    for n_blocks in (1, 6):
+        ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+               .repartition(n_blocks)
+        out = pivot_counts(ds, "k", "ev", ["x", "y", "z"]).to_pandas() \
+            .set_index("k").sort_index()
+        assert (out[["n_x", "n_y", "n_z"]].to_numpy()
+                == want.to_numpy()).all(), n_blocks
