@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chunk_docs": q.q_chunk_docs,
         "q_word_topk": q.q_word_topk,
         "q_hll_users": q.q_hll_users,
+        "q_cms_users": q.q_cms_users,
         "q_dedup_exact": q.q_dedup_exact,
         "q_token_stats": q.q_token_stats,
         "q_bpe_tokens": q.q_bpe_tokens,
@@ -500,6 +501,17 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             )
             SELECT reg, MAX(rho) AS rho_max FROM r GROUP BY reg
+        """,
+        # same row-salted md5 cell hash as sketch.cms_partials
+        "q_cms_users": """
+            WITH h AS (
+              SELECT d.r AS r,
+                     CAST(md5_number_lower(CAST(d.r AS VARCHAR) || '|' ||
+                          CAST(user_id AS VARCHAR)) % 1024 AS BIGINT) AS cell
+              FROM events CROSS JOIN (SELECT unnest(range(4)) AS r) d
+            )
+            SELECT CAST(r AS BIGINT) AS r, cell, COUNT(*) AS n
+            FROM h GROUP BY r, cell
         """,
         "q_token_stats": r"""
             SELECT doc_id,

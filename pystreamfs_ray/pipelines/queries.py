@@ -800,6 +800,16 @@ def q_hll_users(sf_dir: str):
     return hll_registers(ev, "user_id", b=6)
 
 
+def q_cms_users(sf_dir: str):
+    """Count-Min register table (depth 4 × width 1024) for user_id
+    event frequencies — the sum-mergeable sketch state is SQL-oracle
+    checked; point-estimate bounds are pytest-gated."""
+    from pystreamfs_ray.stages.sketch import cms_registers
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["user_id"])
+    return cms_registers(ev, "user_id", depth=4, width=1024)
+
+
 def q_dedup_exact(sf_dir: str):
     from pystreamfs_ray.stages.dedup import exact_dedup
 

@@ -1,4 +1,6 @@
-"""Distributed cardinality sketch: HyperLogLog over a Dataset column.
+"""Distributed sketches over a Dataset column: HyperLogLog
+(cardinality, max-mergeable registers) and Count-Min (point
+frequencies, sum-mergeable registers).
 
 The register state is the distributable object: each batch computes its
 observed (register, max-rho) pairs locally (vectorized md5 hashing +
@@ -79,3 +81,55 @@ def hll_estimate(registers: pd.DataFrame, *, b: int = 6) -> float:
 def approx_distinct(ds, col: str, *, b: int = 6) -> float:
     """Approximate COUNT(DISTINCT col) — one pass, one tiny shuffle."""
     return hll_estimate(hll_registers(ds, col, b=b).to_pandas(), b=b)
+
+
+# ------------------------------------------------------- Count-Min sketch
+
+def cms_partials(values, *, depth: int = 4, width: int = 1024) -> pd.DataFrame:
+    """Observed (r, cell, n) increments for one batch (pre-summed).
+    Row-r hash = md5-low-64 of ``f"{r}|{value}"`` — replayable in SQL
+    (``md5_number_lower(r || '|' || value) % width``)."""
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+
+    svals = [str(v) for v in values]
+    frames = []
+    for r in range(depth):
+        h = _md5_lower64([f"{r}|{s}" for s in svals])
+        frames.append(pd.DataFrame({
+            "r": np.int64(r),
+            "cell": (h % np.uint64(width)).astype(np.int64),
+        }))
+    df = pd.concat(frames, ignore_index=True)
+    return df.groupby(["r", "cell"], sort=False).size().reset_index(name="n")
+
+
+def cms_registers(ds, col: str, *, depth: int = 4, width: int = 1024):
+    """Dataset → Count-Min register table (r, cell, n) — registers are
+    SUM-mergeable, so per-batch partials + one tiny grouped sum give a
+    layout-invariant result (same structure as ``hll_registers``).
+    Point-frequency estimates come from ``cms_estimate``; error is
+    bounded by 2N/width with prob 1 - 2^-depth, never an underestimate."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return cms_partials(df[col].to_numpy(), depth=depth, width=width)
+
+    return (ds.map_batches(partial, batch_format="pandas")
+              .groupby(["r", "cell"])
+              .aggregate(Sum("n", alias_name="n")))
+
+
+def cms_estimate(registers: pd.DataFrame, keys, *,
+                 depth: int = 4, width: int = 1024) -> np.ndarray:
+    """min over depth rows of the key's cell count (0 if unobserved)."""
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+
+    lut = {(int(r), int(c)): int(n)
+           for r, c, n in registers[["r", "cell", "n"]].itertuples(index=False)}
+    out = np.empty(len(keys), dtype=np.int64)
+    for i, k in enumerate(keys):
+        out[i] = min(
+            lut.get((r, int(_md5_lower64([f"{r}|{k}"])[0] % np.uint64(width))), 0)
+            for r in range(depth)
+        )
+    return out

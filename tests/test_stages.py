@@ -412,3 +412,35 @@ def test_pivot_counts(ray_session):
             .set_index("k").sort_index()
         assert (out[["n_x", "n_y", "n_z"]].to_numpy()
                 == want.to_numpy()).all(), n_blocks
+
+
+def test_cms_bounds_and_merge_invariance(ray_session):
+    """Count-Min: never underestimates, tight on heavy keys, and the
+    register state is layout-invariant (sum-mergeable partials)."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.sketch import cms_estimate, cms_registers
+
+    rng = np.random.default_rng(3)
+    # zipf-ish: key 0 appears 2000x, key 1 500x, 1000 singleton keys
+    vals = np.concatenate([
+        np.zeros(2000, dtype=np.int64),
+        np.ones(500, dtype=np.int64),
+        np.arange(10, 1010, dtype=np.int64),
+    ])
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.table({"k": vals}))
+
+    regs = cms_registers(ds, "k", depth=4, width=1024).to_pandas()
+    true = pd.Series(vals).value_counts()
+    keys = [0, 1, 10, 999999]  # heavy, medium, singleton, absent
+    est = cms_estimate(regs, keys, depth=4, width=1024)
+    for k, e in zip(keys, est):
+        t = int(true.get(k, 0))
+        assert e >= t  # CMS never underestimates
+        assert e <= t + 2 * len(vals) / 1024 + 1  # standard error bound
+
+    a = regs.sort_values(["r", "cell"], ignore_index=True)
+    b = cms_registers(ds.repartition(9), "k", depth=4, width=1024) \
+        .to_pandas().sort_values(["r", "cell"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
