@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessionize": q.q_sessionize,
         "q_rolling_1h": q.q_rolling_1h,
         "q_asof_events": q.q_asof_events,
+        "q_asof_forward": q.q_asof_forward,
         "q_asof_global": q.q_asof_global,
         "q_interval_join": q.q_interval_join,
         "q_window_counts": q.q_window_counts,
@@ -446,6 +447,19 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') l
             ASOF JOIN (SELECT * FROM events WHERE event_type <> 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # forward as-of (strict): earliest later event per purchase;
+        # (user_id, ts) is tie-free in this data, so arg_min is exact
+        "q_asof_forward": """
+            WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+                 r AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type <> 'purchase')
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   MIN(r.ts) AS ts_matched,
+                   arg_min(r.value, r.ts) AS value_r
+            FROM l JOIN r ON r.user_id = l.user_id AND r.ts > l.ts
+            GROUP BY l.event_id, l.user_id, l.ts, l.value
         """,
         "q_window_counts": f"""
             WITH {_TRANSCRIPTS_CTE}

@@ -627,6 +627,27 @@ def q_asof_events(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "ts", "value", "ts_matched", "value_r"])
 
 
+def q_asof_forward(sf_dir: str):
+    """FORWARD as-of join: each purchase → earliest non-purchase event
+    strictly after it (time-to-next-event labeling). Same one-shuffle
+    bucketed design as the backward form, direction flipped."""
+    ev = read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    left = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    )
+    right = ev.filter(expr="event_type != 'purchase'").select_columns(
+        ["user_id", "ts", "value"]
+    )
+    out = asof_join(
+        left, right, by="user_id", left_on="ts", right_on="ts",
+        how="inner", direction="forward", allow_exact_matches=False,
+        num_buckets=_BUCKETS,
+    )
+    return out.select_columns(["event_id", "user_id", "ts", "value", "ts_matched", "value_r"])
+
+
 # ----------------------------------------------------------- selector kernels
 
 

@@ -444,3 +444,13 @@ def test_cms_bounds_and_merge_invariance(ray_session):
     b = cms_registers(ds.repartition(9), "k", depth=4, width=1024) \
         .to_pandas().sort_values(["r", "cell"], ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_asof_forward_strictly_after(ray_session):
+    """Forward as-of: every matched event is STRICTLY after the left
+    row (the mirror of the backward form's zero-leakage property)."""
+    from pystreamfs_ray.pipelines.queries import q_asof_forward
+
+    out = q_asof_forward("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert (out["ts_matched"] > out["ts"]).all()
