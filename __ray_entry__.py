@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sliding_stride": q.q_sliding_stride,
         "q_union_counts": q.q_union_counts,
         "q_lag_lead": q.q_lag_lead,
+        "q_window_funcs": q.q_window_funcs,
         "q_backfill": q.q_backfill,
         "q_sessionize": q.q_sessionize,
         "q_rolling_1h": q.q_rolling_1h,
@@ -149,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_groups": q.q_dedup_groups,
         "q_dedup_groups_exact": q.q_dedup_groups_exact,
         "q_text_quality": q.q_text_quality,
+        "q_repetition": q.q_repetition,
         "q_lang_id": q.q_lang_id,
         "q_corpus_curation": q.q_corpus_curation,
         "q_decode_media": q.q_decode_media,
@@ -378,6 +380,17 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT event_id, event_type FROM events WHERE event_type = 'purchase'
             ) GROUP BY event_type
+        """,
+        # cum_value sums cent-quantized ints on both sides → order-exact
+        "q_window_funcs": """
+            SELECT event_id, user_id,
+                   ROW_NUMBER() OVER w AS row_number,
+                   RANK() OVER (PARTITION BY user_id ORDER BY value DESC) AS rank_value,
+                   DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value DESC) AS dense_rank_value,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                        OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0 AS cum_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "q_lag_lead": """
             SELECT event_id, user_id, value,
@@ -645,6 +658,53 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.s, b.s)) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.s, b.s)) <= 3
+        """,
+        # Gopher (Rae et al. 2021 §A1.1) / C4 repetition filters; words
+        # are \S+ runs and lines are chr(10) splits on BOTH sides
+        "q_repetition": r"""
+            WITH l AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+            ), lc AS (
+              SELECT doc_id, line, COUNT(*) AS c, length(line) AS len
+              FROM l GROUP BY doc_id, line
+            ), lstat AS (
+              SELECT doc_id,
+                     CAST(SUM(c) AS BIGINT) AS n_lines,
+                     1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_line_frac,
+                     CAST(SUM(CASE WHEN c > 1 THEN len * c ELSE 0 END) AS DOUBLE)
+                       / GREATEST(SUM(len * c), 1) AS dup_line_char_frac
+              FROM lc GROUP BY doc_id
+            ), w AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+            ), g2 AS (
+              SELECT doc_id,
+                     unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS g
+              FROM w
+            ), g2c AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+            g2s AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+                    FROM g2c GROUP BY doc_id),
+            g3 AS (
+              SELECT doc_id,
+                     unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             FOR i IN range(1, len(ws) - 1)]) AS g
+              FROM w
+            ), g3c AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+            g3s AS (SELECT doc_id,
+                           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                             / SUM(c) AS dup_trigram_frac
+                    FROM g3c GROUP BY doc_id)
+            SELECT d.doc_id, lstat.n_lines,
+                   ROUND(COALESCE(dup_line_frac, 0.0), 6) AS dup_line_frac,
+                   ROUND(COALESCE(dup_line_char_frac, 0.0), 6) AS dup_line_char_frac,
+                   ROUND(COALESCE(top_bigram_frac, 0.0), 6) AS top_bigram_frac,
+                   ROUND(COALESCE(dup_trigram_frac, 0.0), 6) AS dup_trigram_frac,
+                   (COALESCE(dup_line_frac, 0.0) <= 0.30
+                    AND COALESCE(dup_line_char_frac, 0.0) <= 0.20
+                    AND COALESCE(top_bigram_frac, 0.0) <= 0.20
+                    AND COALESCE(dup_trigram_frac, 0.0) <= 0.18) AS keep_gopher
+            FROM documents d
+            LEFT JOIN lstat USING (doc_id) LEFT JOIN g2s USING (doc_id)
+            LEFT JOIN g3s USING (doc_id)
         """,
         "q_text_quality": f"""
             WITH toks AS (

@@ -549,6 +549,21 @@ def q_lag_lead(sf_dir: str):
     return W.per_bucket(ds, fn, entity_col="user_id", num_buckets=_BUCKETS)
 
 
+def q_window_funcs(sf_dir: str):
+    """SQL analytic functions per entity — row_number / rank /
+    dense_rank / running sum — via ONE hash shuffle + vectorized
+    grouped kernels per bucket (no per-row Python)."""
+    ds = read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = W.add_window_funcs(g, entity_col="user_id", ts_col="ts",
+                               value_col="value", id_col="event_id")
+        return g[["event_id", "user_id", "row_number", "rank_value",
+                  "dense_rank_value", "cum_value"]]
+
+    return W.per_bucket(ds, fn, entity_col="user_id", num_buckets=_BUCKETS)
+
+
 def q_backfill(sf_dir: str):
     """Forward-fill: carry the last purchase value onto later events."""
     ds = read_parquet(
@@ -1058,6 +1073,16 @@ def q_lang_id(sf_dir: str):
     return lang_id(docs, concurrency=2).map_batches(
         lambda df: df[["doc_id", "lang", "pred_lang"]], batch_format="pandas"
     )
+
+
+def q_repetition(sf_dir: str):
+    """Gopher/C4-style repetition quality signals (dup-line fraction,
+    top-bigram share, dup-trigram fraction) + the published keep
+    thresholds — doc-local, shuffle-free at any scale."""
+    from pystreamfs_ray.stages.textstats import repetition_stats
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return repetition_stats(docs)
 
 
 def q_decode_media(sf_dir: str):

@@ -286,3 +286,91 @@ def chunk_documents(ds, *, chunk_tokens: int = 128, overlap: int = 32,
         })
 
     return ds.map_batches(expand, batch_format="pandas")
+
+
+def repetition_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher/C4-style repetition signals per document (Rae et al. 2021
+    §A1.1 "repetitious text" filters; Raffel et al. 2020 C4 line dedup):
+    duplicate-line fraction, duplicate-line CHARACTER fraction, the
+    share of word-2-grams taken by the single most frequent 2-gram, and
+    the fraction of word-3-gram occurrences whose gram repeats.
+
+    Every signal is doc-local, so this is an embarrassingly parallel
+    ``map_batches`` — NO shuffle at any scale. Vectorized: one
+    findall/split pass, numpy repeat for the doc index, a grouped-shift
+    bigram/trigram construction (no per-row Python loop), and
+    pandas groupby reductions per batch.
+
+    ``keep_gopher`` applies the published Gopher thresholds
+    (dup_line_frac <= 0.30, dup_line_char_frac <= 0.20,
+    top_bigram_frac <= 0.20, dup_trigram_frac <= 0.18 — the paper's
+    "duplicate 3-gram character fraction" analog, here occurrence-based).
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        nrows = len(df)
+        texts = df[text_col]
+
+        # ---- line duplication (C4-style)
+        lines = texts.str.split("\n")
+        llen = lines.str.len().to_numpy(dtype=np.int64)
+        ldoc = np.repeat(np.arange(nrows), llen)
+        lflat = pd.Series(
+            np.fromiter((x for sub in lines for x in sub), dtype=object,
+                        count=int(llen.sum())))
+        lf = pd.DataFrame({"d": ldoc, "line": lflat.to_numpy(),
+                           "len": lflat.str.len().to_numpy(dtype=np.int64)})
+        lc = lf.groupby(["d", "line"], sort=False).agg(
+            c=("len", "size"), len=("len", "first")).reset_index()
+        tot_chars = (lc["len"] * lc["c"]).groupby(lc["d"]).sum()
+        dup_chars = (lc["len"] * lc["c"]).where(lc["c"] > 1, 0).groupby(lc["d"]).sum()
+        n_distinct = lc.groupby("d", sort=False)["c"].size()
+        n_lines = lc.groupby("d", sort=False)["c"].sum()
+        dup_line_frac = (1.0 - n_distinct / n_lines).reindex(range(nrows), fill_value=0.0)
+        dup_line_char_frac = (dup_chars / np.maximum(tot_chars, 1)).reindex(
+            range(nrows), fill_value=0.0)
+        n_lines = n_lines.reindex(range(nrows), fill_value=0).astype(np.int64)
+
+        # ---- word n-gram repetition (Gopher-style)
+        words = texts.str.findall(r"\S+")
+        wlen = words.str.len().to_numpy(dtype=np.int64)
+        wdoc = np.repeat(np.arange(nrows), wlen)
+        wflat = np.fromiter((x for sub in words for x in sub), dtype=object,
+                            count=int(wlen.sum()))
+
+        def gram_counts(n: int) -> pd.DataFrame:
+            """(doc, gram) -> count for word n-grams, built by shifting
+            the flat word array (a gram is valid when all n members share
+            the doc id)."""
+            if len(wflat) < n:
+                return pd.DataFrame({"d": [], "g": [], "c": []})
+            valid = wdoc[n - 1:] == wdoc[: len(wdoc) - n + 1]
+            parts = [pd.Series(wflat[i: len(wflat) - (n - 1 - i)][valid]) for i in range(n)]
+            g = parts[0].str.cat(parts[1:], sep=" ")
+            return (pd.DataFrame({"d": wdoc[: len(wdoc) - n + 1][valid], "g": g.to_numpy()})
+                    .groupby(["d", "g"], sort=False).size().rename("c").reset_index())
+
+        g2 = gram_counts(2)
+        tot2 = g2.groupby("d", sort=False)["c"].sum()
+        top_bigram_frac = (g2.groupby("d", sort=False)["c"].max() / tot2).reindex(
+            range(nrows), fill_value=0.0)
+        g3 = gram_counts(3)
+        tot3 = g3.groupby("d", sort=False)["c"].sum()
+        dup3 = g3["c"].where(g3["c"] > 1, 0).groupby(g3["d"]).sum()
+        dup_trigram_frac = (dup3 / tot3).reindex(range(nrows), fill_value=0.0)
+
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_lines": n_lines.to_numpy(),
+            "dup_line_frac": np.round(dup_line_frac.to_numpy(dtype=np.float64), 6),
+            "dup_line_char_frac": np.round(dup_line_char_frac.to_numpy(dtype=np.float64), 6),
+            "top_bigram_frac": np.round(top_bigram_frac.to_numpy(dtype=np.float64), 6),
+            "dup_trigram_frac": np.round(dup_trigram_frac.to_numpy(dtype=np.float64), 6),
+        })
+        out["keep_gopher"] = (
+            (out["dup_line_frac"] <= 0.30) & (out["dup_line_char_frac"] <= 0.20)
+            & (out["top_bigram_frac"] <= 0.20) & (out["dup_trigram_frac"] <= 0.18)
+        )
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -264,3 +264,26 @@ def interval_join_pairs(df: pd.DataFrame, *, left_mask_col: str,
                      for c in lpart.columns]
     rpart.columns = [c + suffixes[1] for c in rpart.columns]
     return pd.concat([lpart, rpart], axis=1)
+
+
+def add_window_funcs(df: pd.DataFrame, *, entity_col="conv_id", ts_col="ts",
+                     value_col="value", id_col=None) -> pd.DataFrame:
+    """SQL-style analytic window functions per entity, on a sorted
+    bucket: ``row_number`` (1-based, time order), ``rank`` /
+    ``dense_rank`` of ``value_col`` descending (SQL tie semantics =
+    pandas method 'min' / 'dense'), and the running ``cum_<value>``
+    in time order. The running sum is accumulated over CENT-quantized
+    integers so it is bit-equal to the SQL oracle regardless of the
+    engine's float summation order."""
+    order = [entity_col, ts_col] + ([id_col] if id_col else [])
+    df = df.sort_values(order, kind="mergesort", ignore_index=True)
+    grp = df.groupby(entity_col, sort=False)
+    df["row_number"] = (grp.cumcount() + 1).astype(np.int64)
+    vgrp = grp[value_col]
+    df[f"rank_{value_col}"] = vgrp.rank(method="min", ascending=False).astype(np.int64)
+    df[f"dense_rank_{value_col}"] = vgrp.rank(method="dense", ascending=False).astype(np.int64)
+    cents = np.floor(df[value_col].to_numpy(dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+    df[f"cum_{value_col}"] = (
+        pd.Series(cents).groupby(df[entity_col], sort=False).cumsum() / 100.0
+    )
+    return df

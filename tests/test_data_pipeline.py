@@ -493,3 +493,32 @@ def test_bpe_token_count(ray_session):
     # "I don't know." → [I][ don]['t][ know][.]  = 5
     # "abc123  x!"    → [abc][123][ ][ x][!]     = 5
     assert list(out["n_bpe_tokens"]) == [5, 5, 0]
+
+
+def test_repetition_stats_known_values(ray_session):
+    """Hand-computed Gopher/C4 repetition signals on crafted docs."""
+    import ray.data as rd
+
+    texts = {
+        0: "a b a b a b",            # bigrams: 'a b'x3, 'b a'x2 → top 3/5
+        1: "x\ny\nx\nz",             # 4 lines, 'x' duplicated
+        2: " ".join(f"w{i}" for i in range(20)),  # no repetition at all
+        3: "p q r p q r p q r",      # every trigram repeats except none unique
+    }
+    t = pa.table({"doc_id": pa.array(list(texts), type=pa.int64()),
+                  "text": list(texts.values())})
+    out = (T.repetition_stats(rd.from_arrow(t)).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+
+    assert out["n_lines"].tolist() == [1, 4, 1, 1]
+    # doc 1: 3 distinct of 4 lines → dup_line_frac 1/4; dup chars = 2
+    # occurrences of 'x' (1 char each) of 4 total chars → 0.5
+    assert out.loc[1, "dup_line_frac"] == 0.25
+    assert out.loc[1, "dup_line_char_frac"] == 0.5
+    assert out.loc[0, "top_bigram_frac"] == 0.6
+    assert out.loc[2, "top_bigram_frac"] == round(1 / 19, 6)
+    assert out.loc[2, "dup_trigram_frac"] == 0.0
+    # doc 3 trigrams: pqr x3, qrp x2, rpq x2 → all 7 occurrences repeat
+    assert out.loc[3, "dup_trigram_frac"] == 1.0
+    assert bool(out.loc[2, "keep_gopher"]) is True
+    assert bool(out.loc[0, "keep_gopher"]) is False

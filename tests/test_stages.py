@@ -454,3 +454,25 @@ def test_asof_forward_strictly_after(ray_session):
     out = q_asof_forward("/root/testdata/sf0.001").to_pandas()
     assert len(out) > 0
     assert (out["ts_matched"] > out["ts"]).all()
+
+
+def test_add_window_funcs_sql_tie_semantics(ray_session):
+    """RANK leaves gaps on ties, DENSE_RANK doesn't; running sum is
+    cent-exact in time order."""
+    import pandas as pd
+    from pystreamfs_ray.stages import window as W
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2],
+        "ts": pd.to_datetime([1, 2, 3, 4, 1], unit="s"),
+        "event_id": [10, 11, 12, 13, 14],
+        "value": [5.0, 7.0, 7.0, 1.0, 3.0],
+    })
+    out = W.add_window_funcs(df, entity_col="user_id", ts_col="ts",
+                             value_col="value", id_col="event_id")
+    u1 = out[out["user_id"] == 1]
+    assert u1["row_number"].tolist() == [1, 2, 3, 4]
+    assert u1["rank_value"].tolist() == [3, 1, 1, 4]        # gap after tie
+    assert u1["dense_rank_value"].tolist() == [2, 1, 1, 3]  # no gap
+    assert u1["cum_value"].tolist() == [5.0, 12.0, 19.0, 20.0]
+    assert out[out["user_id"] == 2]["row_number"].tolist() == [1]
