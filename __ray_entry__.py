@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_groups_exact": q.q_dedup_groups_exact,
         "q_text_quality": q.q_text_quality,
         "q_repetition": q.q_repetition,
+        "q_decontaminate": q.q_decontaminate,
         "q_lang_id": q.q_lang_id,
         "q_corpus_curation": q.q_corpus_curation,
         "q_decode_media": q.q_decode_media,
@@ -658,6 +659,27 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.s, b.s)) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.s, b.s)) <= 3
+        """,
+        # word 4-gram overlap vs the 10%-hash-sampled eval split; the
+        # engine joins on md5-low-64 gram hashes = md5_number_lower, so
+        # counting DISTINCT grams == counting distinct hashes
+        "q_decontaminate": r"""
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+            ), g AS (
+              SELECT DISTINCT doc_id,
+                     unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                             FOR i IN range(1, len(ws) - 2)]) AS g
+              FROM w
+            ), ev AS (
+              SELECT doc_id FROM documents
+              WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 65536
+                    < CAST(0.10 * 65536 AS UBIGINT)
+            ), eg AS (SELECT DISTINCT g.g FROM g JOIN ev USING (doc_id))
+            SELECT g.doc_id, COUNT(*) AS n_shared
+            FROM g JOIN eg USING (g)
+            WHERE g.doc_id NOT IN (SELECT doc_id FROM ev)
+            GROUP BY g.doc_id
         """,
         # Gopher (Rae et al. 2021 §A1.1) / C4 repetition filters; words
         # are \S+ runs and lines are chr(10) splits on BOTH sides

@@ -1075,6 +1075,16 @@ def q_lang_id(sf_dir: str):
     )
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: corpus docs sharing any word 4-gram
+    with the (10% hash-sampled) eval split, with distinct-gram overlap
+    counts — one distributed hash join on 64-bit gram hashes."""
+    from pystreamfs_ray.stages.decontam import decontaminate
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return decontaminate(docs, n=4, eval_rate=0.10)
+
+
 def q_repetition(sf_dir: str):
     """Gopher/C4-style repetition quality signals (dup-line fraction,
     top-bigram share, dup-trigram fraction) + the published keep

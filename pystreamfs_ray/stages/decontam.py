@@ -1,0 +1,100 @@
+"""Train/eval decontamination — flag corpus documents that share any
+word n-gram with a held-out evaluation set (the standard benchmark-
+contamination check run before pre-training; cf. GPT-3 appendix C /
+PaLM §7 n-gram overlap definitions).
+
+Design for 100 TB: both sides reduce to DISTINCT (doc, gram-hash)
+pairs built with one vectorized pass per batch (no per-row Python),
+then ONE distributed hash join on the 64-bit gram hash and a grouped
+count. The eval side is typically tiny relative to the corpus, so the
+join shuffles mostly eval-sized state; gram hashes are md5-low-64
+(`dedup._md5_lower64`) so every result is DuckDB-oracle-checkable via
+``md5_number_lower``. Membership in the eval set is a deterministic
+hash predicate on the id (same rule as ``sources.sample_by_hash``) —
+no driver-side id list, no broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pystreamfs_ray.stages.dedup import _md5_lower64
+
+
+def ngram_hash_pairs(ds, *, n: int = 4, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """DISTINCT (id, gram-hash) pairs for word n-grams (words = ``\\S+``
+    runs). Vectorized: one findall pass, numpy repeat/shift for gram
+    assembly, md5 over the batch's UNIQUE gram strings only."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        words = df[text_col].str.findall(r"\S+")
+        wlen = words.str.len().to_numpy(dtype=np.int64)
+        wdoc = np.repeat(np.arange(len(df)), wlen)
+        wflat = np.fromiter((x for sub in words for x in sub), dtype=object,
+                            count=int(wlen.sum()))
+        if len(wflat) < n:
+            return pd.DataFrame({id_col: df[id_col].iloc[:0], "gh": np.array([], dtype=np.int64)})
+        valid = wdoc[n - 1:] == wdoc[: len(wdoc) - n + 1]
+        parts = [pd.Series(wflat[i: len(wflat) - (n - 1 - i)][valid]) for i in range(n)]
+        grams = parts[0].str.cat(parts[1:], sep=" ")
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy()[wdoc[: len(wdoc) - n + 1][valid]],
+            "g": grams.to_numpy(),
+        }).drop_duplicates()
+        uniq, inv = np.unique(out["g"].to_numpy(), return_inverse=True)
+        # signed view: Ray's hash join promotes mixed blocks to int64 —
+        # the hash is join-internal, so the reinterpretation is lossless
+        out["gh"] = _md5_lower64(list(uniq))[inv].view(np.int64)
+        return out[[id_col, "gh"]]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def eval_mask_expr(id_col: str, rate: float) -> str:
+    """The deterministic eval-membership predicate (engine side uses the
+    vectorized equivalent in ``sources.sample_by_hash``)."""
+    return (f"md5_number_lower(CAST({id_col} AS VARCHAR)) % 65536 "
+            f"< CAST({rate} * 65536 AS UBIGINT)")
+
+
+def _hash_member_mask(ids, rate: float) -> np.ndarray:
+    thresh = np.uint64(int(rate * 65536))
+    hv = _md5_lower64([str(i) for i in ids]) % np.uint64(65536)
+    return hv < thresh
+
+
+def decontaminate(ds, *, n: int = 4, eval_rate: float = 0.10,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  num_partitions: int | None = None):
+    """(id, n_shared) for every NON-eval document sharing at least one
+    word n-gram with any eval document. ``n_shared`` counts the
+    document's distinct contaminated grams. One hash join + one grouped
+    count; nothing is materialized on the driver."""
+    from ray.data.aggregate import Count
+
+    if num_partitions is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = min(64, max(4, cpus // 2))
+
+    def split(member: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            m = _hash_member_mask(df[id_col].to_numpy(), eval_rate)
+            return df[m if member else ~m]
+
+        return fn
+
+    corpus_grams = ngram_hash_pairs(
+        ds.map_batches(split(False), batch_format="pandas"),
+        n=n, id_col=id_col, text_col=text_col)
+    eval_grams = (
+        ngram_hash_pairs(ds.map_batches(split(True), batch_format="pandas"),
+                         n=n, id_col=id_col, text_col=text_col)
+        .groupby("gh").aggregate(Count(alias_name="__c")).drop_columns(["__c"])
+    )
+    hits = corpus_grams.join(eval_grams, join_type="inner",
+                             num_partitions=num_partitions, on=("gh",))
+    return hits.groupby(id_col).aggregate(Count(alias_name="n_shared"))

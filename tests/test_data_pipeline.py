@@ -522,3 +522,30 @@ def test_repetition_stats_known_values(ray_session):
     assert out.loc[3, "dup_trigram_frac"] == 1.0
     assert bool(out.loc[2, "keep_gopher"]) is True
     assert bool(out.loc[0, "keep_gopher"]) is False
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    """A corpus doc sharing exactly two distinct 4-grams with an eval
+    doc is flagged with n_shared=2; clean docs are absent."""
+    import ray.data as rd
+    from pystreamfs_ray.stages.decontam import _hash_member_mask, decontaminate
+
+    # find one eval id and some corpus ids under the 50% hash rule
+    ids = list(range(40))
+    mask = _hash_member_mask(ids, 0.5)
+    ev = [i for i, m in zip(ids, mask) if m][0]
+    co = [i for i, m in zip(ids, mask) if not m][:3]
+
+    shared = "alpha beta gamma delta epsilon"  # two distinct 4-grams
+    texts = {
+        ev: f"PRE {shared} POST",
+        co[0]: f"x y {shared} z",              # contaminated, 2 grams
+        co[1]: "totally different words here no overlap at all",
+        co[2]: "alpha beta gamma QQQ epsilon",  # only 3-gram overlap → clean
+    }
+    t = pa.table({"doc_id": pa.array(list(texts), type=pa.int64()),
+                  "text": list(texts.values())})
+    out = decontaminate(rd.from_arrow(t), n=4, eval_rate=0.5,
+                        num_partitions=2).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_shared"]))
+    assert got == {co[0]: 2}
