@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_text_quality": q.q_text_quality,
         "q_repetition": q.q_repetition,
         "q_decontaminate": q.q_decontaminate,
+        "q_pack_sequences": q.q_pack_sequences,
         "q_lang_id": q.q_lang_id,
         "q_corpus_curation": q.q_corpus_curation,
         "q_decode_media": q.q_decode_media,
@@ -659,6 +660,29 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.s, b.s)) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.s, b.s)) <= 3
+        """,
+        # concat-and-chunk packing layout: global exclusive prefix sum
+        # of \S+ token counts in doc_id order, spans cut at 512
+        "q_pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), p AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+              FROM t
+            )
+            SELECT doc_id, n_tokens, tok_start,
+                   tok_start + n_tokens AS tok_end,
+                   tok_start // 512 AS pack_first,
+                   CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+                        ELSE tok_start // 512 END AS pack_last,
+                   CASE WHEN n_tokens > 0
+                        THEN (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1
+                        ELSE 0 END AS n_packs
+            FROM p
         """,
         # word 4-gram overlap vs the 10%-hash-sampled eval split; the
         # engine joins on md5-low-64 gram hashes = md5_number_lower, so

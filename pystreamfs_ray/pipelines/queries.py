@@ -1075,6 +1075,16 @@ def q_lang_id(sf_dir: str):
     )
 
 
+def q_pack_sequences(sf_dir: str):
+    """GPT-style concat-and-chunk packing layout (512-token sequences)
+    over the document corpus — a two-phase distributed prefix scan
+    (O(P) driver state) + vectorized span math."""
+    from pystreamfs_ray.stages.packing import pack_sequences
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return pack_sequences(docs, seq_len=512)
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: corpus docs sharing any word 4-gram
     with the (10% hash-sampled) eval split, with distinct-gram overlap

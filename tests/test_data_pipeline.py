@@ -549,3 +549,32 @@ def test_decontaminate_planted_overlap(ray_session):
                         num_partitions=2).to_pandas()
     got = dict(zip(out["doc_id"], out["n_shared"]))
     assert got == {co[0]: 2}
+
+
+def test_pack_sequences_contiguous_and_partition_invariant(ray_session):
+    """Spans tile the token stream exactly (no gaps/overlaps) and the
+    layout is identical at any partition count (two-phase scan is
+    exact, boundaries only affect balance)."""
+    import ray.data as rd
+    from pystreamfs_ray.stages.packing import pack_sequences
+
+    rng = np.random.default_rng(7)
+    texts = [" ".join(f"t{i}" for i in range(rng.integers(0, 40))) for _ in range(300)]
+    t = pa.table({"doc_id": pa.array(range(300), type=pa.int64()), "text": texts})
+
+    out = (pack_sequences(rd.from_arrow(t), seq_len=64, num_partitions=7)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert out["tok_start"].iloc[0] == 0
+    assert (out["tok_start"].iloc[1:].to_numpy()
+            == out["tok_end"].iloc[:-1].to_numpy()).all()
+    total = out["n_tokens"].sum()
+    assert out["tok_end"].iloc[-1] == total
+    assert out["pack_last"].max() == (total - 1) // 64
+    nonempty = out[out["n_tokens"] > 0]
+    assert (nonempty["n_packs"]
+            == nonempty["pack_last"] - nonempty["pack_first"] + 1).all()
+    assert (out.loc[out["n_tokens"] == 0, "n_packs"] == 0).all()
+
+    single = (pack_sequences(rd.from_arrow(t), seq_len=64, num_partitions=1)
+              .to_pandas().sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(out, single)
