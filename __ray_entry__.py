@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_repetition": q.q_repetition,
         "q_decontaminate": q.q_decontaminate,
         "q_pack_sequences": q.q_pack_sequences,
+        "q_json_extract": q.q_json_extract,
         "q_lang_id": q.q_lang_id,
         "q_corpus_curation": q.q_corpus_curation,
         "q_decode_media": q.q_decode_media,
@@ -660,6 +661,14 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.s, b.s)) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.s, b.s)) <= 3
+        """,
+        # true JSON parse on the oracle side vs RE2 extraction engine-side
+        "q_json_extract": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
         """,
         # concat-and-chunk packing layout: global exclusive prefix sum
         # of \S+ token counts in doc_id order, spans cut at 512

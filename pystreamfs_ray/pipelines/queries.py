@@ -1075,6 +1075,28 @@ def q_lang_id(sf_dir: str):
     )
 
 
+def q_json_extract(sf_dir: str):
+    """Semi-structured extraction: pull the integer field ``k`` out of
+    the JSON ``props`` column with a zero-copy Arrow RE2 kernel
+    (`pc.extract_regex`), then a grouped roll-up. The oracle parses
+    with DuckDB's real JSON reader — a cross-implementation check that
+    the vectorized extraction equals true JSON semantics here."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = read_parquet(_p(sf_dir, "events"), columns=["event_type", "props"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = pc.extract_regex(t["props"], r'"k"\s*:\s*(?P<k>-?[0-9]+)')
+        k = pc.cast(pc.struct_field(x, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    return (ds.map_batches(fn, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("k", alias_name="sum_k"),
+                       Max("k", alias_name="max_k"),
+                       Count(alias_name="n")))
+
+
 def q_pack_sequences(sf_dir: str):
     """GPT-style concat-and-chunk packing layout (512-token sequences)
     over the document corpus — a two-phase distributed prefix scan

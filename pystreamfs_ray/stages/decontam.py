@@ -28,26 +28,34 @@ def ngram_hash_pairs(ds, *, n: int = 4, id_col: str = "doc_id",
     runs). Vectorized: one findall pass, numpy repeat/shift for gram
     assembly, md5 over the batch's UNIQUE gram strings only."""
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+
+    def fn(df: pd.DataFrame) -> pa.Table:
+        ids = np.asarray([], dtype=np.int64)
+        ghs = np.asarray([], dtype=np.int64)
         words = df[text_col].str.findall(r"\S+")
         wlen = words.str.len().to_numpy(dtype=np.int64)
         wdoc = np.repeat(np.arange(len(df)), wlen)
         wflat = np.fromiter((x for sub in words for x in sub), dtype=object,
                             count=int(wlen.sum()))
-        if len(wflat) < n:
-            return pd.DataFrame({id_col: df[id_col].iloc[:0], "gh": np.array([], dtype=np.int64)})
-        valid = wdoc[n - 1:] == wdoc[: len(wdoc) - n + 1]
-        parts = [pd.Series(wflat[i: len(wflat) - (n - 1 - i)][valid]) for i in range(n)]
-        grams = parts[0].str.cat(parts[1:], sep=" ")
-        out = pd.DataFrame({
-            id_col: df[id_col].to_numpy()[wdoc[: len(wdoc) - n + 1][valid]],
-            "g": grams.to_numpy(),
-        }).drop_duplicates()
-        uniq, inv = np.unique(out["g"].to_numpy(), return_inverse=True)
-        # signed view: Ray's hash join promotes mixed blocks to int64 —
-        # the hash is join-internal, so the reinterpretation is lossless
-        out["gh"] = _md5_lower64(list(uniq))[inv].view(np.int64)
-        return out[[id_col, "gh"]]
+        if len(wflat) >= n:
+            valid = wdoc[n - 1:] == wdoc[: len(wdoc) - n + 1]
+            parts = [pd.Series(wflat[i: len(wflat) - (n - 1 - i)][valid]) for i in range(n)]
+            grams = parts[0].str.cat(parts[1:], sep=" ")
+            out = pd.DataFrame({
+                id_col: df[id_col].to_numpy()[wdoc[: len(wdoc) - n + 1][valid]],
+                "g": grams.to_numpy(),
+            }).drop_duplicates()
+            uniq, inv = np.unique(out["g"].to_numpy(), return_inverse=True)
+            ids = out[id_col].to_numpy(dtype=np.int64)
+            # signed view: Ray's hash join promotes mixed blocks to
+            # int64 — the hash is join-internal, so the
+            # reinterpretation is lossless
+            ghs = _md5_lower64(list(uniq))[inv].view(np.int64)
+        # Arrow out: the downstream groupby/join shuffles compact C++
+        # buffers and the metadata-free schema keeps Ray's shuffle
+        # schema-dedup fast path on (see window.per_bucket)
+        return pa.table({id_col: pa.array(ids), "gh": pa.array(ghs)})
 
     return ds.map_batches(fn, batch_format="pandas")
 
