@@ -679,18 +679,18 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ), p AS (
               SELECT doc_id, n_tokens,
-                     COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
               FROM t
             )
             SELECT doc_id, n_tokens, tok_start,
-                   tok_start + n_tokens AS tok_end,
-                   tok_start // 512 AS pack_first,
-                   CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
-                        ELSE tok_start // 512 END AS pack_last,
-                   CASE WHEN n_tokens > 0
+                   CAST(tok_start + n_tokens AS BIGINT) AS tok_end,
+                   CAST(tok_start // 512 AS BIGINT) AS pack_first,
+                   CAST(CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+                        ELSE tok_start // 512 END AS BIGINT) AS pack_last,
+                   CAST(CASE WHEN n_tokens > 0
                         THEN (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1
-                        ELSE 0 END AS n_packs
+                        ELSE 0 END AS BIGINT) AS n_packs
             FROM p
         """,
         # word 4-gram overlap vs the 10%-hash-sampled eval split; the
@@ -835,8 +835,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source,
                    COUNT(*) AS n_docs,
-                   SUM(CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS total_tokens,
+                   CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
                    CAST(SUM(CAST(FLOOR(quality_score * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
                      / 1000000.0 / COUNT(*) AS avg_quality
             FROM kept
