@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "q_minhash_pairs",
     "q_ngram_jaccard",
     "q_corpus_curation",
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_repetition",
     "q_region_revenue",
 ]
 

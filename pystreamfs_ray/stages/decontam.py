@@ -4,20 +4,22 @@ contamination check run before pre-training; cf. GPT-3 appendix C /
 PaLM §7 n-gram overlap definitions).
 
 Design for 100 TB: both sides reduce to DISTINCT (doc, gram-hash)
-pairs built with one vectorized pass per batch (no per-row Python),
-then ONE distributed hash join on the 64-bit gram hash and a grouped
-count. The eval side is typically tiny relative to the corpus, so the
-join shuffles mostly eval-sized state; gram hashes are md5-low-64
-(`dedup._md5_lower64`) so every result is DuckDB-oracle-checkable via
-``md5_number_lower``. Membership in the eval set is a deterministic
-hash predicate on the id (same rule as ``sources.sample_by_hash``) —
-no driver-side id list, no broadcast.
+pairs built with one vectorized pass per batch (no per-row Python).
+The eval side (a benchmark suite) is tiny relative to the corpus, so
+its distinct gram hashes are broadcast once and corpus grams filter
+against them vectorized — ONE shuffle total; a distributed hash join
+is the automatic fallback when the eval side is too big to broadcast.
+Gram hashes are md5-low-64 (`dedup._md5_lower64`) so every result is
+DuckDB-oracle-checkable via ``md5_number_lower``. Membership in the
+eval set is a deterministic hash predicate on the id (same rule as
+``sources.sample_by_hash``) — no driver-side id list.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from pystreamfs_ray.stages.dedup import _md5_lower64
 
@@ -27,8 +29,6 @@ def ngram_hash_pairs(ds, *, n: int = 4, id_col: str = "doc_id",
     """DISTINCT (id, gram-hash) pairs for word n-grams (words = ``\\S+``
     runs). Vectorized: one findall pass, numpy repeat/shift for gram
     assembly, md5 over the batch's UNIQUE gram strings only."""
-
-    import pyarrow as pa
 
     def fn(df: pd.DataFrame) -> pa.Table:
         ids = np.asarray([], dtype=np.int64)
@@ -75,18 +75,22 @@ def _hash_member_mask(ids, rate: float) -> np.ndarray:
 
 def decontaminate(ds, *, n: int = 4, eval_rate: float = 0.10,
                   id_col: str = "doc_id", text_col: str = "text",
-                  num_partitions: int | None = None):
+                  num_partitions: int | None = None,
+                  broadcast_threshold: int = 5_000_000):
     """(id, n_shared) for every NON-eval document sharing at least one
     word n-gram with any eval document. ``n_shared`` counts the
-    document's distinct contaminated grams. One hash join + one grouped
-    count; nothing is materialized on the driver."""
+    document's distinct contaminated grams.
+
+    The eval side (a benchmark suite) is tiny relative to the corpus by
+    construction, so the default path broadcasts its distinct gram
+    hashes once (``ray.put`` → zero-copy shared numpy in every task)
+    and filters corpus grams with a vectorized ``searchsorted`` —
+    leaving ONE shuffle total (the final grouped count). Above
+    ``broadcast_threshold`` distinct eval grams it falls back to a
+    distributed hash join (three shuffle stages), the path for
+    eval-vs-eval style jobs where neither side is small."""
+    import ray
     from ray.data.aggregate import Count
-
-    if num_partitions is None:
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = min(64, max(4, cpus // 2))
 
     def split(member: bool):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -98,11 +102,30 @@ def decontaminate(ds, *, n: int = 4, eval_rate: float = 0.10,
     corpus_grams = ngram_hash_pairs(
         ds.map_batches(split(False), batch_format="pandas"),
         n=n, id_col=id_col, text_col=text_col)
-    eval_grams = (
-        ngram_hash_pairs(ds.map_batches(split(True), batch_format="pandas"),
-                         n=n, id_col=id_col, text_col=text_col)
-        .groupby("gh").aggregate(Count(alias_name="__c")).drop_columns(["__c"])
-    )
-    hits = corpus_grams.join(eval_grams, join_type="inner",
-                             num_partitions=num_partitions, on=("gh",))
+    eval_pairs = ngram_hash_pairs(
+        ds.map_batches(split(True), batch_format="pandas"),
+        n=n, id_col=id_col, text_col=text_col)
+
+    eval_count = eval_pairs.count()
+    if eval_count <= broadcast_threshold:
+        gh = np.unique(eval_pairs.select_columns(["gh"]).to_pandas()["gh"].to_numpy())
+        ref = ray.put(gh)  # sorted by np.unique
+
+        def flag(t: pa.Table) -> pa.Table:
+            arr = ray.get(ref)
+            v = t["gh"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(arr, v)
+            pos[pos == len(arr)] = 0
+            hit = arr[pos] == v if len(arr) else np.zeros(len(v), bool)
+            return t.filter(pa.array(hit))
+
+        hits = corpus_grams.map_batches(flag, batch_format="pyarrow")
+    else:
+        if num_partitions is None:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            num_partitions = min(64, max(4, cpus // 2))
+        eval_grams = (eval_pairs.groupby("gh")
+                      .aggregate(Count(alias_name="__c")).drop_columns(["__c"]))
+        hits = corpus_grams.join(eval_grams, join_type="inner",
+                                 num_partitions=num_partitions, on=("gh",))
     return hits.groupby(id_col).aggregate(Count(alias_name="n_shared"))

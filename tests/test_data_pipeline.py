@@ -550,6 +550,11 @@ def test_decontaminate_planted_overlap(ray_session):
     got = dict(zip(out["doc_id"], out["n_shared"]))
     assert got == {co[0]: 2}
 
+    # join fallback (eval too big to broadcast) must agree exactly
+    out2 = decontaminate(rd.from_arrow(t), n=4, eval_rate=0.5,
+                         num_partitions=2, broadcast_threshold=0).to_pandas()
+    assert dict(zip(out2["doc_id"], out2["n_shared"])) == got
+
 
 def test_pack_sequences_contiguous_and_partition_invariant(ray_session):
     """Spans tile the token stream exactly (no gaps/overlaps) and the
