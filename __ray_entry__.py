@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_word_topk": q.q_word_topk,
         "q_hll_users": q.q_hll_users,
         "q_cms_users": q.q_cms_users,
+        "q_hist_value": q.q_hist_value,
         "q_dedup_exact": q.q_dedup_exact,
         "q_token_stats": q.q_token_stats,
         "q_bpe_tokens": q.q_bpe_tokens,
@@ -542,6 +543,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(r AS BIGINT) AS r, cell, COUNT(*) AS n
             FROM h GROUP BY r, cell
+        """,
+        # equi-width histogram registers; same left-to-right float
+        # expression ((v-lo)*bins)/(hi-lo) as the engine's binify
+        "q_hist_value": """
+            WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+            SELECT LEAST(GREATEST(CAST(FLOOR((value - lo) * 64 / (hi - lo))
+                                       AS BIGINT), 0), 63) AS bin,
+                   COUNT(*) AS n
+            FROM events, mm GROUP BY 1
         """,
         "q_token_stats": r"""
             SELECT doc_id,

@@ -846,6 +846,16 @@ def q_cms_users(sf_dir: str):
     return cms_registers(ev, "user_id", depth=4, width=1024)
 
 
+def q_hist_value(sf_dir: str):
+    """Equi-width histogram registers over events.value (the mergeable
+    approximate-quantile sketch) — register state oracle-checked."""
+    from pystreamfs_ray.stages.sketch import hist_registers
+
+    ds = read_parquet(_p(sf_dir, "events"), columns=["value"])
+    regs, _, _ = hist_registers(ds, "value", bins=64)
+    return regs
+
+
 def q_dedup_exact(sf_dir: str):
     from pystreamfs_ray.stages.dedup import exact_dedup
 

@@ -133,3 +133,56 @@ def cms_estimate(registers: pd.DataFrame, keys, *,
             for r in range(depth)
         )
     return out
+
+
+# ------------------------------------------------------- histogram sketch
+
+
+def hist_registers(ds, col: str, *, bins: int = 64,
+                   lo: float | None = None, hi: float | None = None):
+    """Equi-width histogram registers (bin, n) over a numeric column —
+    the sum-mergeable sketch behind approximate quantiles / CDFs at
+    scale (one tiny groupby of ≤ ``bins`` rows; layout-invariant).
+    Range defaults to the column's exact [min, max] (one cheap
+    aggregate pass). The bin expression mirrors the DuckDB oracle
+    token-for-token, so registers are bit-identical."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    if lo is None or hi is None:
+        mm = ds.aggregate(Min(col), Max(col))
+        lo = float(mm[f"min({col})"]) if lo is None else lo
+        hi = float(mm[f"max({col})"]) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1.0
+
+    def binify(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(((v - lo) * bins) / (hi - lo)).astype(np.int64)
+        b = np.minimum(np.maximum(b, 0), bins - 1)
+        return pa.table({"bin": pa.array(b)})
+
+    regs = (ds.map_batches(binify, batch_format="pyarrow")
+            .groupby("bin").aggregate(Count(alias_name="n")))
+    return regs, float(lo), float(hi)
+
+
+def hist_quantile(registers: pd.DataFrame, qs, *, lo: float, hi: float,
+                  bins: int = 64) -> list[float]:
+    """Approximate quantiles from histogram registers by linear
+    interpolation inside the located bin (error ≤ one bin width)."""
+    full = np.zeros(bins, dtype=np.int64)
+    full[registers["bin"].to_numpy()] = registers["n"].to_numpy()
+    cum = np.cumsum(full)
+    total = cum[-1]
+    w = (hi - lo) / bins
+    out = []
+    for q in np.atleast_1d(qs):
+        target = q * total
+        b = int(np.searchsorted(cum, target, side="left"))
+        b = min(b, bins - 1)
+        prev = cum[b - 1] if b > 0 else 0
+        frac = (target - prev) / max(full[b], 1)
+        out.append(lo + (b + min(max(frac, 0.0), 1.0)) * w)
+    return out

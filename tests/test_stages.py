@@ -476,3 +476,28 @@ def test_add_window_funcs_sql_tie_semantics(ray_session):
     assert u1["dense_rank_value"].tolist() == [2, 1, 1, 3]  # no gap
     assert u1["cum_value"].tolist() == [5.0, 12.0, 19.0, 20.0]
     assert out[out["user_id"] == 2]["row_number"].tolist() == [1]
+
+
+def test_hist_sketch_quantiles_and_merge_invariance(ray_session):
+    """Histogram registers are layout-invariant (sum-mergeable) and the
+    derived quantiles land within one bin width of the exact ones."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from pystreamfs_ray.stages.sketch import hist_quantile, hist_registers
+
+    rng = np.random.default_rng(11)
+    vals = rng.gamma(2.0, 3.0, size=20_000)
+    ds = rd.from_arrow(pa.table({"v": vals}))
+
+    regs, lo, hi = hist_registers(ds, "v", bins=128)
+    a = regs.to_pandas().sort_values("bin", ignore_index=True)
+    regs2, _, _ = hist_registers(ds.repartition(13), "v", bins=128)
+    b = regs2.to_pandas().sort_values("bin", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["n"].sum() == len(vals)
+
+    w = (hi - lo) / 128
+    approx = hist_quantile(a, [0.25, 0.5, 0.9], lo=lo, hi=hi, bins=128)
+    exact = np.quantile(vals, [0.25, 0.5, 0.9])
+    assert np.all(np.abs(np.array(approx) - exact) <= w + 1e-9)
