@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decontaminate": q.q_decontaminate,
         "q_pack_sequences": q.q_pack_sequences,
         "q_json_extract": q.q_json_extract,
+        "q_tfidf": q.q_tfidf,
         "q_lang_id": q.q_lang_id,
         "q_corpus_curation": q.q_corpus_curation,
         "q_decode_media": q.q_decode_media,
@@ -671,6 +672,28 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.s, b.s)) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.s, b.s)) <= 3
+        """,
+        # smooth idf = ln((N+1)/(df+1)) + 1; both sides round the score
+        # to 6 dp BEFORE the (score desc, term asc) tie-broken ranking
+        "q_tfidf": r"""
+            WITH w AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS wd
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, wd, COUNT(*) AS tf FROM w GROUP BY doc_id, wd
+            ), df AS (
+              SELECT wd, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY wd
+            ), n AS (SELECT COUNT(*) AS n FROM documents),
+            s AS (
+              SELECT tf.doc_id, tf.wd,
+                     ROUND(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS score
+              FROM tf JOIN df USING (wd) CROSS JOIN n
+            )
+            SELECT doc_id, wd AS top_term, score FROM (
+              SELECT doc_id, wd, score,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, wd) AS rn
+              FROM s) WHERE rn = 1
         """,
         # true JSON parse on the oracle side vs RE2 extraction engine-side
         "q_json_extract": """

@@ -1085,6 +1085,15 @@ def q_lang_id(sf_dir: str):
     )
 
 
+def q_tfidf(sf_dir: str):
+    """Per-document top TF-IDF term — combiner-style document
+    frequencies (vocab-sized shuffle only) + broadcast idf table."""
+    from pystreamfs_ray.stages.textstats import tfidf_top_term
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return tfidf_top_term(docs)
+
+
 def q_json_extract(sf_dir: str):
     """Semi-structured extraction: pull the integer field ``k`` out of
     the JSON ``props`` column with a zero-copy Arrow RE2 kernel

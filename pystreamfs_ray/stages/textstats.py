@@ -374,3 +374,61 @@ def repetition_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
         return out
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def tfidf_top_term(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document top TF-IDF term (smooth idf = ln((N+1)/(df+1)) + 1,
+    raw-count tf; deterministic (score desc, term asc) tie-break).
+
+    Scale shape: document frequencies are pre-aggregated inside each
+    batch (distinct (doc, term) → per-term partial counts — the
+    combiner pattern), so the only shuffle is a vocabulary-sized
+    groupby-sum; the df table is then broadcast once (``ray.put``) and
+    the scoring pass is doc-local. Term frequencies never shuffle."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    n_docs = ds.count()
+
+    def df_partials(df: pd.DataFrame) -> pd.DataFrame:
+        words = df[text_col].str.findall(r"\S+")
+        wlen = words.str.len().to_numpy(dtype=np.int64)
+        wdoc = np.repeat(np.arange(len(df)), wlen)
+        wflat = np.fromiter((x for sub in words for x in sub), dtype=object,
+                            count=int(wlen.sum()))
+        pairs = pd.DataFrame({"d": wdoc, "w": wflat}).drop_duplicates()
+        vc = pairs["w"].value_counts()
+        return pd.DataFrame({"w": vc.index.to_numpy(), "pdf": vc.to_numpy()})
+
+    df_tbl = (ds.map_batches(df_partials, batch_format="pandas")
+              .groupby("w").aggregate(Sum("pdf", alias_name="df")).to_pandas())
+    order = np.argsort(df_tbl["w"].to_numpy())
+    vocab = df_tbl["w"].to_numpy()[order]
+    dfs = df_tbl["df"].to_numpy()[order].astype(np.float64)
+    ref = ray.put((vocab, dfs))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        vocab, dfs = ray.get(ref)
+        idf = np.log((n_docs + 1.0) / (dfs + 1.0)) + 1.0
+        words = df[text_col].str.findall(r"\S+")
+        wlen = words.str.len().to_numpy(dtype=np.int64)
+        wdoc = np.repeat(np.arange(len(df)), wlen)
+        wflat = np.fromiter((x for sub in words for x in sub), dtype=object,
+                            count=int(wlen.sum()))
+        tf = (pd.DataFrame({"d": wdoc, "w": wflat})
+              .groupby(["d", "w"], sort=False).size().rename("tf").reset_index())
+        pos = np.searchsorted(vocab, tf["w"].to_numpy())
+        s = np.round(tf["tf"].to_numpy(dtype=np.float64) * idf[pos], 6)
+        tf["score"] = s
+        # top-1 per doc by (score desc, term asc) — lexsort is stable
+        tf = tf.sort_values(["d", "score", "w"],
+                            ascending=[True, False, True], kind="mergesort")
+        top = tf.groupby("d", sort=False).head(1)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[top["d"].to_numpy()],
+            "top_term": top["w"].to_numpy(),
+            "score": top["score"].to_numpy(),
+        })
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -583,3 +583,30 @@ def test_pack_sequences_contiguous_and_partition_invariant(ray_session):
     single = (pack_sequences(rd.from_arrow(t), seq_len=64, num_partitions=1)
               .to_pandas().sort_values("doc_id", ignore_index=True))
     pd.testing.assert_frame_equal(out, single)
+
+
+def test_tfidf_top_term_known_values(ray_session):
+    """Hand-computed smooth TF-IDF (ln((N+1)/(df+1))+1) on crafted docs,
+    including the (score desc, term asc) tie-break."""
+    import math
+
+    import ray.data as rd
+
+    texts = {
+        0: "apple apple banana",     # tf(apple)=2 beats banana
+        1: "banana cherry",          # both tf=1, df=2 → tie, term-asc → banana
+        2: "date date cherry",       # tf(date)=2, df(date)=1
+        3: "egg fig",                # tie on tf and df → term-asc picks egg
+    }
+    t = pa.table({"doc_id": pa.array(list(texts), type=pa.int64()),
+                  "text": list(texts.values())})
+    out = (T.tfidf_top_term(rd.from_arrow(t)).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+
+    def idf(df):
+        return math.log((4 + 1.0) / (df + 1.0)) + 1.0
+
+    assert out["top_term"].tolist() == ["apple", "banana", "date", "egg"]
+    assert out.loc[0, "score"] == round(2 * idf(1), 6)
+    assert out.loc[1, "score"] == round(1 * idf(2), 6)
+    assert out.loc[3, "score"] == round(1 * idf(1), 6)
