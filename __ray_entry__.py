@@ -103,6 +103,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_grouped_quantiles": q.q_grouped_quantiles,
         "q_pivot_events": q.q_pivot_events,
         "q_stratified_sample": q.q_stratified_sample,
+        "q_percent_rank": q.q_percent_rank,
+        "q_group_zscore": q.q_group_zscore,
+        "q_funnel": q.q_funnel,
+        "q_new_users": q.q_new_users,
         # transcript pipeline (sessionize / window / lag / backfill / as-of)
         "q_transcripts": q.q_transcripts,
         "q_featurize": q.q_featurize,
@@ -137,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cms_users": q.q_cms_users,
         "q_hist_value": q.q_hist_value,
         "q_dedup_exact": q.q_dedup_exact,
+        "q_dedup_keep_best": q.q_dedup_keep_best,
         "q_token_stats": q.q_token_stats,
         "q_bpe_tokens": q.q_bpe_tokens,
         "q_fingerprint": q.q_fingerprint,
@@ -489,6 +494,63 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes, text
             FROM documents GROUP BY text
+        """,
+        # keep the preferred-source copy per duplicate group
+        "q_dedup_keep_best": """
+            SELECT doc_id, source, n_dupes FROM (
+              SELECT doc_id, source,
+                     COUNT(*) OVER (PARTITION BY text) AS n_dupes,
+                     ROW_NUMBER() OVER (PARTITION BY text
+                                        ORDER BY source, doc_id) AS rn
+              FROM documents) WHERE rn = 1
+        """,
+        # strictly-less-count rank semantics == SQL PERCENT_RANK
+        "q_percent_rank": """
+            SELECT c_custkey,
+                   ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal), 6) AS pr
+            FROM customer
+        """,
+        # population std; zero-variance groups null out
+        "q_group_zscore": """
+            SELECT doc_id,
+                   ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY source))
+                         / NULLIF(STDDEV_POP(n_chars) OVER (PARTITION BY source), 0),
+                         6) AS z
+            FROM documents
+        """,
+        # strict ordered funnel with earliest-completion reach times
+        "q_funnel": """
+            WITH s0 AS (
+              SELECT user_id, MIN(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), s1 AS (
+              SELECT e.user_id, MIN(e.ts) AS t FROM events e
+              JOIN s0 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id
+            ), s2 AS (
+              SELECT e.user_id, MIN(e.ts) AS t FROM events e
+              JOIN s1 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.user_id
+            )
+            SELECT * FROM (
+              SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+                     COUNT(*) AS n_users FROM s0
+              UNION ALL
+              SELECT 1, 'click', COUNT(*) FROM s1
+              UNION ALL
+              SELECT 2, 'purchase', COUNT(*) FROM s2)
+        """,
+        "q_new_users": """
+            WITH f AS (
+              SELECT user_id, MIN(ts) AS fts FROM events GROUP BY user_id
+            ), d AS (
+              SELECT date_trunc('day', fts) AS day,
+                     COUNT(*) AS new_users FROM f GROUP BY day
+            )
+            SELECT day, new_users,
+                   CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+                     AS cum_users
+            FROM d
         """,
         "q_sample_docs": """
             SELECT doc_id, source FROM documents

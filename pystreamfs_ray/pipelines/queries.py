@@ -1208,3 +1208,55 @@ def q_metrics_summary(sf_dir: str):
     wds = feature_windows(t, kernel="ofs", batch_size=50, num_features=5,
                           num_buckets=_BUCKETS)
     return global_summary(wds)
+
+
+def q_funnel(sf_dir: str):
+    """Ordered event funnel view→click→purchase: entities advance only
+    on a strictly-later event of the next stage (earliest-completion
+    semantics); one entity-hash shuffle, per-stage vectorized passes."""
+    from pystreamfs_ray.stages.temporal import funnel_counts
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+def q_new_users(sf_dir: str):
+    """New-entities-per-day + running cumulative total: combiner
+    groupby-min on the entity key, calendar-bounded roll-up."""
+    from pystreamfs_ray.stages.temporal import first_seen_counts
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    return first_seen_counts(ev)
+
+
+def q_percent_rank(sf_dir: str):
+    """Global percent-rank of customer balance WITHOUT a global sort:
+    range-partition + two-phase prefix counts (P integers to driver),
+    exact SQL PERCENT_RANK tie semantics."""
+    from pystreamfs_ray.stages.rank import global_percent_rank
+
+    cust = read_parquet(_p(sf_dir, "customer"),
+                        columns=["c_custkey", "c_acctbal"])
+    return global_percent_rank(cust, value_col="c_acctbal",
+                               id_col="c_custkey", out_col="pr")
+
+
+def q_group_zscore(sf_dir: str):
+    """Per-source standardization of document length (grouped feature
+    scaling): combiner moment partials → broadcast stats → local score."""
+    from pystreamfs_ray.stages.grouped import group_zscore
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "source", "n_chars"])
+    return group_zscore(docs, "source", "n_chars", id_col="doc_id")
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Exact dedup keeping the preferred-source copy (curated beats
+    crawl) instead of first-seen; single bucketed content-hash shuffle."""
+    from pystreamfs_ray.stages.dedup import exact_dedup_keep_best
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "text", "source"])
+    return exact_dedup_keep_best(docs)

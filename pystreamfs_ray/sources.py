@@ -185,3 +185,9 @@ def shuffle_stream(ds, *, seed: int = 0, entity_col: str = "conv_id",
 
     return per_bucket(ds, permute, entity_col=entity_col,
                       num_buckets=num_buckets, concurrency=concurrency)
+
+
+def write_jsonl(ds, path: str, **kwargs) -> None:
+    """Newline-delimited JSON sink (one file per block — resumable,
+    never one giant file); the interchange twin of ``read_jsonl``."""
+    ds.write_json(path, **kwargs)

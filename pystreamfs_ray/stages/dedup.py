@@ -825,3 +825,34 @@ def embedding_neardup_pairs(ds, *, id_col="vec_id", vec_col="embedding",
     return pairs.groupby(["id_a", "id_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )
+
+
+def exact_dedup_keep_best(ds, *, id_col: str = "doc_id",
+                          text_col: str = "text", pref_col: str = "source",
+                          num_buckets: int = 64):
+    """Exact dedup keeping the PREFERRED copy instead of the first: per
+    distinct ``text_col`` value keep the row with the smallest
+    ``pref_col`` (tie-break smallest ``id_col``) — the corpus-curation
+    form where a duplicate found in a curated source beats the same
+    text from a crawl. Same single-shuffle shape as ``exact_dedup``
+    (bucketed content hash; text shuffles once)."""
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        from pystreamfs_ray.util import content_hash64
+
+        df = df[[id_col, text_col, pref_col]].copy()
+        df["__h"] = content_hash64(df[text_col].to_numpy()) % np.uint64(num_buckets)
+        return df
+
+    def keep_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([pref_col, id_col], kind="mergesort")
+        grp = g.groupby(text_col, sort=False)
+        out = grp.agg(**{id_col: (id_col, "first"),
+                         pref_col: (pref_col, "first"),
+                         "n_dupes": (id_col, "size")}).reset_index()
+        out["n_dupes"] = out["n_dupes"].astype(np.int64)
+        return out[[id_col, pref_col, "n_dupes"]]
+
+    return (ds.map_batches(add_hash, batch_format="pandas")
+            .groupby("__h")
+            .map_groups(keep_best, batch_format="pandas"))

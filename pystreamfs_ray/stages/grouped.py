@@ -93,3 +93,53 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
     return (ds.select_columns([group_col, value_col])
               .groupby(group_col)
               .map_groups(fn, batch_format="pandas"))
+
+
+def group_zscore(ds, group_col: str, value_col: str, *,
+                 id_col: str, out_col: str = "z", ndigits: int = 6):
+    """Per-group standardization z = (v - mean_g) / std_pop_g — the
+    grouped form of the reference's per-row min-max scaling
+    (`/root/reference/pystreamfs/algorithms/efs.py` normalization step),
+    used to normalize features within a source/domain before mixing.
+
+    Scale shape: per-batch (group, n, sum, sumsq) partials — the
+    combiner pattern — so the only shuffle is group-cardinality-sized;
+    the finished stats table is broadcast once (``ray.put``) and the
+    scoring pass is batch-local. Zero-variance groups yield null."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.float64)
+        g = df.groupby(group_col, sort=False)[value_col]
+        agg = g.agg(["count", "sum"])
+        sq = (pd.Series(v * v, index=df.index)
+              .groupby(df[group_col], sort=False).sum())
+        return pd.DataFrame({group_col: agg.index,
+                             "n": agg["count"].to_numpy(np.int64),
+                             "s": agg["sum"].to_numpy(np.float64),
+                             "ss": sq.to_numpy(np.float64)})
+
+    stats = (ds.select_columns([group_col, value_col])
+             .map_batches(partial, batch_format="pandas")
+             .groupby(group_col)
+             .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                        Sum("ss", alias_name="ss"))
+             .to_pandas())
+    n = stats["n"].to_numpy(np.float64)
+    mean = stats["s"].to_numpy(np.float64) / n
+    var = stats["ss"].to_numpy(np.float64) / n - mean * mean
+    std = np.sqrt(np.maximum(var, 0.0))
+    ref = ray.put((stats[group_col].to_numpy(), mean, std))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        keys, mean, std = ray.get(ref)
+        pos = pd.Index(keys).get_indexer(df[group_col])  # C hash lookup
+        v = df[value_col].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.round((v - mean[pos]) / std[pos], ndigits)
+        z[std[pos] == 0.0] = np.nan
+        return pd.DataFrame({id_col: df[id_col].to_numpy(), out_col: z})
+
+    return ds.select_columns([id_col, group_col, value_col]).map_batches(
+        score, batch_format="pandas")

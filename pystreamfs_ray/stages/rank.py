@@ -1,0 +1,80 @@
+"""Global order statistics without a global sort: distributed
+percent-rank (and the strictly-less rank it is built on).
+
+The reference ranks only *within* a window (top-m by ``abs(w)`` —
+`/root/reference/pystreamfs/pystreamfs.py:66`); at corpus scale the
+analogous need is a rank against the WHOLE dataset (quantile
+normalization, percentile outlier cuts). A naive global ``sort`` +
+row-number materializes a total order; instead this uses the same
+two-phase scan as ``stages/packing.distributed_prefix_sum``:
+
+1. sample value boundaries → range-partition (equal values always land
+   in the same partition, so ties never straddle a boundary);
+2. per-partition row counts → driver exclusive-scan of P integers;
+3. inside each partition, ``searchsorted(sorted_values, v, 'left')``
+   gives the local strictly-less count, vectorized; plus the partition
+   offset it is the GLOBAL strictly-less count.
+
+``percent_rank = strictly_less / (n - 1)`` — exactly SQL
+``PERCENT_RANK() OVER (ORDER BY value)`` including tie semantics.
+Only ``(id, value)`` pairs move; nothing but P integers reaches the
+driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_PART = "__part"
+
+
+def global_percent_rank(ds, *, value_col: str, id_col: str,
+                        out_col: str = "pr", num_partitions: int = 64,
+                        boundary_sample: int = 8192, ndigits: int = 6):
+    """Append the global percent-rank of ``value_col`` (ties share the
+    rank of their strictly-less count, as in SQL ``PERCENT_RANK``).
+    Returns a Dataset of ``(id_col, out_col)`` rounded to ``ndigits``."""
+    sample = ds.select_columns([value_col]).limit(boundary_sample).to_pandas()
+    vals = np.sort(sample[value_col].to_numpy())
+    if len(vals) == 0 or num_partitions <= 1:
+        bounds = np.array([], dtype=vals.dtype)
+    else:
+        qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
+        bounds = np.unique(np.quantile(vals, qs, method="nearest"))
+
+    def assign(t: pa.Table) -> pa.Table:
+        part = np.searchsorted(bounds, t[value_col].to_numpy(zero_copy_only=False),
+                               side="left")
+        return t.append_column(_PART, pa.array(part.astype(np.int32)))
+
+    parted = ds.select_columns([id_col, value_col]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=False)
+
+    # phase 1: one integer per partition (Ray pre-combines per block)
+    from ray.data.aggregate import Count
+
+    counts = (parted.groupby(_PART).aggregate(Count(alias_name="__c"))
+              .to_pandas())
+    by_part = dict(zip(counts[_PART].astype(int), counts["__c"].astype(np.int64)))
+    n_parts = len(bounds) + 1
+    offsets = np.zeros(n_parts, dtype=np.int64)
+    run = 0
+    for p in range(n_parts):
+        offsets[p] = run
+        run += by_part.get(p, 0)
+    n_total = int(run)
+    denom = max(n_total - 1, 1)
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        p = int(g[_PART].iloc[0])
+        v = g[value_col].to_numpy()
+        sv = np.sort(v)
+        less = np.searchsorted(sv, v, side="left") + offsets[p]
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            out_col: np.round(less / denom, ndigits),
+        })
+
+    return parted.groupby(_PART).map_groups(rank_part, batch_format="pandas")

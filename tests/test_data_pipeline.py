@@ -610,3 +610,22 @@ def test_tfidf_top_term_known_values(ray_session):
     assert out.loc[0, "score"] == round(2 * idf(1), 6)
     assert out.loc[1, "score"] == round(1 * idf(2), 6)
     assert out.loc[3, "score"] == round(1 * idf(1), 6)
+
+
+def test_exact_dedup_keep_best(ray_session):
+    """Keep the preferred-source copy per duplicate group (curated
+    beats crawl), tie-break smallest id."""
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["same", "same", "same", "uniq", "same"],
+        "source": ["2_crawl", "1_curated", "1_curated", "2_crawl", "3_web"],
+    })
+    out = (D.exact_dedup_keep_best(rd.from_pandas(df).repartition(3),
+                                   num_buckets=4)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    # 'same' group → doc 1 (curated, smaller id than doc 2); 'uniq' → doc 3
+    assert out["doc_id"].tolist() == [1, 3]
+    assert out["source"].tolist() == ["1_curated", "2_crawl"]
+    assert out["n_dupes"].tolist() == [4, 1]

@@ -188,3 +188,18 @@ def test_hash_sampling_deterministic_and_stratified(ray_session):
     assert set(a["id"]) == {i for i in kept1 if i % 2 == 0}
     assert set(b["id"]) <= kept1  # 0.1 threshold is a subset of 0.5's
     assert 0.05 < len(b) / (n / 2) < 0.2
+
+
+def test_write_jsonl_roundtrip(ray_session, tmp_path):
+    """write_jsonl → read_jsonl round-trips values and row count."""
+    import ray.data as rd
+
+    from pystreamfs_ray.sources import read_jsonl, write_jsonl
+
+    df = pd.DataFrame({"doc_id": np.arange(20, dtype=np.int64),
+                       "text": [f"line {i}" for i in range(20)]})
+    out_dir = str(tmp_path / "jsonl_sink")
+    write_jsonl(rd.from_pandas(df).repartition(3), out_dir)
+    back = (read_jsonl(out_dir).to_pandas()
+            .sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(back[["doc_id", "text"]], df)

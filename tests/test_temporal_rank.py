@@ -1,0 +1,107 @@
+"""Semantics tests for temporal analytics (funnel, first-seen) and the
+distributed global percent-rank."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _events(rows):
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    return df
+
+
+def test_funnel_strict_ordering(ray_session):
+    """A stage counts only events STRICTLY LATER than the previous
+    stage's earliest completion; order of input rows is irrelevant."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.temporal import funnel_counts
+
+    df = _events([
+        # user 1: full funnel in order
+        (1, "2024-01-01 00:00", "view"),
+        (1, "2024-01-01 00:01", "click"),
+        (1, "2024-01-01 00:02", "purchase"),
+        # user 2: click BEFORE view → stalls at view
+        (2, "2024-01-01 00:00", "click"),
+        (2, "2024-01-01 00:01", "view"),
+        # user 3: click simultaneous with view → strict '>' rejects it
+        (3, "2024-01-01 00:00", "view"),
+        (3, "2024-01-01 00:00", "click"),
+        # user 4: view→click, purchase earlier than click → stalls at click;
+        # ALSO: earliest-completion means the FIRST view (00:00) is the
+        # threshold, so the 00:01 click counts even though a later view exists
+        (4, "2024-01-01 00:00", "view"),
+        (4, "2024-01-01 00:01", "click"),
+        (4, "2024-01-01 00:00", "purchase"),
+        (4, "2024-01-01 00:05", "view"),
+        # user 5: purchase only → never enters
+        (5, "2024-01-01 00:00", "purchase"),
+    ])
+    out = funnel_counts(rd.from_pandas(df).repartition(3),
+                        ["view", "click", "purchase"], num_buckets=4)
+    assert out["stage"].tolist() == ["view", "click", "purchase"]
+    assert out["n_users"].tolist() == [4, 2, 1]
+
+
+def test_first_seen_counts(ray_session):
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.temporal import first_seen_counts
+
+    df = _events([
+        (1, "2024-01-01 05:00", "view"),
+        (1, "2024-01-03 05:00", "view"),   # not new on day 3
+        (2, "2024-01-01 23:59", "view"),
+        (3, "2024-01-02 00:00", "view"),
+    ])[["user_id", "ts"]]
+    out = first_seen_counts(rd.from_pandas(df).repartition(2))
+    assert out["new_users"].tolist() == [2, 1]
+    assert out["cum_users"].tolist() == [2, 3]
+    assert out["day"].dt.strftime("%Y-%m-%d").tolist() == [
+        "2024-01-01", "2024-01-02"]
+
+
+def test_global_percent_rank_ties_and_partition_invariance(ray_session):
+    """Matches SQL PERCENT_RANK exactly, including ties, regardless of
+    the partition count."""
+    import duckdb
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.rank import global_percent_rank
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 50, size=400)  # heavy ties
+    df = pd.DataFrame({"id": np.arange(400, dtype=np.int64),
+                       "v": vals.astype(np.float64)})
+    want = duckdb.sql(
+        "SELECT id, ROUND(PERCENT_RANK() OVER (ORDER BY v), 6) AS pr FROM df"
+    ).df().sort_values("id", ignore_index=True)
+    for nparts in (1, 7):
+        got = (global_percent_rank(rd.from_pandas(df).repartition(5),
+                                   value_col="v", id_col="id", out_col="pr",
+                                   num_partitions=nparts)
+               .to_pandas().sort_values("id", ignore_index=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_group_zscore_known_values(ray_session):
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.grouped import group_zscore
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "source": ["a", "a", "a", "b", "b", "c"],
+        "n_chars": [1, 2, 3, 10, 10, 7],
+    })
+    out = (group_zscore(rd.from_pandas(df).repartition(3), "source",
+                        "n_chars", id_col="doc_id")
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    std_a = np.sqrt(2.0 / 3.0)  # population std of [1,2,3]
+    assert out["z"].tolist()[:3] == [round(-1 / std_a, 6), 0.0,
+                                     round(1 / std_a, 6)]
+    # zero-variance group b → null; singleton group c → null
+    assert out["z"].iloc[3:].isna().all()
