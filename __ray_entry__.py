@@ -147,6 +147,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprint": q.q_fingerprint,
         "q_ann_topk": q.q_ann_topk,
         "q_ivf_topk": q.q_ivf_topk,
+        "q_kmeans_assign": q.q_kmeans_assign,
+        "q_kmeans": q.q_kmeans,
+        "q_inverted_index": q.q_inverted_index,
+        "q_ntile": q.q_ntile,
+        "q_group_sample": q.q_group_sample,
         "q_minhash_pairs": q.q_minhash_pairs,
         "q_ngram_jaccard": q.q_ngram_jaccard,
         "q_simhash": q.q_simhash,
@@ -509,6 +514,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey,
                    ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal), 6) AS pr
             FROM customer
+        """,
+        # exact SQL NTILE over a deterministic (value, id) total order
+        "q_ntile": """
+            SELECT c_custkey,
+                   CAST(NTILE(10) OVER (ORDER BY c_acctbal, c_custkey)
+                        AS BIGINT) AS bucket
+            FROM customer
+        """,
+        # nearest of the 4 smallest-vec_id centroids, per vector;
+        # DOUBLE cast so both sides accumulate in float64
+        "q_kmeans_assign": """
+            WITH c AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+              FROM embeddings ORDER BY vec_id LIMIT 4
+            ), d AS (
+              SELECT e.vec_id, c.cid,
+                     list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                       AS dist
+              FROM embeddings e CROSS JOIN c
+            )
+            SELECT vec_id, cid FROM d
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) = 1
+        """,
+        "q_kmeans": """
+            WITH c AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+              FROM embeddings ORDER BY vec_id LIMIT 4
+            ), d AS (
+              SELECT e.vec_id, c.cid,
+                     list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                       AS dist
+              FROM embeddings e CROSS JOIN c
+            ), a AS (
+              SELECT vec_id, cid, dist FROM d
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) = 1
+            )
+            SELECT cid, COUNT(*) AS n,
+                   ROUND(AVG(ROUND(dist, 6)), 6) AS avg_dist
+            FROM a GROUP BY cid
+        """,
+        # \S+ tokens, distinct (term, doc), ascending comma-joined postings
+        "q_inverted_index": """
+            WITH w AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(text, '\\S+')) AS term
+              FROM documents
+            )
+            SELECT term, COUNT(*) AS df,
+                   STRING_AGG(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM w GROUP BY term HAVING COUNT(*) >= 2
+        """,
+        # exact-5-per-source sample by md5-of-key order (deterministic
+        # distributed reservoir)
+        "q_group_sample": """
+            SELECT doc_id, source FROM documents
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY source
+              ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+            ) <= 5
         """,
         # population std; zero-variance groups null out
         "q_group_zscore": """

@@ -1260,3 +1260,59 @@ def q_dedup_keep_best(sf_dir: str):
     docs = read_parquet(_p(sf_dir, "documents"),
                         columns=["doc_id", "text", "source"])
     return exact_dedup_keep_best(docs)
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Nearest-centroid assignment of every embedding to k=4 fixed
+    (smallest-vec_id) centroids: broadcast centroid matrix, one
+    vectorized distance pass per batch, zero shuffles."""
+    from pystreamfs_ray.stages.cluster import kmeans_assign, seed_centroids
+
+    emb = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"])
+    cids, C = seed_centroids(emb, 4)
+    return kmeans_assign(emb, cids, C)
+
+
+def q_kmeans(sf_dir: str):
+    """Per-cluster size + mean distance for the k=4 fixed-centroid
+    assignment (the clustering summary a SemDeDup/IVF pass starts
+    from); exchange volume is k rows."""
+    from pystreamfs_ray.stages.cluster import cluster_sizes, seed_centroids
+
+    emb = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"])
+    cids, C = seed_centroids(emb, 4)
+    return cluster_sizes(emb, cids, C)
+
+
+def q_inverted_index(sf_dir: str):
+    """Term → (df, ascending posting list) over documents; per-batch
+    (term, doc) combiner, one term-hash shuffle."""
+    from pystreamfs_ray.stages.index import inverted_index
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "text"])
+    return inverted_index(docs, min_df=2)
+
+
+def q_ntile(sf_dir: str):
+    """Decile bucketing of customer balance with exact SQL NTILE
+    semantics (ORDER BY value, id) — range-partition + prefix counts,
+    no global sort."""
+    from pystreamfs_ray.stages.rank import global_ntile
+
+    cust = read_parquet(_p(sf_dir, "customer"),
+                        columns=["c_custkey", "c_acctbal"])
+    return global_ntile(cust, 10, value_col="c_acctbal",
+                        id_col="c_custkey", out_col="bucket")
+
+
+def q_group_sample(sf_dir: str):
+    """Deterministic exact-5-per-source document sample (fixed-size
+    stratified split, reproducible at any parallelism)."""
+    from pystreamfs_ray.sources import sample_n_per_group
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "source"])
+    return sample_n_per_group(docs, "source", "doc_id", 5)

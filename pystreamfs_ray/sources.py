@@ -146,6 +146,31 @@ def stratified_sample_by_hash(ds, strata_col: str, key_col: str,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def sample_n_per_group(ds, group_col: str, key_col: str, n: int, *,
+                       salt: str = ""):
+    """Deterministic EXACT-n sample per group: each group keeps the n
+    rows with the smallest ``md5(salt || key)`` (tie-break on the key) —
+    the fixed-size counterpart of ``stratified_sample_by_hash`` (which
+    keeps a *fraction*). Distributed reservoir without randomness: the
+    kept set is a pure function of the keys, identical at any
+    parallelism, and refining n later keeps a superset. Built on the
+    ``grouped_topk`` combiner (≤ n rows per group leave each batch)."""
+    import numpy as np
+
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+    from pystreamfs_ray.stages.grouped import grouped_topk
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = _md5_lower64([salt + str(v) for v in t[key_col].to_pylist()])
+        return t.append_column("__hv", pa.array(h.astype(np.uint64)))
+
+    picked = grouped_topk(
+        ds.select_columns([group_col, key_col]).map_batches(
+            add_hash, batch_format="pyarrow"),
+        group_col, "__hv", n, tiebreak_col=key_col, descending=False)
+    return picked.drop_columns(["__hv", "rank"])
+
+
 def random_shuffle(ds, *, seed: int | None = None):
     """Opt-in whole-dataset physical shuffle — the Dataset-path analog
     of the reference's pre-stream shuffle flag

@@ -1,0 +1,131 @@
+"""Distributed k-means over an embedding column (``list<float>``).
+
+The reference's MCNN kernel maintains per-cluster centroids
+incrementally inside one process (`/root/reference/pystreamfs/
+algorithms/mcnn.py` — centroid = mean of the cluster's instance
+matrix); at corpus scale the analogous need is clustering the WHOLE
+embedding table (SemDeDup-style semantic buckets, domain discovery,
+IVF coarse quantizers). Classic Lloyd's iterations, Ray-Data-shaped:
+
+- **assign** is embarrassingly parallel: the (k, d) centroid matrix is
+  broadcast once per iteration (``ray.put``), each batch does one
+  vectorized distance computation and an argmin. Nothing shuffles.
+- **update** uses the combiner pattern: each batch emits at most k
+  partial rows (cluster, count, sum-vector); only ``n_blocks × k``
+  tiny rows reach the driver, which finishes the k sums. No
+  per-vector data ever concentrates anywhere.
+
+Distances are computed via explicit differences ``Σ (x_j - c_j)²``
+(not the ``‖x‖² - 2x·c`` expansion) so results match an element-wise
+oracle (DuckDB ``list_distance``) without cancellation error; ties
+break to the smallest cluster id, same as ``ORDER BY dist, cid``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _assign_batch(X: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(argmin index, euclidean distance) per row; first-occurrence
+    argmin == smallest centroid index on exact ties."""
+    diff = X[:, None, :] - C[None, :, :]
+    d2 = np.einsum("nkd,nkd->nk", diff, diff)
+    idx = np.argmin(d2, axis=1)
+    return idx, np.sqrt(d2[np.arange(len(X)), idx])
+
+
+def seed_centroids(ds, k: int, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic init: the k vectors with the smallest ids (stable
+    across partitioning and runs; the driver-side pull is k rows)."""
+    rows = (ds.select_columns([id_col, vec_col])
+            .sort(id_col).limit(k).to_pandas())
+    return rows[id_col].to_numpy(), _as_matrix(rows[vec_col])
+
+
+def kmeans_assign(ds, centroid_ids, centroids, *, id_col: str = "vec_id",
+                  vec_col: str = "embedding", with_dist: bool = False,
+                  batch_size: int = 4096):
+    """Nearest-centroid assignment of every vector. Returns a Dataset of
+    ``(id_col, cid[, dist])``; ``cid`` is the centroid's label from
+    ``centroid_ids``. Broadcast once, stream everything."""
+    ref = ray.put((np.asarray(centroid_ids, dtype=np.int64),
+                   np.asarray(centroids, dtype=np.float64)))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cids, C = ray.get(ref)
+        idx, dist = _assign_batch(_as_matrix(df[vec_col]), C)
+        out = {id_col: df[id_col].to_numpy(),
+               "cid": cids[idx]}
+        if with_dist:
+            out["dist"] = np.round(dist, 6)
+        return pd.DataFrame(out)
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pandas", batch_size=batch_size)
+
+
+def kmeans_fit(ds, k: int, *, iters: int = 10, id_col: str = "vec_id",
+               vec_col: str = "embedding", batch_size: int = 4096,
+               tol: float = 0.0) -> np.ndarray:
+    """Lloyd's k-means: deterministic smallest-id init, then ``iters``
+    rounds of broadcast-assign + combiner partial sums. Returns the
+    final (k, d) centroid matrix. An empty cluster keeps its previous
+    centroid (no respawn — deterministic)."""
+    _, C = seed_centroids(ds, k, id_col=id_col, vec_col=vec_col)
+    vecs = ds.select_columns([vec_col])
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def partial(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            Cc = ray.get(_ref)
+            X = _as_matrix(df[vec_col])
+            idx, _ = _assign_batch(X, Cc)
+            rows = []
+            for c in np.unique(idx):
+                m = idx == c
+                rows.append((int(c), int(m.sum()), X[m].sum(axis=0)))
+            return pd.DataFrame({
+                "cid": np.array([r[0] for r in rows], dtype=np.int64),
+                "n": np.array([r[1] for r in rows], dtype=np.int64),
+                "vsum": [r[2] for r in rows],
+            })
+
+        # n_blocks × k tiny rows; finish the k sums on the driver
+        parts = vecs.map_batches(partial, batch_size=batch_size,
+                                 batch_format="pandas").to_pandas()
+        newC = C.copy()
+        for c, g in parts.groupby("cid"):
+            n = int(g["n"].sum())
+            if n > 0:
+                newC[c] = np.sum(np.stack(g["vsum"].to_list()), axis=0) / n
+        shift = float(np.sqrt(((newC - C) ** 2).sum(axis=1)).max())
+        C = newC
+        if shift <= tol:
+            break
+    return C
+
+
+def cluster_sizes(ds, centroid_ids, centroids, *, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> pd.DataFrame:
+    """Per-cluster count + mean distance (rounded) — the usual
+    clustering summary; the only exchange is the k-row aggregate."""
+    from ray.data.aggregate import Count, Mean
+
+    assigned = kmeans_assign(ds, centroid_ids, centroids, id_col=id_col,
+                             vec_col=vec_col, with_dist=True)
+    out = (assigned.groupby("cid")
+           .aggregate(Count(alias_name="n"), Mean("dist", alias_name="avg_dist"))
+           .to_pandas().sort_values("cid", ignore_index=True))
+    out["n"] = out["n"].astype(np.int64)
+    out["avg_dist"] = np.round(out["avg_dist"].to_numpy(np.float64), 6)
+    return out

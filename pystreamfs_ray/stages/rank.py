@@ -78,3 +78,62 @@ def global_percent_rank(ds, *, value_col: str, id_col: str,
         })
 
     return parted.groupby(_PART).map_groups(rank_part, batch_format="pandas")
+
+
+def global_ntile(ds, n: int, *, value_col: str, id_col: str,
+                 out_col: str = "bucket", num_partitions: int = 64,
+                 boundary_sample: int = 8192):
+    """Equal-size quantile bucketing: exactly SQL
+    ``NTILE(n) OVER (ORDER BY value, id)`` — the first ``total % n``
+    buckets get ``ceil(total/n)`` rows, the rest ``floor(total/n)``.
+
+    Same two-phase shape as :func:`global_percent_rank`: because ties
+    on ``value`` never straddle a range-partition boundary and the
+    within-partition order is ``(value, id)``, partition offset +
+    local (value, id) rank IS the global 0-based row number; the NTILE
+    bucket is then arithmetic on that row number. No global sort, no
+    total-order materialization."""
+    sample = ds.select_columns([value_col]).limit(boundary_sample).to_pandas()
+    vals = np.sort(sample[value_col].to_numpy())
+    if len(vals) == 0 or num_partitions <= 1:
+        bounds = np.array([], dtype=vals.dtype)
+    else:
+        qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
+        bounds = np.unique(np.quantile(vals, qs, method="nearest"))
+
+    def assign(t: pa.Table) -> pa.Table:
+        part = np.searchsorted(bounds, t[value_col].to_numpy(zero_copy_only=False),
+                               side="left")
+        return t.append_column(_PART, pa.array(part.astype(np.int32)))
+
+    parted = ds.select_columns([id_col, value_col]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=False)
+
+    from ray.data.aggregate import Count
+
+    counts = (parted.groupby(_PART).aggregate(Count(alias_name="__c"))
+              .to_pandas())
+    by_part = dict(zip(counts[_PART].astype(int), counts["__c"].astype(np.int64)))
+    n_parts = len(bounds) + 1
+    offsets = np.zeros(n_parts, dtype=np.int64)
+    run = 0
+    for p in range(n_parts):
+        offsets[p] = run
+        run += by_part.get(p, 0)
+    total = int(run)
+    q, r = divmod(total, n)  # first r buckets hold q+1 rows
+
+    def tile_part(g: pd.DataFrame) -> pd.DataFrame:
+        p = int(g[_PART].iloc[0])
+        order = np.lexsort((g[id_col].to_numpy(), g[value_col].to_numpy()))
+        rownum = np.empty(len(g), dtype=np.int64)
+        rownum[order] = offsets[p] + np.arange(len(g), dtype=np.int64)
+        big = r * (q + 1)
+        bucket = np.where(
+            rownum < big,
+            rownum // max(q + 1, 1) + 1,
+            (r + (rownum - big) // max(q, 1) + 1) if q > 0 else r,
+        ).astype(np.int64)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(), out_col: bucket})
+
+    return parted.groupby(_PART).map_groups(tile_part, batch_format="pandas")

@@ -1,0 +1,115 @@
+"""Semantics tests for distributed k-means, the inverted index, exact
+NTILE bucketing, and the per-group deterministic sampler."""
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_kmeans_fit_matches_local_lloyd(ray_session):
+    """Distributed combiner updates == a plain local Lloyd's run with
+    the same deterministic smallest-id init, bit-for-bit per iteration
+    count; invariant to partitioning."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.cluster import kmeans_fit
+
+    rng = np.random.default_rng(7)
+    k, d, n = 3, 8, 300
+    centers = rng.normal(size=(k, d)) * 4
+    X = np.concatenate([centers[i] + rng.normal(size=(n // k, d))
+                        for i in range(k)])
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": [r for r in X]})
+
+    # local reference: same init (k smallest ids), same update rule
+    C = X[:k].copy()
+    for _ in range(5):
+        diff = X[:, None, :] - C[None, :, :]
+        idx = np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
+        for c in range(k):
+            m = idx == c
+            if m.sum():
+                C[c] = X[m].sum(axis=0) / m.sum()
+
+    got = kmeans_fit(rd.from_pandas(df).repartition(4), k, iters=5,
+                     batch_size=64)
+    # partial-sum order differs from the local single sum → allclose
+    np.testing.assert_allclose(got, C, rtol=1e-12, atol=1e-12)
+
+
+def test_kmeans_assign_tie_breaks_to_smallest_cid(ray_session):
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.cluster import kmeans_assign
+
+    # two identical centroids: every vector is equidistant → cid 10 wins
+    C = np.array([[1.0, 0.0], [1.0, 0.0]])
+    df = pd.DataFrame({"vec_id": [0, 1],
+                       "embedding": [[0.0, 0.0], [2.0, 2.0]]})
+    out = (kmeans_assign(rd.from_pandas(df), [10, 20], C)
+           .to_pandas().sort_values("vec_id", ignore_index=True))
+    assert out["cid"].tolist() == [10, 10]
+
+
+def test_inverted_index_postings(ray_session):
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.index import inverted_index
+
+    df = pd.DataFrame({
+        "doc_id": np.array([5, 3, 9], dtype=np.int64),
+        "text": ["cat dog  cat", "dog fish", "fish dog cat"],
+    })
+    out = (inverted_index(rd.from_pandas(df).repartition(3), min_df=2)
+           .to_pandas().sort_values("term", ignore_index=True))
+    # 'fish' df=2, 'cat' df=2 (dup within doc 5 collapses), 'dog' df=3
+    assert out["term"].tolist() == ["cat", "dog", "fish"]
+    assert out["df"].tolist() == [2, 3, 2]
+    assert out["postings"].tolist() == ["5,9", "3,5,9", "3,9"]
+    # min_df drops singletons entirely
+    only = inverted_index(rd.from_pandas(df), min_df=4).to_pandas()
+    assert len(only) == 0
+
+
+def test_global_ntile_matches_sql(ray_session):
+    """Exact NTILE(n) OVER (ORDER BY v, id) — uneven buckets, ties,
+    partition-count invariance."""
+    import duckdb
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.rank import global_ntile
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"id": np.arange(103, dtype=np.int64),
+                       "v": rng.integers(0, 12, size=103).astype(np.float64)})
+    want = duckdb.sql(
+        "SELECT id, CAST(NTILE(7) OVER (ORDER BY v, id) AS BIGINT) AS bucket "
+        "FROM df").df().sort_values("id", ignore_index=True)
+    for nparts in (1, 5):
+        got = (global_ntile(rd.from_pandas(df).repartition(4), 7,
+                            value_col="v", id_col="id",
+                            num_partitions=nparts)
+               .to_pandas().sort_values("id", ignore_index=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sample_n_per_group_deterministic(ray_session):
+    import ray.data as rd
+
+    from pystreamfs_ray.sources import sample_n_per_group
+
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 50),
+        "id": np.arange(100, dtype=np.int64),
+    })
+
+    def run(n, nparts):
+        return (sample_n_per_group(rd.from_pandas(df).repartition(nparts),
+                                   "g", "id", n)
+                .to_pandas().sort_values("id", ignore_index=True))
+
+    s3a, s3b = run(3, 2), run(3, 7)
+    pd.testing.assert_frame_equal(s3a, s3b)          # parallelism-invariant
+    assert s3a.groupby("g").size().tolist() == [3, 3]  # exact n per group
+    s5 = run(5, 4)
+    assert set(map(tuple, s3a.values)) <= set(map(tuple, s5.values))  # nested
