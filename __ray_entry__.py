@@ -149,6 +149,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ivf_topk": q.q_ivf_topk,
         "q_kmeans_assign": q.q_kmeans_assign,
         "q_kmeans": q.q_kmeans,
+        "q_label_centroids": q.q_label_centroids,
+        "q_grouped_corr": q.q_grouped_corr,
+        "q_pmi_bigrams": q.q_pmi_bigrams,
         "q_inverted_index": q.q_inverted_index,
         "q_ntile": q.q_ntile,
         "q_group_sample": q.q_group_sample,
@@ -555,6 +558,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT cid, COUNT(*) AS n,
                    ROUND(AVG(ROUND(dist, 6)), 6) AS avg_dist
             FROM a GROUP BY cid
+        """,
+        # per-group Pearson r (sample corr; zero-variance → NULL)
+        "q_grouped_corr": """
+            SELECT l_returnflag,
+                   ROUND(corr(l_quantity, l_extendedprice), 6) AS r
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        # per-label mean embedding, long form (1-based dim)
+        "q_label_centroids": """
+            WITH u AS (
+              SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings
+            )
+            SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+                   ROUND(AVG(v), 6) AS c
+            FROM u GROUP BY label, dim
+        """,
+        # adjacent-word PMI: p(x,y) over bigram events, p(x) over tokens
+        "q_pmi_bigrams": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\\S+')) AS w,
+                     generate_subscripts(regexp_extract_all(text, '\\S+'), 1)
+                       AS pos
+              FROM documents
+            ), bg AS (
+              SELECT a.w AS w1, b.w AS w2 FROM toks a
+              JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ), bc AS (
+              SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2
+            ), uc AS (
+              SELECT w AS wd, COUNT(*) AS cu FROM toks GROUP BY w
+            ), tot AS (
+              SELECT (SELECT COUNT(*) FROM toks) AS n,
+                     (SELECT COUNT(*) FROM bg) AS m
+            )
+            SELECT bc.w1, bc.w2, bc.c,
+                   ROUND(LN(bc.c * n * n / (m * u1.cu * u2.cu)), 6) AS pmi
+            FROM bc, tot, uc u1, uc u2
+            WHERE u1.wd = bc.w1 AND u2.wd = bc.w2 AND bc.c >= 5
         """,
         # \S+ tokens, distinct (term, doc), ascending comma-joined postings
         "q_inverted_index": """

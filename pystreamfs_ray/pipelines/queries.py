@@ -1316,3 +1316,36 @@ def q_group_sample(sf_dir: str):
     docs = read_parquet(_p(sf_dir, "documents"),
                         columns=["doc_id", "source"])
     return sample_n_per_group(docs, "source", "doc_id", 5)
+
+
+def q_grouped_corr(sf_dir: str):
+    """Per-group Pearson correlation (quantity vs price per return
+    flag) via the six-number sufficient-statistics combiner."""
+    from pystreamfs_ray.stages.grouped import grouped_corr
+
+    li = read_parquet(_p(sf_dir, "lineitem"),
+                      columns=["l_returnflag", "l_quantity",
+                               "l_extendedprice"])
+    return grouped_corr(li, "l_returnflag", "l_quantity",
+                        "l_extendedprice")
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label mean embedding (class centroids, long form) via the
+    (count, sum-vector) combiner; exchange is n_blocks x n_labels rows."""
+    from pystreamfs_ray.stages.cluster import label_centroids
+
+    emb = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["label", "embedding"])
+    out = label_centroids(emb)
+    out["label"] = out["label"].astype(np.int64)
+    return out
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """Adjacent-word PMI collocations over documents: vocab-bounded
+    combiner aggregations + broadcast unigram table."""
+    from pystreamfs_ray.stages.textstats import pmi_bigrams
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["text"])
+    return pmi_bigrams(docs, min_count=5)

@@ -115,6 +115,38 @@ def kmeans_fit(ds, k: int, *, iters: int = 10, id_col: str = "vec_id",
     return C
 
 
+def label_centroids(ds, *, label_col: str = "label",
+                    vec_col: str = "embedding", ndigits: int = 6) -> pd.DataFrame:
+    """Per-label mean embedding in long form ``(label, dim, c)`` — the
+    class-centroid table used for nearest-class-mean classification and
+    embedding-space drift checks. Same combiner shape as the k-means
+    update: each batch emits one (count, sum-vector) row per label it
+    saw, so the exchange is ``n_blocks × n_labels`` rows of d floats;
+    the finish is a tiny driver reduce."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        X = _as_matrix(df[vec_col])
+        labels = df[label_col].to_numpy()
+        uniq = np.unique(labels)
+        return pd.DataFrame({
+            label_col: uniq,
+            "n": [int((labels == u).sum()) for u in uniq],
+            "vsum": [X[labels == u].sum(axis=0) for u in uniq],
+        })
+
+    parts = (ds.select_columns([label_col, vec_col])
+             .map_batches(partial, batch_format="pandas").to_pandas())
+    rows = []
+    for lab, g in parts.groupby(label_col):
+        n = int(g["n"].sum())
+        c = np.sum(np.stack(g["vsum"].to_list()), axis=0) / n
+        for dim, v in enumerate(c):
+            rows.append((lab, dim + 1, round(float(v), ndigits)))
+    out = pd.DataFrame(rows, columns=[label_col, "dim", "c"])
+    out["dim"] = out["dim"].astype(np.int64)
+    return out.sort_values([label_col, "dim"], ignore_index=True)
+
+
 def cluster_sizes(ds, centroid_ids, centroids, *, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> pd.DataFrame:
     """Per-cluster count + mean distance (rounded) — the usual

@@ -95,6 +95,47 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
               .map_groups(fn, batch_format="pandas"))
 
 
+def grouped_corr(ds, group_col: str, x_col: str, y_col: str, *,
+                 out_col: str = "r", ndigits: int = 6):
+    """Per-group Pearson correlation via the sufficient-statistics
+    combiner: each batch contributes (n, Σx, Σy, Σx², Σy², Σxy) per
+    group, the global groupby sums six numbers per group, and the
+    driver-free finish computes r — the shuffle is group-cardinality-
+    sized regardless of input size (same shape the reference uses for
+    per-window stats, generalized to sample covariance). Zero-variance
+    sides yield null, matching SQL ``corr``."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy(np.float64)
+        y = df[y_col].to_numpy(np.float64)
+        t = pd.DataFrame({group_col: df[group_col], "__x": x, "__y": y,
+                          "__xx": x * x, "__yy": y * y, "__xy": x * y})
+        g = t.groupby(group_col, sort=False).agg(
+            n=("__x", "size"), sx=("__x", "sum"), sy=("__y", "sum"),
+            sxx=("__xx", "sum"), syy=("__yy", "sum"), sxy=("__xy", "sum"))
+        return g.reset_index()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.float64)
+        sx, sy = df["sx"].to_numpy(), df["sy"].to_numpy()
+        cov = df["sxy"].to_numpy() - sx * sy / n
+        vx = df["sxx"].to_numpy() - sx * sx / n
+        vy = df["syy"].to_numpy() - sy * sy / n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.round(cov / np.sqrt(vx * vy), ndigits)
+        r[(vx <= 0) | (vy <= 0) | (n < 2)] = np.nan
+        return pd.DataFrame({group_col: df[group_col], out_col: r})
+
+    return (ds.select_columns([group_col, x_col, y_col])
+            .map_batches(partial, batch_format="pandas")
+            .groupby(group_col)
+            .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                       Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+                       Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"))
+            .map_batches(finish, batch_format="pandas"))
+
+
 def group_zscore(ds, group_col: str, value_col: str, *,
                  id_col: str, out_col: str = "z", ndigits: int = 6):
     """Per-group standardization z = (v - mean_g) / std_pop_g — the

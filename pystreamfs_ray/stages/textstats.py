@@ -432,3 +432,80 @@ def tfidf_top_term(ds, *, id_col: str = "doc_id", text_col: str = "text"):
         })
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def pmi_bigrams(ds, *, text_col: str = "text", min_count: int = 5,
+                ndigits: int = 6):
+    """Pointwise mutual information of adjacent word pairs — the
+    collocation detector ("New York" vs chance co-occurrence) used for
+    phrase mining and tokenizer-merge candidates. ``pmi = ln(p(x,y) /
+    (p(x)·p(y)))`` with p(x,y) over the M bigram events and p(x) over
+    the N token events.
+
+    Scale shape: two combiner aggregations (per-batch bigram and
+    unigram ``value_counts`` → groupby-sum), so the shuffles are
+    vocab²- and vocab-sized, never corpus-sized; the unigram table and
+    the two scalar totals are broadcast into the vectorized finish.
+    At web vocab (~10⁷ terms) swap the broadcast for two hash joins on
+    w1/w2 — same results, two more shuffles.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    toks = ds.select_columns([text_col])
+
+    def bigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].str.findall(r"\S+")
+        n = s.map(len).to_numpy(np.int64)
+        if n.sum() == 0:
+            return pd.DataFrame({"w1": [], "w2": [], "c": pd.Series([], dtype=np.int64)})
+        flat = np.concatenate([np.asarray(v, dtype=object) for v in s])
+        # all adjacent pairs, then knock out the cross-document seams
+        keep = np.ones(len(flat) - 1, dtype=bool)
+        seams = np.cumsum(n)[:-1] - 1  # last token of each doc but the final
+        keep[seams[(seams >= 0) & (seams < len(keep))]] = False
+        t = pd.DataFrame({"w1": flat[:-1][keep], "w2": flat[1:][keep]})
+        g = t.groupby(["w1", "w2"], sort=False).size()
+        out = g.reset_index(name="c")
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    def unigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].str.findall(r"\S+")
+        n = s.map(len).to_numpy(np.int64)
+        if n.sum() == 0:
+            return pd.DataFrame({"w": [], "cu": pd.Series([], dtype=np.int64)})
+        flat = np.concatenate([np.asarray(v, dtype=object) for v in s])
+        vc = pd.Series(flat).value_counts()
+        return pd.DataFrame({"w": vc.index, "cu": vc.to_numpy(np.int64)})
+
+    uni = (toks.map_batches(unigram_partial, batch_format="pandas")
+           .groupby("w").aggregate(Sum("cu", alias_name="cu")).to_pandas())
+    n_tokens = int(uni["cu"].sum())
+    big = (toks.map_batches(bigram_partial, batch_format="pandas")
+           .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c")))
+    # M without a third pass: bigrams = tokens - one seam per non-empty doc
+    n_docs_nonempty = int(toks.map_batches(
+        lambda df: pd.DataFrame(
+            {"ne": [int(df[text_col].str.contains(r"\S", regex=True).sum())]}),
+        batch_format="pandas").sum("ne"))
+    m_bigrams = n_tokens - n_docs_nonempty
+    ref = ray.put(dict(zip(uni["w"], uni["cu"].to_numpy(np.int64))))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(ref)
+        df = df[df["c"] >= min_count]
+        if len(df) == 0:
+            return pd.DataFrame({"w1": [], "w2": [],
+                                 "c": pd.Series([], dtype=np.int64),
+                                 "pmi": pd.Series([], dtype=np.float64)})
+        cx = df["w1"].map(lut).to_numpy(np.float64)
+        cy = df["w2"].map(lut).to_numpy(np.float64)
+        c = df["c"].to_numpy(np.float64)
+        pmi = np.log(c * n_tokens * n_tokens / (m_bigrams * cx * cy))
+        return pd.DataFrame({"w1": df["w1"].to_numpy(),
+                             "w2": df["w2"].to_numpy(),
+                             "c": df["c"].to_numpy(np.int64),
+                             "pmi": np.round(pmi, ndigits)})
+
+    return big.map_batches(finish, batch_format="pandas")

@@ -113,3 +113,59 @@ def test_sample_n_per_group_deterministic(ray_session):
     assert s3a.groupby("g").size().tolist() == [3, 3]  # exact n per group
     s5 = run(5, 4)
     assert set(map(tuple, s3a.values)) <= set(map(tuple, s5.values))  # nested
+
+
+def test_label_centroids_known_values(ray_session):
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.cluster import label_centroids
+
+    df = pd.DataFrame({
+        "label": np.array([0, 0, 1], dtype=np.int64),
+        "embedding": [[1.0, 3.0], [3.0, 5.0], [10.0, -2.0]],
+    })
+    out = label_centroids(rd.from_pandas(df).repartition(3))
+    assert out[["label", "dim"]].values.tolist() == [[0, 1], [0, 2],
+                                                     [1, 1], [1, 2]]
+    assert out["c"].tolist() == [2.0, 4.0, 10.0, -2.0]
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.grouped import grouped_corr
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=200)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 100),
+        "x": x,
+        "y": np.concatenate([2 * x[:100] + rng.normal(size=100) * 0.1,
+                             rng.normal(size=100)]),
+    })
+    out = (grouped_corr(rd.from_pandas(df).repartition(4), "g", "x", "y")
+           .to_pandas().sort_values("g", ignore_index=True))
+    for i, g in enumerate(["a", "b"]):
+        sub = df[df["g"] == g]
+        want = round(float(np.corrcoef(sub["x"], sub["y"])[0, 1]), 6)
+        assert out.loc[i, "r"] == pytest.approx(want, abs=1e-6)
+    # zero-variance side -> null
+    cdf = pd.DataFrame({"g": ["c"] * 5, "x": [1.0] * 5,
+                        "y": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    z = grouped_corr(rd.from_pandas(cdf), "g", "x", "y").to_pandas()
+    assert z["r"].isna().all()
+
+
+def test_pmi_bigrams_known_counts(ray_session):
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.textstats import pmi_bigrams
+
+    # "a b" twice (never across the doc seam), tokens N=6, bigrams M=4
+    df = pd.DataFrame({"text": ["a b a", "b a b"]})
+    out = (pmi_bigrams(rd.from_pandas(df).repartition(2), min_count=2)
+           .to_pandas().sort_values(["w1", "w2"], ignore_index=True))
+    assert out[["w1", "w2"]].values.tolist() == [["a", "b"], ["b", "a"]]
+    assert out["c"].tolist() == [2, 2]
+    want = round(float(np.log(2 * 6 * 6 / (4 * 3 * 3))), 6)
+    assert out["pmi"].tolist() == [want, want]
