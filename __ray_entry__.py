@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_new_users": q.q_new_users,
         # transcript pipeline (sessionize / window / lag / backfill / as-of)
         "q_transcripts": q.q_transcripts,
+        "q_render_chat": q.q_render_chat,
+        "q_sft_pairs": q.q_sft_pairs,
         "q_featurize": q.q_featurize,
         "q_tumbling": q.q_tumbling,
         "q_sliding": q.q_sliding,
@@ -336,6 +338,23 @@ def oracle_sql() -> dict[str, str]:
         "q_transcripts": f"""
             WITH {_TRANSCRIPTS_CTE}
             SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts
+        """,
+        # chat-template rendering: ordered role-tagged flattening
+        "q_render_chat": f"""
+            WITH {_TRANSCRIPTS_CTE}
+            SELECT conv_id, COUNT(*) AS n_turns,
+                   STRING_AGG(role || ': ' || text, chr(10)
+                              ORDER BY turn_idx) AS rendered
+            FROM transcripts GROUP BY conv_id
+        """,
+        # SFT pair mining: user turn + immediately-following assistant turn
+        "q_sft_pairs": f"""
+            WITH {_TRANSCRIPTS_CTE}
+            SELECT a.conv_id, CAST(a.turn_idx AS BIGINT) AS turn_idx,
+                   a.text AS prompt, b.text AS response
+            FROM transcripts a JOIN transcripts b
+              ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+            WHERE a.role = 'user' AND b.role = 'assistant'
         """,
         "q_featurize": f"""
             WITH {_TRANSCRIPTS_CTE}, {_FEAT_CTE}

@@ -1349,3 +1349,21 @@ def q_pmi_bigrams(sf_dir: str):
 
     docs = read_parquet(_p(sf_dir, "documents"), columns=["text"])
     return pmi_bigrams(docs, min_count=5)
+
+
+def q_render_chat(sf_dir: str):
+    """Chat-template rendering: each conversation flattened to one
+    ordered 'role: text' training document; one entity shuffle."""
+    from pystreamfs_ray.pipelines.transcripts import render_chat
+
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+    return render_chat(t, num_buckets=_BUCKETS)
+
+
+def q_sft_pairs(sf_dir: str):
+    """SFT pair mining: (user turn, immediately-following assistant
+    turn) pairs via vectorized shift comparison per entity bucket."""
+    from pystreamfs_ray.pipelines.transcripts import sft_pairs
+
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+    return sft_pairs(t, num_buckets=_BUCKETS)

@@ -58,3 +58,55 @@ def transcripts_from_events(sf_dir: str, *, num_buckets: int = 64, concurrency=N
         events, _derive, entity_col="user_id", num_buckets=num_buckets,
         concurrency=concurrency,
     )
+
+
+def render_chat(ts_ds, *, num_buckets: int = 64, sep: str = "\n"):
+    """Flatten each conversation into one training-text row:
+    ``role: text`` lines in turn order (the chat-template rendering
+    step of an SFT data pipeline, minus the tokenizer-specific tags).
+    One entity-hash shuffle; output is conversation-bounded (one row
+    per conv), so nothing concentrates beyond a single conversation's
+    length."""
+
+    def _render(g: pd.DataFrame) -> pd.DataFrame:
+        g = sort_entity(g, entity_col="conv_id", order_cols=("turn_idx",))
+        line = g["role"].astype(str) + ": " + g["text"].astype(str)
+        grp = g.groupby("conv_id", sort=False)
+        out = pd.DataFrame({
+            "conv_id": grp.size().index,
+            "n_turns": grp.size().to_numpy(np.int64),
+            "rendered": line.groupby(g["conv_id"].to_numpy(), sort=False)
+                            .agg(sep.join).to_numpy(),
+        })
+        return out
+
+    return per_bucket(ts_ds, _render, entity_col="conv_id",
+                      num_buckets=num_buckets)
+
+
+def sft_pairs(ts_ds, *, num_buckets: int = 64):
+    """Extract (prompt, response) pairs: every user turn immediately
+    followed (turn_idx + 1) by an assistant turn — the pair-mining
+    step that turns raw transcripts into SFT examples. Vectorized
+    shift comparison inside each entity bucket; one shuffle."""
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = sort_entity(g, entity_col="conv_id", order_cols=("turn_idx",))
+        conv = g["conv_id"].to_numpy()
+        role = g["role"].to_numpy()
+        idx = g["turn_idx"].to_numpy()
+        text = g["text"].to_numpy()
+        nxt_same = conv[:-1] == conv[1:]
+        m = np.zeros(len(g), dtype=bool)
+        m[:-1] = (nxt_same & (role[:-1] == "user")
+                  & (role[1:] == "assistant") & (idx[1:] == idx[:-1] + 1))
+        i = np.flatnonzero(m)
+        return pd.DataFrame({
+            "conv_id": conv[i],
+            "turn_idx": idx[i].astype(np.int64),
+            "prompt": text[i],
+            "response": text[i + 1],
+        })
+
+    return per_bucket(ts_ds, _pairs, entity_col="conv_id",
+                      num_buckets=num_buckets)

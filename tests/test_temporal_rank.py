@@ -105,3 +105,44 @@ def test_group_zscore_known_values(ray_session):
                                      round(1 / std_a, 6)]
     # zero-variance group b → null; singleton group c → null
     assert out["z"].iloc[3:].isna().all()
+
+
+def _transcript_df():
+    return pd.DataFrame({
+        "conv_id": ["c1"] * 4 + ["c2"] * 3,
+        "turn_idx": np.array([0, 1, 2, 3, 0, 1, 2], dtype=np.int32),
+        "role": ["user", "assistant", "user", "user",
+                 "assistant", "user", "assistant"],
+        "text": ["hi", "hello", "bye", "really", "sys", "q", "a"],
+    })
+
+
+def test_render_chat_order_and_shape(ray_session):
+    import ray.data as rd
+
+    from pystreamfs_ray.pipelines.transcripts import render_chat
+
+    out = (render_chat(rd.from_pandas(_transcript_df()).repartition(3),
+                       num_buckets=4)
+           .to_pandas().sort_values("conv_id", ignore_index=True))
+    assert out["conv_id"].tolist() == ["c1", "c2"]
+    assert out["n_turns"].tolist() == [4, 3]
+    assert out.loc[0, "rendered"] == (
+        "user: hi\nassistant: hello\nuser: bye\nuser: really")
+    assert out.loc[1, "rendered"] == "assistant: sys\nuser: q\nassistant: a"
+
+
+def test_sft_pairs_adjacency(ray_session):
+    """Only user turns IMMEDIATELY followed by an assistant turn pair
+    up; user→user and assistant-first rows don't."""
+    import ray.data as rd
+
+    from pystreamfs_ray.pipelines.transcripts import sft_pairs
+
+    out = (sft_pairs(rd.from_pandas(_transcript_df()).repartition(3),
+                     num_buckets=4)
+           .to_pandas().sort_values(["conv_id", "turn_idx"],
+                                    ignore_index=True))
+    assert out[["conv_id", "prompt", "response"]].values.tolist() == [
+        ["c1", "hi", "hello"], ["c2", "q", "a"]]
+    assert out["turn_idx"].tolist() == [0, 1]
