@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_label_centroids": q.q_label_centroids,
         "q_grouped_corr": q.q_grouped_corr,
         "q_pmi_bigrams": q.q_pmi_bigrams,
+        "q_feature_hash": q.q_feature_hash,
+        "q_impute_value": q.q_impute_value,
         "q_inverted_index": q.q_inverted_index,
         "q_ntile": q.q_ntile,
         "q_group_sample": q.q_group_sample,
@@ -577,6 +579,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT cid, COUNT(*) AS n,
                    ROUND(AVG(ROUND(dist, 6)), 6) AS avg_dist
             FROM a GROUP BY cid
+        """,
+        # hashing-trick bag-of-words: md5 slot counts per document
+        "q_feature_hash": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\\S+')) AS w
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(md5_number_lower(w) % 16 AS BIGINT) AS bucket,
+                   COUNT(*) AS n
+            FROM toks GROUP BY doc_id, bucket
+        """,
+        # per-user mean imputation of the deterministically-nulled value
+        "q_impute_value": """
+            WITH e AS (
+              SELECT event_id, user_id,
+                     CASE WHEN event_type = 'error' THEN NULL
+                          ELSE value END AS v
+              FROM events
+            )
+            SELECT event_id,
+                   ROUND(COALESCE(v, AVG(v) OVER (PARTITION BY user_id)), 6)
+                     AS value_f
+            FROM e
         """,
         # per-group Pearson r (sample corr; zero-variance → NULL)
         "q_grouped_corr": """

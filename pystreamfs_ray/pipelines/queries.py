@@ -1367,3 +1367,34 @@ def q_sft_pairs(sf_dir: str):
 
     t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
     return sft_pairs(t, num_buckets=_BUCKETS)
+
+
+def q_feature_hash(sf_dir: str):
+    """Hashing-trick bag-of-words (16 md5 slots, long form) — the
+    vocabulary-free text featurizer; doc-local, zero shuffles."""
+    from pystreamfs_ray.stages.textstats import feature_hash
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "text"])
+    return feature_hash(docs, num_buckets=16)
+
+
+def q_impute_value(sf_dir: str):
+    """Per-user mean imputation of a deterministically-nulled value
+    column (error events → null): combiner stats, broadcast means,
+    batch-local fill."""
+    from pystreamfs_ray.stages.grouped import impute_group_mean
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "user_id", "event_type", "value"])
+
+    def nullify(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64).copy()
+        v[df["event_type"].to_numpy() == "error"] = np.nan
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "user_id": df["user_id"].to_numpy(),
+                             "v": v})
+
+    nulled = ev.map_batches(nullify, batch_format="pandas")
+    return impute_group_mean(nulled, "user_id", "v", id_col="event_id",
+                             out_col="value_f")

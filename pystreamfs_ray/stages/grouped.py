@@ -184,3 +184,48 @@ def group_zscore(ds, group_col: str, value_col: str, *,
 
     return ds.select_columns([id_col, group_col, value_col]).map_batches(
         score, batch_format="pandas")
+
+
+def impute_group_mean(ds, group_col: str, value_col: str, *,
+                      id_col: str, out_col: str | None = None,
+                      ndigits: int = 6):
+    """Fill nulls in ``value_col`` with the group's mean over the
+    NON-null values — the distributed form of per-group mean
+    imputation (feature cleaning before scaling/training). Same
+    two-phase shape as :func:`group_zscore`: per-batch (group, n, sum)
+    partials over non-null rows → group-cardinality shuffle →
+    broadcast stats → batch-local fill. A group with no non-null
+    values stays null."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    out_col = out_col or value_col
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col]
+        ok = v.notna()
+        g = df.loc[ok].groupby(group_col, sort=False)[value_col].agg(
+            ["count", "sum"])
+        return pd.DataFrame({group_col: g.index,
+                             "n": g["count"].to_numpy(np.int64),
+                             "s": g["sum"].to_numpy(np.float64)})
+
+    stats = (ds.select_columns([group_col, value_col])
+             .map_batches(partial, batch_format="pandas")
+             .groupby(group_col)
+             .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+             .to_pandas())
+    mean = stats["s"].to_numpy(np.float64) / stats["n"].to_numpy(np.float64)
+    ref = ray.put((stats[group_col].to_numpy(), mean))
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        keys, mean = ray.get(ref)
+        pos = pd.Index(keys).get_indexer(df[group_col])
+        v = df[value_col].to_numpy(dtype=np.float64)
+        filler = np.where(pos >= 0, mean[np.clip(pos, 0, None)], np.nan)
+        filled = np.where(np.isnan(v), filler, v)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             out_col: np.round(filled, ndigits)})
+
+    return ds.select_columns([id_col, group_col, value_col]).map_batches(
+        fill, batch_format="pandas")

@@ -509,3 +509,36 @@ def pmi_bigrams(ds, *, text_col: str = "text", min_count: int = 5,
                              "pmi": np.round(pmi, ndigits)})
 
     return big.map_batches(finish, batch_format="pandas")
+
+
+def feature_hash(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                 num_buckets: int = 32):
+    """Hashing-trick bag-of-words: each document's tokens are counted
+    into ``num_buckets`` md5-hashed slots — the fixed-dimension text
+    featurizer that needs NO vocabulary pass (and therefore no shuffle
+    at all: the whole operator is doc-local). Long-form output
+    ``(id, bucket, n)`` with empty buckets omitted; md5-low-64 slot
+    assignment makes it SQL-mirrorable via ``md5_number_lower``."""
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+
+    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].str.findall(r"\S+")
+        n = s.map(len).to_numpy(np.int64)
+        if n.sum() == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "bucket": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        flat = np.concatenate([np.asarray(v, dtype=object) for v in s])
+        # hash each DISTINCT token once, then gather
+        uniq, inv = np.unique(flat, return_inverse=True)
+        slots = (_md5_lower64(list(uniq)) % np.uint64(num_buckets)).astype(np.int64)
+        t = pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(), n),
+            "bucket": slots[inv],
+        })
+        out = t.groupby([id_col, "bucket"], sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        hash_batch, batch_format="pandas")

@@ -169,3 +169,43 @@ def test_pmi_bigrams_known_counts(ray_session):
     assert out["c"].tolist() == [2, 2]
     want = round(float(np.log(2 * 6 * 6 / (4 * 3 * 3))), 6)
     assert out["pmi"].tolist() == [want, want]
+
+
+def test_feature_hash_slots_and_counts(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.textstats import feature_hash
+
+    df = pd.DataFrame({"doc_id": np.array([1, 2], dtype=np.int64),
+                       "text": ["a b a c", "b  b"]})
+    out = (feature_hash(rd.from_pandas(df).repartition(2), num_buckets=8)
+           .to_pandas().sort_values(["doc_id", "bucket"], ignore_index=True))
+    want = duckdb.sql("""
+        WITH toks AS (SELECT doc_id,
+               unnest(regexp_extract_all(text, '\\S+')) AS w FROM df)
+        SELECT doc_id, CAST(md5_number_lower(w) % 8 AS BIGINT) AS bucket,
+               COUNT(*) AS n
+        FROM toks GROUP BY doc_id, bucket ORDER BY doc_id, bucket
+    """).df()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    # doc 1 has 4 tokens total across its slots; doc 2 has 2
+    assert out.groupby("doc_id")["n"].sum().tolist() == [4, 2]
+
+
+def test_impute_group_mean(ray_session):
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.grouped import impute_group_mean
+
+    df = pd.DataFrame({
+        "id": np.arange(6, dtype=np.int64),
+        "g": ["a", "a", "a", "b", "b", "c"],
+        "v": [1.0, np.nan, 3.0, np.nan, 8.0, np.nan],
+    })
+    out = (impute_group_mean(rd.from_pandas(df).repartition(3), "g", "v",
+                             id_col="id", out_col="v")
+           .to_pandas().sort_values("id", ignore_index=True))
+    # a: null -> mean(1,3)=2; b: null -> 8; c: all-null stays null
+    assert out["v"].tolist()[:5] == [1.0, 2.0, 3.0, 8.0, 8.0]
+    assert np.isnan(out["v"].iloc[5])
