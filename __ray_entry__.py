@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pmi_bigrams": q.q_pmi_bigrams,
         "q_feature_hash": q.q_feature_hash,
         "q_impute_value": q.q_impute_value,
+        "q_target_encode": q.q_target_encode,
+        "q_embedding_cov": q.q_embedding_cov,
         "q_inverted_index": q.q_inverted_index,
         "q_ntile": q.q_ntile,
         "q_group_sample": q.q_group_sample,
@@ -604,6 +606,38 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(COALESCE(v, AVG(v) OVER (PARTITION BY user_id)), 6)
                      AS value_f
             FROM e
+        """,
+        # leave-one-out categorical mean encoding, fixed-point cents
+        # (integer round-half-up; singleton → NULL)
+        "q_target_encode": """
+            WITH e AS (
+              SELECT event_id, user_id,
+                     CAST(ROUND(value * 100) AS BIGINT) AS vc
+              FROM events
+            ), s AS (
+              SELECT event_id, vc,
+                     CAST(SUM(vc) OVER (PARTITION BY user_id) AS BIGINT)
+                       AS sc,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n
+              FROM e
+            )
+            SELECT event_id,
+                   CASE WHEN n > 1 THEN
+                     (2 * (sc - vc) + (n - 1)) // (2 * (n - 1))
+                   END AS enc_cents
+            FROM s
+        """,
+        # population covariance matrix of the embedding space, long form
+        "q_embedding_cov": """
+            WITH u AS (
+              SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings
+            )
+            SELECT CAST(a.dim AS BIGINT) AS i, CAST(b.dim AS BIGINT) AS j,
+                   ROUND(covar_pop(a.v, b.v), 6) AS cov
+            FROM u a JOIN u b USING (vec_id)
+            GROUP BY a.dim, b.dim
         """,
         # per-group Pearson r (sample corr; zero-variance → NULL)
         "q_grouped_corr": """

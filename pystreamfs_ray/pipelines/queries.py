@@ -1398,3 +1398,26 @@ def q_impute_value(sf_dir: str):
     nulled = ev.map_batches(nullify, batch_format="pandas")
     return impute_group_mean(nulled, "user_id", "v", id_col="event_id",
                              out_col="value_f")
+
+
+def q_target_encode(sf_dir: str):
+    """Leave-one-out target encoding of user_id by event value (the
+    leakage-safe categorical mean encoding); combiner stats +
+    broadcast finish. Fixed-point cents mode (value is an exact
+    2-decimal) so the result is bit-exact and summation-order
+    independent. Singleton users encode to null."""
+    from pystreamfs_ray.stages.grouped import target_encode_loo
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "user_id", "value"])
+    return target_encode_loo(ev, "user_id", "value", id_col="event_id",
+                             out_col="enc_cents", scale=100)
+
+
+def q_embedding_cov(sf_dir: str):
+    """Population covariance matrix of the embedding space (long form)
+    via one-row-per-batch (n, Σx, XᵀX) combiner partials."""
+    from pystreamfs_ray.stages.cluster import embedding_covariance
+
+    emb = read_parquet(_p(sf_dir, "embeddings"), columns=["embedding"])
+    return embedding_covariance(emb)

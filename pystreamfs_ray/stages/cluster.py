@@ -161,3 +161,33 @@ def cluster_sizes(ds, centroid_ids, centroids, *, id_col: str = "vec_id",
     out["n"] = out["n"].astype(np.int64)
     out["avg_dist"] = np.round(out["avg_dist"].to_numpy(np.float64), 6)
     return out
+
+
+def embedding_covariance(ds, *, vec_col: str = "embedding",
+                         ndigits: int = 6) -> pd.DataFrame:
+    """Population covariance matrix of the embedding column in long
+    form ``(i, j, cov)`` (1-based dims) — the input to PCA / whitening
+    over a corpus's embedding space. Combiner shape: each batch emits
+    ONE row carrying (count, Σx vector, XᵀX matrix); the driver sums
+    ``n_blocks`` of these d×d partials and finishes
+    ``cov = XᵀX/n − μμᵀ``. Nothing row-level ever concentrates; the
+    exchange is O(blocks · d²) floats, independent of corpus size."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        X = _as_matrix(df[vec_col])
+        return pd.DataFrame({"n": [len(X)], "sx": [X.sum(axis=0)],
+                             "xtx": [(X.T @ X).ravel()]})
+
+    parts = ds.select_columns([vec_col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    n = float(parts["n"].sum())
+    sx = np.sum(np.stack(parts["sx"].to_list()), axis=0)
+    xtx = np.sum(np.stack(parts["xtx"].to_list()), axis=0)
+    d = len(sx)
+    mu = sx / n
+    cov = xtx.reshape(d, d) / n - np.outer(mu, mu)
+    ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1),
+                         indexing="ij")
+    return pd.DataFrame({"i": ii.ravel().astype(np.int64),
+                         "j": jj.ravel().astype(np.int64),
+                         "cov": np.round(cov.ravel(), ndigits)})

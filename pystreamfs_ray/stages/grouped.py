@@ -229,3 +229,70 @@ def impute_group_mean(ds, group_col: str, value_col: str, *,
 
     return ds.select_columns([id_col, group_col, value_col]).map_batches(
         fill, batch_format="pandas")
+
+
+def target_encode_loo(ds, group_col: str, target_col: str, *,
+                      id_col: str, out_col: str = "enc",
+                      ndigits: int = 6, scale: int | None = None):
+    """Leave-one-out target encoding: each row's category is encoded
+    as the mean of the OTHER rows' targets in its group —
+    ``(Σ_g - v_i) / (n_g - 1)`` — the standard leakage-safe form of
+    categorical mean encoding. Singleton groups yield null.
+
+    Same two-phase shape as :func:`group_zscore`: (group, n, sum)
+    combiner partials → group-cardinality shuffle → broadcast →
+    batch-local finish; the subtraction of the row's own target is
+    what makes LOO encoding impossible to express as a plain join,
+    but it is still one vectorized expression per batch.
+
+    ``scale``: fixed-point mode for targets that are exact decimals
+    (e.g. ``scale=100`` for 2-decimal values). Targets become exact
+    int64 at that scale, and the output is the INTEGER round-half-up
+    of the LOO mean at the same scale (nullable int64) — bit-exact
+    and summation-order independent, where the float path's quotients
+    of terminating decimals land exactly on ``ndigits`` rounding
+    boundaries and flip on last-ulp sum differences."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    fixed = scale is not None
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[target_col].to_numpy(np.float64)
+        v = np.rint(t * scale).astype(np.int64) if fixed else t
+        g = pd.DataFrame({group_col: df[group_col], "__v": v}).groupby(
+            group_col, sort=False)["__v"].agg(["count", "sum"])
+        return pd.DataFrame({group_col: g.index,
+                             "n": g["count"].to_numpy(np.int64),
+                             "s": g["sum"].to_numpy(
+                                 np.int64 if fixed else np.float64)})
+
+    stats = (ds.select_columns([group_col, target_col])
+             .map_batches(partial, batch_format="pandas")
+             .groupby(group_col)
+             .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+             .to_pandas())
+    ref = ray.put((stats[group_col].to_numpy(),
+                   stats["n"].to_numpy(np.int64 if fixed else np.float64),
+                   stats["s"].to_numpy(np.int64 if fixed else np.float64)))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        keys, n, s = ray.get(ref)
+        pos = pd.Index(keys).get_indexer(df[group_col])
+        t = df[target_col].to_numpy(np.float64)
+        if fixed:
+            v = np.rint(t * scale).astype(np.int64)
+            d = n[pos] - 1
+            num = s[pos] - v
+            enc = pd.array((2 * num + d) // np.maximum(2 * d, 1),
+                           dtype="Int64")
+            enc[d <= 0] = pd.NA
+        else:
+            d = n[pos] - 1.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                enc = np.round((s[pos] - t) / d, ndigits)
+            enc[d <= 0] = np.nan
+        return pd.DataFrame({id_col: df[id_col].to_numpy(), out_col: enc})
+
+    return ds.select_columns([id_col, group_col, target_col]).map_batches(
+        finish, batch_format="pandas")

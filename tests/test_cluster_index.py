@@ -209,3 +209,57 @@ def test_impute_group_mean(ray_session):
     # a: null -> mean(1,3)=2; b: null -> 8; c: all-null stays null
     assert out["v"].tolist()[:5] == [1.0, 2.0, 3.0, 8.0, 8.0]
     assert np.isnan(out["v"].iloc[5])
+
+
+def test_target_encode_loo(ray_session):
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.grouped import target_encode_loo
+
+    df = pd.DataFrame({
+        "id": np.arange(5, dtype=np.int64),
+        "g": ["a", "a", "a", "b", "c"],
+        "v": [1.0, 2.0, 6.0, 4.0, 9.0],
+    })
+    out = (target_encode_loo(rd.from_pandas(df).repartition(3), "g", "v",
+                             id_col="id")
+           .to_pandas().sort_values("id", ignore_index=True))
+    # a: (9-1)/2=4, (9-2)/2=3.5, (9-6)/2=1.5; singletons b, c -> null
+    assert out["enc"].tolist()[:3] == [4.0, 3.5, 1.5]
+    assert out["enc"].iloc[3:].isna().all()
+
+
+def test_embedding_covariance_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.cluster import embedding_covariance
+
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(40, 3))
+    df = pd.DataFrame({"embedding": [r for r in X]})
+    out = embedding_covariance(rd.from_pandas(df).repartition(4))
+    want = np.cov(X.T, bias=True)
+    got = out["cov"].to_numpy().reshape(3, 3)
+    np.testing.assert_allclose(got, np.round(want, 6), atol=2e-6)
+    assert out[["i", "j"]].values.tolist()[:4] == [[1, 1], [1, 2], [1, 3],
+                                                   [2, 1]]
+
+
+def test_target_encode_fixed_point(ray_session):
+    """scale=100 (cents) path: integer round-half-up, exact."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.grouped import target_encode_loo
+
+    df = pd.DataFrame({
+        "id": np.arange(4, dtype=np.int64),
+        "g": ["a", "a", "a", "b"],
+        "v": [0.01, 0.02, 0.04, 1.0],
+    })
+    out = (target_encode_loo(rd.from_pandas(df).repartition(2), "g", "v",
+                             id_col="id", out_col="enc_cents", scale=100)
+           .to_pandas().sort_values("id", ignore_index=True))
+    # a (cents sum 7): (7-1)/2 = 3; (7-2)/2 = 2.5 -> half-up 3;
+    # (7-4)/2 = 1.5 -> half-up 2; b singleton -> null
+    assert out["enc_cents"].tolist()[:3] == [3, 3, 2]
+    assert pd.isna(out["enc_cents"].iloc[3])
