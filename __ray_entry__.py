@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_impute_value": q.q_impute_value,
         "q_target_encode": q.q_target_encode,
         "q_embedding_cov": q.q_embedding_cov,
+        "q_ncm_confusion": q.q_ncm_confusion,
         "q_inverted_index": q.q_inverted_index,
         "q_ntile": q.q_ntile,
         "q_group_sample": q.q_group_sample,
@@ -626,6 +627,33 @@ def oracle_sql() -> dict[str, str]:
                      (2 * (sc - vc) + (n - 1)) // (2 * (n - 1))
                    END AS enc_cents
             FROM s
+        """,
+        # nearest-class-mean confusion matrix over 6-digit-rounded
+        # class centroids; ties to the smallest predicted label
+        "q_ncm_confusion": """
+            WITH u AS (
+              SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings
+            ), cm AS (
+              SELECT label, dim, ROUND(AVG(v), 6) AS av
+              FROM u GROUP BY label, dim
+            ), c AS (
+              SELECT label AS plabel, list(av ORDER BY dim) AS cvec
+              FROM cm GROUP BY label
+            ), d AS (
+              SELECT e.vec_id, e.label, c.plabel,
+                     list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                       AS dist
+              FROM embeddings e CROSS JOIN c
+            ), a AS (
+              SELECT vec_id, label, plabel FROM d
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, plabel) = 1
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(plabel AS BIGINT) AS pred, COUNT(*) AS n
+            FROM a GROUP BY label, plabel
         """,
         # population covariance matrix of the embedding space, long form
         "q_embedding_cov": """

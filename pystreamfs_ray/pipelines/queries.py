@@ -1421,3 +1421,13 @@ def q_embedding_cov(sf_dir: str):
 
     emb = read_parquet(_p(sf_dir, "embeddings"), columns=["embedding"])
     return embedding_covariance(emb)
+
+
+def q_ncm_confusion(sf_dir: str):
+    """Nearest-class-mean classifier eval over embeddings: combiner
+    centroid fit → broadcast assignment → confusion counts."""
+    from pystreamfs_ray.stages.cluster import ncm_confusion
+
+    emb = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["label", "embedding"])
+    return ncm_confusion(emb)

@@ -191,3 +191,41 @@ def embedding_covariance(ds, *, vec_col: str = "embedding",
     return pd.DataFrame({"i": ii.ravel().astype(np.int64),
                          "j": jj.ravel().astype(np.int64),
                          "cov": np.round(cov.ravel(), ndigits)})
+
+
+def ncm_confusion(ds, *, label_col: str = "label",
+                  vec_col: str = "embedding"):
+    """Nearest-class-mean confusion matrix: fit per-label centroids
+    (one combiner pass), assign every vector to its nearest centroid
+    (broadcast, zero shuffles), and count (true, predicted) pairs —
+    a complete distributed eval of the simplest embedding classifier.
+    Centroids are the ROUNDED (6-digit) class means so the assignment
+    is reproducible against a decimal oracle. Ties go to the smallest
+    predicted label."""
+    from ray.data.aggregate import Sum
+
+    cent = label_centroids(ds, label_col=label_col, vec_col=vec_col)
+    labels = np.sort(cent[label_col].unique())
+    d = int(cent["dim"].max())
+    C = np.zeros((len(labels), d))
+    pos = {lab: i for i, lab in enumerate(labels)}
+    C[[pos[l] for l in cent[label_col]], cent["dim"].to_numpy() - 1] = \
+        cent["c"].to_numpy()
+    ref = ray.put((np.asarray(labels, dtype=np.int64), C))
+
+    def conf(df: pd.DataFrame) -> pd.DataFrame:
+        labs, Cc = ray.get(ref)
+        idx, _ = _assign_batch(_as_matrix(df[vec_col]), Cc)
+        t = pd.DataFrame({
+            label_col: df[label_col].to_numpy(np.int64),
+            "pred": labs[idx],
+        })
+        out = t.groupby([label_col, "pred"], sort=False).size().reset_index(
+            name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (ds.select_columns([label_col, vec_col])
+            .map_batches(conf, batch_format="pandas")
+            .groupby([label_col, "pred"])
+            .aggregate(Sum("n", alias_name="n")))

@@ -263,3 +263,25 @@ def test_target_encode_fixed_point(ray_session):
     # (7-4)/2 = 1.5 -> half-up 2; b singleton -> null
     assert out["enc_cents"].tolist()[:3] == [3, 3, 2]
     assert pd.isna(out["enc_cents"].iloc[3])
+
+
+def test_ncm_confusion_separable(ray_session):
+    """Well-separated classes give a diagonal confusion matrix; a
+    planted near-other-centroid vector lands off-diagonal."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.cluster import ncm_confusion
+
+    rng = np.random.default_rng(21)
+    a = rng.normal(size=(20, 4)) * 0.05 + np.array([5.0, 0, 0, 0])
+    b = rng.normal(size=(20, 4)) * 0.05 + np.array([0, 5.0, 0, 0])
+    stray = np.array([[0, 4.9, 0, 0]])  # labeled 0, sits on b's centroid
+    X = np.concatenate([a, b, stray])
+    df = pd.DataFrame({
+        "label": np.array([0] * 20 + [1] * 20 + [0], dtype=np.int64),
+        "embedding": [r for r in X],
+    })
+    out = (ncm_confusion(rd.from_pandas(df).repartition(4))
+           .to_pandas().sort_values(["label", "pred"], ignore_index=True))
+    got = {(r.label, r.pred): r.n for r in out.itertuples()}
+    assert got[(0, 0)] == 20 and got[(1, 1)] == 20 and got[(0, 1)] == 1
