@@ -29,9 +29,42 @@ def strip_schema_metadata(ds):
     return ds.map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _clean_schema(paths, columns):
+    """Metadata-free read schema (projected to ``columns``) from the
+    first file's footer — one footer read. Passing it to
+    ``read_parquet`` keeps the READ op's own block schemas hashable
+    too (the post-read strip only covers downstream ops), so Ray's
+    schema-dedup fast path works everywhere. Returns None when the
+    layout isn't a plain file/dir (caller falls back)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = paths[0] if isinstance(paths, (list, tuple)) else paths
+    if os.path.isdir(p):
+        files = sorted(glob.glob(os.path.join(p, "*.parquet")))
+        if not files:
+            return None
+        p = files[0]
+    if not (isinstance(p, str) and os.path.isfile(p)):
+        return None
+    try:
+        full = pq.read_schema(p).remove_metadata()
+        if columns is None:
+            return full
+        return pa.schema([full.field(c) for c in columns])
+    except Exception:
+        return None
+
+
 def read_parquet(paths, **kwargs):
     """``ray.data.read_parquet`` with hashable (metadata-free) block
     schemas. Pass ``columns=[...]`` so only needed columns leave storage."""
+    if "schema" not in kwargs:
+        schema = _clean_schema(paths, kwargs.get("columns"))
+        if schema is not None:
+            kwargs["schema"] = schema
     return strip_schema_metadata(rd.read_parquet(paths, **kwargs))
 
 
