@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_target_encode": q.q_target_encode,
         "q_embedding_cov": q.q_embedding_cov,
         "q_ncm_confusion": q.q_ncm_confusion,
+        "q_minmax_scale": q.q_minmax_scale,
+        "q_robust_zscore": q.q_robust_zscore,
+        "q_normalize_text": q.q_normalize_text,
         "q_inverted_index": q.q_inverted_index,
         "q_ntile": q.q_ntile,
         "q_group_sample": q.q_group_sample,
@@ -627,6 +630,35 @@ def oracle_sql() -> dict[str, str]:
                      (2 * (sc - vc) + (n - 1)) // (2 * (n - 1))
                    END AS enc_cents
             FROM s
+        """,
+        # per-group min-max scaling; constant groups null out
+        "q_minmax_scale": """
+            SELECT doc_id,
+                   ROUND((n_chars - MIN(n_chars) OVER (PARTITION BY source))
+                         / NULLIF(CAST(MAX(n_chars) OVER (PARTITION BY source)
+                                       - MIN(n_chars) OVER (PARTITION BY source)
+                                       AS DOUBLE), 0), 6) AS mm
+            FROM documents
+        """,
+        # robust z = (v - median) / MAD per group; zero-MAD → NULL
+        "q_robust_zscore": """
+            WITH m AS (
+              SELECT source, MEDIAN(n_chars) AS med
+              FROM documents GROUP BY source
+            ), a AS (
+              SELECT d.source, MEDIAN(ABS(d.n_chars - m.med)) AS mad
+              FROM documents d JOIN m USING (source) GROUP BY d.source
+            )
+            SELECT d.doc_id,
+                   ROUND((d.n_chars - m.med) / NULLIF(a.mad, 0), 6) AS rz
+            FROM documents d JOIN m USING (source) JOIN a USING (source)
+        """,
+        # canonical text cleanup: lower + collapse whitespace + trim
+        "q_normalize_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                     AS text_norm
+            FROM documents
         """,
         # nearest-class-mean confusion matrix over 6-digit-rounded
         # class centroids; ties to the smallest predicted label

@@ -1431,3 +1431,33 @@ def q_ncm_confusion(sf_dir: str):
     emb = read_parquet(_p(sf_dir, "embeddings"),
                        columns=["label", "embedding"])
     return ncm_confusion(emb)
+
+
+def q_minmax_scale(sf_dir: str):
+    """Per-source min-max scaling of document length; combiner
+    (min, max) partials + broadcast + batch-local scale."""
+    from pystreamfs_ray.stages.grouped import group_minmax_scale
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "source", "n_chars"])
+    return group_minmax_scale(docs, "source", "n_chars", id_col="doc_id")
+
+
+def q_robust_zscore(sf_dir: str):
+    """Per-source median/MAD robust z-score of document length; two
+    (group, value)-only shuffles."""
+    from pystreamfs_ray.stages.grouped import group_robust_zscore
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "source", "n_chars"])
+    return group_robust_zscore(docs, "source", "n_chars", id_col="doc_id")
+
+
+def q_normalize_text(sf_dir: str):
+    """Canonical text cleanup (lower + whitespace collapse + trim);
+    zero-copy Arrow RE2 kernels, shuffle-free."""
+    from pystreamfs_ray.stages.textstats import normalize_text
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "text"])
+    return normalize_text(docs)

@@ -296,3 +296,102 @@ def target_encode_loo(ds, group_col: str, target_col: str, *,
 
     return ds.select_columns([id_col, group_col, target_col]).map_batches(
         finish, batch_format="pandas")
+
+
+def group_minmax_scale(ds, group_col: str, value_col: str, *,
+                       id_col: str, out_col: str = "mm",
+                       ndigits: int = 6):
+    """Per-group min-max scaling ``(v - min_g) / (max_g - min_g)`` —
+    the grouped form of the reference's per-ROW min-max normalize
+    (`/root/reference/pystreamfs/algorithms/efs.py` scaling step).
+    Combiner (group, min, max) partials → group-cardinality shuffle →
+    broadcast → batch-local scale. Constant groups yield null."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col, sort=False)[value_col].agg(["min", "max"])
+        return pd.DataFrame({group_col: g.index,
+                             "lo": g["min"].to_numpy(np.float64),
+                             "hi": g["max"].to_numpy(np.float64)})
+
+    stats = (ds.select_columns([group_col, value_col])
+             .map_batches(partial, batch_format="pandas")
+             .groupby(group_col)
+             .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+             .to_pandas())
+    ref = ray.put((stats[group_col].to_numpy(),
+                   stats["lo"].to_numpy(np.float64),
+                   stats["hi"].to_numpy(np.float64)))
+
+    def scale(df: pd.DataFrame) -> pd.DataFrame:
+        keys, lo, hi = ray.get(ref)
+        pos = pd.Index(keys).get_indexer(df[group_col])
+        v = df[value_col].to_numpy(np.float64)
+        rng = hi[pos] - lo[pos]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mm = np.round((v - lo[pos]) / rng, ndigits)
+        mm[rng == 0.0] = np.nan
+        return pd.DataFrame({id_col: df[id_col].to_numpy(), out_col: mm})
+
+    return ds.select_columns([id_col, group_col, value_col]).map_batches(
+        scale, batch_format="pandas")
+
+
+def group_robust_zscore(ds, group_col: str, value_col: str, *,
+                        id_col: str, out_col: str = "rz",
+                        ndigits: int = 6):
+    """Robust per-group standardization ``(v - median_g) / MAD_g``
+    (MAD = median of |v - median|, the outlier-insensitive z-score used
+    for quality-score outlier cuts). Medians are not combinable, so
+    this costs TWO (group, value)-only shuffles: one for the median,
+    one for the MAD of residuals — still nothing but the two projected
+    columns moves, and the two stat tables broadcast. Zero-MAD groups
+    yield null. At extreme per-group cardinality substitute the
+    histogram sketch (`stages/sketch.hist_quantile`) for the exact
+    medians."""
+    import ray
+
+    two = ds.select_columns([id_col, group_col, value_col])
+
+    def med_of(col_ds):
+        def fn(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                group_col: [g[group_col].iloc[0]],
+                "m": [float(np.median(g["__v"].to_numpy(np.float64)))],
+            })
+
+        return (col_ds.groupby(group_col).map_groups(fn, batch_format="pandas")
+                .to_pandas())
+
+    vals = two.map_batches(
+        lambda df: pd.DataFrame({group_col: df[group_col],
+                                 "__v": df[value_col].to_numpy(np.float64)}),
+        batch_format="pandas")
+    med = med_of(vals)
+    mref = ray.put((med[group_col].to_numpy(), med["m"].to_numpy()))
+
+    def residual(df: pd.DataFrame) -> pd.DataFrame:
+        keys, m = ray.get(mref)
+        pos = pd.Index(keys).get_indexer(df[group_col])
+        return pd.DataFrame({
+            group_col: df[group_col],
+            "__v": np.abs(df[value_col].to_numpy(np.float64) - m[pos]),
+        })
+
+    mad = med_of(ds.select_columns([group_col, value_col]).map_batches(
+        residual, batch_format="pandas"))
+    aref = ray.put((mad[group_col].to_numpy(), mad["m"].to_numpy()))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        keys, m = ray.get(mref)
+        akeys, a = ray.get(aref)
+        pos = pd.Index(keys).get_indexer(df[group_col])
+        apos = pd.Index(akeys).get_indexer(df[group_col])
+        v = df[value_col].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rz = np.round((v - m[pos]) / a[apos], ndigits)
+        rz[a[apos] == 0.0] = np.nan
+        return pd.DataFrame({id_col: df[id_col].to_numpy(), out_col: rz})
+
+    return two.map_batches(score, batch_format="pandas")

@@ -542,3 +542,22 @@ def feature_hash(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         hash_batch, batch_format="pandas")
+
+
+def normalize_text(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                   out_col: str = "text_norm"):
+    """Canonical text cleanup — lowercase + collapse whitespace runs to
+    single spaces + strip leading/trailing whitespace — the first stage
+    of most corpus pipelines (it makes exact dedup catch case/spacing
+    variants). Pure ``pyarrow.compute`` RE2 kernels, zero-copy,
+    shuffle-free; the same three operations exist verbatim in DuckDB
+    (lower / regexp_replace / trim) so the oracle is exact."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t[text_col])
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table({id_col: t[id_col], out_col: s})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -285,3 +285,50 @@ def test_ncm_confusion_separable(ray_session):
            .to_pandas().sort_values(["label", "pred"], ignore_index=True))
     got = {(r.label, r.pred): r.n for r in out.itertuples()}
     assert got[(0, 0)] == 20 and got[(1, 1)] == 20 and got[(0, 1)] == 1
+
+
+def test_group_minmax_scale(ray_session):
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.grouped import group_minmax_scale
+
+    df = pd.DataFrame({
+        "id": np.arange(5, dtype=np.int64),
+        "g": ["a", "a", "a", "b", "b"],
+        "v": [10.0, 20.0, 30.0, 7.0, 7.0],
+    })
+    out = (group_minmax_scale(rd.from_pandas(df).repartition(3), "g", "v",
+                              id_col="id")
+           .to_pandas().sort_values("id", ignore_index=True))
+    assert out["mm"].tolist()[:3] == [0.0, 0.5, 1.0]
+    assert out["mm"].iloc[3:].isna().all()  # constant group -> null
+
+
+def test_group_robust_zscore(ray_session):
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.grouped import group_robust_zscore
+
+    # g=a: median 3, residuals |1-3|,|3-3|,|7-3| = [2,0,4] -> MAD 2
+    df = pd.DataFrame({
+        "id": np.arange(4, dtype=np.int64),
+        "g": ["a", "a", "a", "b"],
+        "v": [1.0, 3.0, 7.0, 5.0],
+    })
+    out = (group_robust_zscore(rd.from_pandas(df).repartition(2), "g", "v",
+                               id_col="id")
+           .to_pandas().sort_values("id", ignore_index=True))
+    assert out["rz"].tolist()[:3] == [-1.0, 0.0, 2.0]
+    assert pd.isna(out["rz"].iloc[3])  # singleton: MAD 0 -> null
+
+
+def test_normalize_text(ray_session):
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.textstats import normalize_text
+
+    df = pd.DataFrame({"doc_id": np.array([1, 2], dtype=np.int64),
+                       "text": ["  Hello\t\tWORLD \n", " \t "]})
+    out = (normalize_text(rd.from_pandas(df))
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert out["text_norm"].tolist() == ["hello world", ""]
