@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minmax_scale": q.q_minmax_scale,
         "q_robust_zscore": q.q_robust_zscore,
         "q_normalize_text": q.q_normalize_text,
+        "q_audit_orders": q.q_audit_orders,
+        "q_dedup_prompts": q.q_dedup_prompts,
+        "q_lang_entropy": q.q_lang_entropy,
         "q_inverted_index": q.q_inverted_index,
         "q_ntile": q.q_ntile,
         "q_group_sample": q.q_group_sample,
@@ -354,6 +357,20 @@ def oracle_sql() -> dict[str, str]:
                    STRING_AGG(role || ': ' || text, chr(10)
                               ORDER BY turn_idx) AS rendered
             FROM transcripts GROUP BY conv_id
+        """,
+        # dedup mined SFT prompts: first pair id per distinct prompt
+        "q_dedup_prompts": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            p AS (
+              SELECT a.conv_id || ':' || CAST(a.turn_idx AS VARCHAR)
+                       AS pair_id,
+                     a.text AS prompt
+              FROM transcripts a JOIN transcripts b
+                ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+              WHERE a.role = 'user' AND b.role = 'assistant'
+            )
+            SELECT MIN(pair_id) AS pair_id, COUNT(*) AS n_dupes, prompt
+            FROM p GROUP BY prompt
         """,
         # SFT pair mining: user turn + immediately-following assistant turn
         "q_sft_pairs": f"""
@@ -630,6 +647,38 @@ def oracle_sql() -> dict[str, str]:
                      (2 * (sc - vc) + (n - 1)) // (2 * (n - 1))
                    END AS enc_cents
             FROM s
+        """,
+        # one-row data-quality audit (row/dup-key/null/range + bounds)
+        "q_audit_orders": """
+            WITH d AS (
+              SELECT COUNT(*) AS n_dup_keys FROM (
+                SELECT o_orderkey FROM orders
+                GROUP BY o_orderkey HAVING COUNT(*) > 1)
+            )
+            SELECT COUNT(*) AS n_rows,
+                   (SELECT n_dup_keys FROM d) AS n_dup_keys,
+                   CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_key,
+                   CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_num,
+                   CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_below_min,
+                   ROUND(MIN(o_totalprice), 6) AS min_num,
+                   ROUND(MAX(o_totalprice), 6) AS max_num
+            FROM orders
+        """,
+        # per-source Shannon entropy (nats) of the language mix
+        "q_lang_entropy": """
+            WITH c AS (
+              SELECT source, lang, COUNT(*) AS c
+              FROM documents GROUP BY source, lang
+            ), t AS (
+              SELECT source, SUM(c) AS n FROM c GROUP BY source
+            )
+            SELECT c.source,
+                   ROUND(SUM(-(c.c / t.n) * LN(c.c / t.n)), 6) AS h,
+                   CAST(MAX(t.n) AS BIGINT) AS n_docs
+            FROM c JOIN t USING (source) GROUP BY c.source
         """,
         # per-group min-max scaling; constant groups null out
         "q_minmax_scale": """

@@ -1461,3 +1461,65 @@ def q_normalize_text(sf_dir: str):
     docs = read_parquet(_p(sf_dir, "documents"),
                         columns=["doc_id", "text"])
     return normalize_text(docs)
+
+
+def q_audit_orders(sf_dir: str):
+    """One-row data-quality audit of orders (row/dup-key/null/range
+    counts + value bounds); combiner partials, key-bounded shuffle."""
+    from pystreamfs_ray.stages.audit import table_audit
+
+    orders = read_parquet(_p(sf_dir, "orders"),
+                          columns=["o_orderkey", "o_totalprice"])
+    return table_audit(orders, key_col="o_orderkey",
+                       numeric_col="o_totalprice", min_value=0.0)
+
+
+def q_dedup_prompts(sf_dir: str):
+    """Exact dedup of mined SFT prompts (the dedup-before-train step on
+    pair data): keep the lexicographically-first pair id per distinct
+    prompt, with the duplicate count."""
+    from pystreamfs_ray.pipelines.transcripts import sft_pairs
+    from pystreamfs_ray.stages.dedup import exact_dedup
+
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+    pairs = sft_pairs(t, num_buckets=_BUCKETS)
+
+    def add_pair_id(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "pair_id": df["conv_id"].astype(str) + ":" +
+                       df["turn_idx"].astype(str),
+            "prompt": df["prompt"],
+        })
+
+    keyed = pairs.map_batches(add_pair_id, batch_format="pandas")
+    return exact_dedup(keyed, id_col="pair_id", text_col="prompt")
+
+
+def q_lang_entropy(sf_dir: str):
+    """Per-source Shannon entropy (nats) of the language distribution —
+    the corpus-diversity report; (source, lang) combiner counts, tiny
+    final table."""
+    ev = read_parquet(_p(sf_dir, "documents"),
+                      columns=["source", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "lang"], sort=False).size().reset_index(
+            name="c")
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    counts = (ev.map_batches(partial, batch_format="pandas")
+              .groupby(["source", "lang"])
+              .aggregate(Sum("c", alias_name="c"))
+              .to_pandas())
+
+    def entropy(g: pd.DataFrame) -> float:
+        p = g["c"].to_numpy(np.float64) / g["c"].sum()
+        return round(float(-(p * np.log(p)).sum()), 6)
+
+    out = (counts.groupby("source")
+           .apply(entropy, include_groups=False).reset_index(name="h"))
+    n = counts.groupby("source")["c"].sum().reset_index(name="n_docs")
+    out = out.merge(n, on="source")
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out

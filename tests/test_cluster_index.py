@@ -332,3 +332,23 @@ def test_normalize_text(ray_session):
     out = (normalize_text(rd.from_pandas(df))
            .to_pandas().sort_values("doc_id", ignore_index=True))
     assert out["text_norm"].tolist() == ["hello world", ""]
+
+
+def test_table_audit_counts(ray_session):
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.audit import table_audit
+
+    df = pd.DataFrame({
+        "k": [1, 2, 2, 3, 3, 3, None],
+        "v": [5.0, -1.0, 2.0, np.nan, 0.5, 9.0, 1.0],
+    })
+    out = table_audit(rd.from_pandas(df).repartition(3), key_col="k",
+                      numeric_col="v", min_value=0.0)
+    row = out.iloc[0]
+    assert row["n_rows"] == 7
+    assert row["n_dup_keys"] == 2        # keys 2 and 3
+    assert row["n_null_key"] == 1
+    assert row["n_null_num"] == 1
+    assert row["n_below_min"] == 1       # -1.0
+    assert row["min_num"] == -1.0 and row["max_num"] == 9.0
