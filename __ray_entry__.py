@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_robust_zscore": q.q_robust_zscore,
         "q_normalize_text": q.q_normalize_text,
         "q_audit_orders": q.q_audit_orders,
+        "q_budget_sample": q.q_budget_sample,
         "q_dedup_prompts": q.q_dedup_prompts,
         "q_lang_entropy": q.q_lang_entropy,
         "q_inverted_index": q.q_inverted_index,
@@ -647,6 +648,23 @@ def oracle_sql() -> dict[str, str]:
                      (2 * (sc - vc) + (n - 1)) // (2 * (n - 1))
                    END AS enc_cents
             FROM s
+        """,
+        # greedy token-budget corpus assembly in md5-of-key order
+        "q_budget_sample": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS n_tokens,
+                     md5_number_lower(CAST(doc_id AS VARCHAR)) AS hv
+              FROM documents
+            )
+            SELECT doc_id, source, n_tokens FROM (
+              SELECT doc_id, source, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY source
+                                         ORDER BY hv, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS run
+              FROM t)
+            WHERE run <= 1000
         """,
         # one-row data-quality audit (row/dup-key/null/range + bounds)
         "q_audit_orders": """

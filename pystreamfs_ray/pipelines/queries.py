@@ -1523,3 +1523,16 @@ def q_lang_entropy(sf_dir: str):
     out = out.merge(n, on="source")
     out["n_docs"] = out["n_docs"].astype(np.int64)
     return out
+
+
+def q_budget_sample(sf_dir: str):
+    """Greedy token-budget corpus assembly: per source, admit documents
+    in md5-of-doc_id order until 1000 cumulative tokens."""
+    from pystreamfs_ray.sources import budget_sample
+    from pystreamfs_ray.stages.textstats import token_stats
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "source", "text"])
+    with_tokens = token_stats(docs).select_columns(
+        ["doc_id", "source", "n_tokens"])
+    return budget_sample(with_tokens, "source", "doc_id", "n_tokens", 1000)

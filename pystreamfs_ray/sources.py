@@ -249,3 +249,44 @@ def write_jsonl(ds, path: str, **kwargs) -> None:
     """Newline-delimited JSON sink (one file per block — resumable,
     never one giant file); the interchange twin of ``read_jsonl``."""
     ds.write_json(path, **kwargs)
+
+
+def budget_sample(ds, group_col: str, key_col: str, weight_col: str,
+                  budget: int, *, salt: str = "", num_buckets: int = 64):
+    """Token-budget corpus assembly: per group (source/domain), admit
+    rows in deterministic md5-of-key order until the group's cumulative
+    ``weight_col`` (token count) reaches ``budget`` — the greedy
+    fixed-budget form of corpus mixing (vs ``stratified_sample_by_hash``
+    which fixes a RATE, and ``sample_n_per_group`` which fixes a row
+    COUNT). A row is kept iff the running total INCLUDING it is ≤
+    budget; hash order makes the kept set a pure function of the keys
+    (any parallelism, any run) and growing the budget keeps a superset.
+
+    One group-hash shuffle; the per-group pass is a vectorized sort +
+    cumsum. Per-group volume is the group's rows — for groups too big
+    for one task, range-partition the hash space and use
+    ``stages/packing.distributed_prefix_sum`` instead (same result)."""
+    import numpy as np
+    import pandas as pd
+
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+    from pystreamfs_ray.stages.window import per_bucket
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = _md5_lower64([salt + str(v) for v in t[key_col].to_pylist()])
+        return t.append_column("__hv", pa.array(h.astype(np.uint64)))
+
+    def admit(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby(group_col, sort=False):
+            order = np.lexsort((grp[key_col].to_numpy(), grp["__hv"].to_numpy()))
+            w = grp[weight_col].to_numpy(np.int64)[order]
+            keep = order[np.cumsum(w) <= budget]
+            out.append(grp.iloc[np.sort(keep)])
+        res = pd.concat(out) if out else g.iloc[:0]
+        return res.drop(columns=["__hv"])
+
+    keyed = ds.select_columns([group_col, key_col, weight_col]).map_batches(
+        add_hash, batch_format="pyarrow")
+    return per_bucket(keyed, admit, entity_col=group_col,
+                      num_buckets=num_buckets)

@@ -352,3 +352,30 @@ def test_table_audit_counts(ray_session):
     assert row["n_null_num"] == 1
     assert row["n_below_min"] == 1       # -1.0
     assert row["min_num"] == -1.0 and row["max_num"] == 9.0
+
+
+def test_budget_sample_greedy_and_nested(ray_session):
+    """Admission stops at the budget, is parallelism-invariant, and a
+    bigger budget admits a superset."""
+    import ray.data as rd
+
+    from pystreamfs_ray.sources import budget_sample
+
+    df = pd.DataFrame({
+        "g": ["a"] * 6 + ["b"] * 2,
+        "id": np.arange(8, dtype=np.int64),
+        "w": [40, 40, 40, 40, 40, 40, 100, 100],
+    })
+
+    def run(budget, nparts):
+        return (budget_sample(rd.from_pandas(df).repartition(nparts),
+                              "g", "id", "w", budget, num_buckets=4)
+                .to_pandas().sort_values("id", ignore_index=True))
+
+    s1, s2 = run(120, 2), run(120, 5)
+    pd.testing.assert_frame_equal(s1, s2)
+    assert s1[s1["g"] == "a"]["w"].sum() <= 120   # 3 of the 40s
+    assert len(s1[s1["g"] == "a"]) == 3
+    assert len(s1[s1["g"] == "b"]) == 1           # one 100 fits, two don't
+    big = run(240, 3)
+    assert set(s1["id"]) <= set(big["id"])        # nested in larger budget
