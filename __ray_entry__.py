@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_normalize_text": q.q_normalize_text,
         "q_audit_orders": q.q_audit_orders,
         "q_budget_sample": q.q_budget_sample,
+        "q_kfold": q.q_kfold,
         "q_dedup_prompts": q.q_dedup_prompts,
         "q_lang_entropy": q.q_lang_entropy,
         "q_inverted_index": q.q_inverted_index,
@@ -648,6 +649,15 @@ def oracle_sql() -> dict[str, str]:
                      (2 * (sc - vc) + (n - 1)) // (2 * (n - 1))
                    END AS enc_cents
             FROM s
+        """,
+        # deterministic 5-fold split balance (md5-of-key folds)
+        "q_kfold": """
+            SELECT CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 5
+                        AS BIGINT) AS fold,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(text, '\\S+')))
+                        AS BIGINT) AS n_tokens
+            FROM documents GROUP BY fold
         """,
         # greedy token-budget corpus assembly in md5-of-key order
         "q_budget_sample": """

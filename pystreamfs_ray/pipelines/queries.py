@@ -1536,3 +1536,30 @@ def q_budget_sample(sf_dir: str):
     with_tokens = token_stats(docs).select_columns(
         ["doc_id", "source", "n_tokens"])
     return budget_sample(with_tokens, "source", "doc_id", "n_tokens", 1000)
+
+
+def q_kfold(sf_dir: str):
+    """Deterministic 5-fold assignment by md5-of-key (reproducible CV
+    splits at any parallelism) with per-fold size and token mass —
+    the split-balance report. Shuffle: fold-cardinality combiner only."""
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+    from pystreamfs_ray.stages.textstats import token_stats
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "text"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        fold = (_md5_lower64([str(v) for v in df["doc_id"]])
+                % np.uint64(5)).astype(np.int64)
+        g = (pd.DataFrame({"fold": fold,
+                           "n_tokens": df["n_tokens"].to_numpy(np.int64)})
+             .groupby("fold", as_index=False)
+             .agg(n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum")))
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        return g
+
+    stats = token_stats(docs).select_columns(["doc_id", "n_tokens"])
+    return (stats.map_batches(assign, batch_format="pandas")
+            .groupby("fold")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="n_tokens")))
