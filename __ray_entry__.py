@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chunk_docs": q.q_chunk_docs,
         "q_word_topk": q.q_word_topk,
         "q_hll_users": q.q_hll_users,
+        "q_hll_by_type": q.q_hll_by_type,
         "q_cms_users": q.q_cms_users,
         "q_hist_value": q.q_hist_value,
         "q_dedup_exact": q.q_dedup_exact,
@@ -165,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_audit_orders": q.q_audit_orders,
         "q_budget_sample": q.q_budget_sample,
         "q_kfold": q.q_kfold,
+        "q_bm25": q.q_bm25,
         "q_dedup_prompts": q.q_dedup_prompts,
         "q_lang_entropy": q.q_lang_entropy,
         "q_inverted_index": q.q_inverted_index,
@@ -650,6 +652,34 @@ def oracle_sql() -> dict[str, str]:
                    END AS enc_cents
             FROM s
         """,
+        # BM25 (Lucene idf) for a two-term query; avgdl over all docs
+        "q_bm25": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+              FROM documents
+            ), stats AS (
+              SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+                     CAST((SELECT COUNT(*) FROM toks) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM documents) AS avgdl
+            ), dl AS (
+              SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id
+            ), dfs AS (
+              SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+              FROM toks WHERE w IN ('join', 'filter') GROUP BY w
+            ), tfs AS (
+              SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+              FROM toks WHERE w IN ('join', 'filter') GROUP BY doc_id, w
+            )
+            SELECT t.doc_id,
+                   ROUND(SUM(LN((n - df + 0.5) / (df + 0.5) + 1)
+                             * tf * 2.2::DOUBLE
+                             / (tf + 1.2::DOUBLE
+                                * (0.25::DOUBLE
+                                   + 0.75::DOUBLE * dl.len / avgdl))), 6)
+                     AS score
+            FROM tfs t JOIN dfs USING (w) JOIN dl USING (doc_id), stats
+            GROUP BY t.doc_id
+        """,
         # deterministic 5-fold split balance (md5-of-key folds)
         "q_kfold": """
             SELECT CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 5
@@ -923,6 +953,22 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             )
             SELECT reg, MAX(rho) AS rho_max FROM r GROUP BY reg
+        """,
+        # grouped HLL registers: approximate distinct users per type
+        "q_hll_by_type": """
+            WITH h AS (
+              SELECT event_type,
+                     md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+              FROM events
+            ), r AS (
+              SELECT event_type, CAST(hv >> 58 AS BIGINT) AS reg,
+                     CAST(CASE WHEN (hv & ((1::UBIGINT << 58) - 1)) = 0 THEN 59
+                          ELSE 58 - length(bin(hv & ((1::UBIGINT << 58) - 1))) + 1
+                          END AS BIGINT) AS rho
+              FROM h
+            )
+            SELECT event_type, reg, MAX(rho) AS rho_max
+            FROM r GROUP BY event_type, reg
         """,
         # same row-salted md5 cell hash as sketch.cms_partials
         "q_cms_users": """

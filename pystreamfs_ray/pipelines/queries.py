@@ -1563,3 +1563,24 @@ def q_kfold(sf_dir: str):
             .groupby("fold")
             .aggregate(Sum("n_docs", alias_name="n_docs"),
                        Sum("n_tokens", alias_name="n_tokens")))
+
+
+def q_hll_by_type(sf_dir: str):
+    """Per-event-type approximate-distinct-user HLL registers (the
+    grouped mergeable sketch; shuffle bounded by groups x 2^b)."""
+    from pystreamfs_ray.stages.sketch import hll_registers_by
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_type", "user_id"])
+    return hll_registers_by(ev, "event_type", "user_id")
+
+
+def q_bm25(sf_dir: str):
+    """BM25 lexical retrieval scores for a two-term query over the
+    corpus; |q|-row corpus aggregates broadcast into one doc-local
+    scoring pass."""
+    from pystreamfs_ray.stages.index import bm25_scores
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "text"])
+    return bm25_scores(docs, ["join", "filter"])

@@ -58,3 +58,66 @@ def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
             .map_batches(pairs, batch_format="pandas")
             .groupby("term")
             .map_groups(finish, batch_format="pandas"))
+
+
+def bm25_scores(ds, query_terms: list[str], *, id_col: str = "doc_id",
+                text_col: str = "text", k1: float = 1.2, b: float = 0.75,
+                ndigits: int = 6):
+    """BM25 relevance of every document for a bag-of-terms query — the
+    classic lexical ranker (the retrieval twin of the ANN operators in
+    ``stages/similarity``). Lucene-style idf
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)``; ``avgdl`` counts all docs.
+
+    Scale shape: the corpus-wide pass collects only three tiny
+    aggregates — per-query-term document frequencies (|q| rows via the
+    distinct-(term, doc) combiner), total docs, total tokens — which
+    broadcast into a single doc-local scoring pass (tokenize once,
+    count query-term hits vectorized). No shuffle touches row data;
+    only docs with positive score are emitted."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    terms = list(dict.fromkeys(query_terms))
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].str.findall(r"\S+")
+        n_tok = int(s.map(len).sum())
+        dfs = np.zeros(len(terms), dtype=np.int64)
+        for i, t in enumerate(terms):
+            dfs[i] = int(s.map(lambda ws, _t=t: _t in ws).sum())
+        out = pd.DataFrame({"term_i": np.arange(len(terms), dtype=np.int64),
+                            "df": dfs})
+        out["n_docs"] = np.int64(len(df))
+        out["n_toks"] = np.int64(n_tok)
+        return out
+
+    agg = (ds.select_columns([text_col])
+           .map_batches(counts, batch_format="pandas")
+           .groupby("term_i")
+           .aggregate(Sum("df", alias_name="df"),
+                      Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_toks", alias_name="n_toks"))
+           .to_pandas().sort_values("term_i"))
+    n_docs = float(agg["n_docs"].iloc[0])
+    avgdl = float(agg["n_toks"].iloc[0]) / n_docs
+    dfreq = agg["df"].to_numpy(np.float64)
+    idf = np.log((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+    ref = ray.put((terms, idf, avgdl))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        terms, idf, avgdl = ray.get(ref)
+        s = df[text_col].str.findall(r"\S+")
+        dl = s.map(len).to_numpy(np.float64)
+        tf = np.zeros((len(df), len(terms)))
+        for i, t in enumerate(terms):
+            tf[:, i] = s.map(lambda ws, _t=t: ws.count(_t)).to_numpy()
+        norm = k1 * (1.0 - b + b * dl[:, None] / avgdl)
+        sc = (idf[None, :] * tf * (k1 + 1.0) / (tf + norm)).sum(axis=1)
+        keep = sc > 0
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[keep],
+            "score": np.round(sc[keep], ndigits),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas")

@@ -186,3 +186,27 @@ def hist_quantile(registers: pd.DataFrame, qs, *, lo: float, hi: float,
         frac = (target - prev) / max(full[b], 1)
         out.append(lo + (b + min(max(frac, 0.0), 1.0)) * w)
     return out
+
+
+def hll_registers_by(ds, group_col: str, col: str, *, b: int = 6):
+    """Per-group HLL registers ``(group, reg, rho_max)`` — approximate
+    COUNT(DISTINCT col) PER KEY in one pass. The max-mergeable register
+    rows are the combiner, so the shuffle is bounded by
+    ``groups × 2^b`` rows regardless of input size — the scale answer
+    when exact per-group distinct (a groups×values shuffle) is too
+    wide. Feed each group's rows to :func:`hll_estimate` for the
+    count."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for g, grp in df.groupby(group_col, sort=False):
+            p = hll_partials(grp[col].to_numpy(), b=b)
+            p.insert(0, group_col, g)
+            outs.append(p)
+        return pd.concat(outs) if outs else pd.DataFrame(
+            {group_col: [], "reg": pd.Series([], dtype=np.int64),
+             "rho": pd.Series([], dtype=np.int64)})
+
+    return (ds.select_columns([group_col, col])
+            .map_batches(partial, batch_format="pandas")
+            .groupby([group_col, "reg"])
+            .aggregate(Max("rho", alias_name="rho_max")))

@@ -379,3 +379,49 @@ def test_budget_sample_greedy_and_nested(ray_session):
     assert len(s1[s1["g"] == "b"]) == 1           # one 100 fits, two don't
     big = run(240, 3)
     assert set(s1["id"]) <= set(big["id"])        # nested in larger budget
+
+
+def test_hll_by_type_matches_global_per_group(ray_session):
+    """Per-group registers estimate each group's distinct count within
+    HLL error, and equal the single-group registers computed alone."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.sketch import (hll_estimate, hll_registers,
+                                              hll_registers_by)
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 2000),
+        "v": np.concatenate([rng.integers(0, 300, 2000),
+                             rng.integers(0, 40, 2000)]),
+    })
+    regs = (hll_registers_by(rd.from_pandas(df).repartition(4), "g", "v")
+            .to_pandas())
+    for g, true_n in (("a", df[df.g == "a"]["v"].nunique()),
+                      ("b", df[df.g == "b"]["v"].nunique())):
+        sub = regs[regs["g"] == g][["reg", "rho_max"]]
+        est = hll_estimate(sub)
+        assert abs(est - true_n) / true_n < 0.35
+        solo = (hll_registers(
+            rd.from_pandas(df[df.g == g][["v"]]), "v").to_pandas()
+            .sort_values("reg", ignore_index=True))
+        pd.testing.assert_frame_equal(
+            sub.sort_values("reg", ignore_index=True), solo)
+
+
+def test_bm25_single_doc_formula(ray_session):
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.index import bm25_scores
+
+    # 3 docs, query 'cat': df=2, N=3, avgdl=(2+2+2)/3=2
+    df = pd.DataFrame({"doc_id": np.array([1, 2, 3], dtype=np.int64),
+                       "text": ["cat cat", "cat dog", "dog dog"]})
+    out = (bm25_scores(rd.from_pandas(df).repartition(2), ["cat"])
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    idf = np.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+    def s(tf):
+        return round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * 1.0)), 6)
+    assert out["doc_id"].tolist() == [1, 2]      # doc 3 scores 0 -> dropped
+    assert out["score"].tolist() == [s(2), s(1)]
+    assert out["score"].iloc[0] > out["score"].iloc[1]  # tf saturation
