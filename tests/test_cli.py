@@ -35,3 +35,29 @@ def test_cli_end_to_end(ray_session, synth_dirs, tmp_path, capsys):
     mani = lineage_summary(str(tmp_path / "ckpt"))
     assert mani and all(m["rows_per_sec"] > 0 for m in mani)
     assert all(m.get("window_lag_s") is not None for m in mani)
+
+
+def test_cli_curate_end_to_end(ray_session, tmp_path, capsys):
+    """Curation CLI: dedup+filters+budget → Hive layout + report."""
+    from pystreamfs_ray.cli_curate import main
+
+    out = str(tmp_path / "curated")
+    rc = main([
+        "--documents", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--lang", "en", "--quality-min", "0.2",
+        "--dedup", "keep-best", "--budget-tokens", "1200",
+        "--join-partitions", "2",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["n_docs"] > 0 and report["total_tokens"] > 0
+
+    # resumable Hive layout: one directory per source
+    src_dirs = glob.glob(f"{out}/docs/source=*")
+    assert len(src_dirs) > 1
+    t = pq.read_table(src_dirs[0])
+    assert {"doc_id", "n_tokens", "quality_score"} <= set(t.column_names)
+    # per-source budget respected
+    full = json.load(open(f"{out}/report.json"))
+    assert all(s["total_tokens"] <= 1200 for s in full["sources"])
