@@ -167,6 +167,10 @@ def group_zscore(ds, group_col: str, value_col: str, *,
              .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
                         Sum("ss", alias_name="ss"))
              .to_pandas())
+    from pystreamfs_ray.util import ensure_cols
+
+    stats = ensure_cols(stats, {group_col: object, "n": np.int64,
+                                "s": np.float64, "ss": np.float64})
     n = stats["n"].to_numpy(np.float64)
     mean = stats["s"].to_numpy(np.float64) / n
     var = stats["ss"].to_numpy(np.float64) / n - mean * mean
@@ -215,6 +219,10 @@ def impute_group_mean(ds, group_col: str, value_col: str, *,
              .groupby(group_col)
              .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
              .to_pandas())
+    from pystreamfs_ray.util import ensure_cols
+
+    stats = ensure_cols(stats, {group_col: object, "n": np.int64,
+                                "s": np.float64})
     mean = stats["s"].to_numpy(np.float64) / stats["n"].to_numpy(np.float64)
     ref = ray.put((stats[group_col].to_numpy(), mean))
 
@@ -272,6 +280,10 @@ def target_encode_loo(ds, group_col: str, target_col: str, *,
              .groupby(group_col)
              .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
              .to_pandas())
+    from pystreamfs_ray.util import ensure_cols
+
+    stats = ensure_cols(stats, {group_col: object, "n": np.int64,
+                                "s": np.float64})
     ref = ray.put((stats[group_col].to_numpy(),
                    stats["n"].to_numpy(np.int64 if fixed else np.float64),
                    stats["s"].to_numpy(np.int64 if fixed else np.float64)))
@@ -320,6 +332,10 @@ def group_minmax_scale(ds, group_col: str, value_col: str, *,
              .groupby(group_col)
              .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
              .to_pandas())
+    from pystreamfs_ray.util import ensure_cols
+
+    stats = ensure_cols(stats, {group_col: object, "lo": np.float64,
+                                "hi": np.float64})
     ref = ray.put((stats[group_col].to_numpy(),
                    stats["lo"].to_numpy(np.float64),
                    stats["hi"].to_numpy(np.float64)))

@@ -97,7 +97,14 @@ def bm25_scores(ds, query_terms: list[str], *, id_col: str = "doc_id",
            .aggregate(Sum("df", alias_name="df"),
                       Sum("n_docs", alias_name="n_docs"),
                       Sum("n_toks", alias_name="n_toks"))
-           .to_pandas().sort_values("term_i"))
+           .to_pandas())
+    if len(agg) == 0:  # empty corpus → typed empty result
+        return ds.select_columns([id_col]).map_batches(
+            lambda df: pd.DataFrame({id_col: df[id_col],
+                                     "score": np.full(len(df), np.nan)}
+                                    ).iloc[0:0],
+            batch_format="pandas")
+    agg = agg.sort_values("term_i")
     n_docs = float(agg["n_docs"].iloc[0])
     avgdl = float(agg["n_toks"].iloc[0]) / n_docs
     dfreq = agg["df"].to_numpy(np.float64)

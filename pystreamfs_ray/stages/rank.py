@@ -36,7 +36,11 @@ def global_percent_rank(ds, *, value_col: str, id_col: str,
     """Append the global percent-rank of ``value_col`` (ties share the
     rank of their strictly-less count, as in SQL ``PERCENT_RANK``).
     Returns a Dataset of ``(id_col, out_col)`` rounded to ``ndigits``."""
-    sample = ds.select_columns([value_col]).limit(boundary_sample).to_pandas()
+    from pystreamfs_ray.util import ensure_cols
+
+    sample = ensure_cols(
+        ds.select_columns([value_col]).limit(boundary_sample).to_pandas(),
+        {value_col: np.float64})
     vals = np.sort(sample[value_col].to_numpy())
     if len(vals) == 0 or num_partitions <= 1:
         bounds = np.array([], dtype=vals.dtype)
@@ -55,8 +59,9 @@ def global_percent_rank(ds, *, value_col: str, id_col: str,
     # phase 1: one integer per partition (Ray pre-combines per block)
     from ray.data.aggregate import Count
 
-    counts = (parted.groupby(_PART).aggregate(Count(alias_name="__c"))
-              .to_pandas())
+    counts = ensure_cols(
+        parted.groupby(_PART).aggregate(Count(alias_name="__c")).to_pandas(),
+        {_PART: np.int32, "__c": np.int64})
     by_part = dict(zip(counts[_PART].astype(int), counts["__c"].astype(np.int64)))
     n_parts = len(bounds) + 1
     offsets = np.zeros(n_parts, dtype=np.int64)
@@ -93,7 +98,11 @@ def global_ntile(ds, n: int, *, value_col: str, id_col: str,
     local (value, id) rank IS the global 0-based row number; the NTILE
     bucket is then arithmetic on that row number. No global sort, no
     total-order materialization."""
-    sample = ds.select_columns([value_col]).limit(boundary_sample).to_pandas()
+    from pystreamfs_ray.util import ensure_cols
+
+    sample = ensure_cols(
+        ds.select_columns([value_col]).limit(boundary_sample).to_pandas(),
+        {value_col: np.float64})
     vals = np.sort(sample[value_col].to_numpy())
     if len(vals) == 0 or num_partitions <= 1:
         bounds = np.array([], dtype=vals.dtype)
@@ -111,8 +120,9 @@ def global_ntile(ds, n: int, *, value_col: str, id_col: str,
 
     from ray.data.aggregate import Count
 
-    counts = (parted.groupby(_PART).aggregate(Count(alias_name="__c"))
-              .to_pandas())
+    counts = ensure_cols(
+        parted.groupby(_PART).aggregate(Count(alias_name="__c")).to_pandas(),
+        {_PART: np.int32, "__c": np.int64})
     by_part = dict(zip(counts[_PART].astype(int), counts["__c"].astype(np.int64)))
     n_parts = len(bounds) + 1
     offsets = np.zeros(n_parts, dtype=np.int64)

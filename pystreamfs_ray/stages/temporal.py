@@ -46,14 +46,21 @@ def first_seen_counts(ds, *, entity_col: str = "user_id",
         vc = day.value_counts()
         return pd.DataFrame({"day": vc.index, "pc": vc.to_numpy(np.int64)})
 
-    out = (firsts.map_batches(to_bucket, batch_format="pandas")
-           .to_pandas().groupby("day", as_index=False)["pc"].sum()
+    from pystreamfs_ray.util import ensure_cols
+
+    raw = ensure_cols(firsts.map_batches(to_bucket, batch_format="pandas")
+                      .to_pandas(), {"day": "datetime64[us]",
+                                     "pc": np.int64})
+    out = (raw.groupby("day", as_index=False)["pc"].sum()
            .sort_values("day", ignore_index=True))
     return pd.DataFrame({
         "day": out["day"],
         "new_users": out["pc"].astype(np.int64),
         "cum_users": out["pc"].cumsum().astype(np.int64),
     })
+
+
+from pystreamfs_ray.util import ensure_cols
 
 
 def funnel_counts(ds, stages: list[str], *, entity_col: str = "user_id",
@@ -98,8 +105,10 @@ def funnel_counts(ds, stages: list[str], *, entity_col: str = "user_id",
 
     partials = per_bucket(filtered, bucket_funnel, entity_col=entity_col,
                           num_buckets=num_buckets)
-    tot = (partials.to_pandas().groupby("stage_idx", as_index=False)
-           ["n_users_pc"].sum().sort_values("stage_idx", ignore_index=True))
+    tot = ensure_cols(partials.to_pandas(),
+                      {"stage_idx": np.int64, "n_users_pc": np.int64})
+    tot = (tot.groupby("stage_idx", as_index=False)["n_users_pc"].sum()
+           .sort_values("stage_idx", ignore_index=True))
     return pd.DataFrame({
         "stage_idx": tot["stage_idx"].astype(np.int64),
         "stage": [stages[i] for i in tot["stage_idx"]],

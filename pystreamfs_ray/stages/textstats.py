@@ -481,6 +481,9 @@ def pmi_bigrams(ds, *, text_col: str = "text", min_count: int = 5,
 
     uni = (toks.map_batches(unigram_partial, batch_format="pandas")
            .groupby("w").aggregate(Sum("cu", alias_name="cu")).to_pandas())
+    from pystreamfs_ray.util import ensure_cols
+
+    uni = ensure_cols(uni, {"w": object, "cu": np.int64})
     n_tokens = int(uni["cu"].sum())
     big = (toks.map_batches(bigram_partial, batch_format="pandas")
            .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c")))
@@ -488,14 +491,15 @@ def pmi_bigrams(ds, *, text_col: str = "text", min_count: int = 5,
     n_docs_nonempty = int(toks.map_batches(
         lambda df: pd.DataFrame(
             {"ne": [int(df[text_col].str.contains(r"\S", regex=True).sum())]}),
-        batch_format="pandas").sum("ne"))
+        batch_format="pandas").sum("ne") or 0)
     m_bigrams = n_tokens - n_docs_nonempty
     ref = ray.put(dict(zip(uni["w"], uni["cu"].to_numpy(np.int64))))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         lut = ray.get(ref)
-        df = df[df["c"] >= min_count]
-        if len(df) == 0:
+        if "c" in df.columns:
+            df = df[df["c"] >= min_count]
+        if len(df) == 0 or "c" not in df.columns:
             return pd.DataFrame({"w1": [], "w2": [],
                                  "c": pd.Series([], dtype=np.int64),
                                  "pmi": pd.Series([], dtype=np.float64)})

@@ -59,3 +59,17 @@ def params_fingerprint(obj: Any) -> str:
     return hashlib.blake2b(
         json.dumps(obj, sort_keys=True, default=str).encode(), digest_size=8
     ).hexdigest()
+
+
+def ensure_cols(df, schema: dict):
+    """Guarantee ``df`` has the given columns: Ray's ``to_pandas()`` on
+    an EMPTY aggregate yields a frame with NO columns, so downstream
+    `df[col]` raises on a legitimately-empty input. Missing columns are
+    added as typed empty (or all-null for non-empty frames)."""
+    import pandas as pd
+
+    for col, dtype in schema.items():
+        if col not in df.columns:
+            df[col] = pd.Series([None] * len(df)).astype(dtype) if len(df) \
+                else pd.Series([], dtype=dtype)
+    return df

@@ -425,3 +425,54 @@ def test_bm25_single_doc_formula(ray_session):
     assert out["doc_id"].tolist() == [1, 2]      # doc 3 scores 0 -> dropped
     assert out["score"].tolist() == [s(2), s(1)]
     assert out["score"].iloc[0] > out["score"].iloc[1]  # tf saturation
+
+
+def test_empty_input_safety(ray_session):
+    """Every round-2 operator returns a clean empty result on an empty
+    corpus instead of crashing (Ray's empty aggregates lose columns)."""
+    import ray.data as rd
+
+    from pystreamfs_ray.sources import budget_sample, sample_n_per_group
+    from pystreamfs_ray.stages.grouped import (group_minmax_scale,
+                                               group_zscore,
+                                               impute_group_mean,
+                                               target_encode_loo)
+    from pystreamfs_ray.stages.index import bm25_scores, inverted_index
+    from pystreamfs_ray.stages.rank import global_ntile, global_percent_rank
+    from pystreamfs_ray.stages.temporal import first_seen_counts, funnel_counts
+    from pystreamfs_ray.stages.textstats import (feature_hash, normalize_text,
+                                                 pmi_bigrams)
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype=np.int64),
+        "text": pd.Series([], dtype=str),
+        "source": pd.Series([], dtype=str)}))
+    vals = rd.from_pandas(pd.DataFrame({
+        "id": pd.Series([], dtype=np.int64),
+        "g": pd.Series([], dtype=str),
+        "v": pd.Series([], dtype=np.float64)}))
+    ev = rd.from_pandas(pd.DataFrame({
+        "user_id": pd.Series([], dtype=np.int64),
+        "ts": pd.Series([], dtype="datetime64[us]"),
+        "event_type": pd.Series([], dtype=str)}))
+
+    results = [
+        global_percent_rank(vals, value_col="v", id_col="id"),
+        global_ntile(vals, 5, value_col="v", id_col="id"),
+        group_zscore(vals, "g", "v", id_col="id"),
+        impute_group_mean(vals, "g", "v", id_col="id"),
+        target_encode_loo(vals, "g", "v", id_col="id"),
+        target_encode_loo(vals, "g", "v", id_col="id", scale=100),
+        group_minmax_scale(vals, "g", "v", id_col="id"),
+        inverted_index(docs),
+        bm25_scores(docs, ["cat"]),
+        feature_hash(docs),
+        pmi_bigrams(docs),
+        normalize_text(docs),
+        sample_n_per_group(docs, "source", "doc_id", 3),
+        first_seen_counts(ev),
+        funnel_counts(ev, ["view", "click"]),
+    ]
+    for r in results:
+        n = len(r) if isinstance(r, pd.DataFrame) else r.count()
+        assert n == 0
