@@ -79,12 +79,17 @@ def bm25_scores(ds, query_terms: list[str], *, id_col: str = "doc_id",
 
     terms = list(dict.fromkeys(query_terms))
 
+    import re
+
+    # token-exact occurrence pattern: the term delimited by non-\S
+    # boundaries (C-level regex count — no per-row Python list work)
+    pats = [r"(?<!\S)" + re.escape(t) + r"(?!\S)" for t in terms]
+
     def counts(df: pd.DataFrame) -> pd.DataFrame:
-        s = df[text_col].str.findall(r"\S+")
-        n_tok = int(s.map(len).sum())
-        dfs = np.zeros(len(terms), dtype=np.int64)
-        for i, t in enumerate(terms):
-            dfs[i] = int(s.map(lambda ws, _t=t: _t in ws).sum())
+        txt = df[text_col]
+        n_tok = int(txt.str.count(r"\S+").sum())
+        dfs = np.array([int((txt.str.count(p) > 0).sum()) for p in pats],
+                       dtype=np.int64)
         out = pd.DataFrame({"term_i": np.arange(len(terms), dtype=np.int64),
                             "df": dfs})
         out["n_docs"] = np.int64(len(df))
@@ -112,12 +117,12 @@ def bm25_scores(ds, query_terms: list[str], *, id_col: str = "doc_id",
     ref = ray.put((terms, idf, avgdl))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        terms, idf, avgdl = ray.get(ref)
-        s = df[text_col].str.findall(r"\S+")
-        dl = s.map(len).to_numpy(np.float64)
-        tf = np.zeros((len(df), len(terms)))
-        for i, t in enumerate(terms):
-            tf[:, i] = s.map(lambda ws, _t=t: ws.count(_t)).to_numpy()
+        _, idf, avgdl = ray.get(ref)
+        txt = df[text_col]
+        dl = txt.str.count(r"\S+").to_numpy(np.float64)
+        tf = np.zeros((len(df), len(pats)))
+        for i, p in enumerate(pats):
+            tf[:, i] = txt.str.count(p).to_numpy(np.float64)
         norm = k1 * (1.0 - b + b * dl[:, None] / avgdl)
         sc = (idf[None, :] * tf * (k1 + 1.0) / (tf + norm)).sum(axis=1)
         keep = sc > 0
