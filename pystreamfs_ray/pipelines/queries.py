@@ -1506,9 +1506,13 @@ def q_lang_entropy(sf_dir: str):
         g = df.groupby(["source", "lang"], sort=False).size().reset_index(
             name="c")
         g["c"] = g["c"].astype(np.int64)
-        return g
+        from pystreamfs_ray.util import arrow_block
 
-    counts = (ev.map_batches(partial, batch_format="pandas")
+        return arrow_block(g)
+
+    from pystreamfs_ray.util import arrow_combiner
+
+    counts = (ev.map_batches(arrow_combiner(partial), batch_format="pyarrow")
               .groupby(["source", "lang"])
               .aggregate(Sum("c", alias_name="c"))
               .to_pandas())
@@ -1556,10 +1560,14 @@ def q_kfold(sf_dir: str):
              .groupby("fold", as_index=False)
              .agg(n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum")))
         g["n_docs"] = g["n_docs"].astype(np.int64)
-        return g
+        from pystreamfs_ray.util import arrow_block
+
+        return arrow_block(g)
+
+    from pystreamfs_ray.util import arrow_combiner
 
     stats = token_stats(docs).select_columns(["doc_id", "n_tokens"])
-    return (stats.map_batches(assign, batch_format="pandas")
+    return (stats.map_batches(arrow_combiner(assign), batch_format="pyarrow")
             .groupby("fold")
             .aggregate(Sum("n_docs", alias_name="n_docs"),
                        Sum("n_tokens", alias_name="n_tokens")))

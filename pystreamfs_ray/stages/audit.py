@@ -16,6 +16,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from pystreamfs_ray.util import arrow_block, arrow_combiner
+
 
 def table_audit(ds, *, key_col: str, numeric_col: str,
                 min_value: float = 0.0) -> pd.DataFrame:
@@ -33,17 +35,17 @@ def table_audit(ds, *, key_col: str, numeric_col: str,
         v = df[numeric_col]
         vn = v.to_numpy(np.float64)
         ok = ~np.isnan(vn)
-        return pd.DataFrame({
+        return arrow_block(pd.DataFrame({
             "n_rows": [np.int64(len(df))],
             "n_null_key": [np.int64(df[key_col].isna().sum())],
             "n_null_num": [np.int64((~ok).sum())],
             "n_below_min": [np.int64((vn[ok] < min_value).sum())],
             "mn": [float(vn[ok].min()) if ok.any() else np.nan],
             "mx": [float(vn[ok].max()) if ok.any() else np.nan],
-        })
+        }))
 
     sums = (ds.select_columns([key_col, numeric_col])
-            .map_batches(partial, batch_format="pandas")
+            .map_batches(arrow_combiner(partial), batch_format="pyarrow")
             .aggregate(Sum("n_rows", alias_name="n_rows"),
                        Sum("n_null_key", alias_name="n_null_key"),
                        Sum("n_null_num", alias_name="n_null_num"),
@@ -53,15 +55,15 @@ def table_audit(ds, *, key_col: str, numeric_col: str,
 
     # duplicate keys: combiner per-batch value_counts → groupby-sum →
     # count of keys with total > 1 (key-cardinality-bounded shuffle)
-    def key_counts(df: pd.DataFrame) -> pd.DataFrame:
+    def key_counts(df: pd.DataFrame):
         vc = df[key_col].value_counts()
-        return pd.DataFrame({key_col: vc.index,
-                             "c": vc.to_numpy(np.int64)})
+        return arrow_block(pd.DataFrame({key_col: vc.index,
+                                         "c": vc.to_numpy(np.int64)}))
 
     from ray.data.aggregate import Sum as _Sum
 
     kc = (ds.select_columns([key_col])
-          .map_batches(key_counts, batch_format="pandas")
+          .map_batches(arrow_combiner(key_counts), batch_format="pyarrow")
           .groupby(key_col).aggregate(_Sum("c", alias_name="c")))
     n_dup = int(kc.map_batches(
         lambda df: pd.DataFrame({"d": [np.int64((df["c"] > 1).sum())]}),

@@ -837,12 +837,13 @@ def exact_dedup_keep_best(ds, *, id_col: str = "doc_id",
     text from a crawl. Same single-shuffle shape as ``exact_dedup``
     (bucketed content hash; text shuffles once)."""
 
-    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        from pystreamfs_ray.util import content_hash64
+    def add_hash(df: pd.DataFrame):
+        from pystreamfs_ray.util import arrow_block, content_hash64
 
         df = df[[id_col, text_col, pref_col]].copy()
-        df["__h"] = content_hash64(df[text_col].to_numpy()) % np.uint64(num_buckets)
-        return df
+        df["__h"] = (content_hash64(df[text_col].to_numpy())
+                     % np.uint64(num_buckets)).astype(np.int64)
+        return arrow_block(df)
 
     def keep_best(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([pref_col, id_col], kind="mergesort")
@@ -853,6 +854,8 @@ def exact_dedup_keep_best(ds, *, id_col: str = "doc_id",
         out["n_dupes"] = out["n_dupes"].astype(np.int64)
         return out[[id_col, pref_col, "n_dupes"]]
 
-    return (ds.map_batches(add_hash, batch_format="pandas")
+    from pystreamfs_ray.util import arrow_combiner
+
+    return (ds.map_batches(arrow_combiner(add_hash), batch_format="pyarrow")
             .groupby("__h")
             .map_groups(keep_best, batch_format="pandas"))

@@ -25,6 +25,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from pystreamfs_ray.util import arrow_block, arrow_combiner
+
 
 def grouped_topk(ds, group_col: str, order_col: str, k: int, *,
                  tiebreak_col: str, descending: bool = True):
@@ -35,11 +37,13 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int, *,
     ascending = [not descending, True]
     sort_cols = [order_col, tiebreak_col]
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame):
         # combiner: a batch can never contribute more than k rows per
-        # group to the final answer
-        return (df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
-                  .groupby(group_col, sort=False).head(k))
+        # group to the final answer (Arrow out: pandas blocks cost ~60x
+        # through the sort shuffle)
+        return arrow_block(
+            df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+              .groupby(group_col, sort=False).head(k))
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         out = (df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
@@ -47,7 +51,8 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int, *,
         out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
         return out
 
-    return (ds.map_batches(partial, batch_format="pandas")
+    return (ds.map_batches(arrow_combiner(partial),
+                           batch_format="pyarrow")
               .groupby(group_col)
               .map_groups(final, batch_format="pandas"))
 
@@ -67,9 +72,11 @@ def pivot_counts(ds, key_col: str, pivot_col: str, values: list[str]):
         out = pd.DataFrame({key_col: df[key_col]})
         for v, c in zip(values, cols):
             out[c] = (df[pivot_col] == v).to_numpy(dtype=np.int64)
-        return out.groupby(key_col, as_index=False, sort=False).sum()
+        return arrow_block(
+            out.groupby(key_col, as_index=False, sort=False).sum())
 
-    return (ds.map_batches(partial, batch_format="pandas")
+    return (ds.map_batches(arrow_combiner(partial),
+                           batch_format="pyarrow")
               .groupby(key_col)
               .aggregate(*[Sum(c, alias_name=c) for c in cols]))
 
@@ -114,7 +121,7 @@ def grouped_corr(ds, group_col: str, x_col: str, y_col: str, *,
         g = t.groupby(group_col, sort=False).agg(
             n=("__x", "size"), sx=("__x", "sum"), sy=("__y", "sum"),
             sxx=("__xx", "sum"), syy=("__yy", "sum"), sxy=("__xy", "sum"))
-        return g.reset_index()
+        return arrow_block(g.reset_index())
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         n = df["n"].to_numpy(np.float64)
@@ -128,7 +135,7 @@ def grouped_corr(ds, group_col: str, x_col: str, y_col: str, *,
         return pd.DataFrame({group_col: df[group_col], out_col: r})
 
     return (ds.select_columns([group_col, x_col, y_col])
-            .map_batches(partial, batch_format="pandas")
+            .map_batches(arrow_combiner(partial), batch_format="pyarrow")
             .groupby(group_col)
             .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
                        Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
@@ -156,13 +163,14 @@ def group_zscore(ds, group_col: str, value_col: str, *,
         agg = g.agg(["count", "sum"])
         sq = (pd.Series(v * v, index=df.index)
               .groupby(df[group_col], sort=False).sum())
-        return pd.DataFrame({group_col: agg.index,
-                             "n": agg["count"].to_numpy(np.int64),
-                             "s": agg["sum"].to_numpy(np.float64),
-                             "ss": sq.to_numpy(np.float64)})
+        return arrow_block(pd.DataFrame(
+            {group_col: agg.index,
+             "n": agg["count"].to_numpy(np.int64),
+             "s": agg["sum"].to_numpy(np.float64),
+             "ss": sq.to_numpy(np.float64)}))
 
     stats = (ds.select_columns([group_col, value_col])
-             .map_batches(partial, batch_format="pandas")
+             .map_batches(arrow_combiner(partial), batch_format="pyarrow")
              .groupby(group_col)
              .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
                         Sum("ss", alias_name="ss"))
@@ -210,12 +218,13 @@ def impute_group_mean(ds, group_col: str, value_col: str, *,
         ok = v.notna()
         g = df.loc[ok].groupby(group_col, sort=False)[value_col].agg(
             ["count", "sum"])
-        return pd.DataFrame({group_col: g.index,
-                             "n": g["count"].to_numpy(np.int64),
-                             "s": g["sum"].to_numpy(np.float64)})
+        return arrow_block(pd.DataFrame(
+            {group_col: g.index,
+             "n": g["count"].to_numpy(np.int64),
+             "s": g["sum"].to_numpy(np.float64)}))
 
     stats = (ds.select_columns([group_col, value_col])
-             .map_batches(partial, batch_format="pandas")
+             .map_batches(arrow_combiner(partial), batch_format="pyarrow")
              .groupby(group_col)
              .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
              .to_pandas())
@@ -270,13 +279,13 @@ def target_encode_loo(ds, group_col: str, target_col: str, *,
         v = np.rint(t * scale).astype(np.int64) if fixed else t
         g = pd.DataFrame({group_col: df[group_col], "__v": v}).groupby(
             group_col, sort=False)["__v"].agg(["count", "sum"])
-        return pd.DataFrame({group_col: g.index,
-                             "n": g["count"].to_numpy(np.int64),
-                             "s": g["sum"].to_numpy(
-                                 np.int64 if fixed else np.float64)})
+        return arrow_block(pd.DataFrame(
+            {group_col: g.index,
+             "n": g["count"].to_numpy(np.int64),
+             "s": g["sum"].to_numpy(np.int64 if fixed else np.float64)}))
 
     stats = (ds.select_columns([group_col, target_col])
-             .map_batches(partial, batch_format="pandas")
+             .map_batches(arrow_combiner(partial), batch_format="pyarrow")
              .groupby(group_col)
              .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
              .to_pandas())
@@ -323,12 +332,13 @@ def group_minmax_scale(ds, group_col: str, value_col: str, *,
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(group_col, sort=False)[value_col].agg(["min", "max"])
-        return pd.DataFrame({group_col: g.index,
-                             "lo": g["min"].to_numpy(np.float64),
-                             "hi": g["max"].to_numpy(np.float64)})
+        return arrow_block(pd.DataFrame(
+            {group_col: g.index,
+             "lo": g["min"].to_numpy(np.float64),
+             "hi": g["max"].to_numpy(np.float64)}))
 
     stats = (ds.select_columns([group_col, value_col])
-             .map_batches(partial, batch_format="pandas")
+             .map_batches(arrow_combiner(partial), batch_format="pyarrow")
              .groupby(group_col)
              .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
              .to_pandas())

@@ -23,6 +23,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from pystreamfs_ray.util import arrow_block, arrow_combiner
+
 
 def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
                    min_df: int = 2, max_df: int | None = None):
@@ -40,7 +42,7 @@ def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
             if n.sum() else np.array([], dtype=object),
             id_col: np.repeat(df[id_col].to_numpy(), n),
         })
-        return out.drop_duplicates()
+        return arrow_block(out.drop_duplicates())
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g[id_col].to_numpy())
@@ -55,7 +57,7 @@ def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return (ds.select_columns([id_col, text_col])
-            .map_batches(pairs, batch_format="pandas")
+            .map_batches(arrow_combiner(pairs), batch_format="pyarrow")
             .groupby("term")
             .map_groups(finish, batch_format="pandas"))
 
@@ -97,7 +99,7 @@ def bm25_scores(ds, query_terms: list[str], *, id_col: str = "doc_id",
         return out
 
     agg = (ds.select_columns([text_col])
-           .map_batches(counts, batch_format="pandas")
+           .map_batches(arrow_combiner(counts), batch_format="pyarrow")
            .groupby("term_i")
            .aggregate(Sum("df", alias_name="df"),
                       Sum("n_docs", alias_name="n_docs"),

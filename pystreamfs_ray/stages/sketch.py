@@ -21,6 +21,8 @@ import pandas as pd
 
 from ray.data.aggregate import Max
 
+from pystreamfs_ray.util import arrow_combiner as _combiner
+
 
 def _bit_length_u64(v: np.ndarray) -> np.ndarray:
     """Exact vectorized bit length of uint64 (no float log2 — a 58-bit
@@ -58,7 +60,7 @@ def hll_registers(ds, col: str, *, b: int = 6):
         return hll_partials(df[col].to_numpy(), b=b)
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(_combiner(partial), batch_format="pyarrow")
         .groupby("reg")
         .aggregate(Max("rho", alias_name="rho_max"))
     )
@@ -114,7 +116,7 @@ def cms_registers(ds, col: str, *, depth: int = 4, width: int = 1024):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return cms_partials(df[col].to_numpy(), depth=depth, width=width)
 
-    return (ds.map_batches(partial, batch_format="pandas")
+    return (ds.map_batches(_combiner(partial), batch_format="pyarrow")
               .groupby(["r", "cell"])
               .aggregate(Sum("n", alias_name="n")))
 
@@ -202,11 +204,15 @@ def hll_registers_by(ds, group_col: str, col: str, *, b: int = 6):
             p = hll_partials(grp[col].to_numpy(), b=b)
             p.insert(0, group_col, g)
             outs.append(p)
-        return pd.concat(outs) if outs else pd.DataFrame(
+        from pystreamfs_ray.util import arrow_block
+
+        return arrow_block(pd.concat(outs) if outs else pd.DataFrame(
             {group_col: [], "reg": pd.Series([], dtype=np.int64),
-             "rho": pd.Series([], dtype=np.int64)})
+             "rho": pd.Series([], dtype=np.int64)}))
+
+    from pystreamfs_ray.util import arrow_combiner
 
     return (ds.select_columns([group_col, col])
-            .map_batches(partial, batch_format="pandas")
+            .map_batches(arrow_combiner(partial), batch_format="pyarrow")
             .groupby([group_col, "reg"])
             .aggregate(Max("rho", alias_name="rho_max")))

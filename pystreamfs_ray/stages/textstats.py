@@ -401,7 +401,10 @@ def tfidf_top_term(ds, *, id_col: str = "doc_id", text_col: str = "text"):
         vc = pairs["w"].value_counts()
         return pd.DataFrame({"w": vc.index.to_numpy(), "pdf": vc.to_numpy()})
 
-    df_tbl = (ds.map_batches(df_partials, batch_format="pandas")
+    from pystreamfs_ray.util import arrow_combiner
+
+    df_tbl = (ds.map_batches(arrow_combiner(df_partials),
+                             batch_format="pyarrow")
               .groupby("w").aggregate(Sum("pdf", alias_name="df")).to_pandas())
     order = np.argsort(df_tbl["w"].to_numpy())
     vocab = df_tbl["w"].to_numpy()[order]
@@ -468,7 +471,9 @@ def pmi_bigrams(ds, *, text_col: str = "text", min_count: int = 5,
         g = t.groupby(["w1", "w2"], sort=False).size()
         out = g.reset_index(name="c")
         out["c"] = out["c"].astype(np.int64)
-        return out
+        from pystreamfs_ray.util import arrow_block
+
+        return arrow_block(out)
 
     def unigram_partial(df: pd.DataFrame) -> pd.DataFrame:
         s = df[text_col].str.findall(r"\S+")
@@ -477,15 +482,22 @@ def pmi_bigrams(ds, *, text_col: str = "text", min_count: int = 5,
             return pd.DataFrame({"w": [], "cu": pd.Series([], dtype=np.int64)})
         flat = np.concatenate([np.asarray(v, dtype=object) for v in s])
         vc = pd.Series(flat).value_counts()
-        return pd.DataFrame({"w": vc.index, "cu": vc.to_numpy(np.int64)})
+        from pystreamfs_ray.util import arrow_block
 
-    uni = (toks.map_batches(unigram_partial, batch_format="pandas")
+        return arrow_block(pd.DataFrame({"w": vc.index,
+                                         "cu": vc.to_numpy(np.int64)}))
+
+    from pystreamfs_ray.util import arrow_combiner
+
+    uni = (toks.map_batches(arrow_combiner(unigram_partial),
+                            batch_format="pyarrow")
            .groupby("w").aggregate(Sum("cu", alias_name="cu")).to_pandas())
     from pystreamfs_ray.util import ensure_cols
 
     uni = ensure_cols(uni, {"w": object, "cu": np.int64})
     n_tokens = int(uni["cu"].sum())
-    big = (toks.map_batches(bigram_partial, batch_format="pandas")
+    big = (toks.map_batches(arrow_combiner(bigram_partial),
+                            batch_format="pyarrow")
            .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c")))
     # M without a third pass: bigrams = tokens - one seam per non-empty doc
     n_docs_nonempty = int(toks.map_batches(

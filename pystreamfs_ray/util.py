@@ -73,3 +73,32 @@ def ensure_cols(df, schema: dict):
             df[col] = pd.Series([None] * len(df)).astype(dtype) if len(df) \
                 else pd.Series([], dtype=dtype)
     return df
+
+
+def arrow_block(df):
+    """pandas → metadata-free Arrow table. Return this from any
+    map_batches COMBINER that feeds a groupby/aggregate: pandas blocks
+    through Ray's sort-based shuffle cost ~60× more map/reduce CPU
+    than Arrow blocks (measured — see BASELINE.md), and the pandas
+    schema-metadata blob additionally defeats shuffle schema-dedup."""
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def arrow_combiner(fn):
+    """Adapter for a pandas-implemented COMBINER feeding a
+    groupby/aggregate: declares ``batch_format="pyarrow"`` semantics
+    (convert the input table inside the fn) so the fused shuffle
+    map-side keeps the fast Arrow sort path. Declaring
+    ``batch_format="pandas"`` switches the fused sort to pandas blocks
+    even when the fn RETURNS Arrow — measured 4-6× slower on a
+    150k-key aggregate. Use as
+    ``map_batches(arrow_combiner(partial), batch_format="pyarrow")``."""
+    import pyarrow as pa
+
+    def wrapped(t: pa.Table):
+        out = fn(t.to_pandas())
+        return out if isinstance(out, pa.Table) else arrow_block(out)
+
+    return wrapped
