@@ -815,8 +815,11 @@ def q_word_topk(sf_dir: str):
         vc = words.value_counts()
         return pd.DataFrame({"word": vc.index.astype(str), "n": vc.to_numpy()})
 
+    from pystreamfs_ray.util import arrow_combiner
+
     total = (
-        ev.map_batches(partial_counts, batch_format="pandas")
+        ev.map_batches(arrow_combiner(partial_counts),
+                       batch_format="pyarrow")
         .groupby("word")
         .aggregate(Sum("n", alias_name="n_total"))
     )

@@ -225,7 +225,9 @@ def ncm_confusion(ds, *, label_col: str = "label",
         out["n"] = out["n"].astype(np.int64)
         return out
 
+    from pystreamfs_ray.util import arrow_combiner
+
     return (ds.select_columns([label_col, vec_col])
-            .map_batches(conf, batch_format="pandas")
+            .map_batches(arrow_combiner(conf), batch_format="pyarrow")
             .groupby([label_col, "pred"])
             .aggregate(Sum("n", alias_name="n")))

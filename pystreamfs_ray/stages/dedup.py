@@ -72,8 +72,10 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
         out["n_dupes"] = out["n_dupes"].astype(np.int64)
         return out[[id_col, "n_dupes", text_col, *extra]]
 
+    from pystreamfs_ray.util import arrow_combiner
+
     return (
-        ds.map_batches(add_hash, batch_format="pandas")
+        ds.map_batches(arrow_combiner(add_hash), batch_format="pyarrow")
         .groupby("__h")
         .map_groups(keep_first, batch_format="pandas")
     )
@@ -104,8 +106,10 @@ def exact_dup_chain_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                                  "id_b": pd.Series(dtype=np.int64)})
         return pd.concat(frames, ignore_index=True)
 
+    from pystreamfs_ray.util import arrow_combiner
+
     return (
-        ds.map_batches(add_hash, batch_format="pandas")
+        ds.map_batches(arrow_combiner(add_hash), batch_format="pyarrow")
         .groupby("__h")
         .map_groups(chain, batch_format="pandas")
     )
@@ -283,9 +287,11 @@ def minhash_lsh_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=128,
         return pd.DataFrame({"id_a": np.concatenate(out_a),
                              "id_b": np.concatenate(out_b)})
 
+    from pystreamfs_ray.util import arrow_combiner
+
     cand = (
-        sigs.map_batches(explode_bands, batch_format="pandas")
-        .map_batches(assign_pb, batch_format="pandas")
+        sigs.map_batches(arrow_combiner(explode_bands), batch_format="pyarrow")
+        .map_batches(arrow_combiner(assign_pb), batch_format="pyarrow")
         .groupby("__pb")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
@@ -325,7 +331,8 @@ def minhash_lsh_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=128,
             return out[out["jaccard_est"] >= threshold]
 
         return (
-            cand.map_batches(assign_vb, batch_format="pandas")
+            cand.map_batches(arrow_combiner(assign_vb),
+                             batch_format="pyarrow")
             .groupby("__vb")
             .map_groups(estimate_bcast, batch_format="pandas")
         )
@@ -574,11 +581,13 @@ def simhash_pairs(ds, *, id_col="doc_id", text_col="text", max_hamming=3,
     def distinct(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b", "hamming"]]
 
+    from pystreamfs_ray.util import arrow_combiner
+
     return (
-        sigs.map_batches(explode, batch_format="pandas")
+        sigs.map_batches(arrow_combiner(explode), batch_format="pyarrow")
         .groupby("__pb")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .map_batches(assign_vb, batch_format="pandas")
+        .map_batches(arrow_combiner(assign_vb), batch_format="pyarrow")
         .groupby("__vb")
         .map_groups(distinct, batch_format="pandas")
     )
@@ -646,8 +655,10 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
 
     from ray.data.aggregate import Count as _Count
 
+    from pystreamfs_ray.util import arrow_combiner as _ac
+
     labels = (
-        edges.map_batches(to_nodes, batch_format="pandas")
+        edges.map_batches(_ac(to_nodes), batch_format="pyarrow")
         .groupby("node")
         .aggregate(_Count(alias_name="__c"))  # C-backed distinct
         .map_batches(lambda df: pd.DataFrame({"node": df["node"],
@@ -816,8 +827,11 @@ def embedding_neardup_pairs(ds, *, id_col="vec_id", vec_col="embedding",
             "cosine": np.round(sims[ia, ib][keep], 6),
         })
 
+    from pystreamfs_ray.util import arrow_combiner
+
     pairs = (
-        ds.map_batches(bucketize, batch_format="pandas", concurrency=concurrency)
+        ds.map_batches(arrow_combiner(bucketize), batch_format="pyarrow",
+                       concurrency=concurrency)
         .groupby(["table_id", "bucket"])
         .map_groups(verify, batch_format="pandas")
     )

@@ -391,9 +391,10 @@ def group_robust_zscore(ds, group_col: str, value_col: str, *,
                 .to_pandas())
 
     vals = two.map_batches(
-        lambda df: pd.DataFrame({group_col: df[group_col],
-                                 "__v": df[value_col].to_numpy(np.float64)}),
-        batch_format="pandas")
+        arrow_combiner(lambda df: pd.DataFrame(
+            {group_col: df[group_col],
+             "__v": df[value_col].to_numpy(np.float64)})),
+        batch_format="pyarrow")
     med = med_of(vals)
     mref = ray.put((med[group_col].to_numpy(), med["m"].to_numpy()))
 
@@ -406,7 +407,7 @@ def group_robust_zscore(ds, group_col: str, value_col: str, *,
         })
 
     mad = med_of(ds.select_columns([group_col, value_col]).map_batches(
-        residual, batch_format="pandas"))
+        arrow_combiner(residual), batch_format="pyarrow"))
     aref = ray.put((mad[group_col].to_numpy(), mad["m"].to_numpy()))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
