@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_word_topk": q.q_word_topk,
         "q_hll_users": q.q_hll_users,
         "q_hll_by_type": q.q_hll_by_type,
+        "q_hist_by_source": q.q_hist_by_source,
         "q_cms_users": q.q_cms_users,
         "q_hist_value": q.q_hist_value,
         "q_dedup_exact": q.q_dedup_exact,
@@ -969,6 +970,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, reg, MAX(rho) AS rho_max
             FROM r GROUP BY event_type, reg
+        """,
+        # per-source equi-width histogram registers, per-group [min,max]
+        # bounds; same left-to-right bin expression as q_hist_value
+        "q_hist_by_source": """
+            WITH mm AS (
+              SELECT source, CAST(MIN(n_chars) AS DOUBLE) AS lo,
+                     CASE WHEN MAX(n_chars) <= MIN(n_chars)
+                          THEN CAST(MIN(n_chars) AS DOUBLE) + 1
+                          ELSE CAST(MAX(n_chars) AS DOUBLE) END AS hi
+              FROM documents GROUP BY source
+            )
+            SELECT d.source,
+                   LEAST(GREATEST(CAST(FLOOR((d.n_chars - lo) * 16
+                                              / (hi - lo)) AS BIGINT),
+                                  0), 15) AS bin,
+                   COUNT(*) AS n
+            FROM documents d JOIN mm USING (source)
+            GROUP BY d.source, bin
         """,
         # same row-salted md5 cell hash as sketch.cms_partials
         "q_cms_users": """

@@ -1595,3 +1595,14 @@ def q_bm25(sf_dir: str):
     docs = read_parquet(_p(sf_dir, "documents"),
                         columns=["doc_id", "text"])
     return bm25_scores(docs, ["join", "filter"])
+
+
+def q_hist_by_source(sf_dir: str):
+    """Per-source document-length histogram registers (grouped
+    sum-mergeable sketch; shuffle bounded by groups x bins)."""
+    from pystreamfs_ray.stages.sketch import hist_registers_by
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["source", "n_chars"])
+    regs, _ = hist_registers_by(docs, "source", "n_chars", bins=16)
+    return regs

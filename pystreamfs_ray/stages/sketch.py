@@ -216,3 +216,62 @@ def hll_registers_by(ds, group_col: str, col: str, *, b: int = 6):
             .map_batches(arrow_combiner(partial), batch_format="pyarrow")
             .groupby([group_col, "reg"])
             .aggregate(Max("rho", alias_name="rho_max")))
+
+
+def hist_registers_by(ds, group_col: str, col: str, *, bins: int = 32):
+    """Per-group equi-width histogram registers
+    ``(group, bin, n)`` — approximate value DISTRIBUTIONS per key
+    (per-domain document-length profiles, per-source quality curves) in
+    two combiner passes: (1) per-group exact [min, max] bounds
+    (group-cardinality shuffle), broadcast; (2) per-batch per-(group,
+    bin) counts → groupby-sum, shuffle bounded by ``groups × bins``
+    rows. The bin expression mirrors :func:`hist_registers` (and its
+    DuckDB oracle) per group, so registers are bit-identical. A
+    degenerate group (hi == lo) uses width 1, same as the global form.
+    Returns ``(registers_dataset, bounds_frame)``."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col, sort=False)[col].agg(["min", "max"])
+        return pd.DataFrame({group_col: g.index,
+                             "lo": g["min"].to_numpy(np.float64),
+                             "hi": g["max"].to_numpy(np.float64)})
+
+    from ray.data.aggregate import Max as _Max, Min as _Min
+
+    bounds = (ds.select_columns([group_col, col])
+              .map_batches(_combiner(mm_partial), batch_format="pyarrow")
+              .groupby(group_col)
+              .aggregate(_Min("lo", alias_name="lo"),
+                         _Max("hi", alias_name="hi"))
+              .to_pandas())
+    from pystreamfs_ray.util import ensure_cols
+
+    bounds = ensure_cols(bounds, {group_col: object, "lo": np.float64,
+                                  "hi": np.float64})
+    hi_adj = np.where(bounds["hi"].to_numpy() <= bounds["lo"].to_numpy(),
+                      bounds["lo"].to_numpy() + 1.0,
+                      bounds["hi"].to_numpy())
+    bounds = pd.DataFrame({group_col: bounds[group_col],
+                           "lo": bounds["lo"].to_numpy(np.float64),
+                           "hi": hi_adj})
+    ref = ray.put((bounds[group_col].to_numpy(),
+                   bounds["lo"].to_numpy(), bounds["hi"].to_numpy()))
+
+    def binify(df: pd.DataFrame) -> pd.DataFrame:
+        keys, lo, hi = ray.get(ref)
+        pos = pd.Index(keys).get_indexer(df[group_col])
+        v = df[col].to_numpy(np.float64)
+        b = np.floor(((v - lo[pos]) * bins) / (hi[pos] - lo[pos])).astype(np.int64)
+        b = np.minimum(np.maximum(b, 0), bins - 1)
+        t = pd.DataFrame({group_col: df[group_col], "bin": b})
+        g = t.groupby([group_col, "bin"], sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    regs = (ds.select_columns([group_col, col])
+            .map_batches(_combiner(binify), batch_format="pyarrow")
+            .groupby([group_col, "bin"])
+            .aggregate(Sum("n", alias_name="n")))
+    return regs, bounds

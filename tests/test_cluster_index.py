@@ -476,3 +476,40 @@ def test_empty_input_safety(ray_session):
     for r in results:
         n = len(r) if isinstance(r, pd.DataFrame) else r.count()
         assert n == 0
+
+
+def test_hist_registers_by_matches_manual(ray_session):
+    """Per-group registers reproduce each group's exact bin counts and
+    are layout-invariant; degenerate (constant) groups bin to 0."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.sketch import hist_registers_by
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b", "c"], 100),
+        "v": np.concatenate([rng.uniform(0, 10, 100),
+                             rng.uniform(5, 50, 100),
+                             np.full(100, 7.0)]),   # constant group
+    })
+
+    def manual(sub, bins=8):
+        lo, hi = sub.min(), sub.max()
+        if hi <= lo:
+            hi = lo + 1.0
+        b = np.clip(np.floor((sub - lo) * bins / (hi - lo)).astype(np.int64),
+                    0, bins - 1)
+        return pd.Series(b).value_counts().sort_index()
+
+    for nparts in (2, 5):
+        regs, bounds = hist_registers_by(
+            rd.from_pandas(df).repartition(nparts), "g", "v", bins=8)
+        got = regs.to_pandas().sort_values(["g", "bin"], ignore_index=True)
+        for g in ("a", "b", "c"):
+            want = manual(df[df.g == g]["v"].to_numpy())
+            sub = got[got.g == g]
+            assert sub["bin"].tolist() == want.index.tolist()
+            assert sub["n"].tolist() == want.values.tolist()
+    # constant group: single bin 0 with all rows
+    c = got[got.g == "c"]
+    assert c["bin"].tolist() == [0] and c["n"].tolist() == [100]
