@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hll_users": q.q_hll_users,
         "q_hll_by_type": q.q_hll_by_type,
         "q_hist_by_source": q.q_hist_by_source,
+        "q_latest_event": q.q_latest_event,
         "q_cms_users": q.q_cms_users,
         "q_hist_value": q.q_hist_value,
         "q_dedup_exact": q.q_dedup_exact,
@@ -970,6 +971,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, reg, MAX(rho) AS rho_max
             FROM r GROUP BY event_type, reg
+        """,
+        # changelog compaction: latest event per user, deterministic
+        # (ts DESC, event_id ASC) keep rule
+        "q_latest_event": """
+            SELECT user_id, event_id, ts, event_type FROM events
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id) = 1
         """,
         # per-source equi-width histogram registers, per-group [min,max]
         # bounds; same left-to-right bin expression as q_hist_value

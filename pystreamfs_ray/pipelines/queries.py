@@ -1606,3 +1606,18 @@ def q_hist_by_source(sf_dir: str):
                         columns=["source", "n_chars"])
     regs, _ = hist_registers_by(docs, "source", "n_chars", bins=16)
     return regs
+
+
+def q_latest_event(sf_dir: str):
+    """Changelog compaction: the LATEST event per user (deterministic
+    (ts, event_id) tie-break) — the CDC keep-latest primitive, via the
+    partial-top-k combiner so each batch ships at most one row per
+    user."""
+    from pystreamfs_ray.stages.grouped import grouped_topk
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["user_id", "event_id", "ts", "event_type"])
+
+    out = grouped_topk(ev, "user_id", "ts", 1, tiebreak_col="event_id",
+                       descending=True)
+    return out.drop_columns(["rank"])
