@@ -513,3 +513,72 @@ def test_hist_registers_by_matches_manual(ray_session):
     # constant group: single bin 0 with all rows
     c = got[got.g == "c"]
     assert c["bin"].tolist() == [0] and c["n"].tolist() == [100]
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_grouped_ops_randomized_vs_duckdb(ray_session, seed):
+    """Randomized cross-check of the grouped feature-engineering
+    operators against DuckDB on data with ties, skewed groups, and a
+    singleton — catches tie/null handling a fixed fixture can miss."""
+    import duckdb
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.grouped import (group_minmax_scale,
+                                               group_zscore, grouped_corr,
+                                               target_encode_loo)
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "g": rng.choice(["a", "b", "c", "solo"], p=[0.5, 0.3, 0.19, 0.01],
+                        size=n),
+        "v": rng.integers(0, 20, size=n).astype(np.float64),  # heavy ties
+        "y": rng.normal(size=n).round(3),
+    })
+    ds = rd.from_pandas(df).repartition(4)
+    con = duckdb.connect()
+    con.register("t", df)
+
+    z = (group_zscore(ds, "g", "v", id_col="id").to_pandas()
+         .sort_values("id", ignore_index=True))
+    wz = con.execute("""
+        SELECT id, ROUND((v - AVG(v) OVER (PARTITION BY g))
+               / NULLIF(STDDEV_POP(v) OVER (PARTITION BY g), 0), 6) AS z
+        FROM t ORDER BY id""").df()
+    pd.testing.assert_frame_equal(z, wz, check_dtype=False)
+
+    mm = (group_minmax_scale(ds, "g", "v", id_col="id").to_pandas()
+          .sort_values("id", ignore_index=True))
+    wmm = con.execute("""
+        SELECT id, ROUND((v - MIN(v) OVER (PARTITION BY g))
+               / NULLIF(CAST(MAX(v) OVER (PARTITION BY g)
+                             - MIN(v) OVER (PARTITION BY g) AS DOUBLE), 0),
+               6) AS mm
+        FROM t ORDER BY id""").df()
+    pd.testing.assert_frame_equal(mm, wmm, check_dtype=False)
+
+    r = (grouped_corr(ds, "g", "v", "y").to_pandas()
+         .sort_values("g", ignore_index=True))
+    wr = con.execute("""
+        SELECT g, ROUND(corr(v, y), 6) AS r FROM t GROUP BY g ORDER BY g
+    """).df()
+    # corr to 1e-6 (sum-order differences below the rounding digit)
+    assert r["g"].tolist() == wr["g"].tolist()
+    np.testing.assert_allclose(r["r"].to_numpy(np.float64),
+                               wr["r"].to_numpy(np.float64), atol=2e-6)
+
+    enc = (target_encode_loo(ds, "g", "v", id_col="id", out_col="e",
+                             scale=1).to_pandas()
+           .sort_values("id", ignore_index=True))
+    wenc = con.execute("""
+        WITH s AS (SELECT id, CAST(v AS BIGINT) AS vc,
+                   CAST(SUM(CAST(v AS BIGINT)) OVER (PARTITION BY g)
+                        AS BIGINT) AS sc,
+                   COUNT(*) OVER (PARTITION BY g) AS n FROM t)
+        SELECT id, CASE WHEN n > 1 THEN
+          (2*(sc - vc) + (n-1)) // (2*(n-1)) END AS e
+        FROM s ORDER BY id""").df()
+    pd.testing.assert_frame_equal(enc.astype({"e": "Int64"}),
+                                  wenc.astype({"e": "Int64"}),
+                                  check_dtype=False)
