@@ -275,3 +275,24 @@ def hist_registers_by(ds, group_col: str, col: str, *, bins: int = 32):
             .groupby([group_col, "bin"])
             .aggregate(Sum("n", alias_name="n")))
     return regs, bounds
+
+
+def hist_quantile_by(regs: pd.DataFrame, bounds: pd.DataFrame,
+                     group_col: str, qs, *, bins: int = 32) -> pd.DataFrame:
+    """Per-group approximate quantiles from :func:`hist_registers_by`
+    output — the mergeable-sketch substitution for
+    ``grouped_quantiles`` / the robust-z medians when per-group
+    cardinality makes exact value co-location too wide (error ≤ one
+    bin width per group). Driver-side finish over the tiny
+    groups × bins register table."""
+    qs = list(np.atleast_1d(qs))
+    rows = []
+    for _, b in bounds.iterrows():
+        g = b[group_col]
+        sub = regs[regs[group_col] == g]
+        vals = hist_quantile(sub.rename(columns={})[["bin", "n"]], qs,
+                             lo=float(b["lo"]), hi=float(b["hi"]), bins=bins)
+        rows.append([g, *[round(v, 6) for v in vals]])
+    out = pd.DataFrame(rows, columns=[group_col,
+                                      *[f"q{int(q*100)}" for q in qs]])
+    return out.sort_values(group_col, ignore_index=True)

@@ -582,3 +582,28 @@ def test_grouped_ops_randomized_vs_duckdb(ray_session, seed):
     pd.testing.assert_frame_equal(enc.astype({"e": "Int64"}),
                                   wenc.astype({"e": "Int64"}),
                                   check_dtype=False)
+
+
+def test_hist_quantile_by_within_bin_error(ray_session):
+    """Grouped sketch quantiles land within one bin width of exact."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.sketch import hist_quantile_by, hist_registers_by
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 500),
+        "v": np.concatenate([rng.uniform(0, 100, 500),
+                             rng.normal(500, 50, 500)]),
+    })
+    regs, bounds = hist_registers_by(rd.from_pandas(df).repartition(3),
+                                     "g", "v", bins=64)
+    out = hist_quantile_by(regs.to_pandas(), bounds, "g", [0.25, 0.5, 0.9],
+                           bins=64)
+    for g in ("a", "b"):
+        sub = df[df.g == g]["v"].to_numpy()
+        width = (sub.max() - sub.min()) / 64
+        for q, col in ((0.25, "q25"), (0.5, "q50"), (0.9, "q90")):
+            exact = np.quantile(sub, q)
+            got = float(out[out.g == g][col].iloc[0])
+            assert abs(got - exact) <= width + 1e-9
