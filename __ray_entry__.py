@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_region_revenue": q.q_region_revenue,
         "q_part_supplier_revenue": q.q_part_supplier_revenue,
         "q_semi_join": q.q_semi_join,
+        "q_bloom_semi": q.q_bloom_semi,
         "q_anti_join": q.q_anti_join,
         "q_distinct_events": q.q_distinct_events,
         "q_grouped_topk": q.q_grouped_topk,
@@ -305,6 +306,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r.r_name
         """,
         "q_semi_join": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+        """,
+        # identical result via Bloom prefilter + exact verify join
+        "q_bloom_semi": """
             SELECT l_orderkey, l_linenumber, l_quantity
             FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders

@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="lowercase + collapse whitespace before dedup")
     p.add_argument("--budget-tokens", type=int, default=None,
                    help="per-source token budget (md5-order admission)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip sources whose output directory already "
+                        "exists under --out/docs (Hive layout = the "
+                        "resume unit)")
     p.add_argument("--join-partitions", type=int, default=4,
                    help="hash-join partition count (size to data: "
                         "~128MB probe side per partition)")
@@ -109,8 +113,31 @@ def main(argv=None) -> int:
     out_cols = ["doc_id", "source", text_col, "n_tokens", "quality_score",
                 "pred_lang"]
     final = kept.select_columns(out_cols)
-    write_partitioned_parquet(final, os.path.join(args.out, "docs"),
-                              by="source")
+    docs_dir = os.path.join(args.out, "docs")
+    if args.resume and os.path.isdir(docs_dir):
+        import glob as _glob
+
+        done = {os.path.basename(d).split("=", 1)[1]
+                for d in _glob.glob(os.path.join(docs_dir, "source=*"))
+                if _glob.glob(os.path.join(d, "*.parquet"))}
+        if done:
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            done_arr = _pa.array(sorted(done))
+            final = final.map_batches(
+                lambda t: t.filter(_pc.invert(
+                    _pc.is_in(t["source"], value_set=done_arr))),
+                batch_format="pyarrow", zero_copy_batch=True)
+        write_partitioned_parquet(final, docs_dir, by="source",
+                                  mode="append")
+    else:
+        write_partitioned_parquet(final, docs_dir, by="source")
+    # stats always reflect the FULL on-disk corpus (pre-existing +
+    # newly written partitions)
+    from pystreamfs_ray.sources import read_parquet as _rp
+
+    final = _rp(docs_dir).select_columns(["source", "n_tokens"])
 
     stats = (final.select_columns(["source", "n_tokens"])
              .groupby("source").sum("n_tokens").to_pandas()

@@ -1621,3 +1621,35 @@ def q_latest_event(sf_dir: str):
     out = grouped_topk(ev, "user_id", "ts", 1, tiebreak_col="event_id",
                        descending=True)
     return out.drop_columns(["rank"])
+
+
+def q_bloom_semi(sf_dir: str):
+    """Semi join at scale: Bloom prefilter (recall-exact, ~1% false
+    positives) cuts the big side BEFORE an exact distributed join on
+    the survivors — the two-stage pattern for key sets too large to
+    broadcast exactly. Result is identical to the exact semi join, so
+    the same SQL oracle gates it."""
+    import pyarrow.compute as _pc
+
+    from pystreamfs_ray.sources import strip_schema_metadata
+    from pystreamfs_ray.stages.joins import BloomFilter, bloom_semi_join
+
+    urgent = read_parquet(_p(sf_dir, "orders"),
+                          columns=["o_orderkey", "o_orderpriority"])
+    keys = (urgent.filter(expr="o_orderpriority == '1-URGENT'")
+            .select_columns(["o_orderkey"]))
+    key_arr = keys.to_pandas()["o_orderkey"].to_numpy()
+    bloom = BloomFilter(len(key_arr))
+    bloom.add(key_arr)
+
+    li = read_parquet(_p(sf_dir, "lineitem"),
+                      columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    prefiltered = bloom_semi_join(li, bloom, on="l_orderkey")
+    # exact verify: small surviving side ⋈ key set (kills the ~fp_rate
+    # false positives); at scale both sides stay distributed
+    verified = prefiltered.join(
+        strip_schema_metadata(keys.select_columns(["o_orderkey"])),
+        "inner", num_partitions=_join_partitions(li),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+    return verified.select_columns(["l_orderkey", "l_linenumber",
+                                    "l_quantity"])

@@ -61,3 +61,35 @@ def test_cli_curate_end_to_end(ray_session, tmp_path, capsys):
     # per-source budget respected
     full = json.load(open(f"{out}/report.json"))
     assert all(s["total_tokens"] <= 1200 for s in full["sources"])
+
+
+def test_cli_curate_resume_skips_done_sources(ray_session, tmp_path, capsys):
+    """--resume leaves finished source partitions alone and the report
+    still covers the full on-disk corpus."""
+    import os
+
+    from pystreamfs_ray.cli_curate import main
+
+    out = str(tmp_path / "curated_r")
+    args = ["--documents", "/root/testdata/sf0.001/documents.parquet",
+            "--out", out, "--lang", "en", "--quality-min", "0.2",
+            "--join-partitions", "2"]
+    assert main(args) == 0
+    first = json.load(open(f"{out}/report.json"))
+    src_dirs = sorted(glob.glob(f"{out}/docs/source=*"))
+    # tamper-proof marker: file count per done partition must not change
+    before = {d: len(glob.glob(f"{d}/*.parquet")) for d in src_dirs}
+    mtimes = {d: max(os.path.getmtime(f) for f in glob.glob(f"{d}/*.parquet"))
+              for d in src_dirs}
+
+    capsys.readouterr()
+    assert main(args + ["--resume"]) == 0
+    second = json.load(open(f"{out}/report.json"))
+    # nothing rewritten...
+    after = {d: len(glob.glob(f"{d}/*.parquet")) for d in src_dirs}
+    mtimes2 = {d: max(os.path.getmtime(f) for f in glob.glob(f"{d}/*.parquet"))
+               for d in src_dirs}
+    assert after == before and mtimes2 == mtimes
+    # ...and the report still reflects the full corpus
+    assert second["n_docs"] == first["n_docs"]
+    assert second["total_tokens"] == first["total_tokens"]
