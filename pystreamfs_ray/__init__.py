@@ -24,3 +24,15 @@ Nothing in this package calls ``ray.init``; the caller owns the session.
 __version__ = "0.1.0"
 
 from pystreamfs_ray.schema import FEATURE_COLS, TRANSCRIPT_COLUMNS  # noqa: F401
+
+# the reference's three-call API (pystreamfs.prepare_data /
+# simulate_stream / plot_stats) at the same import depth, so a
+# reference user's `from pystreamfs import prepare_data, ...` ports as
+# `from pystreamfs_ray import prepare_data, ...`
+from pystreamfs_ray.api import (  # noqa: F401
+    available_kernels,
+    plot_data,
+    prepare_data,
+    register_kernel,
+    simulate_stream,
+)
