@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_part_supplier_revenue": q.q_part_supplier_revenue,
         "q_semi_join": q.q_semi_join,
         "q_bloom_semi": q.q_bloom_semi,
+        "q_semi_shuffle": q.q_semi_shuffle,
+        "q_anti_shuffle": q.q_anti_shuffle,
         "q_anti_join": q.q_anti_join,
         "q_distinct_events": q.q_distinct_events,
         "q_grouped_topk": q.q_grouped_topk,
@@ -319,6 +321,19 @@ def oracle_sql() -> dict[str, str]:
                                  WHERE o_orderpriority = '1-URGENT')
         """,
         "q_anti_join": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+        """,
+        # native distributed left_semi / left_anti, same oracles
+        "q_semi_shuffle": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+        """,
+        "q_anti_shuffle": """
             SELECT c_custkey, c_name, c_mktsegment
             FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders

@@ -1653,3 +1653,43 @@ def q_bloom_semi(sf_dir: str):
         on=("l_orderkey",), right_on=("o_orderkey",))
     return verified.select_columns(["l_orderkey", "l_linenumber",
                                     "l_quantity"])
+
+
+def _urgent_keys_ds(sf_dir: str):
+    from pystreamfs_ray.sources import strip_schema_metadata
+
+    urgent = read_parquet(_p(sf_dir, "orders"),
+                          columns=["o_orderkey", "o_orderpriority"])
+    return strip_schema_metadata(
+        urgent.filter(expr="o_orderpriority == '1-URGENT'")
+        .select_columns(["o_orderkey"]))
+
+
+def q_semi_shuffle(sf_dir: str):
+    """Fully-distributed LEFT SEMI join (native shuffle hash join, no
+    broadcast anywhere) — the both-sides-big scale path; same oracle
+    as the broadcast form."""
+    li = read_parquet(_p(sf_dir, "lineitem"),
+                      columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    return li.join(_urgent_keys_ds(sf_dir), "left_semi",
+                   num_partitions=_join_partitions(li),
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+
+
+def q_anti_shuffle(sf_dir: str):
+    """Fully-distributed LEFT ANTI join (customers with no urgent
+    orders) — the exact anti-join scale path (a Bloom prefilter CANNOT
+    serve anti semantics: its false positives would drop valid rows);
+    same oracle as the broadcast form."""
+    from pystreamfs_ray.sources import strip_schema_metadata
+
+    urgent = read_parquet(_p(sf_dir, "orders"),
+                          columns=["o_custkey", "o_orderpriority"])
+    keys = strip_schema_metadata(
+        urgent.filter(expr="o_orderpriority == '1-URGENT'")
+        .select_columns(["o_custkey"]))
+    cust = read_parquet(_p(sf_dir, "customer"),
+                        columns=["c_custkey", "c_name", "c_mktsegment"])
+    return cust.join(keys, "left_anti",
+                     num_partitions=_join_partitions(cust),
+                     on=("c_custkey",), right_on=("o_custkey",))
