@@ -92,7 +92,7 @@ def decode_features(ds, *, fake: bool = True, concurrency=2, batch_size: int = 6
     """Binary payloads → numeric features; small batches on purpose."""
     return ds.map_batches(
         DecodeStub, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, fn_constructor_kwargs=dict(fake=fake),
+        concurrency=concurrency, fn_constructor_args=(fake,),
     )
 
 
