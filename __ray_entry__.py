@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hll_users": q.q_hll_users,
         "q_hll_by_type": q.q_hll_by_type,
         "q_hist_by_source": q.q_hist_by_source,
+        "q_cms_by_type": q.q_cms_by_type,
         "q_latest_event": q.q_latest_event,
         "q_cms_users": q.q_cms_users,
         "q_hist_value": q.q_hist_value,
@@ -1019,6 +1020,18 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM documents d JOIN mm USING (source)
             GROUP BY d.source, bin
+        """,
+        # grouped CMS registers: same row-salted cell hash, per type
+        "q_cms_by_type": """
+            WITH h AS (
+              SELECT event_type, d.r AS r,
+                     CAST(md5_number_lower(CAST(d.r AS VARCHAR) || '|' ||
+                          CAST(user_id AS VARCHAR)) % 256 AS BIGINT) AS cell
+              FROM events CROSS JOIN (SELECT unnest(range(4)) AS r) d
+            )
+            SELECT event_type, CAST(r AS BIGINT) AS r, cell,
+                   COUNT(*) AS n
+            FROM h GROUP BY event_type, r, cell
         """,
         # same row-salted md5 cell hash as sketch.cms_partials
         "q_cms_users": """

@@ -1693,3 +1693,14 @@ def q_anti_shuffle(sf_dir: str):
     return cust.join(keys, "left_anti",
                      num_partitions=_join_partitions(cust),
                      on=("c_custkey",), right_on=("o_custkey",))
+
+
+def q_cms_by_type(sf_dir: str):
+    """Per-event-type Count-Min registers over user ids (grouped
+    frequency sketch; groups x depth x width exchange)."""
+    from pystreamfs_ray.stages.sketch import cms_registers_by
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_type", "user_id"])
+    return cms_registers_by(ev, "event_type", "user_id",
+                            depth=4, width=256)

@@ -296,3 +296,30 @@ def hist_quantile_by(regs: pd.DataFrame, bounds: pd.DataFrame,
     out = pd.DataFrame(rows, columns=[group_col,
                                       *[f"q{int(q*100)}" for q in qs]])
     return out.sort_values(group_col, ignore_index=True)
+
+
+def cms_registers_by(ds, group_col: str, col: str, *, depth: int = 4,
+                     width: int = 256):
+    """Per-group Count-Min registers ``(group, r, cell, n)`` — point
+    frequency estimates PER KEY (per-domain heavy-hitter screening)
+    with the shuffle bounded by ``groups × depth × width`` rows
+    regardless of input size. Same row-salted md5 cell hash as
+    :func:`cms_partials`, so registers are SQL-replayable. Feed each
+    group's rows to :func:`cms_estimate` for point queries."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for g, grp in df.groupby(group_col, sort=False):
+            p = cms_partials(grp[col].to_numpy(), depth=depth, width=width)
+            p.insert(0, group_col, g)
+            outs.append(p)
+        return pd.concat(outs) if outs else pd.DataFrame(
+            {group_col: [], "r": pd.Series([], dtype=np.int64),
+             "cell": pd.Series([], dtype=np.int64),
+             "n": pd.Series([], dtype=np.int64)})
+
+    return (ds.select_columns([group_col, col])
+            .map_batches(_combiner(partial), batch_format="pyarrow")
+            .groupby([group_col, "r", "cell"])
+            .aggregate(Sum("n", alias_name="n")))

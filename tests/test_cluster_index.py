@@ -607,3 +607,31 @@ def test_hist_quantile_by_within_bin_error(ray_session):
             exact = np.quantile(sub, q)
             got = float(out[out.g == g][col].iloc[0])
             assert abs(got - exact) <= width + 1e-9
+
+
+def test_cms_registers_by_matches_solo(ray_session):
+    """Per-group CMS registers equal the single-group sketch computed
+    alone, and point estimates never underestimate."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.sketch import (cms_estimate, cms_registers,
+                                              cms_registers_by)
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 1000),
+        "v": np.concatenate([rng.integers(0, 50, 1000),
+                             rng.integers(0, 10, 1000)]),
+    })
+    regs = (cms_registers_by(rd.from_pandas(df).repartition(4), "g", "v",
+                             depth=4, width=128).to_pandas())
+    for g in ("a", "b"):
+        sub = (regs[regs["g"] == g][["r", "cell", "n"]]
+               .sort_values(["r", "cell"], ignore_index=True))
+        solo = (cms_registers(rd.from_pandas(df[df.g == g][["v"]]), "v",
+                              depth=4, width=128).to_pandas()
+                .sort_values(["r", "cell"], ignore_index=True))
+        pd.testing.assert_frame_equal(sub, solo)
+        true = df[df.g == g]["v"].value_counts()
+        est = cms_estimate(sub, true.index.to_numpy(), depth=4, width=128)
+        assert (np.asarray(est) >= true.to_numpy()).all()
