@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     "q_pack_sequences",
     "q_repetition",
     "q_region_revenue",
+    # round-2-late operator families
+    "q_kmeans_assign",
+    "q_bm25",
+    "q_target_encode",
+    "q_inverted_index",
 ]
 
 
