@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hist_by_source": q.q_hist_by_source,
         "q_cms_by_type": q.q_cms_by_type,
         "q_latest_event": q.q_latest_event,
+        "q_trending": q.q_trending,
+        "q_retention": q.q_retention,
         "q_cms_users": q.q_cms_users,
         "q_hist_value": q.q_hist_value,
         "q_dedup_exact": q.q_dedup_exact,
@@ -995,6 +997,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, reg, MAX(rho) AS rho_max
             FROM r GROUP BY event_type, reg
+        """,
+        # top-3 event types per day (count desc, type asc tie-break)
+        "q_trending": """
+            WITH c AS (
+              SELECT date_trunc('day', ts) AS day, event_type,
+                     COUNT(*) AS n
+              FROM events GROUP BY day, event_type
+            )
+            SELECT day, event_type, n, CAST(rk AS BIGINT) AS rank FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY day
+                        ORDER BY n DESC, event_type) AS rk
+              FROM c) WHERE rk <= 3
+        """,
+        # weekly retention cohorts (Monday-start weeks both sides)
+        "q_retention": """
+            WITH f AS (
+              SELECT user_id, MIN(ts) AS fts FROM events GROUP BY user_id
+            ), c AS (
+              SELECT user_id, date_trunc('week', fts) AS cohort FROM f
+            ), a AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+              FROM events
+            )
+            SELECT c.cohort,
+                   CAST(date_diff('day', c.cohort, a.week) // 7 AS BIGINT)
+                     AS week_offset,
+                   COUNT(*) AS n_active
+            FROM a JOIN c USING (user_id)
+            GROUP BY c.cohort, week_offset
         """,
         # changelog compaction: latest event per user, deterministic
         # (ts DESC, event_id ASC) keep rule

@@ -1704,3 +1704,87 @@ def q_cms_by_type(sf_dir: str):
                       columns=["event_type", "user_id"])
     return cms_registers_by(ev, "event_type", "user_id",
                             depth=4, width=256)
+
+
+def q_trending(sf_dir: str):
+    """Trending: top-3 event types per day by count — calendar × rank
+    composition (two-level count combiner, then per-day top-k)."""
+    from pystreamfs_ray.stages.grouped import grouped_topk
+    from pystreamfs_ray.util import arrow_combiner
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def day_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.to_datetime(df["ts"]).dt.floor("D")
+        g = (pd.DataFrame({"day": d, "event_type": df["event_type"]})
+             .groupby(["day", "event_type"], sort=False).size()
+             .reset_index(name="pc"))
+        g["pc"] = g["pc"].astype(np.int64)
+        return g
+
+    counts = (ev.map_batches(arrow_combiner(day_counts),
+                             batch_format="pyarrow")
+              .groupby(["day", "event_type"])
+              .aggregate(Sum("pc", alias_name="n")))
+    out = grouped_topk(counts, "day", "n", 3, tiebreak_col="event_type")
+    return out
+
+
+def q_retention(sf_dir: str):
+    """Weekly retention cohorts: for each first-seen week (cohort) and
+    week offset, how many of the cohort's users were active — the
+    product-analytics retention matrix. Combiner groupby-min for the
+    cohort, distinct (user, week) activity, one join, calendar-bounded
+    output."""
+    from pystreamfs_ray.sources import strip_schema_metadata
+    from pystreamfs_ray.util import arrow_combiner
+
+    from ray.data.aggregate import Min as _Min
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    firsts = ev.groupby("user_id").aggregate(_Min("ts", alias_name="fts"))
+
+    def to_cohort(df: pd.DataFrame) -> pd.DataFrame:
+        wk = pd.to_datetime(df["fts"]).dt.to_period("W-SUN").dt.start_time
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                             "cohort": wk})
+
+    cohorts = strip_schema_metadata(
+        firsts.map_batches(arrow_combiner(to_cohort),
+                           batch_format="pyarrow"))
+
+    def active_weeks(df: pd.DataFrame) -> pd.DataFrame:
+        wk = pd.to_datetime(df["ts"]).dt.to_period("W-SUN").dt.start_time
+        return (pd.DataFrame({"user_id": df["user_id"], "week": wk})
+                .drop_duplicates())
+
+    # per-batch dedup is only a combiner — finish the GLOBAL distinct
+    # (a (user, week) pair spans batches) with one groupby
+    activity = (ev.map_batches(arrow_combiner(active_weeks),
+                               batch_format="pyarrow")
+                .groupby(["user_id", "week"])
+                .aggregate(Count(alias_name="__c"))
+                .drop_columns(["__c"]))
+    nparts = _join_partitions(ev)
+    # coalesce the post-shuffle micro-blocks (empty blocks carry no
+    # schema, which the hash join rejects on tiny inputs)
+    joined = (activity.repartition(nparts)
+              .join(cohorts.repartition(nparts), "inner",
+                    num_partitions=nparts, on=("user_id",)))
+
+    def to_offset(df: pd.DataFrame) -> pd.DataFrame:
+        # (user, week) is globally unique here and weeks are aligned
+        # starts, so each (cohort, offset, user) occurs exactly once
+        off = ((pd.to_datetime(df["week"]) - pd.to_datetime(df["cohort"]))
+               .dt.days // 7).astype(np.int64)
+        g = (pd.DataFrame({"cohort": df["cohort"], "week_offset": off})
+             .groupby(["cohort", "week_offset"], sort=False).size()
+             .reset_index(name="pc"))
+        g["pc"] = g["pc"].astype(np.int64)
+        return g
+
+    return (joined.map_batches(arrow_combiner(to_offset),
+                               batch_format="pyarrow")
+            .groupby(["cohort", "week_offset"])
+            .aggregate(Sum("pc", alias_name="n_active")))

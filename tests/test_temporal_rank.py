@@ -146,3 +146,35 @@ def test_sft_pairs_adjacency(ray_session):
     assert out[["conv_id", "prompt", "response"]].values.tolist() == [
         ["c1", "hi", "hello"], ["c2", "q", "a"]]
     assert out["turn_idx"].tolist() == [0, 1]
+
+
+def test_retention_cohorts_known_values(ray_session):
+    """Users land in their first-seen week's cohort; later activity
+    counts once per (cohort, offset) regardless of event volume."""
+    import ray.data as rd
+
+    from pystreamfs_ray.pipelines.queries import q_retention  # noqa: F401
+    # exercise the shape through the queries entry on a temp parquet dir
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    df = _events([
+        # user 1: first seen week of Mon 2024-01-01, active again wk+2 (3 events)
+        (1, "2024-01-02 10:00", "view"),
+        (1, "2024-01-16 10:00", "view"),
+        (1, "2024-01-17 10:00", "view"),
+        (1, "2024-01-18 10:00", "view"),
+        # user 2: first seen wk of 2024-01-08, never returns
+        (2, "2024-01-08 00:00", "view"),
+    ])
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(
+            df.rename(columns={"event_type": "event_type"}),
+            preserve_index=False), os.path.join(d, "events.parquet"))
+        out = (q_retention(d).to_pandas()
+               .sort_values(["cohort", "week_offset"], ignore_index=True))
+    got = {(str(r.cohort.date()), int(r.week_offset)): int(r.n_active)
+           for r in out.itertuples()}
+    assert got == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1,
+                   ("2024-01-08", 0): 1}
