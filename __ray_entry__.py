@@ -87,8 +87,78 @@ def _purchase_labels(df):
 def queries() -> dict[str, Callable[[str], Any]]:
     from pystreamfs_ray.pipelines import queries as q
 
+    # NOTE on ordering: the graft driver sweeps only the FIRST 50 entries
+    # each round.  Rounds 1-2 proved the relational/transcript/kernel block
+    # green (CORRECTNESS_r01/r02), so round 3 leads with the queries that
+    # have never produced a driver row — the 8 flagged in VERDICT.md first,
+    # then the sketch / dedup / text / vector families.  The proven-green
+    # block rotates to the tail (its evidence stands in the r1/r2 files).
     return {
-        # relational core
+        # --- never-driver-verified (round-3 window) -------------------
+        # the 8 VERDICT-flagged queries
+        "q_minhash_pairs": q.q_minhash_pairs,
+        "q_simhash": q.q_simhash,
+        "q_embedding_neardup": q.q_embedding_neardup,
+        "q_dedup_groups": q.q_dedup_groups,
+        "q_ivf_topk": q.q_ivf_topk,
+        "q_text_quality": q.q_text_quality,
+        "q_lang_id": q.q_lang_id,
+        "q_decode_media": q.q_decode_media,
+        # sketches (HLL / CMS / histogram, global + grouped)
+        "q_hll_users": q.q_hll_users,
+        "q_hll_by_type": q.q_hll_by_type,
+        "q_cms_by_type": q.q_cms_by_type,
+        "q_cms_users": q.q_cms_users,
+        "q_hist_by_source": q.q_hist_by_source,
+        "q_hist_value": q.q_hist_value,
+        # temporal analytics
+        "q_latest_event": q.q_latest_event,
+        "q_trending": q.q_trending,
+        "q_retention": q.q_retention,
+        # dedup / text analysis / curation
+        "q_dedup_keep_best": q.q_dedup_keep_best,
+        "q_bpe_tokens": q.q_bpe_tokens,
+        "q_ngram_jaccard": q.q_ngram_jaccard,
+        "q_simhash_pairs": q.q_simhash_pairs,
+        "q_semantic_dedup": q.q_semantic_dedup,
+        "q_repetition": q.q_repetition,
+        "q_decontaminate": q.q_decontaminate,
+        "q_pack_sequences": q.q_pack_sequences,
+        "q_json_extract": q.q_json_extract,
+        "q_tfidf": q.q_tfidf,
+        "q_corpus_curation": q.q_corpus_curation,
+        "q_normalize_text": q.q_normalize_text,
+        "q_lang_entropy": q.q_lang_entropy,
+        "q_dedup_prompts": q.q_dedup_prompts,
+        "q_pmi_bigrams": q.q_pmi_bigrams,
+        # vectors / ML feature engineering
+        "q_kmeans_assign": q.q_kmeans_assign,
+        "q_kmeans": q.q_kmeans,
+        "q_label_centroids": q.q_label_centroids,
+        "q_grouped_corr": q.q_grouped_corr,
+        "q_feature_hash": q.q_feature_hash,
+        "q_impute_value": q.q_impute_value,
+        "q_target_encode": q.q_target_encode,
+        "q_embedding_cov": q.q_embedding_cov,
+        "q_ncm_confusion": q.q_ncm_confusion,
+        "q_minmax_scale": q.q_minmax_scale,
+        "q_robust_zscore": q.q_robust_zscore,
+        "q_bm25": q.q_bm25,
+        "q_inverted_index": q.q_inverted_index,
+        # sampling / splits / auditing
+        "q_audit_orders": q.q_audit_orders,
+        "q_budget_sample": q.q_budget_sample,
+        "q_kfold": q.q_kfold,
+        "q_ntile": q.q_ntile,
+        "q_group_sample": q.q_group_sample,
+        # --- end of 50-query driver window ----------------------------
+        "q_dedup_groups_exact": q.q_dedup_groups_exact,
+        # r1-green block
+        "q_dedup_exact": q.q_dedup_exact,
+        "q_token_stats": q.q_token_stats,
+        "q_fingerprint": q.q_fingerprint,
+        "q_ann_topk": q.q_ann_topk,
+        # relational core (r2-green)
         "q1_lineitem_agg": q.q1_lineitem_agg,
         "q_filter_project": q.q_filter_project,
         "q_topk_orders": q.q_topk_orders,
@@ -110,7 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_zscore": q.q_group_zscore,
         "q_funnel": q.q_funnel,
         "q_new_users": q.q_new_users,
-        # transcript pipeline (sessionize / window / lag / backfill / as-of)
+        # transcript pipeline (r2-green)
         "q_transcripts": q.q_transcripts,
         "q_render_chat": q.q_render_chat,
         "q_sft_pairs": q.q_sft_pairs,
@@ -138,65 +208,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_metrics_summary": q.q_metrics_summary,
         "q_accuracy_over_time": q.q_accuracy_over_time,
         "q_eval_salted": q.q_eval_salted,
-        # dedup / similarity / text analysis / multimodal
+        # docs sampling / chunking (r2-green)
         "q_sample_docs": q.q_sample_docs,
         "q_chunk_docs": q.q_chunk_docs,
         "q_word_topk": q.q_word_topk,
-        "q_hll_users": q.q_hll_users,
-        "q_hll_by_type": q.q_hll_by_type,
-        "q_hist_by_source": q.q_hist_by_source,
-        "q_cms_by_type": q.q_cms_by_type,
-        "q_latest_event": q.q_latest_event,
-        "q_trending": q.q_trending,
-        "q_retention": q.q_retention,
-        "q_cms_users": q.q_cms_users,
-        "q_hist_value": q.q_hist_value,
-        "q_dedup_exact": q.q_dedup_exact,
-        "q_dedup_keep_best": q.q_dedup_keep_best,
-        "q_token_stats": q.q_token_stats,
-        "q_bpe_tokens": q.q_bpe_tokens,
-        "q_fingerprint": q.q_fingerprint,
-        "q_ann_topk": q.q_ann_topk,
-        "q_ivf_topk": q.q_ivf_topk,
-        "q_kmeans_assign": q.q_kmeans_assign,
-        "q_kmeans": q.q_kmeans,
-        "q_label_centroids": q.q_label_centroids,
-        "q_grouped_corr": q.q_grouped_corr,
-        "q_pmi_bigrams": q.q_pmi_bigrams,
-        "q_feature_hash": q.q_feature_hash,
-        "q_impute_value": q.q_impute_value,
-        "q_target_encode": q.q_target_encode,
-        "q_embedding_cov": q.q_embedding_cov,
-        "q_ncm_confusion": q.q_ncm_confusion,
-        "q_minmax_scale": q.q_minmax_scale,
-        "q_robust_zscore": q.q_robust_zscore,
-        "q_normalize_text": q.q_normalize_text,
-        "q_audit_orders": q.q_audit_orders,
-        "q_budget_sample": q.q_budget_sample,
-        "q_kfold": q.q_kfold,
-        "q_bm25": q.q_bm25,
-        "q_dedup_prompts": q.q_dedup_prompts,
-        "q_lang_entropy": q.q_lang_entropy,
-        "q_inverted_index": q.q_inverted_index,
-        "q_ntile": q.q_ntile,
-        "q_group_sample": q.q_group_sample,
-        "q_minhash_pairs": q.q_minhash_pairs,
-        "q_ngram_jaccard": q.q_ngram_jaccard,
-        "q_simhash": q.q_simhash,
-        "q_simhash_pairs": q.q_simhash_pairs,
-        "q_embedding_neardup": q.q_embedding_neardup,
-        "q_semantic_dedup": q.q_semantic_dedup,
-        "q_dedup_groups": q.q_dedup_groups,
-        "q_dedup_groups_exact": q.q_dedup_groups_exact,
-        "q_text_quality": q.q_text_quality,
-        "q_repetition": q.q_repetition,
-        "q_decontaminate": q.q_decontaminate,
-        "q_pack_sequences": q.q_pack_sequences,
-        "q_json_extract": q.q_json_extract,
-        "q_tfidf": q.q_tfidf,
-        "q_lang_id": q.q_lang_id,
-        "q_corpus_curation": q.q_corpus_curation,
-        "q_decode_media": q.q_decode_media,
     }
 
 
@@ -941,7 +956,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sample_docs": """
             SELECT doc_id, source FROM documents
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 65536
-                  < CAST(0.25 * 65536 AS UBIGINT)
+                  < 16384  -- int(0.25 * 65536), truncated exactly as the engine does
         """,
         "q_chunk_docs": r"""
             WITH d AS (
@@ -1270,7 +1285,7 @@ def oracle_sql() -> dict[str, str]:
             ), ev AS (
               SELECT doc_id FROM documents
               WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 65536
-                    < CAST(0.10 * 65536 AS UBIGINT)
+                    < 6553  -- int(0.10 * 65536): Python truncates, CAST would round to 6554
             ), eg AS (SELECT DISTINCT g.g FROM g JOIN ev USING (doc_id))
             SELECT g.doc_id, COUNT(*) AS n_shared
             FROM g JOIN eg USING (g)

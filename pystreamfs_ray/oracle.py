@@ -50,12 +50,21 @@ def run_stream(
     out: list[dict[str, Any]] = []
     prev_selected: np.ndarray | None = None
 
+    import time
+
+    from pystreamfs_ray.util import rss_bytes
+
     for wid, i in enumerate(range(0, X.shape[0], batch_size)):
         Xw = X[i:i + batch_size]
         Yw = Y[i:i + batch_size]
         ctx = {"conv_id": conv_id, "window_id": wid}
+        t0 = time.perf_counter()
         w, state = kernel.update(state, Xw, Yw, ctx, **params)
         selected = top_m_features(w, num_features)
+        # time + memory probes at the reference's cadence
+        # (pystreamfs.py:73-74; RSS stands in for USS — no psutil here)
+        time_s = time.perf_counter() - t0
+        mem = rss_bytes()
 
         acc = None
         if model is not None:
@@ -71,6 +80,8 @@ def run_stream(
                 "selected": selected.copy(),
                 "fscr": f,
                 "acc": acc,
+                "time_s": time_s,
+                "mem_bytes": mem,
             }
         )
         prev_selected = selected

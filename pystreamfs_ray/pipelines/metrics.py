@@ -16,6 +16,7 @@ def global_summary(selector_ds) -> pd.DataFrame:
     row = selector_ds.aggregate(
         Count(alias_name="n_windows"),
         Mean("wall_ms", alias_name="time_avg_ms"),
+        Mean("mem_bytes", alias_name="memory_avg_bytes"),
         Mean("fscr", alias_name="fscr_avg"),
         Mean("acc", alias_name="acc_avg"),
         Sum("n_rows", alias_name="rows_total"),

@@ -76,6 +76,9 @@ SELECTOR_OUTPUT_SCHEMA = pa.schema(
         pa.field("fscr", pa.float64()),  # null for window 0 (reference: t>=1 only)
         pa.field("acc", pa.float64()),  # null when evaluation disabled
         pa.field("wall_ms", pa.float64()),
+        # per-window RSS probe — the engine analog of the reference's
+        # per-batch USS measurement (pystreamfs/pystreamfs.py:74)
+        pa.field("mem_bytes", pa.int64()),
     ]
 )
 

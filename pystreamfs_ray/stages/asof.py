@@ -228,13 +228,13 @@ def asof_join_time(
 
     # boundaries from a cheap right-side sample (exactness does NOT
     # depend on them — only partition balance does)
-    sample = right_ds.select_columns([right_on]).limit(boundary_sample).to_pandas()
-    ts_sample = np.sort(sample[right_on].to_numpy().astype("datetime64[us]").astype(np.int64))
-    if len(ts_sample) == 0 or num_partitions <= 1:
-        bounds = np.array([], dtype=np.int64)
-    else:
-        qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
-        bounds = np.unique(np.quantile(ts_sample, qs).astype(np.int64))
+    from pystreamfs_ray.util import quantile_bounds, spread_sample_values
+
+    # spread sample (not .limit() — prefix-biased on time-sorted input)
+    ts_sample = spread_sample_values(
+        right_ds, right_on, max_blocks=max(boundary_sample // 8, 1)
+    ).astype("datetime64[us]").astype(np.int64)
+    bounds = quantile_bounds(ts_sample, num_partitions).astype(np.int64)
 
     def _ts64(arr) -> np.ndarray:
         return arr.cast(pa.timestamp("us")).to_numpy(zero_copy_only=False).astype(np.int64)

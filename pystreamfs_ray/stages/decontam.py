@@ -62,9 +62,16 @@ def ngram_hash_pairs(ds, *, n: int = 4, id_col: str = "doc_id",
 
 def eval_mask_expr(id_col: str, rate: float) -> str:
     """The deterministic eval-membership predicate (engine side uses the
-    vectorized equivalent in ``sources.sample_by_hash``)."""
+    vectorized equivalent in ``sources.sample_by_hash``).
+
+    The threshold is computed ONCE in Python (``int(rate * 65536)``,
+    truncating) and inlined as an integer literal so the SQL mirror uses
+    the identical cutoff for any rate — DuckDB's ``CAST(0.10*65536 AS
+    UBIGINT)`` ROUNDS to 6554 while Python truncates to 6553, so the
+    previous CAST-based expression diverged on hash value 6553."""
+    thresh = int(rate * 65536)
     return (f"md5_number_lower(CAST({id_col} AS VARCHAR)) % 65536 "
-            f"< CAST({rate} * 65536 AS UBIGINT)")
+            f"< {thresh}")
 
 
 def _hash_member_mask(ids, rate: float) -> np.ndarray:

@@ -835,9 +835,28 @@ def embedding_neardup_pairs(ds, *, id_col="vec_id", vec_col="embedding",
         .groupby(["table_id", "bucket"])
         .map_groups(verify, batch_format="pandas")
     )
-    # a pair can fire in several tables — keep one
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+
+    # a pair can fire in several tables — keep one. Fixed-bucket
+    # vectorized distinct (one drop_duplicates per BUCKET, not one
+    # Python call per PAIR as groupby([id_a,id_b]).map_groups would pay)
+    pair_buckets = 64
+
+    def assign_vb(df: pd.DataFrame) -> pd.DataFrame:
+        with np.errstate(over="ignore"):
+            mix = (df["id_a"].to_numpy().astype(np.uint64)
+                   * np.uint64(0x9E3779B97F4A7C15)
+                   + df["id_b"].to_numpy().astype(np.uint64))
+            mix ^= mix >> np.uint64(31)
+        df["__vb"] = (mix % np.uint64(pair_buckets)).astype(np.int32)
+        return df
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b", "cosine"]]
+
+    return (
+        pairs.map_batches(arrow_combiner(assign_vb), batch_format="pyarrow")
+        .groupby("__vb")
+        .map_groups(distinct, batch_format="pandas")
     )
 
 

@@ -32,13 +32,12 @@ def distributed_prefix_sum(ds, *, order_col: str, value_col: str,
     the total order). Two-phase scan: per-partition totals → driver
     exclusive scan of P integers → per-partition sorted cumsum + offset.
     """
-    sample = ds.select_columns([order_col]).limit(boundary_sample).to_pandas()
-    keys = np.sort(sample[order_col].to_numpy())
-    if len(keys) == 0 or num_partitions <= 1:
-        bounds = np.array([], dtype=keys.dtype)
-    else:
-        qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
-        bounds = np.unique(np.quantile(keys, qs, method="nearest"))
+    from pystreamfs_ray.util import quantile_bounds, spread_sample_values
+
+    # spread sample (not ds.limit — prefix-biased on sorted input)
+    keys = spread_sample_values(
+        ds, order_col, max_blocks=max(boundary_sample // 8, 1))
+    bounds = quantile_bounds(keys, num_partitions)
 
     def assign(t: pa.Table) -> pa.Table:
         part = np.searchsorted(bounds, t[order_col].to_numpy(zero_copy_only=False),

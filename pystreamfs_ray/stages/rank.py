@@ -36,17 +36,13 @@ def global_percent_rank(ds, *, value_col: str, id_col: str,
     """Append the global percent-rank of ``value_col`` (ties share the
     rank of their strictly-less count, as in SQL ``PERCENT_RANK``).
     Returns a Dataset of ``(id_col, out_col)`` rounded to ``ndigits``."""
-    from pystreamfs_ray.util import ensure_cols
+    from pystreamfs_ray.util import ensure_cols, quantile_bounds, spread_sample_values
 
-    sample = ensure_cols(
-        ds.select_columns([value_col]).limit(boundary_sample).to_pandas(),
-        {value_col: np.float64})
-    vals = np.sort(sample[value_col].to_numpy())
-    if len(vals) == 0 or num_partitions <= 1:
-        bounds = np.array([], dtype=vals.dtype)
-    else:
-        qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
-        bounds = np.unique(np.quantile(vals, qs, method="nearest"))
+    # per-block spread sample: ds.limit() would take the FIRST rows and
+    # collapse all boundaries on value-sorted input (ADVICE r2)
+    vals = spread_sample_values(
+        ds, value_col, max_blocks=max(boundary_sample // 8, 1)).astype(np.float64)
+    bounds = quantile_bounds(vals, num_partitions)
 
     def assign(t: pa.Table) -> pa.Table:
         part = np.searchsorted(bounds, t[value_col].to_numpy(zero_copy_only=False),
@@ -98,17 +94,11 @@ def global_ntile(ds, n: int, *, value_col: str, id_col: str,
     local (value, id) rank IS the global 0-based row number; the NTILE
     bucket is then arithmetic on that row number. No global sort, no
     total-order materialization."""
-    from pystreamfs_ray.util import ensure_cols
+    from pystreamfs_ray.util import ensure_cols, quantile_bounds, spread_sample_values
 
-    sample = ensure_cols(
-        ds.select_columns([value_col]).limit(boundary_sample).to_pandas(),
-        {value_col: np.float64})
-    vals = np.sort(sample[value_col].to_numpy())
-    if len(vals) == 0 or num_partitions <= 1:
-        bounds = np.array([], dtype=vals.dtype)
-    else:
-        qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
-        bounds = np.unique(np.quantile(vals, qs, method="nearest"))
+    vals = spread_sample_values(
+        ds, value_col, max_blocks=max(boundary_sample // 8, 1)).astype(np.float64)
+    bounds = quantile_bounds(vals, num_partitions)
 
     def assign(t: pa.Table) -> pa.Table:
         part = np.searchsorted(bounds, t[value_col].to_numpy(zero_copy_only=False),

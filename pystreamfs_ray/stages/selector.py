@@ -33,6 +33,7 @@ import pyarrow as pa
 from pystreamfs_ray.kernels.base import fscr as fscr_score
 from pystreamfs_ray.kernels.base import top_m_features
 from pystreamfs_ray.models import MODELS
+from pystreamfs_ray.util import rss_bytes
 from pystreamfs_ray.oracle import classify_window
 from pystreamfs_ray.schema import FEATURE_COLS, SELECTOR_OUTPUT_SCHEMA
 from pystreamfs_ray.stages.window import add_bucket
@@ -187,6 +188,7 @@ class BucketSelector:
         o_fscr: list = []
         o_acc: list = []
         o_wall: list[float] = []
+        o_mem: list[int] = []
 
         prior_states: dict = {}
         if self.load_state and self.checkpoint_dir is not None and bucket_id >= 0:
@@ -268,6 +270,7 @@ class BucketSelector:
                     )
                     selected = top_m_features(w, self.num_features)
                     wall_ms = (time.perf_counter() - t0) * 1000.0
+                    mem = rss_bytes()  # reference cadence: one probe per window
 
                     acc = None
                     if model is not None:
@@ -289,6 +292,7 @@ class BucketSelector:
                     )
                     o_acc.append(acc)
                     o_wall.append(wall_ms)
+                    o_mem.append(mem)
                     prev_sel = selected
                 kstates[kname] = (state, prev_sel)
 
@@ -321,6 +325,7 @@ class BucketSelector:
                 "fscr": pa.array(o_fscr, type=pa.float64()),
                 "acc": pa.array(o_acc, type=pa.float64()),
                 "wall_ms": pa.array(o_wall, type=pa.float64()),
+                "mem_bytes": pa.array(o_mem, type=pa.int64()),
             },
             schema=SELECTOR_OUTPUT_SCHEMA,
         )

@@ -129,8 +129,21 @@ def ivf_topk(ds, query_ids, query_matrix, *, k=10, n_cells=16, nprobe=4,
              id_col="vec_id", vec_col="embedding", concurrency=4,
              train_sample: int = 2048, seed=7):
     """Approximate top-k: seeded k-means-lite centroids (a few Lloyd
-    iterations over a driver-side sample), then probe-limited scoring."""
-    sample = ds.limit(train_sample).to_pandas()
+    iterations over a driver-side sample), then probe-limited scoring.
+
+    The training sample is hash-keyed on ``id_col`` (uniform across the
+    WHOLE dataset) — ``ds.limit()`` would take the first blocks, which
+    on cluster-sorted input trains the coarse quantizer on one cluster
+    and skews every probe."""
+    from pystreamfs_ray.sources import sample_by_hash
+
+    n = ds.count()
+    if n > train_sample:
+        sample = sample_by_hash(ds, id_col, train_sample / n).to_pandas()
+    else:
+        sample = ds.to_pandas()
+    if len(sample) == 0:  # degenerate rate rounding on tiny inputs
+        sample = ds.limit(min(n, train_sample)).to_pandas()
     mat = _normalize(_as_matrix(sample[vec_col]))
     rng = np.random.default_rng(seed)
     centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]

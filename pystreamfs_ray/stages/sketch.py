@@ -72,7 +72,9 @@ def hll_estimate(registers: pd.DataFrame, *, b: int = 6) -> float:
     m = 1 << b
     regs = np.zeros(m, dtype=np.int64)
     regs[registers["reg"].to_numpy()] = registers["rho_max"].to_numpy()
-    alpha = 0.709 if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    # Flajolet et al. 2007: fixed constants ONLY for m=16/32/64; the
+    # bias-correction formula applies for m >= 128.
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
     raw = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
     zeros = int(np.sum(regs == 0))
     if raw <= 2.5 * m and zeros > 0:

@@ -376,17 +376,24 @@ def repetition_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pandas")
 
 
-def tfidf_top_term(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+def tfidf_top_term(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                   broadcast_threshold: int = 2_000_000,
+                   num_partitions: int | None = None,
+                   doc_buckets: int = 64):
     """Per-document top TF-IDF term (smooth idf = ln((N+1)/(df+1)) + 1,
     raw-count tf; deterministic (score desc, term asc) tie-break).
 
     Scale shape: document frequencies are pre-aggregated inside each
     batch (distinct (doc, term) → per-term partial counts — the
-    combiner pattern), so the only shuffle is a vocabulary-sized
-    groupby-sum; the df table is then broadcast once (``ray.put``) and
-    the scoring pass is doc-local. Term frequencies never shuffle."""
+    combiner pattern), so the first shuffle is a vocabulary-sized
+    groupby-sum. Below ``broadcast_threshold`` distinct terms the df
+    table is broadcast once (``ray.put``) and the scoring pass is
+    doc-local. ABOVE it (web-corpus vocab, 10⁸+ terms — a driver OOM
+    if pulled), the df table never leaves the cluster: per-doc term
+    counts hash-join the df Dataset on the term, and the per-doc top-1
+    reduces through fixed hash buckets (vectorized across the many
+    docs in each bucket — no per-doc Python call)."""
     import ray
-    import ray.data as rd
     from ray.data.aggregate import Sum
 
     n_docs = ds.count()
@@ -401,19 +408,51 @@ def tfidf_top_term(ds, *, id_col: str = "doc_id", text_col: str = "text"):
         vc = pairs["w"].value_counts()
         return pd.DataFrame({"w": vc.index.to_numpy(), "pdf": vc.to_numpy()})
 
-    from pystreamfs_ray.util import arrow_combiner
+    from pystreamfs_ray.util import arrow_combiner, bucket_array
 
-    df_tbl = (ds.map_batches(arrow_combiner(df_partials),
-                             batch_format="pyarrow")
-              .groupby("w").aggregate(Sum("pdf", alias_name="df")).to_pandas())
-    order = np.argsort(df_tbl["w"].to_numpy())
-    vocab = df_tbl["w"].to_numpy()[order]
-    dfs = df_tbl["df"].to_numpy()[order].astype(np.float64)
-    ref = ray.put((vocab, dfs))
+    df_tbl_ds = (ds.map_batches(arrow_combiner(df_partials),
+                                batch_format="pyarrow")
+                 .groupby("w").aggregate(Sum("pdf", alias_name="df"))
+                 .materialize())
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        vocab, dfs = ray.get(ref)
-        idf = np.log((n_docs + 1.0) / (dfs + 1.0)) + 1.0
+    if df_tbl_ds.count() <= broadcast_threshold:
+        df_tbl = df_tbl_ds.to_pandas()
+        order = np.argsort(df_tbl["w"].to_numpy())
+        vocab = df_tbl["w"].to_numpy()[order]
+        dfs = df_tbl["df"].to_numpy()[order].astype(np.float64)
+        ref = ray.put((vocab, dfs))
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            vocab, dfs = ray.get(ref)
+            idf = np.log((n_docs + 1.0) / (dfs + 1.0)) + 1.0
+            words = df[text_col].str.findall(r"\S+")
+            wlen = words.str.len().to_numpy(dtype=np.int64)
+            wdoc = np.repeat(np.arange(len(df)), wlen)
+            wflat = np.fromiter((x for sub in words for x in sub), dtype=object,
+                                count=int(wlen.sum()))
+            tf = (pd.DataFrame({"d": wdoc, "w": wflat})
+                  .groupby(["d", "w"], sort=False).size().rename("tf").reset_index())
+            pos = np.searchsorted(vocab, tf["w"].to_numpy())
+            s = np.round(tf["tf"].to_numpy(dtype=np.float64) * idf[pos], 6)
+            tf["score"] = s
+            # top-1 per doc by (score desc, term asc) — lexsort is stable
+            tf = tf.sort_values(["d", "score", "w"],
+                                ascending=[True, False, True], kind="mergesort")
+            top = tf.groupby("d", sort=False).head(1)
+            return pd.DataFrame({
+                id_col: df[id_col].to_numpy()[top["d"].to_numpy()],
+                "top_term": top["w"].to_numpy(),
+                "score": top["score"].to_numpy(),
+            })
+
+        return ds.map_batches(score, batch_format="pandas")
+
+    # ---- join path: the vocab stays distributed -----------------------
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = min(64, max(4, cpus // 2))
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
         words = df[text_col].str.findall(r"\S+")
         wlen = words.str.len().to_numpy(dtype=np.int64)
         wdoc = np.repeat(np.arange(len(df)), wlen)
@@ -421,24 +460,44 @@ def tfidf_top_term(ds, *, id_col: str = "doc_id", text_col: str = "text"):
                             count=int(wlen.sum()))
         tf = (pd.DataFrame({"d": wdoc, "w": wflat})
               .groupby(["d", "w"], sort=False).size().rename("tf").reset_index())
-        pos = np.searchsorted(vocab, tf["w"].to_numpy())
-        s = np.round(tf["tf"].to_numpy(dtype=np.float64) * idf[pos], 6)
-        tf["score"] = s
-        # top-1 per doc by (score desc, term asc) — lexsort is stable
-        tf = tf.sort_values(["d", "score", "w"],
-                            ascending=[True, False, True], kind="mergesort")
-        top = tf.groupby("d", sort=False).head(1)
         return pd.DataFrame({
-            id_col: df[id_col].to_numpy()[top["d"].to_numpy()],
+            id_col: df[id_col].to_numpy()[tf["d"].to_numpy()],
+            "w": tf["w"].to_numpy(),
+            "tf": tf["tf"].to_numpy(np.int64),
+        })
+
+    tf_ds = ds.map_batches(arrow_combiner(tf_rows), batch_format="pyarrow")
+    joined = tf_ds.join(df_tbl_ds, join_type="inner",
+                        num_partitions=num_partitions, on=("w",))
+
+    def score_and_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        idf = np.log((n_docs + 1.0) / (df["df"].to_numpy(np.float64) + 1.0)) + 1.0
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "w": df["w"].to_numpy(),
+            "score": np.round(df["tf"].to_numpy(np.float64) * idf, 6),
+        })
+        out["__b"] = bucket_array(out[id_col].to_numpy(), doc_buckets)
+        return out
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "score", "w"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.groupby(id_col, sort=False).head(1)
+        return pd.DataFrame({
+            id_col: top[id_col].to_numpy(),
             "top_term": top["w"].to_numpy(),
             "score": top["score"].to_numpy(),
         })
 
-    return ds.map_batches(score, batch_format="pandas")
+    return (joined.map_batches(arrow_combiner(score_and_bucket),
+                               batch_format="pyarrow")
+            .groupby("__b").map_groups(top1, batch_format="pandas"))
 
 
 def pmi_bigrams(ds, *, text_col: str = "text", min_count: int = 5,
-                ndigits: int = 6):
+                ndigits: int = 6, broadcast_threshold: int = 2_000_000,
+                num_partitions: int | None = None):
     """Pointwise mutual information of adjacent word pairs — the
     collocation detector ("New York" vs chance co-occurrence) used for
     phrase mining and tokenizer-merge candidates. ``pmi = ln(p(x,y) /
@@ -447,11 +506,13 @@ def pmi_bigrams(ds, *, text_col: str = "text", min_count: int = 5,
 
     Scale shape: two combiner aggregations (per-batch bigram and
     unigram ``value_counts`` → groupby-sum), so the shuffles are
-    vocab²- and vocab-sized, never corpus-sized; the unigram table and
-    the two scalar totals are broadcast into the vectorized finish.
-    At web vocab (~10⁷ terms) swap the broadcast for two hash joins on
-    w1/w2 — same results, two more shuffles.
-    """
+    vocab²- and vocab-sized, never corpus-sized. Below
+    ``broadcast_threshold`` distinct unigrams the unigram table and the
+    two scalar totals broadcast into the vectorized finish; above it
+    (web vocab, ~10⁸ terms — a driver OOM if pulled) the
+    ``min_count``-filtered bigram table hash-joins the unigram Dataset
+    on w1 then w2 — same results, two more shuffles, nothing
+    vocab-sized on the driver."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -489,13 +550,11 @@ def pmi_bigrams(ds, *, text_col: str = "text", min_count: int = 5,
 
     from pystreamfs_ray.util import arrow_combiner
 
-    uni = (toks.map_batches(arrow_combiner(unigram_partial),
-                            batch_format="pyarrow")
-           .groupby("w").aggregate(Sum("cu", alias_name="cu")).to_pandas())
-    from pystreamfs_ray.util import ensure_cols
-
-    uni = ensure_cols(uni, {"w": object, "cu": np.int64})
-    n_tokens = int(uni["cu"].sum())
+    uni_ds = (toks.map_batches(arrow_combiner(unigram_partial),
+                               batch_format="pyarrow")
+              .groupby("w").aggregate(Sum("cu", alias_name="cu"))
+              .materialize())
+    n_tokens = int(uni_ds.sum("cu") or 0)
     big = (toks.map_batches(arrow_combiner(bigram_partial),
                             batch_format="pyarrow")
            .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c")))
@@ -505,26 +564,61 @@ def pmi_bigrams(ds, *, text_col: str = "text", min_count: int = 5,
             {"ne": [int(df[text_col].str.contains(r"\S", regex=True).sum())]}),
         batch_format="pandas").sum("ne") or 0)
     m_bigrams = n_tokens - n_docs_nonempty
-    ref = ray.put(dict(zip(uni["w"], uni["cu"].to_numpy(np.int64))))
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        lut = ray.get(ref)
-        if "c" in df.columns:
-            df = df[df["c"] >= min_count]
+    def _pmi_frame(w1, w2, c, cx, cy) -> pd.DataFrame:
+        pmi = np.log(c.astype(np.float64) * n_tokens * n_tokens
+                     / (m_bigrams * cx * cy))
+        return pd.DataFrame({"w1": w1, "w2": w2,
+                             "c": c.astype(np.int64),
+                             "pmi": np.round(pmi, ndigits)})
+
+    if uni_ds.count() <= broadcast_threshold:
+        from pystreamfs_ray.util import ensure_cols
+
+        uni = ensure_cols(uni_ds.to_pandas(), {"w": object, "cu": np.int64})
+        ref = ray.put(dict(zip(uni["w"], uni["cu"].to_numpy(np.int64))))
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            lut = ray.get(ref)
+            if "c" in df.columns:
+                df = df[df["c"] >= min_count]
+            if len(df) == 0 or "c" not in df.columns:
+                return pd.DataFrame({"w1": [], "w2": [],
+                                     "c": pd.Series([], dtype=np.int64),
+                                     "pmi": pd.Series([], dtype=np.float64)})
+            cx = df["w1"].map(lut).to_numpy(np.float64)
+            cy = df["w2"].map(lut).to_numpy(np.float64)
+            return _pmi_frame(df["w1"].to_numpy(), df["w2"].to_numpy(),
+                              df["c"].to_numpy(np.int64), cx, cy)
+
+        return big.map_batches(finish, batch_format="pandas")
+
+    # ---- join path: unigram counts stay distributed --------------------
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = min(64, max(4, cpus // 2))
+    # prune BEFORE the joins: only bigrams that can appear in the output
+    big = big.filter(expr=f"c >= {min_count}")
+    uni1 = uni_ds.map_batches(
+        lambda t: t.rename_columns(["w1", "cu1"]), batch_format="pyarrow")
+    uni2 = uni_ds.map_batches(
+        lambda t: t.rename_columns(["w2", "cu2"]), batch_format="pyarrow")
+    joined = big.join(uni1, join_type="inner",
+                      num_partitions=num_partitions, on=("w1",))
+    joined = joined.join(uni2, join_type="inner",
+                         num_partitions=num_partitions, on=("w2",))
+
+    def finish_joined(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0 or "c" not in df.columns:
             return pd.DataFrame({"w1": [], "w2": [],
                                  "c": pd.Series([], dtype=np.int64),
                                  "pmi": pd.Series([], dtype=np.float64)})
-        cx = df["w1"].map(lut).to_numpy(np.float64)
-        cy = df["w2"].map(lut).to_numpy(np.float64)
-        c = df["c"].to_numpy(np.float64)
-        pmi = np.log(c * n_tokens * n_tokens / (m_bigrams * cx * cy))
-        return pd.DataFrame({"w1": df["w1"].to_numpy(),
-                             "w2": df["w2"].to_numpy(),
-                             "c": df["c"].to_numpy(np.int64),
-                             "pmi": np.round(pmi, ndigits)})
+        return _pmi_frame(df["w1"].to_numpy(), df["w2"].to_numpy(),
+                          df["c"].to_numpy(np.int64),
+                          df["cu1"].to_numpy(np.float64),
+                          df["cu2"].to_numpy(np.float64))
 
-    return big.map_batches(finish, batch_format="pandas")
+    return joined.map_batches(finish_joined, batch_format="pandas")
 
 
 def feature_hash(ds, *, id_col: str = "doc_id", text_col: str = "text",

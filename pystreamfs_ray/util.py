@@ -75,6 +75,77 @@ def ensure_cols(df, schema: dict):
     return df
 
 
+_PAGE_SIZE = None
+
+
+def rss_bytes() -> int:
+    """Current process resident-set size in bytes — the sandbox stand-in
+    for the reference's per-window USS probe
+    (`/root/reference/pystreamfs/pystreamfs.py:74`; psutil is absent
+    here). /proc read costs ~5 µs — same per-window cadence as the
+    reference. Falls back to ru_maxrss (peak, kB) off Linux."""
+    global _PAGE_SIZE
+    import os
+
+    try:
+        with open("/proc/self/statm", "rb") as f:
+            if _PAGE_SIZE is None:
+                _PAGE_SIZE = os.sysconf("SC_PAGE_SIZE")
+            return int(f.read().split()[1]) * _PAGE_SIZE
+    except OSError:
+        import resource
+
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+
+
+def spread_sample_values(ds, col: str, *, per_block: int = 8,
+                         max_blocks: int = 4096) -> np.ndarray:
+    """Sorted sample of ``col`` drawn ACROSS the dataset for
+    range-partition boundary estimation.
+
+    ``ds.limit(n)`` takes the FIRST n rows — on inputs sorted or
+    clustered by ``col`` (typical for event/time data) every boundary
+    collapses into the leading value range and the two-phase scans
+    degrade to near-single-partition execution. Instead each block
+    contributes its own ``per_block``-point quantile grid (evenly
+    spaced sorted values), so a value-sorted input still yields
+    boundaries spanning the full range. Driver pull is bounded by
+    ``per_block × num_blocks`` scalars (~6.4 M floats at 100 TB /
+    128 MB blocks); exactness never depends on the sample — only
+    partition balance does."""
+    import pyarrow as pa
+
+    def block_grid(t: pa.Table) -> pa.Table:
+        arr = t[col].combine_chunks()
+        n = len(arr)
+        if n == 0:
+            return pa.table({col: arr})
+        import pyarrow.compute as pc
+
+        sorted_idx = pc.sort_indices(arr)
+        pick = np.linspace(0, n - 1, num=min(per_block, n)).astype(np.int64)
+        return pa.table({col: arr.take(sorted_idx.take(pa.array(pick)))})
+
+    grid = (ds.select_columns([col])
+            .map_batches(block_grid, batch_format="pyarrow")
+            .limit(per_block * max_blocks)  # hard cap, not a prefix bias:
+            # each upstream block already shrank to per_block rows, so the
+            # cap covers max_blocks blocks' worth of spread points
+            .to_pandas())
+    if col not in grid.columns:  # empty input → Ray drops the column
+        return np.array([], dtype=np.float64)
+    return np.sort(grid[col].to_numpy())
+
+
+def quantile_bounds(values: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Range-partition boundaries (deduped interior quantiles) from a
+    sorted sample; empty array → everything lands in partition 0."""
+    if len(values) == 0 or num_partitions <= 1:
+        return np.array([], dtype=values.dtype if len(values) else np.float64)
+    qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
+    return np.unique(np.quantile(values, qs, method="nearest"))
+
+
 def arrow_block(df):
     """pandas → metadata-free Arrow table. Return this from any
     map_batches COMBINER that feeds a groupby/aggregate: pandas blocks

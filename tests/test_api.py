@@ -35,6 +35,17 @@ def test_simulate_stream_stats_shape(credit_data):
     assert pd_["y_acc"].shape == (20,)
     assert pd_["avg_fscr"] is not None
 
+    # plot_stats renders when matplotlib exists, else returns the dict —
+    # either way it must run headless (reference pystreamfs.py:103-161)
+    from pystreamfs_ray.api import plot_stats
+
+    out = plot_stats(stats, [f"f{i}" for i in range(X.shape[1])],
+                     {"num_features": 5}, fs_algorithm="ofs", ml_model="knn")
+    if isinstance(out, dict):
+        assert out["y_time"].shape == (20,) and out["fs_algorithm"] == "ofs"
+    else:  # matplotlib Figure
+        assert out.axes
+
 
 def test_custom_kernel_plugin(credit_data):
     """A reference-style fn(X, Y, w, param) plug-in runs through the

@@ -1,0 +1,214 @@
+"""Round-3 fixes: join-path fallbacks for vocab-sized tables, spread
+boundary sampling, hash-sampled IVF training, per-window memory metric,
+decontamination threshold parity, HLL alpha correction."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _docs_ds(n=200, seed=3):
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(words, size=rng.integers(3, 12)))
+             for _ in range(n)]
+    return rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64), "text": texts}))
+
+
+def test_tfidf_join_path_matches_broadcast(ray_session):
+    """broadcast_threshold=0 forces the distributed-vocab hash-join path;
+    results must be identical to the broadcast path (VERDICT r2 #2)."""
+    from pystreamfs_ray.stages.textstats import tfidf_top_term
+
+    docs = _docs_ds()
+    a = (tfidf_top_term(docs).to_pandas()
+         .sort_values("doc_id", ignore_index=True))
+    b = (tfidf_top_term(docs, broadcast_threshold=0).to_pandas()
+         .sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+def test_pmi_join_path_matches_broadcast(ray_session):
+    from pystreamfs_ray.stages.textstats import pmi_bigrams
+
+    docs = _docs_ds()
+    a = (pmi_bigrams(docs, min_count=2).to_pandas()
+         .sort_values(["w1", "w2"], ignore_index=True))
+    b = (pmi_bigrams(docs, min_count=2, broadcast_threshold=0).to_pandas()
+         .sort_values(["w1", "w2"], ignore_index=True))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+def test_spread_sample_covers_sorted_input(ray_session):
+    """On a value-SORTED input, boundary sampling must span the full
+    range — ds.limit() sampling collapsed every boundary into the
+    leading range (ADVICE r2). With 8 points per block over 4 blocks of
+    sorted data, the sample must include values from every quartile."""
+    import ray.data as rd
+
+    from pystreamfs_ray.util import quantile_bounds, spread_sample_values
+
+    n = 4000
+    df = pd.DataFrame({"v": np.arange(n, dtype=np.float64)})
+    ds = rd.from_pandas(df).repartition(4)
+    vals = spread_sample_values(ds, "v")
+    # sample spans the whole sorted range, not just its head
+    assert vals.min() < n * 0.05 and vals.max() > n * 0.95
+    bounds = quantile_bounds(vals, 8)
+    # boundaries are spread: no more than half the mass below the median bound
+    assert bounds.min() < n / 2 < bounds.max()
+
+
+def test_percent_rank_balanced_on_sorted_input(ray_session):
+    """End-to-end: global_percent_rank on a sorted column still matches
+    the exact rank (correctness never depended on boundaries; this
+    guards the sampling refactor)."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.rank import global_percent_rank
+
+    n = 1000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "v": np.sort(np.arange(n, dtype=np.float64))})
+    ds = rd.from_pandas(df).repartition(8)
+    out = (global_percent_rank(ds, value_col="v", id_col="id")
+           .to_pandas().sort_values("id", ignore_index=True))
+    want = np.round(np.arange(n) / (n - 1), 6)
+    np.testing.assert_allclose(out["pr"].to_numpy(), want)
+
+
+def test_ivf_recall_on_cluster_sorted_input(ray_session):
+    """IVF trains its coarse quantizer on a hash-spread sample; on input
+    SORTED BY CLUSTER the old ds.limit() sample saw only one cluster and
+    recall collapsed (VERDICT r2 #4). Require ≥0.9 recall@10 vs brute
+    force at nprobe=n_cells/2."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 16)) * 6.0
+    rows = []
+    vid = 0
+    for c in range(4):  # sorted by cluster: all of c0, then c1, ...
+        for _ in range(120):
+            rows.append((vid, (centers[c] + rng.standard_normal(16)).tolist()))
+            vid += 1
+    emb = rd.from_pandas(pd.DataFrame(
+        {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}
+    )).repartition(8)
+    qids = np.array([0, 150, 300, 450], dtype=np.int64)
+    qmat = np.stack([rows[q][1] for q in qids])
+
+    exact = brute_force_topk(emb, qids, qmat, k=10, concurrency=2).to_pandas()
+    approx = ivf_topk(emb, qids, qmat, k=10, n_cells=8, nprobe=4,
+                      train_sample=256, concurrency=2).to_pandas()
+    hits = 0
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        hits += len(e & a)
+    assert hits / (10 * len(qids)) >= 0.9
+
+
+def test_memory_metric_in_stats_and_selector(ray_session):
+    """The reference records per-window USS (pystreamfs.py:74); the
+    engine analog is a per-window RSS probe in both the sequential
+    oracle stats dict and the selector output schema (VERDICT r2 #5)."""
+    import ray.data as rd
+
+    from pystreamfs_ray.api import plot_data, simulate_stream
+    from pystreamfs_ray.stages.selector import run_selector
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((200, 6))
+    Y = (rng.random(200) > 0.5).astype(np.int8)
+    stats = simulate_stream(X, Y, "ofs", {"batch_size": 50, "num_features": 3})
+    assert len(stats["memory_measures"]) == 4
+    assert all(m > 0 for m in stats["memory_measures"])
+    assert stats["memory_avg"] > 0
+    assert len(stats["time_measures"]) == 4 and stats["time_avg"] >= 0
+    pd_ = plot_data(stats, [f"f{i}" for i in range(6)], {})
+    assert pd_["avg_mem"] > 0 and len(pd_["y_mem"]) == 4
+    assert pd_["avg_time"] >= 0 and len(pd_["y_time"]) == 4
+
+    feats = pd.DataFrame({
+        "conv_id": ["c0"] * 100,
+        "turn_idx": np.arange(100, dtype=np.int32),
+        "label": Y[:100].astype(np.int8),
+        **{f"f{i}": X[:100, i] for i in range(6)},
+    })
+    out = run_selector(rd.from_pandas(feats), kernel="ofs", batch_size=50,
+                       num_features=3,
+                       feature_cols=[f"f{i}" for i in range(6)],
+                       ts_col=None, num_buckets=2).to_pandas()
+    assert "mem_bytes" in out.columns
+    assert (out["mem_bytes"] > 0).all()
+
+
+def test_decontam_threshold_truncates_like_engine():
+    """eval_mask_expr inlines int(rate*65536): for rate=0.10 that is
+    6553 (truncation), where DuckDB's CAST(0.10*65536 AS UBIGINT)
+    ROUNDS to 6554 — the SQL mirror must use the engine's cutoff
+    (ADVICE r2)."""
+    import duckdb
+
+    from pystreamfs_ray.stages.decontam import _hash_member_mask, eval_mask_expr
+
+    expr = eval_mask_expr("doc_id", 0.10)
+    assert "6553" in expr and "6554" not in expr and "CAST(0.1" not in expr
+
+    ids = np.arange(20000, dtype=np.int64)
+    engine = _hash_member_mask(ids, 0.10)
+    con = duckdb.connect()
+    sql = con.execute(
+        f"SELECT {expr} FROM (SELECT unnest(range(20000)) AS doc_id)"
+    ).df().iloc[:, 0].to_numpy(dtype=bool)
+    np.testing.assert_array_equal(engine, sql)
+
+
+def test_hll_alpha_branches():
+    """Flajolet constants: fixed alpha only for m=16/32/64; the
+    bias-correction formula for m>=128 (ADVICE r2 had the branch
+    inverted, biasing b>=7 estimates ~1% low)."""
+    from pystreamfs_ray.stages.sketch import hll_estimate
+
+    # large-range estimate at b=7 (m=128) must use 0.7213/(1+1.079/128)
+    m = 128
+    regs = pd.DataFrame({"reg": np.arange(m), "rho_max": np.full(m, 10)})
+    est = hll_estimate(regs, b=7)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    want = alpha * m * m / np.sum(np.power(2.0, -np.full(m, 10.0)))
+    assert est == pytest.approx(want)
+    # and the m=64 fixed constant still applies
+    m = 64
+    regs = pd.DataFrame({"reg": np.arange(m), "rho_max": np.full(m, 10)})
+    est64 = hll_estimate(regs, b=6)
+    want64 = 0.709 * m * m / np.sum(np.power(2.0, -np.full(m, 10.0)))
+    assert est64 == pytest.approx(want64)
+
+
+def test_embedding_neardup_pair_distinct_vectorized(ray_session):
+    """Pair dedup across LSH tables goes through the fixed-bucket
+    vectorized distinct — same results as before, no per-pair Python
+    group call (VERDICT r2 #3)."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, 8))
+    vecs = list(base) + [base[i] + rng.standard_normal(8) * 1e-3
+                         for i in range(5)]  # 5 obvious near-dups
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype=np.int64),
+        "embedding": [v.tolist() for v in vecs]}))
+    out = embedding_neardup_pairs(ds, threshold=0.99, concurrency=2).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert {(i, 20 + i) for i in range(5)} <= got
+    # distinct: no duplicated pair rows survive the multi-table union
+    assert len(out) == len(out.drop_duplicates(["id_a", "id_b"]))
