@@ -47,6 +47,14 @@ SKIP_QUERIES = os.environ.get("BENCH_SKIP_QUERIES") == "1"
 HEADLINE_KERNELS = ["ofs", "efs", "fsds"]
 EVAL_HISTORY = 10_000
 MEGA_TURNS = 10_000
+# entities above this turn count route their eval through the salted
+# evaluator (0 disables the skew router). Default OFF on this single
+# node: the router removes the mega-conv straggler from the selector
+# stage (measured 16.6 → 12.4 s wall, max task 6.8 → 5.1 s) but its
+# counts pass + salted-eval phase run SERIALLY after the selector here,
+# eating the gain; on a multi-node cluster the salted eval's CPU·s
+# spread across otherwise-idle nodes and the router wins (BASELINE.md).
+SALT_THRESHOLD = int(os.environ.get("BENCH_SALT_THRESHOLD", "0"))
 
 BENCH_QUERIES = [
     "q1_lineitem_agg",
@@ -130,11 +138,16 @@ def run_bench() -> dict:
         # (stages/evaluate.evaluate_windows) trades an extra shuffle for
         # straggler-free mega-entities — the right call on a real cluster
         # with big hot keys, slower on this single node (see BASELINE.md).
+        # skew router: mega-conversations (>SALT_THRESHOLD turns) keep
+        # their kernel fold inline but their prequential eval — the
+        # straggler term, measured max task 6.6s vs 2.8s mean without it —
+        # re-runs through the salted parallel evaluator, bit-identical
         windows = feature_windows(
             read_parquet(dirs["transcripts"], override_num_blocks=read_blocks),
             kernel=HEADLINE_KERNELS, batch_size=50, num_features=5,
             num_buckets=num_buckets, concurrency=None,
             evaluate="knn", max_history=EVAL_HISTORY,
+            salt_eval_threshold=SALT_THRESHOLD, salt_chunk_windows=25,
         ).materialize()
         # join sides are small (labels + window rows): coalesce to a few
         # blocks and a modest bucket count so the join isn't latency-bound

@@ -40,10 +40,37 @@ def feature_windows(
     streaming: bool = False,
     flush: bool = True,
     load_state: bool = False,
+    salt_eval_threshold: int | None = None,
+    salt_chunk_windows: int = 25,
 ):
-    """transcripts → per-(entity, window) selector output Dataset."""
+    """transcripts → per-(entity, window) selector output Dataset.
+
+    ``salt_eval_threshold`` turns on the SKEW ROUTER for the prequential
+    evaluation: the kernel fold is sequential per entity by contract,
+    but the eval of a mega-conversation (one entity with ≫ threshold
+    turns) is the straggler task that caps utilization. Entities above
+    the threshold keep their fold inline but have their eval offloaded
+    to the salted parallel evaluator (stages/evaluate.py, bit-identical
+    by test) in ``salt_chunk_windows``-window chunks, then the acc
+    values are patched back. Mega entities are by definition FEW (the
+    skew tail), so the patch table broadcast is bounded; requires
+    ``evaluate`` and a bounded ``max_history``. Incompatible with
+    streaming/checkpoint runs (eval state is not carried) — ignored
+    there."""
     feats = featurize(transcripts_ds)
-    return run_selector(
+    salting = bool(
+        salt_eval_threshold and evaluate and max_history and not streaming
+        and checkpoint_dir is None
+    )
+    mega_ids: frozenset = frozenset()
+    if salting:
+        # count on the RAW transcripts (one pruned column), not on the
+        # featurized rows — the counts pass must not pay the featurizer
+        mega_ids = _entities_above(
+            transcripts_ds.select_columns(["conv_id"]), "conv_id",
+            salt_eval_threshold)
+        salting = bool(mega_ids)
+    windows = run_selector(
         feats,
         kernel=kernel,
         batch_size=batch_size,
@@ -59,7 +86,117 @@ def feature_windows(
         streaming=streaming,
         flush=flush,
         load_state=load_state,
+        skip_eval_ids=mega_ids,
     )
+    if not salting:
+        return windows
+    # windows feed BOTH the spec extraction and the patch base —
+    # materialize so the selector fold runs once (its output is
+    # n_windows rows, ~batch_size× smaller than the input; at true
+    # scale this is the point where you'd write_parquet instead)
+    windows = windows.materialize()
+    import ray
+    from pystreamfs_ray.stages.evaluate import evaluate_windows
+
+    ids_ref = ray.put(mega_ids)
+
+    def only_mega(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ids = ray.get(ids_ref)
+        return t.filter(pc.is_in(t["conv_id"], value_set=pa.array(list(ids))))
+
+    specs_mega = windows.map_batches(only_mega, batch_format="pyarrow") \
+        .select_columns(["kernel", "conv_id", "window_id", "selected"])
+    # featurize AFTER the id filter (stateless per row, so filter and
+    # featurize commute) — only the few mega entities' rows pay it twice
+    feats_mega = featurize(
+        transcripts_ds.map_batches(only_mega, batch_format="pyarrow"))
+    accs = evaluate_windows(
+        feats_mega, specs_mega, batch_size=batch_size,
+        max_history=max_history, model=evaluate,
+        chunk_windows=salt_chunk_windows,
+        num_buckets=min(num_buckets, 64),
+    ).to_pandas()  # bounded: windows of the FEW mega entities only
+    patch_ref = ray.put({
+        (k, c, int(w)): a
+        for k, c, w, a in zip(accs["kernel"], accs["conv_id"],
+                              accs["window_id"], accs["acc"])
+    })
+
+    def patch_acc(df):
+        import numpy as np
+        import pandas as pd
+
+        ids = ray.get(ids_ref)
+        lut = ray.get(patch_ref)
+        m = df["conv_id"].isin(ids).to_numpy()
+        if m.any():
+            keys = list(zip(df.loc[m, "kernel"], df.loc[m, "conv_id"],
+                            df.loc[m, "window_id"].astype(int)))
+            df = df.copy()
+            df.loc[m, "acc"] = pd.array(
+                [lut.get(k, np.nan) for k in keys], dtype="float64")
+        return df
+
+    return windows.map_batches(patch_acc, batch_format="pandas")
+
+
+def _entities_above(ds, entity_col: str, threshold: int,
+                    assumed_max_blocks: int = 64) -> frozenset:
+    """Entity ids with row count > threshold, as a SKEW DETECTOR.
+
+    A full per-entity count aggregate would shuffle one partial row per
+    (entity, block) — with millions of entities that is as large as the
+    input (measured: the naive groupby cost 8 s where the whole counts
+    pass should cost well under 1 s). Instead:
+
+    1. candidate pass (pigeonhole): an entity with > threshold rows in
+       ≤ ``assumed_max_blocks`` blocks has > threshold/blocks rows in
+       SOME block, so each block emits only its locally-heavy ids — a
+       tiny driver pull (the skew tail plus a few near-misses);
+    2. exact pass: count ONLY the candidates (broadcast set, vectorized
+       filter) — a shuffle of |candidates| × blocks partial rows.
+
+    The detector feeds the eval skew ROUTER, where a false negative
+    (an entity spread over more blocks than assumed) merely keeps that
+    entity's eval inline — correct, just slower — so the pigeonhole
+    assumption bounds performance, never correctness."""
+    import pandas as pd
+
+    import ray
+    from pystreamfs_ray.util import arrow_block
+
+    cutoff = max(2, int(threshold) // assumed_max_blocks)
+
+    def local_heavy(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[entity_col].value_counts()
+        vc = vc[vc > cutoff]
+        return arrow_block(pd.DataFrame({entity_col: vc.index.to_numpy()}))
+
+    col = ds.select_columns([entity_col])
+    cand_pdf = col.map_batches(local_heavy, batch_format="pandas").to_pandas()
+    if len(cand_pdf) == 0 or entity_col not in cand_pdf.columns:
+        return frozenset()
+    candidates = frozenset(cand_pdf[entity_col])
+    cand_ref = ray.put(candidates)
+
+    def count_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        cand = ray.get(cand_ref)
+        vc = df.loc[df[entity_col].isin(cand), entity_col].value_counts()
+        return arrow_block(pd.DataFrame(
+            {entity_col: vc.index.to_numpy(), "__n": vc.to_numpy()}))
+
+    from ray.data.aggregate import Sum
+
+    exact = (col.map_batches(count_candidates, batch_format="pandas")
+             .groupby(entity_col).aggregate(Sum("__n", alias_name="__n"))
+             .filter(expr=f"__n > {int(threshold)}")
+             .to_pandas())
+    if len(exact) == 0 or entity_col not in exact.columns:
+        return frozenset()
+    return frozenset(exact[entity_col])
 
 
 def flagship(

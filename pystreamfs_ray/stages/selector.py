@@ -73,6 +73,7 @@ class BucketSelector:
         streaming: bool = False,
         flush: bool = True,
         load_state: bool = False,
+        skip_eval_ids: frozenset | None = None,
     ):
         # actor-pool setup: resolve kernels once per actor, not per batch.
         # A list runs several kernels per entity in ONE pass — the shuffle
@@ -103,6 +104,12 @@ class BucketSelector:
         self.streaming = streaming
         self.flush = flush
         self.load_state = load_state
+        # skew routing: entities in this set keep their kernel fold inline
+        # (state is sequential by contract) but SKIP the inline prequential
+        # eval — a mega-conversation's eval is the straggler term; the
+        # caller re-evaluates those windows with the salted parallel
+        # evaluator (stages/evaluate.py) and patches acc back, bit-equal
+        self.skip_eval_ids = skip_eval_ids or frozenset()
         if streaming and evaluate and max_history is None:
             raise ValueError(
                 "streaming continuation with evaluation needs a bounded "
@@ -242,7 +249,8 @@ class BucketSelector:
             stop = X.shape[0] if (not self.streaming or self.flush) else n_full
 
             hist_n = hist_X.shape[0]
-            if self.evaluate:
+            eval_this = self.evaluate and cid not in self.skip_eval_ids
+            if eval_this:
                 # one concatenate + one float32 cast per entity; every
                 # window slices views of it (the float32 copy halves the
                 # per-window gather traffic; values are identical to
@@ -259,7 +267,7 @@ class BucketSelector:
                 else:
                     state = kernel.init_state(X.shape[1], self.kernel_params)
                     prev_sel = None
-                model = MODELS[self.evaluate]() if self.evaluate else None
+                model = MODELS[self.evaluate]() if eval_this else None
                 for wid, i in enumerate(range(0, stop, bs)):
                     gwid = wid0 + wid
                     t0 = time.perf_counter()
@@ -383,12 +391,14 @@ def run_selector(
     streaming: bool = False,
     flush: bool = True,
     load_state: bool = False,
+    skip_eval_ids: frozenset | None = None,
 ):
     """features Dataset → selector-output Dataset (one shuffle)."""
     kwargs = dict(
         streaming=streaming,
         flush=flush,
         load_state=load_state,
+        skip_eval_ids=skip_eval_ids,
         kernel=kernel,
         batch_size=batch_size,
         num_features=num_features,
