@@ -211,6 +211,8 @@ def flagship(
     num_buckets: int = 64,
     concurrency=None,
     checkpoint_dir: str | None = None,
+    salt_eval_threshold: int | None = None,
+    salt_chunk_windows: int = 25,
 ):
     """Full pipeline; returns (windows_ds, joined_ds_or_None, summary_df)."""
     windows = feature_windows(
@@ -223,6 +225,8 @@ def flagship(
         num_buckets=num_buckets,
         concurrency=concurrency,
         checkpoint_dir=checkpoint_dir,
+        salt_eval_threshold=salt_eval_threshold,
+        salt_chunk_windows=salt_chunk_windows,
     )
     joined = None
     if labels_ds is not None:

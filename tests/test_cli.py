@@ -37,6 +37,37 @@ def test_cli_end_to_end(ray_session, synth_dirs, tmp_path, capsys):
     assert all(m.get("window_lag_s") is not None for m in mani)
 
 
+def test_cli_salt_threshold_same_outputs(ray_session, synth_dirs, tmp_path, capsys):
+    """--salt-threshold routes mega-entity eval through the salted
+    evaluator; CLI outputs must match the inline run row-for-row."""
+    import pandas as pd
+
+    from pystreamfs_ray.cli import main
+
+    outs = {}
+    for label, extra in (("inline", []), ("salted", ["--salt-threshold", "60"])):
+        out = str(tmp_path / label)
+        rc = main([
+            "--transcripts", synth_dirs["transcripts"],
+            "--out", out,
+            "--kernel", "ofs",
+            "--batch-size", "20",
+            "--evaluate", "knn", "--max-history", "100",
+            "--num-buckets", "4",
+            *extra,
+        ])
+        assert rc == 0
+        capsys.readouterr()
+        df = pq.read_table(f"{out}/windows").to_pandas()
+        outs[label] = df.sort_values(
+            ["kernel", "conv_id", "window_id"], ignore_index=True)
+    a, b = outs["inline"], outs["salted"]
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(
+        a[["kernel", "conv_id", "window_id", "acc", "fscr"]],
+        b[["kernel", "conv_id", "window_id", "acc", "fscr"]])
+
+
 def test_cli_curate_end_to_end(ray_session, tmp_path, capsys):
     """Curation CLI: dedup+filters+budget → Hive layout + report."""
     from pystreamfs_ray.cli_curate import main
