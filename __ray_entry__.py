@@ -158,6 +158,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_token_stats": q.q_token_stats,
         "q_fingerprint": q.q_fingerprint,
         "q_ann_topk": q.q_ann_topk,
+        # round-3 additions (driver rows land with the r4 window rotation;
+        # gate- and pytest-verified this round)
+        "q_rrf": q.q_rrf,
+        "q_temperature_mix": q.q_temperature_mix,
         # relational core (r2-green)
         "q1_lineitem_agg": q.q1_lineitem_agg,
         "q_filter_project": q.q_filter_project,
@@ -266,10 +270,19 @@ _ANN_TOPK_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from pystreamfs_ray.sources import temperature_rates
     from pystreamfs_ray.stages.textstats import STOPWORDS
 
     all_stop = _sql_word_list(set().union(*STOPWORDS.values()))
     lang_lists = {lang: _sql_word_list(sw) for lang, sw in STOPWORDS.items()}
+    # q_temperature_mix thresholds: the SAME Python truncation the engine
+    # applies (int(rate*65536)) inlined as integer literals — never
+    # CAST(rate*N) in SQL, which rounds (see eval_mask_expr)
+    _tm_rates = temperature_rates({f"src{i}": 2.0 ** (-i) for i in range(20)},
+                                  temperature=2.0, base_rate=1.0)
+    _tm_case = " ".join(
+        f"WHEN '{s}' THEN {int(r * 65536)}" for s, r in sorted(_tm_rates.items())
+    )
     return {
         # sums quantized via FLOOR(x*scale + 0.5) → integer, exact and
         # order-independent: hash-equal to the Ray side by construction
@@ -722,6 +735,74 @@ def oracle_sql() -> dict[str, str]:
                      AS score
             FROM tfs t JOIN dfs USING (w) JOIN dl USING (doc_id), stats
             GROUP BY t.doc_id
+        """,
+        # reciprocal-rank fusion of the BM25 top-50 and cosine top-50
+        # (query vec 0); both rankers round to 6 digits BEFORE ranking,
+        # ties break on doc_id — identical to the engine's topn_ranked /
+        # brute_force_topk ordering, so ranks (and the ≤2-term double
+        # sums) are bit-equal
+        "q_rrf": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+              FROM documents
+            ), stats AS (
+              SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+                     CAST((SELECT COUNT(*) FROM toks) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM documents) AS avgdl
+            ), dl AS (
+              SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id
+            ), dfs AS (
+              SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+              FROM toks WHERE w IN ('join', 'filter') GROUP BY w
+            ), tfs AS (
+              SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+              FROM toks WHERE w IN ('join', 'filter') GROUP BY doc_id, w
+            ), bm AS (
+              SELECT t.doc_id,
+                     ROUND(SUM(LN((n - df + 0.5) / (df + 0.5) + 1)
+                               * tf * 2.2::DOUBLE
+                               / (tf + 1.2::DOUBLE
+                                  * (0.25::DOUBLE
+                                     + 0.75::DOUBLE * dl.len / avgdl))), 6)
+                       AS score
+              FROM tfs t JOIN dfs USING (w) JOIN dl USING (doc_id), stats
+              GROUP BY t.doc_id
+            ), bm_rank AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+              FROM bm QUALIFY rank <= 50
+            ), qv AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id = 0
+            ), ann AS (
+              SELECT e.vec_id AS doc_id,
+                     ROUND(list_cosine_similarity(qv.qe,
+                           CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+              FROM qv CROSS JOIN embeddings e
+            ), ann_rank AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+              FROM ann QUALIFY rank <= 50
+            ), parts AS (
+              SELECT doc_id, 1.0 / (60 + rank) AS r FROM bm_rank
+              UNION ALL
+              SELECT doc_id, 1.0 / (60 + rank) FROM ann_rank
+            ), fused AS (
+              SELECT doc_id, ROUND(SUM(r), 6) AS rrf,
+                     CAST(COUNT(*) AS BIGINT) AS n_lists
+              FROM parts GROUP BY doc_id
+            )
+            SELECT doc_id, rrf, n_lists,
+                   CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM fused
+            ORDER BY rrf DESC, doc_id LIMIT 10
+        """,
+        # temperature-flattened per-source mixing (T=2 over 2^-i weights)
+        "q_temperature_mix": f"""
+            SELECT doc_id, source FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 65536 <
+                  CASE source {_tm_case} ELSE 0 END
         """,
         # deterministic 5-fold split balance (md5-of-key folds)
         "q_kfold": """

@@ -1788,3 +1788,40 @@ def q_retention(sf_dir: str):
                                batch_format="pyarrow")
             .groupby(["cohort", "week_offset"])
             .aggregate(Sum("pc", alias_name="n_active")))
+
+
+def q_rrf(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion of a lexical BM25
+    top-50 and a vector cosine top-50 (query = embedding of vec 0;
+    embeddings.vec_id aligns with documents.doc_id in the fixture) —
+    the standard training-data-mining fused ranker. The two retrievers
+    are fully distributed; the fusion itself runs on the two bounded
+    top-n lists (driver-local by construction)."""
+    from pystreamfs_ray.stages.index import bm25_scores, rrf_fuse, topn_ranked
+    from pystreamfs_ray.stages.similarity import brute_force_topk
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    bm_top = topn_ranked(bm25_scores(docs, ["join", "filter"]),
+                         score_col="score", id_col="doc_id", n=50)
+
+    emb = read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id == 0").to_pandas()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    ann = (brute_force_topk(emb, qdf["vec_id"].to_numpy(), qmat, k=50,
+                            concurrency=2)
+           .to_pandas().rename(columns={"vec_id": "doc_id"}))
+
+    return rrf_fuse([bm_top, ann], id_col="doc_id", k=60, topk=10)
+
+
+def q_temperature_mix(sf_dir: str):
+    """Temperature-flattened corpus mixing (T=2) over exponentially
+    decaying source weights: high-weight sources keep ~all docs,
+    low-weight ones keep the flattened fraction — deterministic
+    md5-of-key membership, shuffle-free."""
+    from pystreamfs_ray.sources import temperature_mix
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "source"])
+    weights = {f"src{i}": 2.0 ** (-i) for i in range(20)}
+    return temperature_mix(docs, "source", "doc_id", weights,
+                           temperature=2.0, base_rate=1.0)

@@ -155,6 +155,34 @@ def sample_by_hash(ds, col: str, rate: float, *, salt: str = ""):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def temperature_rates(weights: dict[str, float], *, temperature: float = 1.0,
+                      base_rate: float = 1.0) -> dict[str, float]:
+    """Temperature-flattened mixing rates: ``r_s = base ·
+    w_s^(1/T) / max_s w_s^(1/T)`` — T=1 keeps the weights' proportions,
+    T→∞ flattens every source to ``base_rate`` (the multilingual /
+    multi-source rebalancing rule from the GPT-3 / XLM-R data recipes).
+    Shared by the engine (→ ``stratified_sample_by_hash``) and the SQL
+    oracle so both inline the IDENTICAL integer thresholds."""
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    pw = {s: float(w) ** (1.0 / temperature) for s, w in weights.items()}
+    mx = max(pw.values())
+    return {s: base_rate * v / mx for s, v in pw.items()}
+
+
+def temperature_mix(ds, strata_col: str, key_col: str,
+                    weights: dict[str, float], *, temperature: float = 1.0,
+                    base_rate: float = 1.0, salt: str = ""):
+    """Deterministic temperature-weighted corpus mixing: per-source keep
+    rates from :func:`temperature_rates`, membership by md5-of-key
+    threshold (reproducible at any parallelism, shuffle-free — one
+    streaming filter). Sources absent from ``weights`` are dropped."""
+    rates = temperature_rates(weights, temperature=temperature,
+                              base_rate=base_rate)
+    return stratified_sample_by_hash(ds, strata_col, key_col, rates,
+                                     default_rate=0.0, salt=salt)
+
+
 def stratified_sample_by_hash(ds, strata_col: str, key_col: str,
                               rates: dict[str, float], *,
                               default_rate: float = 0.0, salt: str = ""):

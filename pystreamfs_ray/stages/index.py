@@ -135,3 +135,53 @@ def bm25_scores(ds, query_terms: list[str], *, id_col: str = "doc_id",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pandas")
+
+
+def topn_ranked(ds, *, score_col: str, id_col: str = "doc_id",
+                n: int = 50, ndigits: int = 6) -> pd.DataFrame:
+    """Top-n rows by (round(score) desc, id asc) with a dense 1-based
+    ``rank`` column — the ranked-list primitive retrieval fusion
+    consumes. The pull is bounded by ``n`` BY CONSTRUCTION (a top-k is
+    the output, not an intermediate), so the driver materialization is
+    the legitimate small-result case."""
+    import ray.data as rd
+
+    top = (ds.map_batches(
+        lambda df: df.assign(**{score_col: df[score_col].round(ndigits)}),
+        batch_format="pandas")
+        .sort([score_col, id_col], descending=[True, False])
+        .limit(n).to_pandas())
+    top = top.sort_values([score_col, id_col], ascending=[False, True],
+                          ignore_index=True)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top
+
+
+def rrf_fuse(ranked_lists, *, id_col: str = "doc_id", rank_col: str = "rank",
+             k: int = 60, topk: int = 10, ndigits: int = 6) -> pd.DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke 2009): fuse ranked
+    lists from heterogeneous retrievers (lexical BM25 + vector ANN is
+    the classic pair) by ``rrf(d) = Σ_lists 1/(k + rank_list(d))``,
+    descending; ties break on id. ``n_lists`` counts how many lists
+    surfaced the id.
+
+    Inputs are top-n lists (pandas frames from :func:`topn_ranked` /
+    `similarity.brute_force_topk`), so fusion is driver-local on
+    ≤ Σn rows by construction; the distributed work lives in the
+    retrievers themselves."""
+    parts = []
+    for lst in ranked_lists:
+        df = lst.to_pandas() if hasattr(lst, "to_pandas") else lst
+        parts.append(pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "__r": 1.0 / (k + df[rank_col].to_numpy(np.float64)),
+        }))
+    allp = pd.concat(parts, ignore_index=True)
+    fused = allp.groupby(id_col, sort=False).agg(
+        rrf=("__r", "sum"), n_lists=("__r", "size")).reset_index()
+    fused["rrf"] = fused["rrf"].round(ndigits)
+    fused["n_lists"] = fused["n_lists"].astype(np.int64)
+    fused = fused.sort_values(["rrf", id_col], ascending=[False, True],
+                              ignore_index=True).head(topk)
+    fused["rank"] = np.arange(1, len(fused) + 1, dtype=np.int64)
+    return fused

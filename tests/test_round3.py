@@ -228,6 +228,68 @@ def test_skew_router_bit_equal(ray_session, tmp_path):
                                np.concatenate(b["w"].to_numpy()))
 
 
+def test_rrf_fuse_semantics():
+    """RRF: score = Σ 1/(k+rank); ties break on id; n_lists counts the
+    lists that surfaced the id (Cormack & Clarke 2009)."""
+    from pystreamfs_ray.stages.index import rrf_fuse
+
+    a = pd.DataFrame({"doc_id": [1, 2, 3], "rank": [1, 2, 3]})
+    b = pd.DataFrame({"doc_id": [3, 4], "rank": [1, 2]})
+    out = rrf_fuse([a, b], k=60, topk=10)
+    # doc 3 appears in both lists: 1/63 + 1/61
+    r3 = round(1 / 63 + 1 / 61, 6)
+    assert out.iloc[0]["doc_id"] == 3 and out.iloc[0]["rrf"] == r3
+    assert out[out["doc_id"] == 3]["n_lists"].iloc[0] == 2
+    # docs 1 (rank1, list a) and 4... doc1=1/61 > doc4=1/62 > doc2=1/62? no:
+    # doc2 = 1/62 (rank2 in a), doc4 = 1/62 (rank2 in b) → tie → id order
+    assert list(out["doc_id"]) == [3, 1, 2, 4]
+    assert list(out["rank"]) == [1, 2, 3, 4]
+
+
+def test_topn_ranked_rounding_ties(ray_session):
+    """topn_ranked ranks by (round(score,6) desc, id asc) — the same
+    convention as brute_force_topk, so fused ranks are reproducible."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.index import topn_ranked
+
+    df = pd.DataFrame({"doc_id": [10, 2, 7, 5],
+                       "score": [0.1234564, 0.1234561, 0.5, 0.1234567]})
+    out = topn_ranked(rd.from_pandas(df), score_col="score", n=4)
+    # 0.5 first; 0.1234567→0.123457 next; 0.1234564 and 0.1234561 both
+    # round to 0.123456 → tie → id asc (2 before 10)
+    assert list(out["doc_id"]) == [7, 5, 2, 10]
+    assert list(out["rank"]) == [1, 2, 3, 4]
+
+
+def test_temperature_mix_semantics(ray_session):
+    """T=1 keeps weight proportions; large T flattens all rates toward
+    base_rate; membership is a pure function of the key (identical
+    kept-set at any parallelism)."""
+    import ray.data as rd
+
+    from pystreamfs_ray.sources import temperature_mix, temperature_rates
+
+    w = {"a": 4.0, "b": 1.0}
+    r1 = temperature_rates(w, temperature=1.0)
+    assert r1["a"] == 1.0 and r1["b"] == pytest.approx(0.25)
+    rflat = temperature_rates(w, temperature=100.0)
+    assert rflat["b"] > 0.95  # flattened toward base_rate
+
+    n = 4000
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "source": np.where(np.arange(n) % 2 == 0, "a", "b")})
+    kept2 = temperature_mix(rd.from_pandas(df).repartition(2),
+                            "source", "doc_id", w, temperature=2.0).to_pandas()
+    kept8 = temperature_mix(rd.from_pandas(df).repartition(8),
+                            "source", "doc_id", w, temperature=2.0).to_pandas()
+    assert set(kept2["doc_id"]) == set(kept8["doc_id"])  # parallelism-invariant
+    frac = kept2["source"].value_counts() / df["source"].value_counts()
+    # T=2: r_a = 1.0, r_b = sqrt(1/4) = 0.5 (within hash-sampling noise)
+    assert frac["a"] == 1.0
+    assert abs(frac["b"] - 0.5) < 0.05
+
+
 def test_embedding_neardup_pair_distinct_vectorized(ray_session):
     """Pair dedup across LSH tables goes through the fixed-bucket
     vectorized distinct — same results as before, no per-pair Python
