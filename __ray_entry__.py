@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gate- and pytest-verified this round)
         "q_rrf": q.q_rrf,
         "q_temperature_mix": q.q_temperature_mix,
+        "q_unigram_logprob": q.q_unigram_logprob,
         # relational core (r2-green)
         "q1_lineitem_agg": q.q1_lineitem_agg,
         "q_filter_project": q.q_filter_project,
@@ -797,6 +798,26 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS rank
             FROM fused
             ORDER BY rrf DESC, doc_id LIMIT 10
+        """,
+        # CCNet-style unigram-LM quality proxy: mean token -ln p(w).
+        # Sum order differs between engines but the addends are
+        # irrational logs (never exactly on a .5e-6 boundary), so the
+        # 6-digit round is stable — unlike exact-decimal quotients,
+        # which get fixed-point treatment elsewhere
+        "q_unigram_logprob": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+              FROM documents
+            ), total AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks
+            ), c AS (
+              SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY w
+            )
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(-SUM(LN(c.c / total.n)) / COUNT(*), 6) AS nll
+            FROM toks t JOIN c USING (w), total
+            GROUP BY t.doc_id
         """,
         # temperature-flattened per-source mixing (T=2 over 2^-i weights)
         "q_temperature_mix": f"""

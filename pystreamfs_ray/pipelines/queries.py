@@ -1825,3 +1825,13 @@ def q_temperature_mix(sf_dir: str):
     weights = {f"src{i}": 2.0 ** (-i) for i in range(20)}
     return temperature_mix(docs, "source", "doc_id", weights,
                            temperature=2.0, base_rate=1.0)
+
+
+def q_unigram_logprob(sf_dir: str):
+    """CCNet-style quality proxy: per-doc mean token −ln p(w) under the
+    corpus unigram LM (one vocab-sized aggregate + broadcast scoring;
+    join path above the vocab threshold)."""
+    from pystreamfs_ray.stages.textstats import unigram_logprob
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return unigram_logprob(docs)

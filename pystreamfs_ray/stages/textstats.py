@@ -671,3 +671,130 @@ def normalize_text(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def unigram_logprob(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    ndigits: int = 6, broadcast_threshold: int = 2_000_000,
+                    num_partitions: int | None = None):
+    """Per-document mean token negative log-probability under the
+    corpus's own unigram LM — the CCNet-style quality proxy
+    (Wenzek et al. 2020 rank documents by LM perplexity; the unigram
+    form needs no external model): ``nll(d) = -(1/|d|) Σ_w ln(c(w)/N)``.
+    Low = common/templated text, high = rare-token noise; both tails
+    are filter candidates. Docs with no tokens are omitted.
+
+    Scale shape: one vocab-sized combiner aggregate for the counts;
+    below ``broadcast_threshold`` distinct terms the count table
+    broadcasts and scoring is doc-local (zero further shuffles); above
+    it the (doc, term, tf) rows hash-join the count Dataset and reduce
+    per doc with a C-backed grouped sum — nothing vocab-sized on the
+    driver (same switch as ``tfidf_top_term``)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from pystreamfs_ray.util import arrow_combiner
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].str.findall(r"\S+")
+        n = s.map(len).to_numpy(np.int64)
+        if n.sum() == 0:
+            return pd.DataFrame({"w": [], "c": pd.Series([], dtype=np.int64)})
+        flat = np.concatenate([np.asarray(v, dtype=object) for v in s])
+        vc = pd.Series(flat).value_counts()
+        return pd.DataFrame({"w": vc.index.to_numpy(),
+                             "c": vc.to_numpy(np.int64)})
+
+    counts_ds = (ds.select_columns([text_col])
+                 .map_batches(arrow_combiner(count_partial),
+                              batch_format="pyarrow")
+                 .groupby("w").aggregate(Sum("c", alias_name="c"))
+                 .materialize())
+    n_total = float(counts_ds.sum("c") or 0)
+    if n_total == 0:
+        return ds.map_batches(
+            lambda df: pd.DataFrame({id_col: df[id_col],
+                                     "n_tokens": np.zeros(len(df), np.int64),
+                                     "nll": np.zeros(len(df))}).iloc[0:0],
+            batch_format="pandas")
+
+    if counts_ds.count() <= broadcast_threshold:
+        cdf = counts_ds.to_pandas()
+        order = np.argsort(cdf["w"].to_numpy())
+        ref = ray.put((cdf["w"].to_numpy()[order],
+                       cdf["c"].to_numpy()[order].astype(np.float64)))
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            vocab, cnt = ray.get(ref)
+            logp = np.log(cnt / n_total)
+            s = df[text_col].str.findall(r"\S+")
+            n = s.map(len).to_numpy(np.int64)
+            keep = n > 0
+            if not keep.any():
+                return pd.DataFrame({id_col: df[id_col].iloc[0:0],
+                                     "n_tokens": pd.Series([], dtype=np.int64),
+                                     "nll": pd.Series([], dtype=np.float64)})
+            flat = np.concatenate(
+                [np.asarray(v, dtype=object) for v in s[keep]])
+            pos = np.searchsorted(vocab, flat)
+            sums = np.add.reduceat(
+                logp[pos], np.concatenate(([0], np.cumsum(n[keep])[:-1])))
+            return pd.DataFrame({
+                id_col: df[id_col].to_numpy()[keep],
+                "n_tokens": n[keep],
+                "nll": np.round(-sums / n[keep], ndigits),
+            })
+
+        return ds.map_batches(score, batch_format="pandas")
+
+    # join path: counts stay distributed
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = min(64, max(4, cpus // 2))
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].str.findall(r"\S+")
+        n = s.map(len).to_numpy(np.int64)
+        if n.sum() == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype=df[id_col].dtype),
+                                 "w": [], "tf": pd.Series([], dtype=np.int64),
+                                 "n_tokens": pd.Series([], dtype=np.int64)})
+        wdoc = np.repeat(np.arange(len(df)), n)
+        flat = np.concatenate([np.asarray(v, dtype=object) for v in s])
+        tf = (pd.DataFrame({"d": wdoc, "w": flat})
+              .groupby(["d", "w"], sort=False).size().rename("tf").reset_index())
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[tf["d"].to_numpy()],
+            "w": tf["w"].to_numpy(),
+            "tf": tf["tf"].to_numpy(np.int64),
+            "n_tokens": n[tf["d"].to_numpy()],
+        })
+
+    tf_ds = ds.map_batches(arrow_combiner(tf_rows), batch_format="pyarrow")
+    joined = tf_ds.join(counts_ds, join_type="inner",
+                        num_partitions=num_partitions, on=("w",))
+
+    def weighted(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_tokens": df["n_tokens"].to_numpy(np.int64),
+            "wl": df["tf"].to_numpy(np.float64)
+                  * np.log(df["c"].to_numpy(np.float64) / n_total),
+        })
+
+    from ray.data.aggregate import Max
+
+    per_doc = (joined.map_batches(arrow_combiner(weighted),
+                                  batch_format="pyarrow")
+               .groupby(id_col)
+               .aggregate(Sum("wl", alias_name="wl"),
+                          Max("n_tokens", alias_name="n_tokens")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_tokens"].to_numpy(np.float64)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_tokens": df["n_tokens"].to_numpy(np.int64),
+            "nll": np.round(-df["wl"].to_numpy(np.float64) / n, ndigits),
+        })
+
+    return per_doc.map_batches(finish, batch_format="pandas")

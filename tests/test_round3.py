@@ -290,6 +290,33 @@ def test_temperature_mix_semantics(ray_session):
     assert abs(frac["b"] - 0.5) < 0.05
 
 
+def test_unigram_logprob_paths_match(ray_session):
+    """Broadcast and join paths of the unigram-LM quality proxy return
+    identical (doc, n_tokens, nll); values match a local reference."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.textstats import unigram_logprob
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["a a b", "b c", "", "c c c a"],
+    })
+    ds = rd.from_pandas(docs).repartition(2)
+    a = (unigram_logprob(ds).to_pandas()
+         .sort_values("doc_id", ignore_index=True))
+    b = (unigram_logprob(ds, broadcast_threshold=0).to_pandas()
+         .sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+    # local reference: counts a=3, b=2, c=4, N=9
+    import math
+
+    p = {"a": 3 / 9, "b": 2 / 9, "c": 4 / 9}
+    want0 = -(2 * math.log(p["a"]) + math.log(p["b"])) / 3
+    assert a.loc[a["doc_id"] == 0, "nll"].iloc[0] == round(want0, 6)
+    assert 2 not in set(a["doc_id"])  # empty doc omitted
+    assert list(a["n_tokens"]) == [3, 2, 4]
+
+
 def test_embedding_neardup_pair_distinct_vectorized(ray_session):
     """Pair dedup across LSH tables goes through the fixed-bucket
     vectorized distinct — same results as before, no per-pair Python
