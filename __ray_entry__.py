@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rrf": q.q_rrf,
         "q_temperature_mix": q.q_temperature_mix,
         "q_unigram_logprob": q.q_unigram_logprob,
+        "q_dup_matrix": q.q_dup_matrix,
         # relational core (r2-green)
         "q1_lineitem_agg": q.q1_lineitem_agg,
         "q_filter_project": q.q_filter_project,
@@ -818,6 +819,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(-SUM(LN(c.c / total.n)) / COUNT(*), 6) AS nll
             FROM toks t JOIN c USING (w), total
             GROUP BY t.doc_id
+        """,
+        # cross-source overlap matrix on the 2-token prefix fingerprint
+        # (template-reuse provenance report)
+        "q_dup_matrix": r"""
+            WITH d AS (
+              SELECT DISTINCT
+                array_to_string(regexp_extract_all(text, '\S+')[1:2], ' ')
+                  AS fp,
+                source
+              FROM documents
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_texts
+            FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+            GROUP BY a.source, b.source
         """,
         # temperature-flattened per-source mixing (T=2 over 2^-i weights)
         "q_temperature_mix": f"""

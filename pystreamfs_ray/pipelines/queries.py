@@ -1835,3 +1835,23 @@ def q_unigram_logprob(sf_dir: str):
 
     docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return unigram_logprob(docs)
+
+
+def q_dup_matrix(sf_dir: str):
+    """Cross-source overlap matrix keyed on the 2-token document prefix
+    (a template-reuse fingerprint; exact-text overlap is empty on this
+    corpus): distinct keys present in BOTH sources of each (a < b)
+    pair — single bucketed content-hash shuffle, |sources|²-sized
+    result."""
+    from pystreamfs_ray.stages.dedup import cross_source_dup_matrix
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["text", "source"])
+
+    def prefix_key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "fp": df["text"].str.split().str[:2].str.join(" "),
+            "source": df["source"].to_numpy(),
+        })
+
+    keyed = docs.map_batches(prefix_key, batch_format="pandas")
+    return cross_source_dup_matrix(keyed, text_col="fp")

@@ -892,3 +892,66 @@ def exact_dedup_keep_best(ds, *, id_col: str = "doc_id",
     return (ds.map_batches(arrow_combiner(add_hash), batch_format="pyarrow")
             .groupby("__h")
             .map_groups(keep_best, batch_format="pandas"))
+
+
+def cross_source_dup_matrix(ds, *, text_col: str = "text",
+                            source_col: str = "source",
+                            num_buckets: int = 64):
+    """Provenance-overlap matrix for corpus curation: for every source
+    pair (a < b), how many DISTINCT texts appear in both — the report
+    that tells you which crawls/dumps re-publish each other before you
+    pick per-source budgets. Output (source_a, source_b, n_texts).
+
+    Scale shape: same single bucketed content-hash shuffle as
+    ``exact_dedup`` (only (text, source) distinct pairs move, texts of
+    one value always co-locate); inside each bucket the per-text
+    distinct-source sets expand to pairs vectorized, and the final
+    groupby-sum is |sources|²-sized — trivially small."""
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        from pystreamfs_ray.util import content_hash64
+
+        df = df[[text_col, source_col]].drop_duplicates()
+        df["__h"] = (content_hash64(df[text_col].to_numpy())
+                     % np.uint64(num_buckets)).astype(np.int32)
+        from pystreamfs_ray.util import arrow_block
+
+        return arrow_block(df)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g[[text_col, source_col]].drop_duplicates()
+             .sort_values([text_col, source_col], kind="mergesort"))
+        srcs = g[source_col].to_numpy()
+        txt = g[text_col].to_numpy()
+        change = np.flatnonzero(txt[1:] != txt[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(g)]))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ia, ib = np.triu_indices(e - s, k=1)
+            out_a.append(srcs[s:e][ia])
+            out_b.append(srcs[s:e][ib])
+        if not out_a:
+            return pd.DataFrame({"source_a": pd.Series([], dtype=object),
+                                 "source_b": pd.Series([], dtype=object),
+                                 "pc": pd.Series([], dtype=np.int64)})
+        df = pd.DataFrame({"source_a": np.concatenate(out_a),
+                           "source_b": np.concatenate(out_b)})
+        vc = df.value_counts(["source_a", "source_b"])
+        out = vc.reset_index(name="pc")
+        out["pc"] = out["pc"].astype(np.int64)
+        return out
+
+    from ray.data.aggregate import Sum
+
+    from pystreamfs_ray.util import arrow_combiner
+
+    return (
+        ds.map_batches(add_hash, batch_format="pandas")
+        .groupby("__h")
+        .map_groups(arrow_combiner(pairs), batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("pc", alias_name="n_texts"))
+    )

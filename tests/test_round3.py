@@ -317,6 +317,28 @@ def test_unigram_logprob_paths_match(ray_session):
     assert list(a["n_tokens"]) == [3, 2, 4]
 
 
+def test_cross_source_dup_matrix(ray_session):
+    """Overlap matrix counts DISTINCT shared keys per (a<b) source pair,
+    regardless of how many rows repeat the key."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.dedup import cross_source_dup_matrix
+
+    df = pd.DataFrame({
+        "text": ["x", "x", "x", "y", "y", "z", "x"],
+        "source": ["s1", "s2", "s2", "s1", "s3", "s2", "s3"],
+    })
+    out = (cross_source_dup_matrix(rd.from_pandas(df), num_buckets=4)
+           .to_pandas().sort_values(["source_a", "source_b"],
+                                    ignore_index=True))
+    want = pd.DataFrame({
+        "source_a": ["s1", "s1", "s2"],
+        "source_b": ["s2", "s3", "s3"],
+        "n_texts": [1, 2, 1],  # x:{s1,s2,s3} → 3 pairs; y:{s1,s3} → 1
+    })
+    pd.testing.assert_frame_equal(out[want.columns], want, check_dtype=False)
+
+
 def test_embedding_neardup_pair_distinct_vectorized(ray_session):
     """Pair dedup across LSH tables goes through the fixed-bucket
     vectorized distinct — same results as before, no per-pair Python
