@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_temperature_mix": q.q_temperature_mix,
         "q_unigram_logprob": q.q_unigram_logprob,
         "q_dup_matrix": q.q_dup_matrix,
+        "q_asof_tolerance": q.q_asof_tolerance,
+        "q_hll_by_window": q.q_hll_by_window,
         # relational core (r2-green)
         "q1_lineitem_agg": q.q1_lineitem_agg,
         "q_filter_project": q.q_filter_project,
@@ -819,6 +821,31 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(-SUM(LN(c.c / total.n)) / COUNT(*), 6) AS nll
             FROM toks t JOIN c USING (w), total
             GROUP BY t.doc_id
+        """,
+        # as-of with a 1-hour staleness bound (feature-freshness filter)
+        "q_asof_tolerance": """
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   r.ts AS ts_matched, r.value AS value_r
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF JOIN (SELECT * FROM events WHERE event_type <> 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            WHERE date_diff('second', r.ts, l.ts) <= 3600
+        """,
+        # per-day HLL registers (windowed mergeable sketch)
+        "q_hll_by_window": """
+            WITH h AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS day,
+                     md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+              FROM events
+            ), r AS (
+              SELECT day, CAST(hv >> 58 AS BIGINT) AS reg,
+                     CAST(CASE WHEN (hv & ((1::UBIGINT << 58) - 1)) = 0 THEN 59
+                          ELSE 58 - length(bin(hv & ((1::UBIGINT << 58) - 1))) + 1
+                          END AS BIGINT) AS rho
+              FROM h
+            )
+            SELECT day, reg, MAX(rho) AS rho_max
+            FROM r GROUP BY day, reg
         """,
         # cross-source overlap matrix on the 2-token prefix fingerprint
         # (template-reuse provenance report)

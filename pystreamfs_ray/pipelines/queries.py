@@ -1855,3 +1855,48 @@ def q_dup_matrix(sf_dir: str):
 
     keyed = docs.map_batches(prefix_key, batch_format="pandas")
     return cross_source_dup_matrix(keyed, text_col="fp")
+
+
+def q_asof_tolerance(sf_dir: str):
+    """Point-in-time join with a staleness bound: each purchase ← the
+    latest prior non-purchase event, kept only when that match is at
+    most 1 hour old — the 'feature freshness' contract of production
+    feature stores. Composition: the standard one-shuffle as-of join
+    plus a row-local filter on the matched-age delta."""
+    ev = read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    left = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    )
+    right = ev.filter(expr="event_type != 'purchase'").select_columns(
+        ["user_id", "ts", "value"]
+    )
+    out = asof_join(
+        left, right, by="user_id", left_on="ts", right_on="ts",
+        how="inner", num_buckets=_BUCKETS,
+    )
+
+    def fresh(df: pd.DataFrame) -> pd.DataFrame:
+        age_s = (df["ts"] - df["ts_matched"]).dt.total_seconds()
+        return df[age_s <= 3600.0]
+
+    return out.map_batches(fresh, batch_format="pandas").select_columns(
+        ["event_id", "user_id", "ts", "value", "ts_matched", "value_r"]
+    )
+
+
+def q_hll_by_window(sf_dir: str):
+    """Per-DAY approximate-distinct-user HLL registers — the windowed
+    mergeable sketch (time window × sketch composition); shuffle
+    bounded by days × 2^b rows regardless of input size."""
+    from pystreamfs_ray.stages.sketch import hll_registers_by
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["ts", "user_id"])
+
+    def add_day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": df["ts"].dt.strftime("%Y-%m-%d"),
+                             "user_id": df["user_id"].to_numpy()})
+
+    return hll_registers_by(
+        ev.map_batches(add_day, batch_format="pandas"), "day", "user_id")
