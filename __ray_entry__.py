@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dup_matrix": q.q_dup_matrix,
         "q_asof_tolerance": q.q_asof_tolerance,
         "q_hll_by_window": q.q_hll_by_window,
+        "q_conv_stats": q.q_conv_stats,
+        "q_pca_project": q.q_pca_project,  # rows-only: eigendecomposition
         # relational core (r2-green)
         "q1_lineitem_agg": q.q1_lineitem_agg,
         "q_filter_project": q.q_filter_project,
@@ -821,6 +823,19 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(-SUM(LN(c.c / total.n)) / COUNT(*), 6) AS nll
             FROM toks t JOIN c USING (w), total
             GROUP BY t.doc_id
+        """,
+        # per-conversation transcript profile (role mix / tools / duration)
+        "q_conv_stats": f"""
+            WITH {_TRANSCRIPTS_CTE.strip()}
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+                   CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+                   CAST(SUM(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS BIGINT) AS n_system,
+                   CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+                   CAST(SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+                   ROUND(date_diff('microsecond', MIN(ts), MAX(ts)) / 1e6, 6) AS duration_s
+            FROM transcripts GROUP BY conv_id
         """,
         # as-of with a 1-hour staleness bound (feature-freshness filter)
         "q_asof_tolerance": """

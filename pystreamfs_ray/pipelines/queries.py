@@ -1900,3 +1900,68 @@ def q_hll_by_window(sf_dir: str):
 
     return hll_registers_by(
         ev.map_batches(add_day, batch_format="pandas"), "day", "user_id")
+
+
+def q_conv_stats(sf_dir: str):
+    """Per-conversation transcript profile: turn count, per-role counts,
+    tool-call count, wall duration — the conversation-level summary a
+    transcript-curation pipeline filters on (too-short / no-assistant /
+    tool-free convs). One combiner aggregate over the derived
+    transcript stream; shuffle bounded by n_convs rows."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from pystreamfs_ray.util import arrow_combiner
+
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = df.groupby("conv_id", sort=False).agg(
+            n_turns=("turn_idx", "size"),
+            ts_min=("ts", "min"),
+            ts_max=("ts", "max"),
+        )
+        # vectorized per-role matrix: one crosstab, no per-group Python
+        roles = (pd.crosstab(df["conv_id"], df["role"])
+                 .reindex(columns=["user", "assistant", "system", "tool"],
+                          fill_value=0)
+                 .add_prefix("n_"))
+        tc = (df.assign(__tc=(df["tool"] != "").astype(np.int64))
+              .groupby("conv_id", sort=False)["__tc"].sum()
+              .rename("n_tool_calls"))
+        out = base.join(roles).join(tc).reset_index()
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        return out
+
+    agg = (t.map_batches(arrow_combiner(partial), batch_format="pyarrow")
+           .groupby("conv_id")
+           .aggregate(Sum("n_turns", alias_name="n_turns"),
+                      Sum("n_user", alias_name="n_user"),
+                      Sum("n_assistant", alias_name="n_assistant"),
+                      Sum("n_system", alias_name="n_system"),
+                      Sum("n_tool", alias_name="n_tool"),
+                      Sum("n_tool_calls", alias_name="n_tool_calls"),
+                      Min("ts_min", alias_name="ts_min"),
+                      Max("ts_max", alias_name="ts_max")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["duration_s"] = np.round(
+            (df["ts_max"] - df["ts_min"]).dt.total_seconds(), 6)
+        for c in ("n_turns", "n_user", "n_assistant", "n_system",
+                  "n_tool", "n_tool_calls"):
+            df[c] = df[c].astype(np.int64)
+        return df.drop(columns=["ts_min", "ts_max"])
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def q_pca_project(sf_dir: str):
+    """Top-8 PCA projection of the embedding space (whitening-prep for
+    embedding dedup/clustering): d×d covariance via combiner partials,
+    driver eigh with a fixed sign convention, broadcast projection.
+    Non-SQL (eigendecomposition) — rows-only at the driver,
+    pytest-gated vs a local numpy reference."""
+    from pystreamfs_ray.stages.cluster import pca_project
+
+    emb = read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return pca_project(emb, k=8)

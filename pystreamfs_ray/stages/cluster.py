@@ -231,3 +231,56 @@ def ncm_confusion(ds, *, label_col: str = "label",
             .map_batches(arrow_combiner(conf), batch_format="pyarrow")
             .groupby([label_col, "pred"])
             .aggregate(Sum("n", alias_name="n")))
+
+
+def pca_project(ds, *, k: int = 8, id_col: str = "vec_id",
+                vec_col: str = "embedding", ndigits: int = 6):
+    """Distributed PCA projection: fit the (d×d) covariance with the
+    same one-row-per-batch (n, Σx, XᵀX) combiner as
+    :func:`embedding_covariance`, eigendecompose on the driver (a d×d
+    symmetric matrix — trivial at any corpus size), then broadcast the
+    top-``k`` components and project every vector batch-locally
+    (``(x−μ) @ W``). Output is long form ``(id, component, value)``.
+
+    Determinism: eigenvector SIGN is fixed by the convention that each
+    component's largest-|·| coordinate is positive (numpy's eigh sign
+    is otherwise arbitrary), and components order by eigenvalue
+    descending with index-ascending tie-break — the projection is then
+    a pure function of the data. No SQL oracle (eigendecomposition);
+    pytest-gated against a local numpy reference."""
+    import ray
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        X = _as_matrix(df[vec_col])
+        return pd.DataFrame({"n": [len(X)], "sx": [X.sum(axis=0)],
+                             "xtx": [(X.T @ X).ravel()]})
+
+    parts = ds.select_columns([vec_col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    n = float(parts["n"].sum())
+    sx = np.sum(np.stack(parts["sx"].to_list()), axis=0)
+    xtx = np.sum(np.stack(parts["xtx"].to_list()), axis=0)
+    d = len(sx)
+    mu = sx / n
+    cov = xtx.reshape(d, d) / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-evals, kind="stable")[:k]
+    W = evecs[:, order]
+    # sign convention: largest-|coordinate| of each component positive
+    flip = np.sign(W[np.argmax(np.abs(W), axis=0), np.arange(W.shape[1])])
+    flip[flip == 0] = 1.0
+    W = W * flip
+    ref = ray.put((mu, W))
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        mu, W = ray.get(ref)
+        X = _as_matrix(df[vec_col])
+        P = np.round((X - mu) @ W, ndigits)
+        nk = W.shape[1]
+        ids = np.repeat(df[id_col].to_numpy(), nk)
+        comp = np.tile(np.arange(1, nk + 1, dtype=np.int64), len(df))
+        return pd.DataFrame({id_col: ids, "component": comp,
+                             "value": P.ravel()})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        project, batch_format="pandas")

@@ -339,6 +339,32 @@ def test_cross_source_dup_matrix(ray_session):
     pd.testing.assert_frame_equal(out[want.columns], want, check_dtype=False)
 
 
+def test_pca_project_matches_numpy(ray_session):
+    """Distributed PCA projection equals the local numpy reference with
+    the same sign convention, at any partitioning."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.cluster import pca_project
+
+    rng = np.random.default_rng(13)
+    X = rng.standard_normal((300, 6)) @ np.diag([5, 3, 2, 1, 0.5, 0.1])
+    df = pd.DataFrame({"vec_id": np.arange(300, dtype=np.int64),
+                       "embedding": [r.tolist() for r in X]})
+    out = (pca_project(rd.from_pandas(df).repartition(5), k=3)
+           .to_pandas().sort_values(["vec_id", "component"],
+                                    ignore_index=True))
+    # local reference with the identical convention
+    mu = X.mean(axis=0)
+    cov = (X.T @ X) / len(X) - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals, kind="stable")[:3]
+    W = evecs[:, order]
+    flip = np.sign(W[np.argmax(np.abs(W), axis=0), np.arange(3)])
+    P = np.round((X - mu) @ (W * flip), 6)
+    got = out["value"].to_numpy().reshape(300, 3)
+    np.testing.assert_allclose(got, P, atol=1e-9)
+
+
 def test_embedding_neardup_pair_distinct_vectorized(ray_session):
     """Pair dedup across LSH tables goes through the fixed-bucket
     vectorized distinct — same results as before, no per-pair Python
