@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hll_by_window": q.q_hll_by_window,
         "q_conv_stats": q.q_conv_stats,
         "q_pca_project": q.q_pca_project,  # rows-only: eigendecomposition
+        "q_left_outer_join": q.q_left_outer_join,
+        "q_full_outer_join": q.q_full_outer_join,
         # relational core (r2-green)
         "q1_lineitem_agg": q.q1_lineitem_agg,
         "q_filter_project": q.q_filter_project,
@@ -823,6 +825,31 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(-SUM(LN(c.c / total.n)) / COUNT(*), 6) AS nll
             FROM toks t JOIN c USING (w), total
             GROUP BY t.doc_id
+        """,
+        # native outer joins (pre-aggregated sides, null-filled output)
+        "q_left_outer_join": """
+            SELECT c.c_custkey, c.c_mktsegment,
+                   CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+                   ROUND(COALESCE(o.cents, 0) / 100.0, 2) AS revenue
+            FROM customer c LEFT JOIN (
+              SELECT o_custkey, COUNT(*) AS n_orders,
+                     SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                       AS cents
+              FROM orders GROUP BY o_custkey
+            ) o ON c.c_custkey = o.o_custkey
+        """,
+        "q_full_outer_join": """
+            WITH b AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_purchases
+              FROM events WHERE event_type = 'purchase' GROUP BY day
+            ), s AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_signups
+              FROM events WHERE event_type = 'signup' GROUP BY day
+            )
+            SELECT COALESCE(b.day, s.day) AS day,
+                   CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases,
+                   CAST(COALESCE(n_signups, 0) AS BIGINT) AS n_signups
+            FROM b FULL OUTER JOIN s ON b.day = s.day
         """,
         # per-conversation transcript profile (role mix / tools / duration)
         "q_conv_stats": f"""

@@ -1965,3 +1965,89 @@ def q_pca_project(sf_dir: str):
 
     emb = read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return pca_project(emb, k=8)
+
+
+def q_left_outer_join(sf_dir: str):
+    """Native distributed LEFT OUTER join: every customer with their
+    order count and revenue, keeping order-less customers as zeros —
+    Ray's hash-partitioned join (both sides big), then a row-local
+    null-fill. Counts pre-aggregated BEFORE the join (combiner side),
+    so the join carries one row per custkey, not per order."""
+    from ray.data.aggregate import Count, Sum
+
+    from pystreamfs_ray.util import arrow_combiner
+
+    cust = read_parquet(_p(sf_dir, "customer"),
+                        columns=["c_custkey", "c_mktsegment"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "cents": np.floor(df["o_totalprice"].to_numpy(np.float64)
+                              * 100.0 + 0.5).astype(np.int64),
+        })
+
+    orders = (read_parquet(_p(sf_dir, "orders"),
+                           columns=["o_custkey", "o_totalprice"])
+              .map_batches(arrow_combiner(cents), batch_format="pyarrow")
+              .groupby("o_custkey")
+              .aggregate(Count(alias_name="n_orders"),
+                         Sum("cents", alias_name="cents")))
+
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    joined = cust.join(orders, join_type="left_outer",
+                       num_partitions=min(32, max(4, cpus // 2)),
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].to_numpy(),
+            "c_mktsegment": df["c_mktsegment"].to_numpy(),
+            "n_orders": df["n_orders"].fillna(0).to_numpy(np.int64),
+            "revenue": np.round(
+                df["cents"].fillna(0).to_numpy(np.float64) / 100.0, 2),
+        })
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def q_full_outer_join(sf_dir: str):
+    """Native FULL OUTER join of two daily aggregates (purchases vs
+    signups): days where either side is missing survive with zero — the
+    reconciliation-report join shape. Both sides pre-aggregate to one
+    row per day before the shuffle."""
+    from ray.data.aggregate import Count
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def day_of(df: pd.DataFrame, etype: str) -> pd.DataFrame:
+        df = df[df["event_type"] == etype]
+        return pd.DataFrame({"day": df["ts"].dt.strftime("%Y-%m-%d")})
+
+    from pystreamfs_ray.util import arrow_combiner
+
+    buys = (ev.map_batches(arrow_combiner(lambda d: day_of(d, "purchase")),
+                           batch_format="pyarrow")
+            .groupby("day").aggregate(Count(alias_name="n_purchases")))
+    signups = (ev.map_batches(arrow_combiner(lambda d: day_of(d, "signup")),
+                              batch_format="pyarrow")
+               .groupby("day").aggregate(Count(alias_name="n_signups")))
+    signups = signups.map_batches(
+        lambda t: t.rename_columns(["day_s", "n_signups"]),
+        batch_format="pyarrow")
+
+    joined = buys.join(signups, join_type="full_outer", num_partitions=8,
+                       on=("day",), right_on=("day_s",))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # Ray's outer join coalesces the right key into the left key
+        # column, so "day" is already total
+        return pd.DataFrame({
+            "day": df["day"].to_numpy(),
+            "n_purchases": df["n_purchases"].fillna(0).to_numpy(np.int64),
+            "n_signups": df["n_signups"].fillna(0).to_numpy(np.int64),
+        })
+
+    return joined.map_batches(finish, batch_format="pandas")
