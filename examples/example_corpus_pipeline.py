@@ -60,6 +60,39 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     cids, C = seed_centroids(emb, 4)
     print(cluster_sizes(emb, cids, C))
 
+    # 5. temperature-flattened source mixing (T=2 over 2^-i weights):
+    #    deterministic md5-of-key membership, shuffle-free
+    from pystreamfs_ray.sources import temperature_mix
+
+    weights = {f"src{i}": 2.0 ** (-i) for i in range(20)}
+    mixed = temperature_mix(docs.select_columns(["doc_id", "source"]),
+                            "source", "doc_id", weights, temperature=2.0)
+    print("docs kept by T=2 mixing:", mixed.count())
+
+    # 6. unigram-LM quality proxy (CCNet-style): both nll tails are
+    #    filter candidates
+    from pystreamfs_ray.stages.textstats import unigram_logprob
+
+    nll = unigram_logprob(docs.select_columns(["doc_id", "text"]))
+    print("nll summary:", nll.to_pandas()["nll"].describe()[["mean", "min", "max"]].round(3).to_dict())
+
+    # 7. hybrid retrieval probe: RRF of BM25 and cosine top-n
+    import numpy as np
+
+    from pystreamfs_ray.stages.index import bm25_scores, rrf_fuse, topn_ranked
+    from pystreamfs_ray.stages.similarity import brute_force_topk
+
+    bm_top = topn_ranked(bm25_scores(docs, ["join", "filter"]),
+                         score_col="score", n=20)
+    qdf = emb.filter(expr="vec_id == 0").to_pandas()
+    qmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in qdf["embedding"]])
+    ann = (brute_force_topk(emb, qdf["vec_id"].to_numpy(), qmat, k=20,
+                            concurrency=2)
+           .to_pandas().rename(columns={"vec_id": "doc_id"}))
+    fused = rrf_fuse([bm_top, ann], topk=5)
+    print("RRF top-5 doc ids:", list(fused["doc_id"]))
+
     ray.shutdown()
 
 

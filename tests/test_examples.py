@@ -16,3 +16,16 @@ def test_example_matrix_path(name):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "avg accuracy:" in out.stdout
+
+
+def test_example_corpus_pipeline():
+    """Full curation walkthrough incl. the round-3 ops (temperature
+    mixing, unigram-LM nll, RRF probe) — subprocess so it owns its own
+    Ray session like a user run."""
+    out = subprocess.run(
+        [sys.executable, f"{EX}/example_corpus_pipeline.py"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "docs kept by T=2 mixing:" in out.stdout
+    assert "RRF top-5 doc ids:" in out.stdout
