@@ -81,6 +81,11 @@ BENCH_QUERIES = [
     "q_bm25",
     "q_target_encode",
     "q_inverted_index",
+    # round-3 additions
+    "q_tfidf",
+    "q_unigram_logprob",
+    "q_left_outer_join",
+    "q_hll_by_window",
 ]
 
 

@@ -1994,11 +1994,10 @@ def q_left_outer_join(sf_dir: str):
               .aggregate(Count(alias_name="n_orders"),
                          Sum("cents", alias_name="cents")))
 
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 8))
+    # size the aggregator pool by DATA (parquet metadata), not CPUs:
+    # each join partition is an actor with real spin-up cost
     joined = cust.join(orders, join_type="left_outer",
-                       num_partitions=min(32, max(4, cpus // 2)),
+                       num_partitions=_join_partitions(cust),
                        on=("c_custkey",), right_on=("o_custkey",))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
