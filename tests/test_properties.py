@@ -200,3 +200,60 @@ def test_interval_join_vs_bruteforce(n_ents, n_rows, window_s, seed):
                & (df["ts"] < l["ts"])]
         want |= {(l["eid"], r) for r in m["eid"]}
     assert got == want
+
+
+@given(st.integers(1, 40), st.floats(1.0, 50.0), st.integers(0, 10**6))
+@settings(max_examples=25, deadline=None)
+def test_temperature_rates_properties(n_sources, temperature, seed):
+    """Rates preserve the weight ORDER, cap at base_rate, and flatten
+    monotonically toward base_rate as T grows."""
+    from pystreamfs_ray.sources import temperature_rates
+
+    rng = np.random.default_rng(seed)
+    weights = {f"s{i}": float(w) for i, w in
+               enumerate(rng.uniform(0.01, 10.0, size=n_sources))}
+    r = temperature_rates(weights, temperature=temperature)
+    assert max(r.values()) == 1.0
+    # order preserved: heavier source never gets a lower rate
+    ks = sorted(weights, key=weights.get)
+    rates_sorted = [r[k] for k in ks]
+    assert all(a <= b + 1e-12 for a, b in zip(rates_sorted, rates_sorted[1:]))
+    # flattening: T' = 2T moves every rate toward 1
+    r2 = temperature_rates(weights, temperature=2 * temperature)
+    assert all(r2[k] >= r[k] - 1e-12 for k in weights)
+
+
+@given(st.integers(1, 5), st.integers(1, 30), st.integers(0, 10**6))
+@settings(max_examples=25, deadline=None)
+def test_rrf_list_order_invariance(n_lists, n_ids, seed):
+    """RRF output is invariant to the ORDER the ranked lists are given
+    in (the sum is commutative; ties break on id)."""
+    from pystreamfs_ray.stages.index import rrf_fuse
+
+    rng = np.random.default_rng(seed)
+    lists = []
+    for _ in range(n_lists):
+        ids = rng.choice(np.arange(n_ids, dtype=np.int64),
+                         size=rng.integers(1, n_ids + 1), replace=False)
+        lists.append(pd.DataFrame({
+            "doc_id": ids,
+            "rank": np.arange(1, len(ids) + 1, dtype=np.int64)}))
+    a = rrf_fuse(lists, topk=n_ids)
+    b = rrf_fuse(lists[::-1], topk=n_ids)
+    pd.testing.assert_frame_equal(a, b)
+
+
+@given(st.integers(2, 64), st.integers(0, 10**6))
+@settings(max_examples=25, deadline=None)
+def test_quantile_bounds_properties(num_partitions, seed):
+    """Boundaries are sorted, deduped, interior (within the sample
+    range), and at most num_partitions-1 of them."""
+    from pystreamfs_ray.util import quantile_bounds
+
+    rng = np.random.default_rng(seed)
+    vals = np.sort(rng.normal(size=rng.integers(1, 500)))
+    b = quantile_bounds(vals, num_partitions)
+    assert len(b) <= num_partitions - 1
+    assert (np.diff(b) > 0).all()
+    if len(b):
+        assert b.min() >= vals.min() and b.max() <= vals.max()
