@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pca_project": q.q_pca_project,  # rows-only: eigendecomposition
         "q_left_outer_join": q.q_left_outer_join,
         "q_full_outer_join": q.q_full_outer_join,
+        "q_rollup_revenue": q.q_rollup_revenue,
         # relational core (r2-green)
         "q1_lineitem_agg": q.q1_lineitem_agg,
         "q_filter_project": q.q_filter_project,
@@ -825,6 +826,18 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(-SUM(LN(c.c / total.n)) / COUNT(*), 6) AS nll
             FROM toks t JOIN c USING (w), total
             GROUP BY t.doc_id
+        """,
+        # ROLLUP: (region, nation) grain + subtotals + grand total
+        "q_rollup_revenue": """
+            SELECT COALESCE(r_name, 'ALL') AS r_name,
+                   COALESCE(n_name, 'ALL') AS n_name,
+                   ROUND(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                         / 100.0, 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
         """,
         # native outer joins (pre-aggregated sides, null-filled output)
         "q_left_outer_join": """

@@ -2050,3 +2050,64 @@ def q_full_outer_join(sf_dir: str):
         })
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def q_rollup_revenue(sf_dir: str):
+    """ROLLUP aggregation: order revenue at (region, nation) grain plus
+    per-region subtotals and a grand total ('ALL' labels). The fine
+    grain runs distributed (broadcast dimension chain + one small
+    aggregate, same shape as q_region_revenue); the coarser levels
+    derive from the FINE result — a 25-row frame — so rollup costs
+    nothing extra at any scale."""
+    import ray
+
+    ords = read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    cust = read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "price_c": _quantize(t["o_totalprice"], 100.0),
+        })
+
+    joined = ords.map_batches(quant, batch_format="pyarrow").join(
+        cust, join_type="inner", num_partitions=_join_partitions(ords),
+        on=("o_custkey",), right_on=("c_custkey",))
+
+    nat = read_parquet(_p(sf_dir, "nation"),
+                       columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = read_parquet(_p(sf_dir, "region"),
+                       columns=["r_regionkey", "r_name"]).to_pandas()
+    dim = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    ref = ray.put({
+        "keys": pa.array(dim["n_nationkey"].to_numpy()),
+        "r_name": pa.array(dim["r_name"]),
+        "n_name": pa.array(dim["n_name"]),
+    })
+
+    def attach(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        pos = pc.index_in(t["c_nationkey"], value_set=d["keys"])
+        return pa.table({
+            "r_name": pc.take(d["r_name"], pos),
+            "n_name": pc.take(d["n_name"], pos),
+            "price_c": t["price_c"],
+        })
+
+    from ray.data.aggregate import Sum
+
+    fine = (joined.map_batches(attach, batch_format="pyarrow")
+            .groupby(["r_name", "n_name"])
+            .aggregate(Sum("price_c", alias_name="cents"))
+            .to_pandas())  # |regions × nations| rows — tiny by construction
+
+    sub = (fine.groupby("r_name", as_index=False)["cents"].sum()
+           .assign(n_name="ALL"))
+    total = pd.DataFrame({"r_name": ["ALL"], "n_name": ["ALL"],
+                          "cents": [fine["cents"].sum()]})
+    allrows = pd.concat([fine, sub, total], ignore_index=True)
+    return pd.DataFrame({
+        "r_name": allrows["r_name"].to_numpy(),
+        "n_name": allrows["n_name"].to_numpy(),
+        "revenue": np.round(allrows["cents"].to_numpy(np.float64) / 100.0, 2),
+    })
