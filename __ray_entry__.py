@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_left_outer_join": q.q_left_outer_join,
         "q_full_outer_join": q.q_full_outer_join,
         "q_rollup_revenue": q.q_rollup_revenue,
+        "q_dedup_windowed": q.q_dedup_windowed,
         # relational core (r2-green)
         "q1_lineitem_agg": q.q1_lineitem_agg,
         "q_filter_project": q.q_filter_project,
@@ -826,6 +827,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(-SUM(LN(c.c / total.n)) / COUNT(*), 6) AS nll
             FROM toks t JOIN c USING (w), total
             GROUP BY t.doc_id
+        """,
+        # time-scoped dedup: first occurrence per (payload, 7-day window)
+        "q_dedup_windowed": """
+            WITH w AS (
+              SELECT event_id, props AS text, ts,
+                     CAST(FLOOR(epoch_us(ts) / (7 * 86400 * 1000000.0))
+                          AS BIGINT) AS win
+              FROM events
+            ), r AS (
+              SELECT event_id, win,
+                     row_number() OVER (PARTITION BY text, win
+                                        ORDER BY ts, event_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY text, win) AS n_dupes
+              FROM w
+            )
+            SELECT event_id, win, CAST(n_dupes AS BIGINT) AS n_dupes
+            FROM r WHERE rn = 1
         """,
         # ROLLUP: (region, nation) grain + subtotals + grand total
         "q_rollup_revenue": """

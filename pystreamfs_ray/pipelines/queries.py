@@ -2111,3 +2111,15 @@ def q_rollup_revenue(sf_dir: str):
         "n_name": allrows["n_name"].to_numpy(),
         "revenue": np.round(allrows["cents"].to_numpy(np.float64) / 100.0, 2),
     })
+
+
+def q_dedup_windowed(sf_dir: str):
+    """Time-scoped dedup over the event stream: first occurrence of
+    each props payload per 7-day window (epoch-anchored) — one bucketed
+    content-hash shuffle, window id row-local."""
+    from pystreamfs_ray.stages.dedup import windowed_exact_dedup
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "ts", "props"])
+    return windowed_exact_dedup(ev, id_col="event_id", text_col="props",
+                                ts_col="ts")

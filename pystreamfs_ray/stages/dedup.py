@@ -955,3 +955,45 @@ def cross_source_dup_matrix(ds, *, text_col: str = "text",
         .groupby(["source_a", "source_b"])
         .aggregate(Sum("pc", alias_name="n_texts"))
     )
+
+
+def windowed_exact_dedup(ds, *, id_col: str = "event_id",
+                         text_col: str = "text", ts_col: str = "ts",
+                         window_s: int = 7 * 86400, num_buckets: int = 64):
+    """Time-scoped exact dedup: keep the FIRST occurrence (earliest ts,
+    then smallest id) of each distinct ``text_col`` value within each
+    epoch-anchored ``window_s`` window — the recency-aware crawl rule
+    (a page unchanged for months re-enters the corpus once per window;
+    a same-week duplicate doesn't). Output (id, win, n_dupes).
+
+    Same single bucketed content-hash shuffle as ``exact_dedup``; the
+    window id is row-local arithmetic, so the time dimension adds no
+    extra exchange."""
+    win_us = np.int64(window_s) * np.int64(1_000_000)
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        from pystreamfs_ray.util import arrow_block, content_hash64
+
+        out = df[[id_col, text_col]].copy()
+        out["win"] = (df[ts_col].astype("datetime64[us]").astype(np.int64)
+                      // win_us).astype(np.int64)
+        out["__ts"] = df[ts_col].astype("datetime64[us]").astype(np.int64)
+        out["__h"] = (content_hash64(df[text_col].to_numpy())
+                      % np.uint64(num_buckets)).astype(np.int32)
+        return arrow_block(out)
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__ts", id_col], kind="mergesort")
+        grp = g.groupby([text_col, "win"], sort=False)
+        out = grp.agg(**{id_col: (id_col, "first"),
+                         "n_dupes": (id_col, "size")}).reset_index()
+        out["n_dupes"] = out["n_dupes"].astype(np.int64)
+        return out[[id_col, "win", "n_dupes"]]
+
+    from pystreamfs_ray.util import arrow_combiner
+
+    return (
+        ds.map_batches(add_key, batch_format="pandas")
+        .groupby("__h")
+        .map_groups(keep_first, batch_format="pandas")
+    )

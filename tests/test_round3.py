@@ -365,6 +365,30 @@ def test_pca_project_matches_numpy(ray_session):
     np.testing.assert_allclose(got, P, atol=1e-9)
 
 
+def test_windowed_exact_dedup(ray_session):
+    """First occurrence per (text, epoch-anchored window); the same
+    text re-enters in a later window."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.dedup import windowed_exact_dedup
+
+    base = pd.Timestamp("2024-01-01")  # epoch-aligned enough for 1-day windows
+    df = pd.DataFrame({
+        "event_id": np.arange(5, dtype=np.int64),
+        "ts": [base, base + pd.Timedelta(hours=1),       # same day, dup
+               base + pd.Timedelta(days=2),              # later window
+               base, base + pd.Timedelta(minutes=5)],    # other text
+        "text": ["x", "x", "x", "y", "y"],
+    })
+    out = (windowed_exact_dedup(rd.from_pandas(df), id_col="event_id",
+                                text_col="text", ts_col="ts",
+                                window_s=86400, num_buckets=4)
+           .to_pandas().sort_values("event_id", ignore_index=True))
+    # kept: id0 (x, day w), id2 (x, day w+2), id3 (y)
+    assert list(out["event_id"]) == [0, 2, 3]
+    assert list(out["n_dupes"]) == [2, 1, 2]
+
+
 def test_embedding_neardup_pair_distinct_vectorized(ray_session):
     """Pair dedup across LSH tables goes through the fixed-bucket
     vectorized distinct — same results as before, no per-pair Python
