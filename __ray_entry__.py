@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_full_outer_join": q.q_full_outer_join,
         "q_rollup_revenue": q.q_rollup_revenue,
         "q_dedup_windowed": q.q_dedup_windowed,
+        "q_session_stats": q.q_session_stats,
         # relational core (r2-green)
         "q1_lineitem_agg": q.q1_lineitem_agg,
         "q_filter_project": q.q_filter_project,
@@ -827,6 +828,31 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(-SUM(LN(c.c / total.n)) / COUNT(*), 6) AS nll
             FROM toks t JOIN c USING (w), total
             GROUP BY t.doc_id
+        """,
+        # per-user session rollup (exact sums; means are client-side)
+        "q_session_stats": """
+            WITH d AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                FROM d
+            ), sess AS (
+                SELECT user_id, session_id, COUNT(*) AS n_events,
+                       date_diff('microsecond', MIN(ts), MAX(ts)) AS dur_us
+                FROM s GROUP BY user_id, session_id
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(n_events) AS BIGINT) AS n_events,
+                   ROUND(CAST(SUM(dur_us) AS DOUBLE) / 1e6, 6) AS total_dur_s
+            FROM sess GROUP BY user_id
         """,
         # time-scoped dedup: first occurrence per (payload, 7-day window)
         "q_dedup_windowed": """

@@ -2123,3 +2123,37 @@ def q_dedup_windowed(sf_dir: str):
                       columns=["event_id", "ts", "props"])
     return windowed_exact_dedup(ev, id_col="event_id", text_col="props",
                                 ts_col="ts")
+
+
+def q_session_stats(sf_dir: str):
+    """Per-user session rollup on top of gap-based sessionization:
+    session count, total events, total in-session seconds — the
+    engagement profile. Outputs are EXACT integers / µs-quantized
+    seconds (means are quotients of exact decimals, the oracle
+    rounding trap — derive them client-side). Sessions stay
+    bucket-local (per-entity gaps-and-islands inside the ONE entity
+    shuffle), so the rollup costs a second tiny aggregate only."""
+    ds = read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort",
+                          ignore_index=True)
+        g = W.sessionize(g, gap_s=1800, entity_col="user_id")
+        sess = (g.groupby(["user_id", "session_id"], sort=False)
+                .agg(n_events=("event_id", "size"), ts_start=("ts", "min"),
+                     ts_end=("ts", "max"))
+                .reset_index())
+        sess["dur_us"] = (sess["ts_end"] - sess["ts_start"]).astype(
+            "timedelta64[us]").astype(np.int64)
+        out = (sess.groupby("user_id", sort=False)
+               .agg(n_sessions=("session_id", "size"),
+                    n_events=("n_events", "sum"),
+                    dur_us=("dur_us", "sum"))
+               .reset_index())
+        out["n_sessions"] = out["n_sessions"].astype(np.int64)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["total_dur_s"] = np.round(
+            out["dur_us"].to_numpy(np.float64) / 1e6, 6)
+        return out.drop(columns=["dur_us"])
+
+    return W.per_bucket(ds, fn, entity_col="user_id", num_buckets=_BUCKETS)
