@@ -151,6 +151,9 @@ def topn_ranked(ds, *, score_col: str, id_col: str = "doc_id",
         batch_format="pandas")
         .sort([score_col, id_col], descending=[True, False])
         .limit(n).to_pandas())
+    if score_col not in top.columns:  # empty input → Ray drops columns
+        top = pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                            score_col: pd.Series([], dtype=np.float64)})
     top = top.sort_values([score_col, id_col], ascending=[False, True],
                           ignore_index=True)
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)

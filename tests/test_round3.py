@@ -389,6 +389,43 @@ def test_windowed_exact_dedup(ray_session):
     assert list(out["n_dupes"]) == [2, 1, 2]
 
 
+def test_round3_empty_input_safety(ray_session):
+    """Every round-3 operator returns a clean empty result on an empty
+    input instead of crashing (Ray's empty aggregates lose columns)."""
+    import ray.data as rd
+
+    from pystreamfs_ray.sources import temperature_mix
+    from pystreamfs_ray.stages.dedup import (cross_source_dup_matrix,
+                                             windowed_exact_dedup)
+    from pystreamfs_ray.stages.index import rrf_fuse, topn_ranked
+    from pystreamfs_ray.stages.textstats import unigram_logprob
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype=np.int64),
+        "text": pd.Series([], dtype=str),
+        "source": pd.Series([], dtype=str)}))
+    ev = rd.from_pandas(pd.DataFrame({
+        "event_id": pd.Series([], dtype=np.int64),
+        "ts": pd.Series([], dtype="datetime64[us]"),
+        "text": pd.Series([], dtype=str)}))
+    scored = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype=np.int64),
+        "score": pd.Series([], dtype=np.float64)}))
+
+    results = [
+        unigram_logprob(docs),
+        cross_source_dup_matrix(docs),
+        windowed_exact_dedup(ev),
+        temperature_mix(docs, "source", "doc_id", {"a": 1.0}),
+    ]
+    for r in results:
+        assert r.count() == 0
+    top = topn_ranked(scored, score_col="score")
+    assert len(top) == 0
+    fused = rrf_fuse([top, top.copy()])
+    assert len(fused) == 0
+
+
 def test_embedding_neardup_pair_distinct_vectorized(ray_session):
     """Pair dedup across LSH tables goes through the fixed-bucket
     vectorized distinct — same results as before, no per-pair Python
