@@ -280,6 +280,48 @@ _ANN_TOPK_SQL = """
 """
 
 
+def _decode_media_oracle() -> str:
+    """Independent numpy re-derivation of the deterministic pseudo-decode
+    spec (stages/multimodal.py DecodeStub + synth_media_table, seed=21,
+    n=500, 2048-byte payloads) rendered as a DuckDB VALUES oracle.  The
+    math is re-implemented here — not imported from the engine — so the
+    driver compares two separately-written realisations of the same
+    published spec.  All floats are repr()-round-trip exact doubles
+    (byte means are sums divided by 2**11, so binary-exact)."""
+    import hashlib
+
+    import numpy as np
+
+    n, seed, payload_bytes = 500, 21, 2048
+    rng = np.random.default_rng(seed)
+    kinds = np.array(["image", "audio", "video"], dtype=object)[
+        rng.integers(0, 3, size=n)
+    ]
+    rows = []
+    for i in range(n):
+        payload = rng.integers(0, 256, size=payload_bytes, dtype=np.uint8)
+        h = hashlib.blake2b(payload.tobytes(), digest_size=16).digest()
+        width = float(64 + h[0] % 192)
+        height = float(64 + h[1] % 192)
+        duration = (h[2] % 300) / 10.0 if kinds[i] in ("audio", "video") else 0.0
+        mean = float(payload.mean())
+        meta = f'{{"src": "synth", "i": {i}}}'
+        rows.append(
+            f"({i}, '{kinds[i]}', '{meta}', {width!r}, {height!r}, "
+            f"{duration!r}, {mean!r})"
+        )
+    values = ",\n".join(rows)
+    return f"""
+        SELECT CAST(media_id AS BIGINT) AS media_id, kind, meta,
+               CAST(width AS DOUBLE) AS width,
+               CAST(height AS DOUBLE) AS height,
+               CAST(duration_s AS DOUBLE) AS duration_s,
+               CAST(mean_val AS DOUBLE) AS mean_val
+        FROM (VALUES {values})
+             AS t(media_id, kind, meta, width, height, duration_s, mean_val)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from pystreamfs_ray.sources import temperature_rates
     from pystreamfs_ray.stages.textstats import STOPWORDS
@@ -1724,6 +1766,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = p.id_a
             JOIN sizes sb ON sb.doc_id = p.id_b
         """,
+        "q_decode_media": _decode_media_oracle(),
         "q_dedup_groups_exact": """
             WITH aug AS (
               SELECT doc_id, text FROM documents

@@ -144,7 +144,7 @@ def feature_windows(
 
 
 def _entities_above(ds, entity_col: str, threshold: int,
-                    assumed_max_blocks: int = 64) -> frozenset:
+                    summary_capacity: int = 4096) -> frozenset:
     """Entity ids with row count > threshold, as a SKEW DETECTOR.
 
     A full per-entity count aggregate would shuffle one partial row per
@@ -152,32 +152,56 @@ def _entities_above(ds, entity_col: str, threshold: int,
     input (measured: the naive groupby cost 8 s where the whole counts
     pass should cost well under 1 s). Instead:
 
-    1. candidate pass (pigeonhole): an entity with > threshold rows in
-       ≤ ``assumed_max_blocks`` blocks has > threshold/blocks rows in
-       SOME block, so each block emits only its locally-heavy ids — a
-       tiny driver pull (the skew tail plus a few near-misses);
+    1. candidate pass (bounded-summary heavy hitters): each batch emits
+       (id, local_count) only for ids with local_count > len(batch)/k
+       (k = ``summary_capacity``; at most k ids can clear that floor),
+       plus one sentinel row carrying len(batch). Summing the partials,
+       any id's undercount is ≤ Σ len(batch)/k = n/k — the Misra-Gries
+       bound — so every entity with true count > threshold has summed
+       count > threshold − n/k. Ids above that slack-adjusted cutoff
+       are the candidates. Sound at ANY batch/block count (the round-3
+       version pigeonholed on an assumed ≤64 blocks and silently went
+       lossy beyond it); shuffle ≤ (k+1) rows per batch regardless of
+       entity cardinality.
     2. exact pass: count ONLY the candidates (broadcast set, vectorized
-       filter) — a shuffle of |candidates| × blocks partial rows.
+       filter) — a shuffle of |candidates| × blocks partial rows —
+       because pass-1 sums are undercounts and include near-misses.
 
-    The detector feeds the eval skew ROUTER, where a false negative
-    (an entity spread over more blocks than assumed) merely keeps that
-    entity's eval inline — correct, just slower — so the pigeonhole
-    assumption bounds performance, never correctness."""
+    Requires a string-typed ``entity_col`` (the sentinel rides in-band).
+    """
+    import numpy as np
     import pandas as pd
 
     import ray
     from pystreamfs_ray.util import arrow_block
 
-    cutoff = max(2, int(threshold) // assumed_max_blocks)
+    k = int(summary_capacity)
+    sentinel = "\x00__rows__"
 
     def local_heavy(df: pd.DataFrame) -> pd.DataFrame:
+        floor = max(1, len(df) // k)
         vc = df[entity_col].value_counts()
-        vc = vc[vc > cutoff]
-        return arrow_block(pd.DataFrame({entity_col: vc.index.to_numpy()}))
+        vc = vc[vc > floor]
+        return arrow_block(pd.DataFrame({
+            entity_col: np.concatenate(
+                [vc.index.to_numpy(dtype=object), [sentinel]]),
+            "__n": np.concatenate(
+                [vc.to_numpy(dtype=np.int64), [len(df)]]),
+        }))
+
+    from ray.data.aggregate import Sum
 
     col = ds.select_columns([entity_col])
-    cand_pdf = col.map_batches(local_heavy, batch_format="pandas").to_pandas()
-    if len(cand_pdf) == 0 or entity_col not in cand_pdf.columns:
+    partial = (col.map_batches(local_heavy, batch_format="pandas")
+               .groupby(entity_col).aggregate(Sum("__n", alias_name="__n"))
+               .to_pandas())
+    if len(partial) == 0 or entity_col not in partial.columns:
+        return frozenset()
+    is_sent = partial[entity_col] == sentinel
+    n_total = int(partial.loc[is_sent, "__n"].sum())
+    cutoff = int(threshold) - (n_total // k)  # slack-adjusted: no false negatives
+    cand_pdf = partial.loc[~is_sent & (partial["__n"] > cutoff)]
+    if len(cand_pdf) == 0:
         return frozenset()
     candidates = frozenset(cand_pdf[entity_col])
     cand_ref = ray.put(candidates)

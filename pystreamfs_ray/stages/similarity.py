@@ -153,9 +153,9 @@ def ivf_topk(ds, query_ids, query_matrix, *, k=10, n_cells=16, nprobe=4,
             pts = mat[assign == c]
             if len(pts):
                 v = pts.mean(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    centroids[c] = v / n
+                v_norm = np.linalg.norm(v)
+                if v_norm > 0:
+                    centroids[c] = v / v_norm
 
     ref = ray.put({"qids": np.asarray(query_ids, dtype=np.int64),
                    "qmat": np.asarray(query_matrix, dtype=np.float64),
