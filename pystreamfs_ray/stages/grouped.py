@@ -83,23 +83,120 @@ def pivot_counts(ds, key_col: str, pivot_col: str, values: list[str]):
 
 def grouped_quantiles(ds, group_col: str, value_col: str,
                       qs: list[float], names: list[str], *,
-                      ndigits: int = 6):
-    """Exact per-group quantiles with linear interpolation (numpy
-    default == DuckDB ``quantile_cont``), one output row per group,
-    values rounded to ``ndigits`` for order-independent comparison."""
+                      ndigits: int = 6, sketch_threshold: int | None = None):
+    """Per-group quantiles, one output row per group.
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        v = df[value_col].to_numpy(dtype=np.float64)
-        v = v[~np.isnan(v)]
+    ``sketch_threshold=None`` (default): exact linear-interpolation
+    quantiles (numpy default == DuckDB ``quantile_cont``) — the whole
+    group's value list co-locates in one ``map_groups`` task, which is
+    the right call until a single group outgrows a worker heap.
+
+    ``sketch_threshold=B``: the MERGEABLE-SKETCH scale path. Each input
+    batch emits, per group, either its exact sorted values (when the
+    group has ≤ B rows in that batch) or a compression to B equal-count
+    (centroid, weight) pairs. The merge concatenates partials — ≤ B
+    points per batch per group, never the raw rows — and interpolates
+    the quantile over centroid mid-ranks, carrying exact min/max.
+    Groups whose every partial stayed exact (in particular any group
+    with ≤ B total rows) reproduce the exact path bit-for-bit; hot
+    groups get rank error ≤ n_g/B (each batch-level compaction merges
+    runs of ≤ count_in_batch/B rows). No task ever holds a whole hot
+    group: per-task memory is O(B × batches-touching-the-group), the
+    t-digest/KLL memory shape, vs O(n_g) for the exact path."""
+    if sketch_threshold is None:
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            v = df[value_col].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            row: dict = {group_col: [df[group_col].iloc[0]]}
+            for q, nm in zip(qs, names):
+                row[nm] = [round(float(np.quantile(v, q)), ndigits)] if len(v) else [None]
+            row["n"] = [np.int64(len(v))]
+            return pd.DataFrame(row)
+
+        return (ds.select_columns([group_col, value_col])
+                  .groupby(group_col)
+                  .map_groups(fn, batch_format="pandas"))
+
+    B = int(sketch_threshold)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        groups, cents, wts, vmins, vmaxs, ns = [], [], [], [], [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            v = sub[value_col].to_numpy(dtype=np.float64)
+            v = np.sort(v[~np.isnan(v)])
+            if len(v) == 0:
+                continue
+            if len(v) <= B:
+                cent, wt = v, np.ones(len(v), dtype=np.float64)
+            else:
+                cent, wt = _equal_count_compress(v, B)
+            groups.append(g)
+            cents.append(cent)
+            wts.append(wt)
+            vmins.append(v[0])
+            vmaxs.append(v[-1])
+            ns.append(len(v))
+        return arrow_block(pd.DataFrame({
+            group_col: groups, "__cent": cents, "__wt": wts,
+            "__vmin": np.array(vmins, dtype=np.float64),
+            "__vmax": np.array(vmaxs, dtype=np.float64),
+            "__n": np.array(ns, dtype=np.int64),
+        }))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        cent = np.concatenate([np.asarray(c, dtype=np.float64)
+                               for c in df["__cent"]])
+        wt = np.concatenate([np.asarray(w, dtype=np.float64)
+                             for w in df["__wt"]])
+        order = np.argsort(cent, kind="mergesort")
+        cent, wt = cent[order], wt[order]
+        n = int(df["__n"].sum())
         row: dict = {group_col: [df[group_col].iloc[0]]}
-        for q, nm in zip(qs, names):
-            row[nm] = [round(float(np.quantile(v, q)), ndigits)] if len(v) else [None]
-        row["n"] = [np.int64(len(v))]
+        if (wt == 1.0).all():
+            # every partial exact → merged multiset IS the group
+            for q, nm in zip(qs, names):
+                row[nm] = [round(float(np.quantile(cent, q)), ndigits)]
+        else:
+            vmin = float(df["__vmin"].min())
+            vmax = float(df["__vmax"].max())
+            # centroid i stands for ranks [cumw-w, cumw) → mid-rank
+            # cumw - (w+1)/2 on the 0-based scale np.quantile uses;
+            # exact extremes pin ranks 0 and n-1 (a centroid whose mean
+            # sits strictly inside (vmin, vmax) has weight > 1, so its
+            # mid-rank is strictly inside (0, n-1) — xp stays increasing)
+            xp = np.cumsum(wt) - (wt + 1.0) / 2.0
+            fp = cent
+            if fp[0] > vmin:
+                xp = np.concatenate([[0.0], xp])
+                fp = np.concatenate([[vmin], fp])
+            if fp[-1] < vmax:
+                xp = np.concatenate([xp, [n - 1.0]])
+                fp = np.concatenate([fp, [vmax]])
+            for q, nm in zip(qs, names):
+                est = float(np.interp(q * (n - 1), xp, fp))
+                row[nm] = [round(min(max(est, vmin), vmax), ndigits)]
+        row["n"] = [np.int64(n)]
         return pd.DataFrame(row)
 
     return (ds.select_columns([group_col, value_col])
+              .map_batches(arrow_combiner(partial), batch_format="pyarrow")
               .groupby(group_col)
-              .map_groups(fn, batch_format="pandas"))
+              .map_groups(finish, batch_format="pandas"))
+
+
+def _equal_count_compress(v_sorted: np.ndarray, b: int):
+    """Compress a sorted value array to ``b`` equal-count (centroid,
+    weight) pairs — centroid = bucket mean. Deterministic, mergeable by
+    concatenation; rank error of any quantile read off the summary is
+    bounded by the largest bucket, ≤ ⌈n/b⌉."""
+    n = len(v_sorted)
+    edges = (np.arange(1, b + 1, dtype=np.int64) * n) // b
+    starts = np.concatenate([[0], edges[:-1]])
+    wt = (edges - starts).astype(np.float64)
+    keep = wt > 0
+    csum = np.concatenate([[0.0], np.cumsum(v_sorted)])
+    cent = (csum[edges[keep]] - csum[starts[keep]]) / wt[keep]
+    return cent, wt[keep]
 
 
 def grouped_corr(ds, group_col: str, x_col: str, y_col: str, *,

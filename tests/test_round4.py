@@ -28,6 +28,63 @@ def test_entities_above_256_blocks(ray_session):
     assert "mega" in got
 
 
+def _gq_fixture(seed=3, hot_n=30000, n_small=40):
+    rng = np.random.default_rng(seed)
+    frames = [pd.DataFrame({"g": "hot", "v": rng.lognormal(0.0, 1.0, hot_n)})]
+    for i in range(n_small):
+        frames.append(pd.DataFrame(
+            {"g": f"s{i}", "v": rng.normal(float(i), 1.0, int(rng.integers(1, 40)))}))
+    return pd.concat(frames, ignore_index=True)
+
+
+QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+NAMES = [f"q{int(q*100)}" for q in QS]
+
+
+def _run_gq(ds, sketch_threshold):
+    from pystreamfs_ray.stages.grouped import grouped_quantiles
+
+    return (grouped_quantiles(ds, "g", "v", QS, NAMES,
+                              sketch_threshold=sketch_threshold)
+            .to_pandas().set_index("g").sort_index())
+
+
+def test_grouped_quantiles_sketch_small_groups_exact(ray_session):
+    """Groups at or under the threshold reproduce the exact path
+    bit-for-bit (their partials are never compressed)."""
+    import ray
+
+    df = _gq_fixture()
+    ds = ray.data.from_pandas([df.iloc[i::5].reset_index(drop=True)
+                               for i in range(5)])
+    exact = _run_gq(ds, None)
+    sk = _run_gq(ds, 256)
+    small = [g for g in exact.index if g != "hot"]
+    pd.testing.assert_frame_equal(exact.loc[small], sk.loc[small])
+    assert (exact["n"] == sk["n"]).all()
+
+
+def test_grouped_quantiles_sketch_error_bound(ray_session):
+    """Hot-group estimates stay within the documented rank-error bound
+    (n/B per batch-level compaction; asserted at 2n/B slack) under two
+    different row partitionings."""
+    import ray
+
+    B = 256
+    df = _gq_fixture()
+    hot = np.sort(df.loc[df["g"] == "hot", "v"].to_numpy())
+    n = len(hot)
+    shuffled = df.sample(frac=1.0, random_state=9, ignore_index=True)
+    for split, frame in ((5, df), (13, shuffled)):
+        ds = ray.data.from_pandas([frame.iloc[i::split].reset_index(drop=True)
+                                   for i in range(split)])
+        got = _run_gq(ds, B).loc["hot"]
+        for q, nm in zip(QS, NAMES):
+            lo = hot[max(0, int(np.floor((q - 2.0 / B) * (n - 1))))]
+            hi = hot[min(n - 1, int(np.ceil((q + 2.0 / B) * (n - 1))))]
+            assert lo - 1e-6 <= got[nm] <= hi + 1e-6, (split, nm, got[nm], lo, hi)
+
+
 def test_entities_above_matches_truth_random(ray_session):
     """Detector == ground-truth filter on a skewed random fixture, for
     several thresholds (no false positives either — pass 2 is exact)."""
