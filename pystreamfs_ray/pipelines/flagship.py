@@ -54,14 +54,20 @@ def feature_windows(
     by test) in ``salt_chunk_windows``-window chunks, then the acc
     values are patched back. Mega entities are by definition FEW (the
     skew tail), so the patch table broadcast is bounded; requires
-    ``evaluate`` and a bounded ``max_history``. Incompatible with
-    streaming/checkpoint runs (eval state is not carried) — ignored
-    there."""
+    ``evaluate`` and a bounded ``max_history``.
+
+    Streaming/checkpoint runs salt too (round 4): on a resumed run
+    (``load_state=True``) the mega entities' carried eval history +
+    pending rows are reconstructed from the bucket state as feature
+    rows at their original turn ranks, and the chunk's own rows get
+    their lag feature recomputed with the carried boundary timestamp —
+    exactly the inline selector's resume math, so the salted eval stays
+    bit-equal across a kill/resume boundary (tested). Note the
+    per-bucket checkpoint PARQUET stores the unpatched (null) acc for
+    skipped entities; the router re-patches on every run, so the
+    returned Dataset is always complete."""
     feats = featurize(transcripts_ds)
-    salting = bool(
-        salt_eval_threshold and evaluate and max_history and not streaming
-        and checkpoint_dir is None
-    )
+    salting = bool(salt_eval_threshold and evaluate and max_history)
     mega_ids: frozenset = frozenset()
     if salting:
         # count on the RAW transcripts (one pruned column), not on the
@@ -90,6 +96,16 @@ def feature_windows(
     )
     if not salting:
         return windows
+    # read the PRIOR bucket state before anything executes: running the
+    # selector (the materialize below) overwrites it with the post-run
+    # state, and the salted evaluator needs the pre-run history
+    state_feats, boundary_ts = (None, {})
+    if load_state and checkpoint_dir is not None:
+        state_feats, boundary_ts = _mega_state_features(
+            checkpoint_dir, mega_ids, kernel=kernel,
+            kernel_params=kernel_params, num_features=num_features,
+            batch_size=batch_size, num_buckets=num_buckets,
+            fingerprint=fingerprint)
     # windows feed BOTH the spec extraction and the patch base —
     # materialize so the selector fold runs once (its output is
     # n_windows rows, ~batch_size× smaller than the input; at true
@@ -113,6 +129,40 @@ def feature_windows(
     # featurize commute) — only the few mega entities' rows pay it twice
     feats_mega = featurize(
         transcripts_ds.map_batches(only_mega, batch_format="pyarrow"))
+    if state_feats is not None:
+        # resumed run: the chunk's lag feature must be computed with the
+        # carried boundary timestamp (the inline selector's resume
+        # patch), and the carried history/pending rows join the feature
+        # side at their original turn ranks — then the evaluator sees
+        # the identical per-rank matrix the inline path rebuilds
+        import numpy as np
+        import ray.data as rd
+
+        from pystreamfs_ray.schema import FEATURE_COLS
+
+        bts_ref = ray.put(boundary_ts)
+
+        def lag_with_boundary(g):
+            import pandas as pd  # noqa: F401 (map_groups pandas batch)
+
+            from pystreamfs_ray.stages.window import add_lag_delta
+
+            g = g.sort_values("turn_idx", kind="mergesort", ignore_index=True)
+            g = add_lag_delta(g)
+            bts = ray.get(bts_ref).get(g["conv_id"].iloc[0])
+            if bts is not None and len(g):
+                g.loc[0, "f_ts_delta_s"] = float(
+                    (g["ts"].to_numpy()[0] - bts) / np.timedelta64(1, "ns")
+                ) / 1e9
+            return g
+
+        keep_cols = ["conv_id", "turn_idx", "label"] + list(FEATURE_COLS)
+        feats_mega = (feats_mega.groupby("conv_id")
+                      .map_groups(lag_with_boundary, batch_format="pandas")
+                      .select_columns(keep_cols))
+        if len(state_feats):
+            feats_mega = feats_mega.union(
+                rd.from_pandas(state_feats[keep_cols]))
     accs = evaluate_windows(
         feats_mega, specs_mega, batch_size=batch_size,
         max_history=max_history, model=evaluate,
@@ -141,6 +191,69 @@ def feature_windows(
         return df
 
     return windows.map_batches(patch_acc, batch_format="pandas")
+
+
+def _mega_state_features(checkpoint_dir: str, mega_ids: frozenset, *,
+                         kernel, kernel_params, num_features: int,
+                         batch_size: int, num_buckets: int,
+                         fingerprint: str):
+    """Reconstruct the carried eval history + pending rows of the mega
+    entities from the streaming bucket state, as FEATURE ROWS at their
+    original per-entity turn ranks.
+
+    The inline selector resumes a window fold with ``Xfull =
+    concat(hist, pending, new)``; the salted evaluator instead slices
+    train windows by rank, so giving it the hist rows at ranks
+    ``[W0·bs − |hist|, W0·bs)`` and the pending rows at ``[W0·bs,
+    W0·bs + |pending|)`` (W0 = carried next_window) reproduces the
+    identical training sets. Returns ``(rows_df, boundary_ts)`` where
+    ``boundary_ts[cid]`` is the timestamp the first NEW row's lag delta
+    must be computed against (the selector's resume patch,
+    stages/selector.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from pystreamfs_ray.schema import FEATURE_COLS
+    from pystreamfs_ray.state.checkpoint import read_bucket_state
+    from pystreamfs_ray.util import bucket_array, params_fingerprint
+
+    names = [kernel] if isinstance(kernel, str) else list(kernel)
+    params = dict(kernel_params or {})
+    params.setdefault("num_features", num_features)
+    lineage = {
+        "kernel": ",".join(names),
+        "params_fingerprint": params_fingerprint(params),
+        "input_fingerprint": fingerprint,
+    }
+    ids = sorted(mega_ids)
+    frames = []
+    boundary_ts: dict = {}
+    buckets = bucket_array(ids, num_buckets)
+    for b in sorted(set(int(x) for x in buckets)):
+        states = read_bucket_state(checkpoint_dir, b, lineage=lineage)
+        for cid in (set(ids) & set(states)):
+            st = states[cid]
+            pend_ts = st.get("pending_ts")
+            boundary_ts[cid] = (
+                pend_ts[-1] if pend_ts is not None and len(pend_ts)
+                else st.get("last_ts")
+            )
+            mat = np.concatenate([st["hist_X"], st["pending_X"]])
+            if not len(mat):
+                continue
+            lab = np.concatenate([st["hist_Y"], st["pending_Y"]])
+            w0 = int(st["next_window"])
+            start = w0 * batch_size - len(st["hist_X"])
+            df = pd.DataFrame(mat, columns=list(FEATURE_COLS))
+            df.insert(0, "conv_id", cid)
+            df.insert(1, "turn_idx",
+                      np.arange(start, start + len(mat), dtype=np.int32))
+            df.insert(2, "label", lab.astype(np.int8))
+            frames.append(df)
+    rows = (pd.concat(frames, ignore_index=True) if frames
+            else pd.DataFrame(columns=["conv_id", "turn_idx", "label",
+                                       *FEATURE_COLS]))
+    return rows, boundary_ts
 
 
 def _entities_above(ds, entity_col: str, threshold: int,

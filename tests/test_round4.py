@@ -85,6 +85,58 @@ def test_grouped_quantiles_sketch_error_bound(ray_session):
             assert lo - 1e-6 <= got[nm] <= hi + 1e-6, (split, nm, got[nm], lo, hi)
 
 
+def test_skew_router_streaming_resume_bit_equal(ray_session, tmp_path):
+    """Round-4: the eval skew router now works across a streaming
+    kill/resume boundary — mega-entity eval history + pending rows are
+    reconstructed from the bucket state, so the salted two-run output
+    is BIT-equal to the inline two-run output (which itself equals the
+    one-shot run by test_streaming_continue)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pystreamfs_ray.pipelines.flagship import feature_windows
+    from pystreamfs_ray.synth import build_fixture
+
+    dirs = build_fixture(str(tmp_path / "fix"), n_convs=40, seed=13,
+                         mega_convs=1, n_files=2, mega_turns=600)
+    t = pa.concat_tables([pq.read_table(p) for p in
+                          sorted(glob.glob(dirs["transcripts"] + "/*.parquet"))])
+    df = t.to_pandas()
+    cut = df.groupby("conv_id")["turn_idx"].transform(lambda s: int(len(s) * 0.45))
+    parts = [pa.Table.from_pandas(df[df["turn_idx"] < cut], preserve_index=False),
+             pa.Table.from_pandas(df[df["turn_idx"] >= cut], preserve_index=False)]
+
+    key = ["kernel", "conv_id", "window_id"]
+
+    def two_run(tag, **salt_kw):
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        o1 = feature_windows(
+            rd.from_arrow(parts[0]), kernel=["ofs"], batch_size=20,
+            num_features=5, num_buckets=4, evaluate="knn", max_history=60,
+            streaming=True, flush=False, checkpoint_dir=ckpt, **salt_kw,
+        ).to_pandas()
+        o2 = feature_windows(
+            rd.from_arrow(parts[1]), kernel=["ofs"], batch_size=20,
+            num_features=5, num_buckets=4, evaluate="knn", max_history=60,
+            streaming=True, flush=True, load_state=True, checkpoint_dir=ckpt,
+            **salt_kw,
+        ).to_pandas()
+        return (pd.concat([o1, o2], ignore_index=True)
+                .sort_values(key, ignore_index=True))
+
+    inline = two_run("inline")
+    salted = two_run("salted", salt_eval_threshold=250, salt_chunk_windows=3)
+    assert (inline[key].values == salted[key].values).all()
+    np.testing.assert_array_equal(inline["acc"].to_numpy(),
+                                  salted["acc"].to_numpy())
+    # the mega entity was actually routed (sanity: threshold crossed)
+    counts = df["conv_id"].value_counts()
+    assert (counts > 250).any()
+
+
 def test_entities_above_matches_truth_random(ray_session):
     """Detector == ground-truth filter on a skewed random fixture, for
     several thresholds (no false positives either — pass 2 is exact)."""
