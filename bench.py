@@ -55,6 +55,11 @@ MEGA_TURNS = 10_000
 # eating the gain; on a multi-node cluster the salted eval's CPU·s
 # spread across otherwise-idle nodes and the router wins (BASELINE.md).
 SALT_THRESHOLD = int(os.environ.get("BENCH_SALT_THRESHOLD", "0"))
+# memory-probe cadence: the ~10 µs /proc read per window is ~2.5% of
+# selector wall at cadence 1; the headline samples every 16th window
+# (mem_bytes repeats the last sample in between — RSS moves far slower
+# than a window). Set to 1 for strict reference parity.
+MEM_PROBE_EVERY = int(os.environ.get("BENCH_MEM_PROBE_EVERY", "16"))
 
 BENCH_QUERIES = [
     "q1_lineitem_agg",
@@ -153,6 +158,7 @@ def run_bench() -> dict:
             num_buckets=num_buckets, concurrency=None,
             evaluate="knn", max_history=EVAL_HISTORY,
             salt_eval_threshold=SALT_THRESHOLD, salt_chunk_windows=25,
+            mem_probe_every=MEM_PROBE_EVERY,
         ).materialize()
         # join sides are small (labels + window rows): coalesce to a few
         # blocks and a modest bucket count so the join isn't latency-bound

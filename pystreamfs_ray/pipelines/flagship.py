@@ -42,6 +42,7 @@ def feature_windows(
     load_state: bool = False,
     salt_eval_threshold: int | None = None,
     salt_chunk_windows: int = 25,
+    mem_probe_every: int = 1,
 ):
     """transcripts → per-(entity, window) selector output Dataset.
 
@@ -93,6 +94,7 @@ def feature_windows(
         flush=flush,
         load_state=load_state,
         skip_eval_ids=mega_ids,
+        mem_probe_every=mem_probe_every,
     )
     if not salting:
         return windows

@@ -74,6 +74,7 @@ class BucketSelector:
         flush: bool = True,
         load_state: bool = False,
         skip_eval_ids: frozenset | None = None,
+        mem_probe_every: int = 1,
     ):
         # actor-pool setup: resolve kernels once per actor, not per batch.
         # A list runs several kernels per entity in ONE pass — the shuffle
@@ -110,6 +111,12 @@ class BucketSelector:
         # caller re-evaluates those windows with the salted parallel
         # evaluator (stages/evaluate.py) and patches acc back, bit-equal
         self.skip_eval_ids = skip_eval_ids or frozenset()
+        # memory-probe cadence: 1 = one /proc read per window (reference
+        # parity, pystreamfs.py:74); k>1 probes every k-th window per
+        # fold and repeats the last sample in between — RSS varies far
+        # slower than a 0.4 ms window, and the ~10 µs probe is ~2.5% of
+        # selector wall at cadence 1 (the round-3 drift suspect)
+        self.mem_probe_every = max(1, int(mem_probe_every))
         if streaming and evaluate and max_history is None:
             raise ValueError(
                 "streaming continuation with evaluation needs a bounded "
@@ -268,6 +275,7 @@ class BucketSelector:
                     state = kernel.init_state(X.shape[1], self.kernel_params)
                     prev_sel = None
                 model = MODELS[self.evaluate]() if eval_this else None
+                mem = None
                 for wid, i in enumerate(range(0, stop, bs)):
                     gwid = wid0 + wid
                     t0 = time.perf_counter()
@@ -278,7 +286,8 @@ class BucketSelector:
                     )
                     selected = top_m_features(w, self.num_features)
                     wall_ms = (time.perf_counter() - t0) * 1000.0
-                    mem = rss_bytes()  # reference cadence: one probe per window
+                    if mem is None or wid % self.mem_probe_every == 0:
+                        mem = rss_bytes()  # cadence 1 = reference parity
 
                     acc = None
                     if model is not None:
@@ -392,6 +401,7 @@ def run_selector(
     flush: bool = True,
     load_state: bool = False,
     skip_eval_ids: frozenset | None = None,
+    mem_probe_every: int = 1,
 ):
     """features Dataset → selector-output Dataset (one shuffle)."""
     kwargs = dict(
@@ -399,6 +409,7 @@ def run_selector(
         flush=flush,
         load_state=load_state,
         skip_eval_ids=skip_eval_ids,
+        mem_probe_every=mem_probe_every,
         kernel=kernel,
         batch_size=batch_size,
         num_features=num_features,

@@ -137,6 +137,38 @@ def test_skew_router_streaming_resume_bit_equal(ray_session, tmp_path):
     assert (counts > 250).any()
 
 
+def test_mem_probe_sampling_cadence(ray_session, synth_dirs):
+    """mem_probe_every > 1 changes ONLY the mem_bytes sampling cadence:
+    every window still carries a (non-null) sample and all other output
+    columns are identical to the per-window-probe run."""
+    import ray.data as rd
+
+    from pystreamfs_ray.pipelines.flagship import feature_windows
+
+    key = ["kernel", "conv_id", "window_id"]
+    outs = []
+    for k in (1, 16):
+        outs.append(feature_windows(
+            rd.read_parquet(synth_dirs["transcripts"]), kernel="ofs",
+            batch_size=20, num_features=5, num_buckets=4,
+            mem_probe_every=k,
+        ).to_pandas().sort_values(key, ignore_index=True))
+    a, b = outs
+    assert (b["mem_bytes"].to_numpy() > 0).all()
+    for col in a.columns:
+        if col in ("mem_bytes", "wall_ms"):
+            continue
+        if col in ("w", "selected"):
+            for va, vb in zip(a[col], b[col]):
+                np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+        else:
+            va, vb = a[col].to_numpy(), b[col].to_numpy()
+            if va.dtype.kind == "f":
+                assert ((va == vb) | (np.isnan(va) & np.isnan(vb))).all(), col
+            else:
+                assert (va == vb).all(), col
+
+
 def test_entities_above_matches_truth_random(ray_session):
     """Detector == ground-truth filter on a skewed random fixture, for
     several thresholds (no false positives either — pass 2 is exact)."""
