@@ -88,14 +88,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pystreamfs_ray.pipelines import queries as q
 
     # NOTE on ordering: the graft driver sweeps only the FIRST 50 entries
-    # each round.  Rounds 1-2 proved the relational/transcript/kernel block
-    # green (CORRECTNESS_r01/r02), so round 3 leads with the queries that
-    # have never produced a driver row — the 8 flagged in VERDICT.md first,
-    # then the sketch / dedup / text / vector families.  The proven-green
-    # block rotates to the tail (its evidence stands in the r1/r2 files).
+    # each round; the window rotates every round so every query earns a
+    # driver row (r1: relational/kernels, r2: transcripts/windows, r3:
+    # sketch/dedup/text/vector, r4: the last 14 never-verified + the new
+    # round-4 operators + the oldest-evidence re-verification block).
     return {
-        # --- never-driver-verified (round-3 window) -------------------
-        # the 8 VERDICT-flagged queries
+        # --- round-4 driver window (first 50; the driver sweeps only
+        # these): 14 never-driver-verified round-3 queries, the newly
+        # oracled media stub, 5 new round-4 operators, the 4 r1-only
+        # greens, then the oldest (r2-last) evidence block. Tail =
+        # r2/r3-proven queries whose evidence stands in
+        # CORRECTNESS_r01-r03.
+        "q_dedup_groups_exact": q.q_dedup_groups_exact,
+        "q_rrf": q.q_rrf,
+        "q_temperature_mix": q.q_temperature_mix,
+        "q_unigram_logprob": q.q_unigram_logprob,
+        "q_dup_matrix": q.q_dup_matrix,
+        "q_asof_tolerance": q.q_asof_tolerance,
+        "q_hll_by_window": q.q_hll_by_window,
+        "q_conv_stats": q.q_conv_stats,
+        "q_pca_project": q.q_pca_project,
+        "q_left_outer_join": q.q_left_outer_join,
+        "q_full_outer_join": q.q_full_outer_join,
+        "q_rollup_revenue": q.q_rollup_revenue,
+        "q_dedup_windowed": q.q_dedup_windowed,
+        "q_session_stats": q.q_session_stats,
+        "q_decode_media": q.q_decode_media,
+        "q_heavy_users": q.q_heavy_users,
+        "q_mask_pii": q.q_mask_pii,
+        "q_pseudonymize": q.q_pseudonymize,
+        "q_first_last": q.q_first_last,
+        "q_mad_outliers": q.q_mad_outliers,
+        "q_dedup_exact": q.q_dedup_exact,
+        "q_token_stats": q.q_token_stats,
+        "q_fingerprint": q.q_fingerprint,
+        "q_ann_topk": q.q_ann_topk,
+        "q_grouped_quantiles": q.q_grouped_quantiles,
+        "q_grouped_topk": q.q_grouped_topk,
+        "q1_lineitem_agg": q.q1_lineitem_agg,
+        "q_filter_project": q.q_filter_project,
+        "q_topk_orders": q.q_topk_orders,
+        "q_join_agg": q.q_join_agg,
+        "q_join_shuffle": q.q_join_shuffle,
+        "q_region_revenue": q.q_region_revenue,
+        "q_part_supplier_revenue": q.q_part_supplier_revenue,
+        "q_semi_join": q.q_semi_join,
+        "q_bloom_semi": q.q_bloom_semi,
+        "q_anti_join": q.q_anti_join,
+        "q_distinct_events": q.q_distinct_events,
+        "q_pivot_events": q.q_pivot_events,
+        "q_stratified_sample": q.q_stratified_sample,
+        "q_percent_rank": q.q_percent_rank,
+        "q_group_zscore": q.q_group_zscore,
+        "q_funnel": q.q_funnel,
+        "q_new_users": q.q_new_users,
+        "q_asof_events": q.q_asof_events,
+        "q_asof_forward": q.q_asof_forward,
+        "q_asof_global": q.q_asof_global,
+        "q_interval_join": q.q_interval_join,
+        "q_transcripts": q.q_transcripts,
+        "q_featurize": q.q_featurize,
+        "q_tumbling": q.q_tumbling,
+        # --- end of 50-query driver window ----------------------------
         "q_minhash_pairs": q.q_minhash_pairs,
         "q_simhash": q.q_simhash,
         "q_embedding_neardup": q.q_embedding_neardup,
@@ -103,19 +157,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ivf_topk": q.q_ivf_topk,
         "q_text_quality": q.q_text_quality,
         "q_lang_id": q.q_lang_id,
-        "q_decode_media": q.q_decode_media,
-        # sketches (HLL / CMS / histogram, global + grouped)
         "q_hll_users": q.q_hll_users,
         "q_hll_by_type": q.q_hll_by_type,
         "q_cms_by_type": q.q_cms_by_type,
         "q_cms_users": q.q_cms_users,
         "q_hist_by_source": q.q_hist_by_source,
         "q_hist_value": q.q_hist_value,
-        # temporal analytics
         "q_latest_event": q.q_latest_event,
         "q_trending": q.q_trending,
         "q_retention": q.q_retention,
-        # dedup / text analysis / curation
         "q_dedup_keep_best": q.q_dedup_keep_best,
         "q_bpe_tokens": q.q_bpe_tokens,
         "q_ngram_jaccard": q.q_ngram_jaccard,
@@ -131,7 +181,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lang_entropy": q.q_lang_entropy,
         "q_dedup_prompts": q.q_dedup_prompts,
         "q_pmi_bigrams": q.q_pmi_bigrams,
-        # vectors / ML feature engineering
         "q_kmeans_assign": q.q_kmeans_assign,
         "q_kmeans": q.q_kmeans,
         "q_label_centroids": q.q_label_centroids,
@@ -145,62 +194,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_robust_zscore": q.q_robust_zscore,
         "q_bm25": q.q_bm25,
         "q_inverted_index": q.q_inverted_index,
-        # sampling / splits / auditing
         "q_audit_orders": q.q_audit_orders,
         "q_budget_sample": q.q_budget_sample,
         "q_kfold": q.q_kfold,
         "q_ntile": q.q_ntile,
         "q_group_sample": q.q_group_sample,
-        # --- end of 50-query driver window ----------------------------
-        "q_dedup_groups_exact": q.q_dedup_groups_exact,
-        # r1-green block
-        "q_dedup_exact": q.q_dedup_exact,
-        "q_token_stats": q.q_token_stats,
-        "q_fingerprint": q.q_fingerprint,
-        "q_ann_topk": q.q_ann_topk,
-        # round-3 additions (driver rows land with the r4 window rotation;
-        # gate- and pytest-verified this round)
-        "q_rrf": q.q_rrf,
-        "q_temperature_mix": q.q_temperature_mix,
-        "q_unigram_logprob": q.q_unigram_logprob,
-        "q_dup_matrix": q.q_dup_matrix,
-        "q_asof_tolerance": q.q_asof_tolerance,
-        "q_hll_by_window": q.q_hll_by_window,
-        "q_conv_stats": q.q_conv_stats,
-        "q_pca_project": q.q_pca_project,  # rows-only: eigendecomposition
-        "q_left_outer_join": q.q_left_outer_join,
-        "q_full_outer_join": q.q_full_outer_join,
-        "q_rollup_revenue": q.q_rollup_revenue,
-        "q_dedup_windowed": q.q_dedup_windowed,
-        "q_session_stats": q.q_session_stats,
-        # relational core (r2-green)
-        "q1_lineitem_agg": q.q1_lineitem_agg,
-        "q_filter_project": q.q_filter_project,
-        "q_topk_orders": q.q_topk_orders,
-        "q_join_agg": q.q_join_agg,
-        "q_join_shuffle": q.q_join_shuffle,
-        "q_region_revenue": q.q_region_revenue,
-        "q_part_supplier_revenue": q.q_part_supplier_revenue,
-        "q_semi_join": q.q_semi_join,
-        "q_bloom_semi": q.q_bloom_semi,
         "q_semi_shuffle": q.q_semi_shuffle,
         "q_anti_shuffle": q.q_anti_shuffle,
-        "q_anti_join": q.q_anti_join,
-        "q_distinct_events": q.q_distinct_events,
-        "q_grouped_topk": q.q_grouped_topk,
-        "q_grouped_quantiles": q.q_grouped_quantiles,
-        "q_pivot_events": q.q_pivot_events,
-        "q_stratified_sample": q.q_stratified_sample,
-        "q_percent_rank": q.q_percent_rank,
-        "q_group_zscore": q.q_group_zscore,
-        "q_funnel": q.q_funnel,
-        "q_new_users": q.q_new_users,
-        # transcript pipeline (r2-green)
-        "q_transcripts": q.q_transcripts,
         "q_render_chat": q.q_render_chat,
         "q_sft_pairs": q.q_sft_pairs,
-        "q_featurize": q.q_featurize,
-        "q_tumbling": q.q_tumbling,
         "q_sliding": q.q_sliding,
         "q_sliding_stride": q.q_sliding_stride,
         "q_union_counts": q.q_union_counts,
@@ -209,12 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_backfill": q.q_backfill,
         "q_sessionize": q.q_sessionize,
         "q_rolling_1h": q.q_rolling_1h,
-        "q_asof_events": q.q_asof_events,
-        "q_asof_forward": q.q_asof_forward,
-        "q_asof_global": q.q_asof_global,
-        "q_interval_join": q.q_interval_join,
         "q_window_counts": q.q_window_counts,
-        # online feature-selection kernels (non-SQL; pytest oracle covers math)
         "q_select_ofs": q.q_select_ofs,
         "q_select_efs": q.q_select_efs,
         "q_select_fsds": q.q_select_fsds,
@@ -223,7 +220,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_metrics_summary": q.q_metrics_summary,
         "q_accuracy_over_time": q.q_accuracy_over_time,
         "q_eval_salted": q.q_eval_salted,
-        # docs sampling / chunking (r2-green)
         "q_sample_docs": q.q_sample_docs,
         "q_chunk_docs": q.q_chunk_docs,
         "q_word_topk": q.q_word_topk,
@@ -1767,6 +1763,83 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = p.id_b
         """,
         "q_decode_media": _decode_media_oracle(),
+        # --- round-4 operators ---
+        "q_heavy_users": """
+            WITH c AS (
+              SELECT CAST(user_id AS VARCHAR) AS user_id,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS rank
+            FROM c ORDER BY n DESC, user_id LIMIT 20
+        """,
+        "q_mask_pii": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text ||
+                     CASE WHEN doc_id % 5 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 7 = 0
+                          THEN ' call 555-123-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                          ELSE '' END AS t
+              FROM documents
+            ), e AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS m1
+              FROM planted
+            )
+            SELECT doc_id,
+                   regexp_replace(m1, '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS masked,
+                   n_emails,
+                   CAST(len(regexp_extract_all(m1, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones
+            FROM e
+        """,
+        "q_pseudonymize": """
+            SELECT event_id,
+                   substr(md5('s1:' || CAST(user_id AS VARCHAR)), 1, 16) AS user_id_pseudo
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "q_first_last": """
+            WITH f AS (
+              SELECT user_id, event_type AS first_event_type, value AS first_value
+              FROM events
+              QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+            ), l AS (
+              SELECT user_id, event_type AS last_event_type, value AS last_value
+              FROM events
+              QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+            ), c AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+            )
+            SELECT f.user_id, first_event_type, first_value,
+                   last_event_type, last_value, n
+            FROM f JOIN l USING (user_id) JOIN c USING (user_id)
+        """,
+        "q_mad_outliers": """
+            WITH c AS (
+              SELECT event_type, CAST(FLOOR(value*100.0 + 0.5) AS BIGINT) AS c
+              FROM events WHERE value IS NOT NULL
+            ), m AS (
+              SELECT event_type, CAST(2*median(c) AS BIGINT) AS med2
+              FROM c GROUP BY event_type
+            ), d AS (
+              SELECT c.event_type, ABS(2*c.c - m.med2) AS ad2
+              FROM c JOIN m USING (event_type)
+            ), md AS (
+              SELECT event_type, CAST(2*median(ad2) AS BIGINT) AS mad2x
+              FROM d GROUP BY event_type
+            )
+            SELECT m.event_type,
+                   CAST(m.med2 AS DOUBLE)/200.0 AS med,
+                   CAST(md.mad2x AS DOUBLE)/400.0 AS mad,
+                   CAST(SUM(CASE WHEN 2*d.ad2 > 3*md.mad2x THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM d JOIN m USING (event_type) JOIN md USING (event_type)
+            GROUP BY m.event_type, m.med2, md.mad2x
+        """,
         "q_dedup_groups_exact": """
             WITH aug AS (
               SELECT doc_id, text FROM documents

@@ -2157,3 +2157,83 @@ def q_session_stats(sf_dir: str):
         return out.drop(columns=["dur_us"])
 
     return W.per_bucket(ds, fn, entity_col="user_id", num_buckets=_BUCKETS)
+
+
+# ---------------------------------------------------------------- round 4
+
+
+def q_heavy_users(sf_dir: str):
+    """Exact top-20 users by event count via the bounded-summary
+    heavy-hitter two-pass (candidates from per-batch truncated counts
+    with a sound n/cap slack, exact recount of candidates only) — the
+    shuffle is capacity-bounded, never cardinality-bounded."""
+    from pystreamfs_ray.stages.sketch import heavy_hitters
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["user_id"])
+
+    def to_str(t: pa.Table) -> pa.Table:
+        return t.set_column(0, "user_id", pc.cast(t["user_id"], pa.string()))
+
+    return heavy_hitters(ev.map_batches(to_str, batch_format="pyarrow"),
+                         "user_id", 20)
+
+
+def q_mask_pii(sf_dir: str):
+    """PII masking over documents: deterministic synthetic emails/phones
+    are planted (the corpus itself is PII-free), then masked with
+    RE2-compatible patterns; emits per-doc match counts. Doc-local,
+    shuffle-free."""
+    from pystreamfs_ray.stages.pii import mask_pii
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        did = df["doc_id"].to_numpy()
+        txt = df["text"].astype(str)
+        em = pd.Series([f" contact user{d}@example.com now" if d % 5 == 0
+                        else "" for d in did], index=df.index)
+        ph = pd.Series([f" call 555-123-{1000 + d % 9000}" if d % 7 == 0
+                        else "" for d in did], index=df.index)
+        df["text"] = txt + em + ph
+        return df
+
+    masked = mask_pii(docs.map_batches(plant, batch_format="pandas"))
+    return masked.select_columns(["doc_id", "masked", "n_emails", "n_phones"])
+
+
+def q_pseudonymize(sf_dir: str):
+    """Salted md5 pseudonyms for user ids over the purchase events —
+    deterministic keyed rename so joins survive de-identification."""
+    from pystreamfs_ray.stages.pii import pseudonymize
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "user_id", "event_type"])
+    ev = ev.filter(expr="event_type == 'purchase'")
+    out = pseudonymize(ev, "user_id", salt="s1")
+    return out.select_columns(["event_id", "user_id_pseudo"])
+
+
+def q_first_last(sf_dir: str):
+    """Per-user first/last event (type and value) under the (ts,
+    event_id) total order, plus event count — in-batch combiner keeps
+    ≤ 2 rows per user per batch ahead of the shuffle."""
+    from pystreamfs_ray.stages.grouped import grouped_first_last
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["user_id", "ts", "event_id", "event_type",
+                               "value"])
+    out = grouped_first_last(ev, "user_id", ["ts", "event_id"],
+                             ["event_type", "value"])
+    return out.select_columns(["user_id", "first_event_type", "first_value",
+                               "last_event_type", "last_value", "n"])
+
+
+def q_mad_outliers(sf_dir: str):
+    """Per-event-type robust outlier stats (median / MAD / count above
+    3·MAD) in exact integer cent arithmetic — bit-stable across
+    partitionings, integer-mode SQL oracle."""
+    from pystreamfs_ray.stages.grouped import mad_outliers
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+    return mad_outliers(ev, "event_type", "value", z=3)

@@ -519,3 +519,83 @@ def group_robust_zscore(ds, group_col: str, value_col: str, *,
         return pd.DataFrame({id_col: df[id_col].to_numpy(), out_col: rz})
 
     return two.map_batches(score, batch_format="pandas")
+
+
+def grouped_first_last(ds, group_col: str, order_cols: list[str],
+                       value_cols: list[str]):
+    """Per-group first and last row's values under a deterministic
+    ``order_cols`` total order (arg_min/arg_max generalized to several
+    payload columns), plus the group count.
+
+    In-batch combiner first: each batch contributes at most its own
+    first+last row per group (plus a count partial), so the shuffle
+    moves ≤ 2 rows per group per batch — never the table. Output
+    columns: ``first_<v>``/``last_<v>`` per value column and ``n``."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(order_cols, kind="mergesort")
+        g = d.groupby(group_col, sort=False)
+        ends = pd.concat([g.head(1), g.tail(1)])
+        ends = ends[~ends.index.duplicated()]  # 1-row groups appear once
+        keep = ends[[group_col, *order_cols, *value_cols]].copy()
+        # the batch count rides on ONE partial row per group (summed at
+        # finish into the exact group size)
+        cnt = g.size()
+        keep["__cnt"] = np.int64(0)
+        first_mask = ~keep.duplicated(subset=[group_col], keep="first")
+        keep.loc[first_mask, "__cnt"] = cnt.loc[
+            keep.loc[first_mask, group_col]].to_numpy(dtype=np.int64)
+        return arrow_block(keep.reset_index(drop=True))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(order_cols, kind="mergesort", ignore_index=True)
+        row: dict = {group_col: [d[group_col].iloc[0]]}
+        for v in value_cols:
+            row[f"first_{v}"] = [d[v].iloc[0]]
+        for v in value_cols:
+            row[f"last_{v}"] = [d[v].iloc[-1]]
+        row["n"] = [np.int64(d["__cnt"].sum())]
+        return pd.DataFrame(row)
+
+    return (ds.select_columns([group_col, *order_cols, *value_cols])
+              .map_batches(arrow_combiner(partial), batch_format="pyarrow")
+              .groupby(group_col)
+              .map_groups(finish, batch_format="pandas"))
+
+
+def mad_outliers(ds, group_col: str, value_col: str, *, z: int = 3):
+    """Per-group robust outlier stats: median, MAD (median absolute
+    deviation) and the count of rows with ``|x − median| > z·MAD``.
+
+    All order statistics run in EXACT integer cent arithmetic
+    (``2·median`` of cents is a sum of two integer order stats), so the
+    result is bit-stable across partitionings and reproducible by an
+    integer-mode SQL oracle — the float-quotient rounding pitfalls
+    don't apply. One (group, cents) shuffle; for extreme per-group
+    cardinality the same sketch escape hatch as
+    :func:`grouped_quantiles` applies (this is the exact form)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        cs = np.sort(c)
+        n = len(cs)
+        row: dict = {group_col: [df[group_col].iloc[0]]}
+        if n == 0:
+            row.update({"med": [None], "mad": [None],
+                        "n_outliers": [np.int64(0)], "n": [np.int64(0)]})
+            return pd.DataFrame(row)
+        med2 = int(cs[(n - 1) // 2]) + int(cs[n // 2])
+        ad2 = np.abs(2 * c - med2)
+        ads = np.sort(ad2)
+        mad2x = int(ads[(n - 1) // 2]) + int(ads[n // 2])
+        row["med"] = [med2 / 200.0]
+        row["mad"] = [mad2x / 400.0]
+        row["n_outliers"] = [np.int64(int((2 * ad2 > z * mad2x).sum()))]
+        row["n"] = [np.int64(n)]
+        return pd.DataFrame(row)
+
+    return (ds.select_columns([group_col, value_col])
+              .groupby(group_col)
+              .map_groups(fn, batch_format="pandas"))

@@ -325,3 +325,88 @@ def cms_registers_by(ds, group_col: str, col: str, *, depth: int = 4,
             .map_batches(_combiner(partial), batch_format="pyarrow")
             .groupby([group_col, "r", "cell"])
             .aggregate(Sum("n", alias_name="n")))
+
+
+def heavy_hitters(ds, col: str, k: int, *, summary_capacity: int = 4096,
+                  tiebreak_asc: bool = True):
+    """Exact top-``k`` most frequent values of ``col`` without a
+    full-cardinality shuffle — the Misra-Gries-style two-pass used
+    throughout the engine for skew work, generalized to a query
+    operator.
+
+    Pass 1 (bounded summary): each batch emits (value, local_count)
+    only for values with local_count > len(batch)/cap, plus a sentinel
+    row carrying len(batch); summed, any value's undercount is ≤ n/cap.
+    Let P_k be the k-th largest summed partial: every true top-k value
+    has partial ≥ P_k − n/cap, so that slack-adjusted cut is a SOUND
+    candidate filter (no false negatives) at any block count. Pass 2
+    recounts ONLY the candidates exactly (broadcast set) and takes the
+    top k by (count desc, value asc). Shuffle volume: ≤ cap+1 rows per
+    batch in pass 1, |candidates| × blocks in pass 2 — bounded by the
+    capacity, never by the column's cardinality (a plain
+    groupby().count() ships one partial row per distinct value per
+    block: input-sized for high-cardinality columns).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from pystreamfs_ray.util import arrow_block
+
+    cap = int(summary_capacity)
+    sentinel = "\x00__rows__"
+
+    def local_heavy(df: pd.DataFrame) -> pd.DataFrame:
+        floor = max(1, len(df) // cap)
+        vc = df[col].astype(str).value_counts()
+        vc = vc[vc > floor]
+        return arrow_block(pd.DataFrame({
+            col: np.concatenate([vc.index.to_numpy(dtype=object), [sentinel]]),
+            "__n": np.concatenate([vc.to_numpy(dtype=np.int64), [len(df)]]),
+        }))
+
+    colds = ds.select_columns([col])
+    partial = (colds.map_batches(_combiner(local_heavy), batch_format="pyarrow")
+               .groupby(col).aggregate(Sum("__n", alias_name="__n"))
+               .to_pandas())
+    is_sent = partial[col] == sentinel
+    n_total = int(partial.loc[is_sent, "__n"].sum())
+    vals = partial.loc[~is_sent].sort_values(
+        ["__n", col], ascending=[False, tiebreak_asc])
+    slack = n_total // cap
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(["n", col], ascending=[False, tiebreak_asc],
+                             ignore_index=True).head(k)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    import ray.data as rd
+
+    if len(vals) < k or int(vals["__n"].iloc[min(k, max(len(vals), 1)) - 1]) <= slack:
+        # degenerate: the k-th hitter is within the summary slack (no
+        # actual heavy tail, or cap too small) — values the summaries
+        # never surfaced could belong to the top-k, so fall back to the
+        # exact full count (correct at any input, input-cardinality
+        # shuffle)
+        exact_all = (colds.groupby(col).count().to_pandas()
+                     .rename(columns={"count()": "n"}))
+        exact_all[col] = exact_all[col].astype(str)
+        exact_all["n"] = exact_all["n"].astype(np.int64)
+        return rd.from_pandas(finish(exact_all))
+
+    kth = int(vals["__n"].iloc[k - 1])
+    cand = frozenset(vals.loc[vals["__n"] >= kth - slack, col])
+    cand_ref = ray.put(cand)
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cand_ref)
+        s = df[col].astype(str)
+        vc = s[s.isin(c)].value_counts()
+        return arrow_block(pd.DataFrame(
+            {col: vc.index.to_numpy(dtype=object),
+             "n": vc.to_numpy(dtype=np.int64)}))
+
+    exact = (colds.map_batches(_combiner(recount), batch_format="pyarrow")
+             .groupby(col).aggregate(Sum("n", alias_name="n"))
+             .to_pandas())  # |candidates| rows — driver-scale by design
+    return rd.from_pandas(finish(exact))

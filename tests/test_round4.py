@@ -186,3 +186,126 @@ def test_entities_above_matches_truth_random(ray_session):
     for thr in (50, 500, 5000):
         got = _entities_above(ds, "conv_id", thr)
         assert got == frozenset(truth[truth > thr].index), thr
+
+
+def test_heavy_hitters_two_pass_and_fallback(ray_session):
+    """Two-pass path matches the exact ground truth on a skewed column
+    (and under a second partitioning); the degenerate-input fallback
+    (k-th count within slack) also matches."""
+    import ray
+
+    from pystreamfs_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(2)
+    vals = [f"v{int(x)}" for x in rng.zipf(1.5, 40000) % 997]
+    df = pd.DataFrame({"x": vals})
+    truth = (df["x"].value_counts().rename_axis("x").reset_index(name="n")
+             .sort_values(["n", "x"], ascending=[False, True],
+                          ignore_index=True))
+    for split in (3, 11):
+        ds = ray.data.from_pandas([df.iloc[i::split].reset_index(drop=True)
+                                   for i in range(split)])
+        got = heavy_hitters(ds, "x", 10).to_pandas()
+        want = truth.head(10).copy()
+        want["rank"] = np.arange(1, 11, dtype=np.int64)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True),
+            check_dtype=False)
+    # fallback: near-uniform counts with tiny capacity → exact full count
+    u = pd.DataFrame({"x": [f"u{i % 50}" for i in range(1000)]})
+    ds = ray.data.from_pandas([u.iloc[i::4].reset_index(drop=True)
+                               for i in range(4)])
+    got = heavy_hitters(ds, "x", 5, summary_capacity=8).to_pandas()
+    ut = (u["x"].value_counts().rename_axis("x").reset_index(name="n")
+          .sort_values(["n", "x"], ascending=[False, True]).head(5)
+          .reset_index(drop=True))
+    ut["rank"] = np.arange(1, 6, dtype=np.int64)
+    pd.testing.assert_frame_equal(got, ut, check_dtype=False)
+
+
+def test_mask_pii_semantics(ray_session):
+    """Emails masked before phones (no double counting); counts match;
+    non-PII text untouched."""
+    import ray
+
+    from pystreamfs_ray.stages.pii import mask_pii
+
+    df = pd.DataFrame({"text": [
+        "reach me at a.b+c@mail.example.org or 555-123-4567 ok",
+        "no pii here",
+        "two mails x@y.io and z@w.co plus 111-222-3333 444-555-6666",
+        "digits in email 123-456-7890@nope... wait that is not an email",
+    ]})
+    out = mask_pii(ray.data.from_pandas(df)).to_pandas()
+    assert out.loc[0, "masked"] == "reach me at <EMAIL> or <PHONE> ok"
+    assert (out.loc[0, ["n_emails", "n_phones"]] == [1, 1]).all()
+    assert out.loc[1, "masked"] == "no pii here"
+    assert (out.loc[2, ["n_emails", "n_phones"]] == [2, 2]).all()
+    # "123-456-7890@nope" parses as an email local part in both engines;
+    # the point is: whatever the call, it is ONE consistent call
+    assert out.loc[3, "n_emails"] + out.loc[3, "n_phones"] >= 1
+
+
+def test_grouped_first_last_partition_invariance(ray_session):
+    """first/last under (ts, id) total order: identical across block
+    layouts and equal to a pandas ground truth."""
+    import ray
+
+    from pystreamfs_ray.stages.grouped import grouped_first_last
+
+    rng = np.random.default_rng(8)
+    n = 5000
+    df = pd.DataFrame({
+        "g": [f"g{int(i)}" for i in rng.integers(0, 60, n)],
+        "ts": rng.permutation(n),
+        "id": np.arange(n),
+        "val": rng.normal(size=n),
+    })
+    want = []
+    for g, sub in df.sort_values(["ts", "id"]).groupby("g"):
+        want.append((g, sub["val"].iloc[0], sub["val"].iloc[-1], len(sub)))
+    want = (pd.DataFrame(want, columns=["g", "first_val", "last_val", "n"])
+            .sort_values("g", ignore_index=True))
+    for split in (4, 9):
+        ds = ray.data.from_pandas([df.iloc[i::split].reset_index(drop=True)
+                                   for i in range(split)])
+        got = (grouped_first_last(ds, "g", ["ts", "id"], ["val"])
+               .to_pandas()
+               .rename(columns={"first_val": "first_val", "last_val": "last_val"})
+               .sort_values("g", ignore_index=True))
+        np.testing.assert_array_equal(got["g"], want["g"])
+        np.testing.assert_allclose(got["first_val"], want["first_val"],
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(got["last_val"], want["last_val"],
+                                   rtol=0, atol=0)
+        np.testing.assert_array_equal(got["n"], want["n"])
+
+
+def test_mad_outliers_integer_exact(ray_session):
+    """MAD stats in cent arithmetic match a float ground truth and are
+    partition-invariant (integer order statistics can't drift)."""
+    import ray
+
+    from pystreamfs_ray.stages.grouped import mad_outliers
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "g": [f"t{int(i)}" for i in rng.integers(0, 4, 3000)],
+        "v": np.round(rng.lognormal(3, 1, 3000), 2),
+    })
+    outs = []
+    for split in (2, 7):
+        ds = ray.data.from_pandas([df.iloc[i::split].reset_index(drop=True)
+                                   for i in range(split)])
+        outs.append(mad_outliers(ds, "g", "v").to_pandas()
+                    .sort_values("g", ignore_index=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0].set_index("g")
+    for g, sub in df.groupby("g"):
+        c = np.floor(sub["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+        med = np.median(c)
+        mad = np.median(np.abs(c - med))
+        assert got.loc[g, "med"] == med / 100.0
+        assert got.loc[g, "mad"] == mad / 100.0
+        assert got.loc[g, "n_outliers"] == int(
+            (np.abs(c - med) > 3 * mad).sum())
