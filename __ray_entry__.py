@@ -318,6 +318,50 @@ def _decode_media_oracle() -> str:
     """
 
 
+def _pca_oracle() -> str:
+    """PCA-projection oracle: the eigendecomposition itself is not SQL,
+    but the PROJECTION is linear — (x−μ)·w = x·w − μ·w — so an
+    independent sequential numpy re-derivation of (μ, W) (read the
+    parquet directly, same covariance/eigh/sign-convention spec as
+    stages/cluster.pca_project, no engine import, no Ray) is inlined as
+    DOUBLE[] literals and the distributed projection is checked by
+    DuckDB ``list_inner_product``. Covariance partials are separately
+    oracle-checked by ``q_embedding_cov``. The driver compares at
+    sf0.01 only, so the inlined components are derived from that
+    fixture (the comparison is deterministic: same data, same
+    arithmetic, every run)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                      columns=["embedding"])
+    X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    n = len(X)
+    mu = X.sum(axis=0) / n
+    cov = (X.T @ X) / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals, kind="stable")[:8]
+    W = evecs[:, order]
+    flip = np.sign(W[np.argmax(np.abs(W), axis=0), np.arange(W.shape[1])])
+    flip[flip == 0] = 1.0
+    W = W * flip
+    c = mu @ W
+    rows = []
+    for j in range(W.shape[1]):
+        wl = ", ".join(repr(float(x)) for x in W[:, j])
+        rows.append(f"({j + 1}, [{wl}]::DOUBLE[], {float(c[j])!r})")
+    values = ",\n".join(rows)
+    return f"""
+        WITH comp AS (
+          SELECT * FROM (VALUES {values}) AS t(component, w, c)
+        )
+        SELECT e.vec_id, CAST(comp.component AS BIGINT) AS component,
+               ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), comp.w)
+                     - comp.c, 6) AS value
+        FROM embeddings e CROSS JOIN comp
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from pystreamfs_ray.sources import temperature_rates
     from pystreamfs_ray.stages.textstats import STOPWORDS
@@ -1763,6 +1807,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = p.id_b
         """,
         "q_decode_media": _decode_media_oracle(),
+        "q_pca_project": _pca_oracle(),
         # --- round-4 operators ---
         "q_heavy_users": """
             WITH c AS (

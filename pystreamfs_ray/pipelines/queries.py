@@ -1959,8 +1959,10 @@ def q_pca_project(sf_dir: str):
     """Top-8 PCA projection of the embedding space (whitening-prep for
     embedding dedup/clustering): d×d covariance via combiner partials,
     driver eigh with a fixed sign convention, broadcast projection.
-    Non-SQL (eigendecomposition) — rows-only at the driver,
-    pytest-gated vs a local numpy reference."""
+    Oracle (round 4): the projection is linear, so independently
+    re-derived components are inlined as SQL literals and the
+    distributed projection is checked with list_inner_product; the
+    eigh itself stays pytest-gated vs numpy."""
     from pystreamfs_ray.stages.cluster import pca_project
 
     emb = read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])

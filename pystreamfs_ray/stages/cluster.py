@@ -246,8 +246,10 @@ def pca_project(ds, *, k: int = 8, id_col: str = "vec_id",
     component's largest-|·| coordinate is positive (numpy's eigh sign
     is otherwise arbitrary), and components order by eigenvalue
     descending with index-ascending tie-break — the projection is then
-    a pure function of the data. No SQL oracle (eigendecomposition);
-    pytest-gated against a local numpy reference."""
+    a pure function of the data. The eigendecomposition is pytest-gated
+    against a local numpy reference; the driver additionally checks the
+    distributed PROJECTION against a DuckDB oracle with independently
+    re-derived components inlined as literals (__ray_entry__._pca_oracle)."""
     import ray
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -368,6 +368,13 @@ def heavy_hitters(ds, col: str, k: int, *, summary_capacity: int = 4096,
     partial = (colds.map_batches(_combiner(local_heavy), batch_format="pyarrow")
                .groupby(col).aggregate(Sum("__n", alias_name="__n"))
                .to_pandas())
+    if len(partial) == 0 or col not in partial.columns:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({
+            col: pd.Series([], dtype=str),
+            "n": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64)}))
     is_sent = partial[col] == sentinel
     n_total = int(partial.loc[is_sent, "__n"].sum())
     vals = partial.loc[~is_sent].sort_values(

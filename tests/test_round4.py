@@ -309,3 +309,29 @@ def test_mad_outliers_integer_exact(ray_session):
         assert got.loc[g, "mad"] == mad / 100.0
         assert got.loc[g, "n_outliers"] == int(
             (np.abs(c - med) > 3 * mad).sum())
+
+
+def test_round4_empty_input_safety(ray_session):
+    """Every round-4 operator returns a clean empty result on an empty
+    input instead of crashing."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.grouped import (grouped_first_last,
+                                               grouped_quantiles,
+                                               mad_outliers)
+    from pystreamfs_ray.stages.pii import mask_pii, pseudonymize
+    from pystreamfs_ray.stages.sketch import heavy_hitters
+
+    empty = rd.from_pandas(pd.DataFrame({
+        "g": pd.Series([], dtype=str),
+        "ts": pd.Series([], dtype=np.int64),
+        "id": pd.Series([], dtype=np.int64),
+        "v": pd.Series([], dtype=np.float64),
+        "text": pd.Series([], dtype=str)}))
+    assert heavy_hitters(empty, "g", 5).count() == 0
+    assert mask_pii(empty).count() == 0
+    assert pseudonymize(empty, "g").count() == 0
+    assert grouped_first_last(empty, "g", ["ts", "id"], ["v"]).count() == 0
+    assert mad_outliers(empty, "g", "v").count() == 0
+    assert grouped_quantiles(empty, "g", "v", [0.5], ["q50"],
+                             sketch_threshold=64).count() == 0
