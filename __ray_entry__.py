@@ -119,6 +119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pseudonymize": q.q_pseudonymize,
         "q_first_last": q.q_first_last,
         "q_mad_outliers": q.q_mad_outliers,
+        "q_weighted_sample": q.q_weighted_sample,
+        "q_quality_filter": q.q_quality_filter,
+        "q_heavy_terms": q.q_heavy_terms,
         "q_dedup_exact": q.q_dedup_exact,
         "q_token_stats": q.q_token_stats,
         "q_fingerprint": q.q_fingerprint,
@@ -146,10 +149,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_asof_forward": q.q_asof_forward,
         "q_asof_global": q.q_asof_global,
         "q_interval_join": q.q_interval_join,
+        # --- end of 50-query driver window ----------------------------
         "q_transcripts": q.q_transcripts,
         "q_featurize": q.q_featurize,
         "q_tumbling": q.q_tumbling,
-        # --- end of 50-query driver window ----------------------------
         "q_minhash_pairs": q.q_minhash_pairs,
         "q_simhash": q.q_simhash,
         "q_embedding_neardup": q.q_embedding_neardup,
@@ -318,7 +321,7 @@ def _decode_media_oracle() -> str:
     """
 
 
-def _pca_oracle() -> str:
+def _pca_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """PCA-projection oracle: the eigendecomposition itself is not SQL,
     but the PROJECTION is linear — (x−μ)·w = x·w − μ·w — so an
     independent sequential numpy re-derivation of (μ, W) (read the
@@ -327,14 +330,13 @@ def _pca_oracle() -> str:
     DOUBLE[] literals and the distributed projection is checked by
     DuckDB ``list_inner_product``. Covariance partials are separately
     oracle-checked by ``q_embedding_cov``. The driver compares at
-    sf0.01 only, so the inlined components are derived from that
-    fixture (the comparison is deterministic: same data, same
-    arithmetic, every run)."""
+    sf0.01 (the ``sf_dir`` default); pytest passes its own dir. The
+    comparison is deterministic: same data, same arithmetic, every
+    run."""
     import numpy as np
     import pyarrow.parquet as pq
 
-    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
-                      columns=["embedding"])
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
     X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
     n = len(X)
     mu = X.sum(axis=0) / n
@@ -362,7 +364,10 @@ def _pca_oracle() -> str:
     """
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """``sf_dir`` affects only the PCA oracle's inlined components and
+    must match the directory the queries are compared at (the graft
+    driver's no-arg call compares at sf0.01)."""
     from pystreamfs_ray.sources import temperature_rates
     from pystreamfs_ray.stages.textstats import STOPWORDS
 
@@ -1807,7 +1812,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = p.id_b
         """,
         "q_decode_media": _decode_media_oracle(),
-        "q_pca_project": _pca_oracle(),
+        "q_pca_project": _pca_oracle(sf_dir),
         # --- round-4 operators ---
         "q_heavy_users": """
             WITH c AS (
@@ -1862,6 +1867,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.user_id, first_event_type, first_value,
                    last_event_type, last_value, n
             FROM f JOIN l USING (user_id) JOIN c USING (user_id)
+        """,
+        "q_weighted_sample": """
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR))
+                  < CAST(GREATEST(LEAST(n_chars, 1000), 0) AS UBIGINT)
+                    * CAST(18014398509481984 AS UBIGINT)  -- 2^54
+        """,
+        "q_quality_filter": f"""
+            WITH toks AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '{_WORD_CLASS}') AS ws
+              FROM documents
+            ), agg AS (
+              SELECT doc_id, text,
+                     CAST(GREATEST(len(ws), 1) AS DOUBLE) AS n,
+                     CAST(len(list_filter(ws, w -> list_contains({all_stop}, w))) AS DOUBLE) AS stop
+              FROM toks
+            ), q AS (
+              SELECT doc_id,
+                     ROUND(0.6 * (LEAST(GREATEST(CAST(length(text) AS DOUBLE) / 200.0, 0), 1)
+                                  * LEAST(GREATEST((4000.0 - CAST(length(text) AS DOUBLE)) / 2000.0, 0), 1))
+                           + 0.4 * (stop / n), 6) AS quality_score
+              FROM agg
+            ), r AS (
+              SELECT doc_id,
+                     ROUND(PERCENT_RANK() OVER (ORDER BY quality_score), 6) AS pr
+              FROM q
+            )
+            SELECT doc_id, pr FROM r WHERE pr >= 0.25
+        """,
+        "q_heavy_terms": f"""
+            WITH w AS (
+              SELECT unnest(regexp_extract_all(lower(text), '{_WORD_CLASS}')) AS word
+              FROM documents
+            ), c AS (
+              SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY word
+            )
+            SELECT word, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rank
+            FROM c ORDER BY n DESC, word LIMIT 15
         """,
         "q_mad_outliers": """
             WITH c AS (

@@ -2239,3 +2239,55 @@ def q_mad_outliers(sf_dir: str):
 
     ev = read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
     return mad_outliers(ev, "event_type", "value", z=3)
+
+
+def q_weighted_sample(sf_dir: str):
+    """Probability-proportional-to-size document sample (inclusion
+    ∝ min(n_chars, 1000)) in exact unsigned integer arithmetic —
+    deterministic, parallelism-invariant, single streaming pass."""
+    from pystreamfs_ray.sources import weighted_sample
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "source", "n_chars"])
+    return weighted_sample(docs, "doc_id", "n_chars",
+                           k_bits=54, weight_cap=1000)
+
+
+def q_quality_filter(sf_dir: str):
+    """Percentile-based corpus quality gate: keep documents at or above
+    the corpus 25th quality percentile. The cutoff is never
+    materialized — every doc gets its global percent-rank (two-phase
+    range-partition + prefix counts, no global sort) and the filter is
+    a row-local compare, so the pattern holds at any corpus size."""
+    from pystreamfs_ray.stages.rank import global_percent_rank
+    from pystreamfs_ray.stages.textstats import quality_score
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    qs = quality_score(docs, concurrency=2).map_batches(
+        lambda df: df[["doc_id", "quality_score"]], batch_format="pandas")
+    pr = global_percent_rank(qs, value_col="quality_score",
+                             id_col="doc_id")
+    return pr.filter(expr="pr >= 0.25")
+
+
+def q_heavy_terms(sf_dir: str):
+    """Exact top-15 corpus terms via the capacity-bounded heavy-hitter
+    two-pass over the EXPLODED word column — the shuffle stays
+    ≤ cap+1 rows per batch no matter how large the vocabulary is
+    (a full word groupby ships one partial per distinct word per
+    block; see q_word_topk for the exact-groupby form)."""
+    import re
+
+    from pystreamfs_ray.stages.sketch import heavy_hitters
+
+    word_re = re.compile(r"[a-z0-9_一-鿿]+")  # textstats tokenizer class
+
+    def words(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(word_re)
+        return pd.DataFrame({"word": np.concatenate(
+            [np.array(t, dtype=object) for t in toks] or
+            [np.array([], dtype=object)])})
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["text"])
+    ws = docs.map_batches(words, batch_format="pandas")
+    return heavy_hitters(ws, "word", 15)

@@ -318,3 +318,30 @@ def budget_sample(ds, group_col: str, key_col: str, weight_col: str,
         add_hash, batch_format="pyarrow")
     return per_bucket(keyed, admit, entity_col=group_col,
                       num_buckets=num_buckets)
+
+
+def weighted_sample(ds, id_col: str, weight_col: str, *,
+                    k_bits: int = 54, weight_cap: int = 1000,
+                    salt: str = ""):
+    """Weighted Bernoulli (probability-proportional-to-size) sample:
+    keep a row iff ``md5_low64(salt || id) < min(weight, cap) << k_bits``
+    — inclusion probability min(w, cap)/2^(64−k_bits), EXACT unsigned
+    integer arithmetic end to end (no float keys, no pow/ln, so the
+    DuckDB oracle replays it bit-for-bit via ``md5_number_lower``).
+    Deterministic, parallelism-invariant, one streaming pass; the cap
+    bounds the 64-bit product (cap · 2^k_bits < 2^64 required)."""
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+
+    if weight_cap << k_bits >= 1 << 64:
+        raise ValueError("weight_cap << k_bits must stay below 2^64")
+    scale = np.uint64(1 << k_bits)
+
+    def fn(df):
+        import pandas as pd  # noqa: F401
+
+        h = _md5_lower64([salt + str(v) for v in df[id_col]])
+        w = np.minimum(df[weight_col].to_numpy(np.int64), weight_cap)
+        w = np.maximum(w, 0).astype(np.uint64)
+        return df[h < w * scale]
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -79,7 +79,8 @@ _SQL_QUERIES = sorted(
 def test_query_vs_oracle(ray_session, name):
     mod = _entry_module()
     mine = _to_pandas(mod.queries()[name](SF_DIR))
-    want = _duck().execute(mod.oracle_sql()[name]).df()
+    # oracle derivations (PCA components) must follow the compare dir
+    want = _duck().execute(mod.oracle_sql(SF_DIR)[name]).df()
     assert_frames_match(mine, want, name)
 
 

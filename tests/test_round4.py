@@ -335,3 +335,37 @@ def test_round4_empty_input_safety(ray_session):
     assert mad_outliers(empty, "g", "v").count() == 0
     assert grouped_quantiles(empty, "g", "v", [0.5], ["q50"],
                              sketch_threshold=64).count() == 0
+
+
+def test_weighted_sample_exact_and_invariant(ray_session):
+    """PPS Bernoulli sample: membership equals the integer-arithmetic
+    ground truth, identical across block layouts, and inclusion scales
+    with weight."""
+    import hashlib
+
+    import ray
+
+    from pystreamfs_ray.sources import weighted_sample
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({"id": np.arange(4000),
+                       "w": rng.integers(0, 1500, 4000)})
+
+    def truth_mask(ids, ws, k_bits=54, cap=1000):
+        out = []
+        for i, w in zip(ids, ws):
+            h = int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:],
+                               "little")
+            out.append(h < max(min(int(w), cap), 0) << k_bits)
+        return np.array(out)
+
+    want = set(df.loc[truth_mask(df["id"], df["w"]), "id"])
+    assert len(want) > 10
+    for split in (1, 6):
+        ds = ray.data.from_pandas([df.iloc[i::split].reset_index(drop=True)
+                                   for i in range(split)])
+        got = set(weighted_sample(ds, "id", "w").to_pandas()["id"])
+        assert got == want
+    # rate sanity: E[|sample|] = sum(min(w,1000))/2^10
+    exp = df["w"].clip(0, 1000).sum() / 1024
+    assert 0.5 * exp < len(want) < 1.5 * exp
