@@ -122,6 +122,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_weighted_sample": q.q_weighted_sample,
         "q_quality_filter": q.q_quality_filter,
         "q_heavy_terms": q.q_heavy_terms,
+        "q_split_assign": q.q_split_assign,
+        "q_dup_ngrams": q.q_dup_ngrams,
+        "q_corpus_stopwords": q.q_corpus_stopwords,
+        "q_gap_quantiles": q.q_gap_quantiles,
         "q_dedup_exact": q.q_dedup_exact,
         "q_token_stats": q.q_token_stats,
         "q_fingerprint": q.q_fingerprint,
@@ -145,11 +149,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_zscore": q.q_group_zscore,
         "q_funnel": q.q_funnel,
         "q_new_users": q.q_new_users,
+        # --- end of 50-query driver window ----------------------------
         "q_asof_events": q.q_asof_events,
         "q_asof_forward": q.q_asof_forward,
         "q_asof_global": q.q_asof_global,
         "q_interval_join": q.q_interval_join,
-        # --- end of 50-query driver window ----------------------------
         "q_transcripts": q.q_transcripts,
         "q_featurize": q.q_featurize,
         "q_tumbling": q.q_tumbling,
@@ -368,8 +372,12 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """``sf_dir`` affects only the PCA oracle's inlined components and
     must match the directory the queries are compared at (the graft
     driver's no-arg call compares at sf0.01)."""
-    from pystreamfs_ray.sources import temperature_rates
+    from pystreamfs_ray.sources import split_cutoffs, temperature_rates
     from pystreamfs_ray.stages.textstats import STOPWORDS
+
+    # identical truncating-int cutoffs as the engine (CAST would round)
+    _cut_train, _cut_val = split_cutoffs(
+        (("train", 0.8), ("val", 0.1), ("test", 0.1)))
 
     all_stop = _sql_word_list(set().union(*STOPWORDS.values()))
     lang_lists = {lang: _sql_word_list(sw) for lang, sw in STOPWORDS.items()}
@@ -1908,6 +1916,66 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT word, n,
                    CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rank
             FROM c ORDER BY n DESC, word LIMIT 15
+        """,
+        "q_split_assign": f"""
+            SELECT doc_id, source,
+                   CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 65536
+                             < {_cut_train} THEN 'train'
+                        WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 65536
+                             < {_cut_val} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "q_dup_ngrams": r"""
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+            ), g AS (
+              SELECT DISTINCT doc_id,
+                     unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             || ' ' || ws[i+3] || ' ' || ws[i+4]
+                             FOR i IN range(1, len(ws) - 3)]) AS g
+              FROM w
+            ), d AS (SELECT g, COUNT(*) AS nd FROM g GROUP BY g)
+            SELECT doc_id, COUNT(*) AS n_grams,
+                   CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+            FROM g JOIN d USING (g) GROUP BY doc_id
+        """,
+        "q_corpus_stopwords": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_distinct(regexp_extract_all(lower(text), '{_WORD_CLASS}')) AS ws
+              FROM documents
+            ), u AS (
+              SELECT doc_id, unnest(ws) AS word FROM w
+            ), c AS (SELECT word, COUNT(*) AS df FROM u GROUP BY word)
+            SELECT word, df FROM c
+            WHERE df >= CAST(CEIL(0.5 * (SELECT COUNT(*) FROM documents)) AS BIGINT)
+        """,
+        # exact integer order statistics (2x median, lower p90) — the
+        # all-BIGINT form; FLOOR(0.9*(n-1)) is the identical IEEE double
+        # product on both sides, so the index always agrees
+        "q_gap_quantiles": """
+            WITH d AS (
+              SELECT event_type,
+                     date_diff('microsecond',
+                               lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id),
+                               ts) AS gap_us
+              FROM events
+            ), s AS (
+              SELECT event_type,
+                     list_sort(list(gap_us)) AS v,
+                     COUNT(gap_us) AS n
+              FROM d WHERE gap_us IS NOT NULL GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(v[CAST((n - 1) // 2 AS BIGINT) + 1]
+                        + v[CAST(n // 2 AS BIGINT) + 1] AS BIGINT)
+                     AS median2_gap_us,
+                   CAST(v[CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) + 1] AS BIGINT)
+                     AS p90lo_gap_us,
+                   n
+            FROM s
         """,
         "q_mad_outliers": """
             WITH c AS (

@@ -2291,3 +2291,80 @@ def q_heavy_terms(sf_dir: str):
     docs = read_parquet(_p(sf_dir, "documents"), columns=["text"])
     ws = docs.map_batches(words, batch_format="pandas")
     return heavy_hitters(ws, "word", 15)
+
+
+def q_split_assign(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test holdout assignment by
+    md5-of-doc_id — row-local, shuffle-free, stable as the corpus
+    grows (see sources.split_assign)."""
+    from pystreamfs_ray.sources import split_assign
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "source"])
+    return split_assign(docs, "doc_id")
+
+
+def q_dup_ngrams(sf_dir: str):
+    """Per-document duplicated 5-gram accounting (the repeated-n-gram
+    signal behind C4/RefinedWeb sub-document dedup): distinct
+    (doc, gram-hash) pairs → one gram-frequency groupby → hash-join
+    back → per-doc (n_grams, n_dup). Text never shuffles."""
+    from pystreamfs_ray.stages.decontam import dup_ngram_stats
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "text"])
+    return dup_ngram_stats(
+        docs, n=5, num_partitions=_join_partitions(docs))
+
+
+def q_corpus_stopwords(sf_dir: str):
+    """Corpus-driven stopword mining: words whose document frequency is
+    at least half the corpus. The cutoff ceil(0.5·n_docs) is computed
+    from parquet metadata (no extra scan) and applied as a row-local
+    filter on the word-frequency aggregate."""
+    import math
+
+    from pystreamfs_ray.stages.textstats import document_frequency
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "text"])
+    thr = math.ceil(0.5 * docs.count())
+    return document_frequency(docs).filter(expr=f"df >= {thr}")
+
+
+def q_gap_quantiles(sf_dir: str):
+    """Median / p90 inter-event gap per event type as EXACT integer
+    order statistics: per-user lag diff in integer µs inside entity
+    buckets (one user shuffle), then per-type 2×median (the sum of the
+    two central order stats — the q_mad_outliers doubling trick) and
+    the lower-p90 element. All-integer outputs sidestep the 6-digit
+    rounding boundary that interpolated quantiles of decimal-grid
+    values land on exactly (µs/1e6 medians end in ...5). Exact order
+    stats co-locate each group like grouped_quantiles' exact path; the
+    sketch path there is the documented approximate scale fallback."""
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "user_id", "ts", "event_type"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        t = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        gap = np.diff(t, prepend=t[:1])
+        new_user = g["user_id"].ne(g["user_id"].shift()).to_numpy()
+        out = pd.DataFrame({"event_type": g["event_type"], "gap_us": gap})
+        return out[~new_user]
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["gap_us"].to_numpy(np.int64))
+        n = len(v)
+        return pd.DataFrame({
+            "event_type": [df["event_type"].iloc[0]],
+            "median2_gap_us": [np.int64(v[(n - 1) // 2] + v[n // 2])],
+            "p90lo_gap_us": [v[int(np.floor(0.9 * (n - 1)))]],
+            "n": [np.int64(n)],
+        })
+
+    pairs = W.per_bucket(ev, gaps, entity_col="user_id",
+                         num_buckets=_BUCKETS)
+    return pairs.groupby("event_type").map_groups(
+        stats, batch_format="pandas")

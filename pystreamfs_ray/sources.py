@@ -345,3 +345,39 @@ def weighted_sample(ds, id_col: str, weight_col: str, *,
         return df[h < w * scale]
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def split_cutoffs(splits) -> list[int]:
+    """Cumulative 16-bit hash cutoffs for a ratio split, computed ONCE
+    in Python (truncating ``int``) so the engine and any SQL mirror use
+    the identical integer boundaries — ``CAST(rate*65536 AS UBIGINT)``
+    in DuckDB ROUNDS and diverges on boundary hash values (the
+    ``decontam.eval_mask_expr`` lesson)."""
+    cum, cuts = 0.0, []
+    for _, rate in splits[:-1]:
+        cum += rate
+        cuts.append(int(cum * 65536))
+    return cuts
+
+
+def split_assign(ds, key_col: str,
+                 splits=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+                 salt: str = ""):
+    """Deterministic train/val/test assignment by md5-of-key: the split
+    boundary is a row-local hash compare against Python-truncated
+    integer cutoffs (`split_cutoffs`), so the assignment is reproducible
+    at any parallelism, stable when the corpus grows (a document never
+    changes split), and needs no shuffle at all — the canonical holdout
+    split for training-data pipelines (vs `q_kfold`'s fold aggregate)."""
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+
+    names = np.array([name for name, _ in splits], dtype=object)
+    cuts = np.array(split_cutoffs(splits), dtype=np.uint64)
+
+    def fn(df):
+        h = _md5_lower64([salt + str(v) for v in df[key_col]]) % np.uint64(65536)
+        out = df.copy()
+        out["split"] = names[np.searchsorted(cuts, h, side="right")]
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -136,3 +136,64 @@ def decontaminate(ds, *, n: int = 4, eval_rate: float = 0.10,
         hits = corpus_grams.join(eval_grams, join_type="inner",
                                  num_partitions=num_partitions, on=("gh",))
     return hits.groupby(id_col).aggregate(Count(alias_name="n_shared"))
+
+
+def dup_ngram_stats(ds, *, n: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text", min_docs: int = 2,
+                    num_partitions: int = 8,
+                    broadcast_threshold: int = 5_000_000):
+    """Per-document duplicated-shingle accounting — for every document,
+    how many of its distinct word ``n``-grams also appear in at least
+    ``min_docs - 1`` OTHER documents (the repeated-n-gram signal behind
+    C4/RefinedWeb-style sub-document dedup decisions).
+
+    100-TB shape: documents reduce to DISTINCT (doc, gram-hash) pairs
+    once (`ngram_hash_pairs` — a doc lives in one batch row, so
+    per-batch dedup IS global dedup); gram document-frequencies come
+    from ONE groupby over those pairs. Only the DUPLICATED gram hashes
+    are needed downstream — when that set fits (≤ ``broadcast_
+    threshold``), it broadcasts once and membership is a vectorized
+    ``searchsorted`` (no second shuffle); otherwise the frequency table
+    hash-joins back onto the pairs. A final per-doc count aggregate
+    emits (n_grams, n_dup). Text never shuffles; every exchanged row
+    is two int64s."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    pairs = ngram_hash_pairs(ds, n=n, id_col=id_col, text_col=text_col)
+    freqs = pairs.groupby("gh").aggregate(Count(alias_name="nd"))
+    dup_ghs = freqs.filter(expr=f"nd >= {min_docs}")
+
+    if dup_ghs.count() <= broadcast_threshold:
+        arr = np.sort(
+            dup_ghs.select_columns(["gh"]).to_pandas()["gh"].to_numpy())
+        ref = ray.put(arr)
+
+        def mark_bcast(t: pa.Table) -> pa.Table:
+            a = ray.get(ref)
+            v = t["gh"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(a, v)
+            pos[pos == len(a)] = 0
+            hit = (a[pos] == v) if len(a) else np.zeros(len(v), bool)
+            return pa.table({
+                id_col: t[id_col],
+                "dup": pa.array(hit.astype(np.int64)),
+            })
+
+        marked = pairs.map_batches(mark_bcast, batch_format="pyarrow")
+    else:
+        joined = pairs.join(freqs, join_type="inner",
+                            num_partitions=num_partitions, on=("gh",))
+
+        def mark(t: pa.Table) -> pa.Table:
+            nd = t["nd"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                id_col: t[id_col],
+                "dup": pa.array((nd >= min_docs).astype(np.int64)),
+            })
+
+        marked = joined.map_batches(mark, batch_format="pyarrow")
+
+    return (marked.groupby(id_col)
+            .aggregate(Count(alias_name="n_grams"),
+                       Sum("dup", alias_name="n_dup")))

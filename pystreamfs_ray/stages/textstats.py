@@ -798,3 +798,30 @@ def unigram_logprob(ds, *, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return per_doc.map_batches(finish, batch_format="pandas")
+
+
+def document_frequency(ds, *, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Document frequency per word: in how many distinct documents each
+    lowercase word (``[a-z0-9_一-鿿]+`` runs, the package tokenizer
+    class) appears. The foundation for corpus-driven stopword mining
+    and vocabulary pruning.
+
+    Scale shape: each batch emits the UNIQUE words of each of its
+    documents (a doc lives in one batch row, so per-doc uniqueness is
+    global), then ONE word groupby counts documents — the shuffle
+    carries (word) rows, never text, and is bounded by
+    sum-of-per-doc-vocabulary, not token count."""
+    from ray.data.aggregate import Count
+
+    word_re = re.compile(r"[a-z0-9_一-鿿]+")
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        toks = df[text_col].str.lower().str.findall(word_re)
+        uniq = [np.unique(np.array(t, dtype=object)) for t in toks]
+        flat = (np.concatenate(uniq) if uniq
+                else np.array([], dtype=object))
+        return pa.table({"word": pa.array(flat, type=pa.string())})
+
+    pairs = ds.map_batches(explode, batch_format="pandas")
+    return pairs.groupby("word").aggregate(Count(alias_name="df"))

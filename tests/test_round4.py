@@ -369,3 +369,80 @@ def test_weighted_sample_exact_and_invariant(ray_session):
     # rate sanity: E[|sample|] = sum(min(w,1000))/2^10
     exp = df["w"].clip(0, 1000).sum() / 1024
     assert 0.5 * exp < len(want) < 1.5 * exp
+
+
+def test_split_assign_ratios_and_stability(ray_session):
+    """Hash holdout split: deterministic across block layouts, roughly
+    honors the 80/10/10 ratios, and a doc's split never changes when
+    the corpus grows."""
+    import ray
+
+    from pystreamfs_ray.sources import split_assign
+
+    df = pd.DataFrame({"id": np.arange(5000)})
+    full = split_assign(ray.data.from_pandas(df), "id").to_pandas()
+    frac = full["split"].value_counts(normalize=True)
+    assert 0.75 < frac["train"] < 0.85
+    assert 0.07 < frac["val"] < 0.13
+    assert 0.07 < frac["test"] < 0.13
+    # growth stability: the first 1000 ids keep their assignment
+    small = split_assign(
+        ray.data.from_pandas(df.iloc[:1000]), "id").to_pandas()
+    merged = small.merge(full.iloc[:1000], on="id", suffixes=("_s", "_f"))
+    assert (merged["split_s"] == merged["split_f"]).all()
+
+
+def test_dup_ngram_stats_matches_naive(ray_session):
+    """Per-doc duplicated-shingle counts equal a sequential pandas
+    recount on a fixture with planted cross-doc overlap."""
+    import ray
+
+    from pystreamfs_ray.stages.decontam import dup_ngram_stats
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, 12)) for _ in range(60)]
+    texts[7] = texts[3]                      # exact dup pair
+    df = pd.DataFrame({"doc_id": np.arange(60), "text": texts})
+
+    got = (dup_ngram_stats(ray.data.from_pandas(df), n=3,
+                           num_partitions=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    def grams(t, n=3):
+        ws = t.split()
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    gsets = {r.doc_id: grams(r.text) for r in df.itertuples()}
+    freq: dict = {}
+    for gs in gsets.values():
+        for g in gs:
+            freq[g] = freq.get(g, 0) + 1
+    want = pd.DataFrame({
+        "doc_id": list(gsets),
+        "n_grams": [len(gsets[d]) for d in gsets],
+        "n_dup": [sum(freq[g] >= 2 for g in gsets[d]) for d in gsets],
+    })
+    merged = got.merge(want, on="doc_id", suffixes=("", "_w"))
+    assert (merged["n_grams"] == merged["n_grams_w"]).all()
+    assert (merged["n_dup"] == merged["n_dup_w"]).all()
+    assert merged.loc[merged.doc_id == 7, "n_dup"].iloc[0] >= 10
+    # the distributed-join fallback must agree with the broadcast path
+    via_join = (dup_ngram_stats(ray.data.from_pandas(df), n=3,
+                                num_partitions=2, broadcast_threshold=0)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, via_join)
+
+
+def test_document_frequency_matches_naive(ray_session):
+    import ray
+
+    from pystreamfs_ray.stages.textstats import document_frequency
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["the cat the dog", "The CAT runs", "dog dog dog"],
+    })
+    got = (document_frequency(ray.data.from_pandas(df))
+           .to_pandas().set_index("word")["df"].to_dict())
+    assert got == {"the": 2, "cat": 2, "dog": 2, "runs": 1}
