@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dup_ngrams": q.q_dup_ngrams,
         "q_corpus_stopwords": q.q_corpus_stopwords,
         "q_gap_quantiles": q.q_gap_quantiles,
+        "q_ann_recall": q.q_ann_recall,
         "q_dedup_exact": q.q_dedup_exact,
         "q_token_stats": q.q_token_stats,
         "q_fingerprint": q.q_fingerprint,
@@ -148,8 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_percent_rank": q.q_percent_rank,
         "q_group_zscore": q.q_group_zscore,
         "q_funnel": q.q_funnel,
-        "q_new_users": q.q_new_users,
         # --- end of 50-query driver window ----------------------------
+        "q_new_users": q.q_new_users,
         "q_asof_events": q.q_asof_events,
         "q_asof_forward": q.q_asof_forward,
         "q_asof_global": q.q_asof_global,

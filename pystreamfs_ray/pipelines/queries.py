@@ -2368,3 +2368,33 @@ def q_gap_quantiles(sf_dir: str):
                          num_buckets=_BUCKETS)
     return pairs.groupby("event_type").map_groups(
         stats, batch_format="pandas")
+
+
+def q_ann_recall(sf_dir: str):
+    """Recall@10 of the APPROXIMATE IVF path (nprobe=4 of 16 cells)
+    against the brute-force exact top-k — the quality gate that keeps
+    the ANN scale path honest (q_ivf_topk's full-probe run shares the
+    exact SQL oracle; this measures what partial probing costs).
+    Non-SQL (IVF training is iterative); driver checks rows-only and
+    pytest bounds mean recall. Both result sets are queries×k rows —
+    driver-side compare is O(100), never data-sized."""
+    from pystreamfs_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    emb = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 10").to_pandas()
+    qmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy()
+    exact = brute_force_topk(emb, qids, qmat, k=10,
+                             concurrency=2).to_pandas()
+    approx = ivf_topk(emb, qids, qmat, k=10, n_cells=16, nprobe=4,
+                      concurrency=2).to_pandas()
+    rows = []
+    for qid, grp in exact.groupby("query_id"):
+        true = set(grp["vec_id"])
+        got = set(approx.loc[approx["query_id"] == qid, "vec_id"])
+        rows.append((int(qid), len(true & got), len(true)))
+    out = pd.DataFrame(rows, columns=["query_id", "n_hits", "k"])
+    out["recall"] = np.round(out["n_hits"] / out["k"], 6)
+    return out

@@ -110,3 +110,21 @@ def sft_pairs(ts_ds, *, num_buckets: int = 64):
 
     return per_bucket(ts_ds, _pairs, entity_col="conv_id",
                       num_buckets=num_buckets)
+
+
+def export_sft_jsonl(sf_dir: str, out_dir: str, *, num_shards: int = 16,
+                     num_buckets: int = 64, resume: bool = False):
+    """End-to-end SFT export: derive transcripts from the event log,
+    mine (prompt, response) pairs, and write them as deterministic
+    hash-sharded JSONL (the interchange format most SFT trainers
+    ingest). Returns the shard manifest Dataset — rows stream from the
+    pair miner straight into the shard writers, never to the driver.
+    Re-running with ``resume=True`` skips finished shards."""
+    from pystreamfs_ray.sources import export_jsonl_sharded
+
+    pairs = sft_pairs(transcripts_from_events(sf_dir,
+                                              num_buckets=num_buckets),
+                      num_buckets=num_buckets)
+    return export_jsonl_sharded(pairs, out_dir, by="conv_id",
+                                num_shards=num_shards, resume=resume,
+                                sort_cols=["conv_id", "turn_idx"])

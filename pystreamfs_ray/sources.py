@@ -381,3 +381,51 @@ def split_assign(ds, key_col: str,
         return out
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def export_jsonl_sharded(ds, path: str, *, by: str = "conv_id",
+                         num_shards: int = 16, resume: bool = False,
+                         sort_cols=None):
+    """Sharded JSONL sink for training-data export (SFT pairs, rendered
+    chats): rows hash-partition by ``by`` into ``num_shards`` files,
+    each written ATOMICALLY (tmp + rename) by its own group task with
+    a deterministic name (``shard=NNNNN.jsonl``) and deterministic
+    row order — so a failed run reruns only missing shards
+    (``resume=True`` skips shards whose file already exists) and two
+    runs produce byte-identical output. Returns the manifest Dataset
+    (shard, n_rows, skipped, path); rows never gather on the driver.
+    Serialization is pandas ``to_json(lines=True)`` — C-level, no
+    per-row Python. Local/shared-filesystem paths; at cluster scale
+    point ``path`` at a mounted shared FS or adapt with pyarrow.fs."""
+    import os
+
+    import pandas as pd
+
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+
+    keys = list(sort_cols) if sort_cols else [by]
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__shard"] = (_md5_lower64([str(v) for v in df[by]])
+                          % np.uint64(num_shards)).astype(np.int64)
+        return out
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        shard = int(g["__shard"].iloc[0])
+        fp = os.path.join(path, f"shard={shard:05d}.jsonl")
+        if resume and os.path.exists(fp):
+            return pd.DataFrame({"shard": [shard], "n_rows": [np.int64(-1)],
+                                 "skipped": [True], "path": [fp]})
+        g = (g.drop(columns="__shard")
+             .sort_values(keys, kind="mergesort", ignore_index=True))
+        tmp = fp + f".tmp-{os.getpid()}"
+        g.to_json(tmp, orient="records", lines=True, force_ascii=False)
+        os.replace(tmp, fp)
+        return pd.DataFrame({"shard": [shard], "n_rows": [np.int64(len(g))],
+                             "skipped": [False], "path": [fp]})
+
+    os.makedirs(path, exist_ok=True)
+    keyed = ds.map_batches(add_shard, batch_format="pandas")
+    return keyed.groupby("__shard").map_groups(
+        write_group, batch_format="pandas")
