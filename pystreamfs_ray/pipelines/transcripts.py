@@ -117,8 +117,8 @@ def export_sft_jsonl(sf_dir: str, out_dir: str, *, num_shards: int = 16,
     """End-to-end SFT export: derive transcripts from the event log,
     mine (prompt, response) pairs, and write them as deterministic
     hash-sharded JSONL (the interchange format most SFT trainers
-    ingest). Returns the shard manifest Dataset — rows stream from the
-    pair miner straight into the shard writers, never to the driver.
+    ingest). Returns the shard manifest DataFrame — rows stream from
+    the pair miner straight into the shard writers, never the driver.
     Re-running with ``resume=True`` skips finished shards."""
     from pystreamfs_ray.sources import export_jsonl_sharded
 

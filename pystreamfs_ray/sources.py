@@ -392,8 +392,13 @@ def export_jsonl_sharded(ds, path: str, *, by: str = "conv_id",
     a deterministic name (``shard=NNNNN.jsonl``) and deterministic
     row order — so a failed run reruns only missing shards
     (``resume=True`` skips shards whose file already exists) and two
-    runs produce byte-identical output. Returns the manifest Dataset
-    (shard, n_rows, skipped, path); rows never gather on the driver.
+    runs produce byte-identical output. Eager sink (like
+    ``write_parquet``): returns the manifest as a pandas DataFrame
+    (shard, n_rows, skipped, path) — always these four columns, even
+    for an empty input (Ray's ``to_pandas`` drops the schema of a
+    zero-row dataset, so a Dataset return could not promise that).
+    The manifest is <= ``num_shards`` rows; shard payloads never
+    touch the driver.
     Serialization is pandas ``to_json(lines=True)`` — C-level, no
     per-row Python. Local/shared-filesystem paths; at cluster scale
     point ``path`` at a mounted shared FS or adapt with pyarrow.fs."""
@@ -427,5 +432,12 @@ def export_jsonl_sharded(ds, path: str, *, by: str = "conv_id",
 
     os.makedirs(path, exist_ok=True)
     keyed = ds.map_batches(add_shard, batch_format="pandas")
-    return keyed.groupby("__shard").map_groups(
+    manifest = keyed.groupby("__shard").map_groups(
         write_group, batch_format="pandas")
+    mdf = manifest.to_pandas()
+    if len(mdf) == 0:
+        mdf = pd.DataFrame({"shard": pd.Series([], dtype=np.int64),
+                            "n_rows": pd.Series([], dtype=np.int64),
+                            "skipped": pd.Series([], dtype=bool),
+                            "path": pd.Series([], dtype=str)})
+    return mdf

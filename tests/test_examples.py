@@ -29,3 +29,15 @@ def test_example_corpus_pipeline():
     assert out.returncode == 0, out.stderr[-2000:]
     assert "docs kept by T=2 mixing:" in out.stdout
     assert "RRF top-5 doc ids:" in out.stdout
+
+
+def test_example_sft_export(tmp_path):
+    """SFT export walkthrough: transcripts → pairs → holdout splits →
+    sharded JSONL with resume — subprocess so it owns its Ray session."""
+    out = subprocess.run(
+        [sys.executable, f"{EX}/example_sft_export.py",
+         "/root/testdata/sf0.001", str(tmp_path / "sft")],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "train:" in out.stdout and "resume skipped shards:" in out.stdout

@@ -477,7 +477,7 @@ def test_export_jsonl_sharded_layout_resume_determinism(ray_session, tmp_path):
     m1 = (export_jsonl_sharded(ray.data.from_pandas(df), out1,
                                by="conv_id", num_shards=4,
                                sort_cols=["conv_id", "turn_idx"])
-          .to_pandas().sort_values("shard").reset_index(drop=True))
+          .sort_values("shard").reset_index(drop=True))
     assert not m1["skipped"].any()
     assert m1["n_rows"].sum() == 40
     files = sorted(os.listdir(out1))
@@ -494,16 +494,22 @@ def test_export_jsonl_sharded_layout_resume_determinism(ray_session, tmp_path):
     parts = [df.iloc[i::3].reset_index(drop=True) for i in range(3)]
     export_jsonl_sharded(ray.data.from_pandas(parts), out2,
                          by="conv_id", num_shards=4,
-                         sort_cols=["conv_id", "turn_idx"]).materialize()
+                         sort_cols=["conv_id", "turn_idx"])
     for f in files:
         assert (open(os.path.join(out1, f)).read()
                 == open(os.path.join(out2, f)).read())
     # resume skips every existing shard
-    m3 = (export_jsonl_sharded(ray.data.from_pandas(df), out1,
-                               by="conv_id", num_shards=4, resume=True,
-                               sort_cols=["conv_id", "turn_idx"])
-          .to_pandas())
+    m3 = export_jsonl_sharded(ray.data.from_pandas(df), out1,
+                              by="conv_id", num_shards=4, resume=True,
+                              sort_cols=["conv_id", "turn_idx"])
     assert m3["skipped"].all()
+    # empty input: no shard files, but the manifest schema is stable
+    out3 = str(tmp_path / "run3")
+    m4 = export_jsonl_sharded(
+        ray.data.from_pandas(df).filter(expr="turn_idx > 999"), out3,
+        by="conv_id", num_shards=4, sort_cols=["conv_id", "turn_idx"])
+    assert list(m4.columns) == ["shard", "n_rows", "skipped", "path"]
+    assert len(m4) == 0 and os.listdir(out3) == []
 
 
 def test_export_sft_jsonl_end_to_end(ray_session, tmp_path):
@@ -514,7 +520,7 @@ def test_export_sft_jsonl_end_to_end(ray_session, tmp_path):
 
     out = str(tmp_path / "sft")
     m = export_sft_jsonl("/root/testdata/sf0.001", out,
-                         num_shards=4, num_buckets=4).to_pandas()
+                         num_shards=4, num_buckets=4)
     assert m["n_rows"].sum() > 0
     rec = json.loads(open(os.path.join(out, sorted(os.listdir(out))[0]))
                      .readline())
