@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sample_docs": q.q_sample_docs,
         "q_chunk_docs": q.q_chunk_docs,
         "q_word_topk": q.q_word_topk,
+        "q_split_leakage": q.q_split_leakage,
     }
 
 
@@ -2012,5 +2013,48 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               FROM aug
             )
             SELECT doc_id AS node, component FROM g WHERE n >= 2
+        """,
+        # split rule == q_split_assign's inlined truncating cutoffs;
+        # content identity == md5_number_lower (engine _md5_lower64)
+        "q_split_leakage": f"""
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 60
+            ), s AS (
+              SELECT md5_number_lower(text) AS h,
+                     CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 65536
+                               < {_cut_train} THEN 'train'
+                          WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 65536
+                               < {_cut_val} THEN 'val'
+                          ELSE 'test' END AS split
+              FROM aug
+            ), g AS (
+              SELECT h,
+                     SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+                     SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+                     SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+              FROM s GROUP BY h
+            )
+            SELECT 'train-val' AS pair,
+                   CAST(SUM(CASE WHEN n_train > 0 AND n_val > 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_groups,
+                   CAST(SUM(CASE WHEN n_train > 0 AND n_val > 0
+                            THEN n_val ELSE 0 END) AS BIGINT) AS n_eval_docs
+            FROM g
+            UNION ALL
+            SELECT 'train-test',
+                   CAST(SUM(CASE WHEN n_train > 0 AND n_test > 0
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(SUM(CASE WHEN n_train > 0 AND n_test > 0
+                            THEN n_test ELSE 0 END) AS BIGINT)
+            FROM g
+            UNION ALL
+            SELECT 'val-test',
+                   CAST(SUM(CASE WHEN n_val > 0 AND n_test > 0
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(SUM(CASE WHEN n_val > 0 AND n_test > 0
+                            THEN n_test ELSE 0 END) AS BIGINT)
+            FROM g
         """,
     }

@@ -2398,3 +2398,23 @@ def q_ann_recall(sf_dir: str):
     out = pd.DataFrame(rows, columns=["query_id", "n_hits", "k"])
     out["recall"] = np.round(out["n_hits"] / out["k"], 6)
     return out
+
+
+def q_split_leakage(sf_dir: str):
+    """Holdout contamination audit: exact-duplicate text groups that
+    straddle the train/val/test hash split, per split pair (see
+    stages.decontam.split_leakage). The sf* documents fixture has no
+    exact duplicates, so — like q_dedup_groups_exact — the query
+    plants id-shifted copies of the first 60 docs on BOTH sides to
+    make the audit non-trivial."""
+    from pystreamfs_ray.stages.decontam import split_leakage
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def shift(t: pa.Table) -> pa.Table:
+        return t.set_column(t.column_names.index("doc_id"), "doc_id",
+                            pc.add(t["doc_id"], 1_000_000))
+
+    planted = (docs.filter(expr="doc_id < 60")
+               .map_batches(shift, batch_format="pyarrow"))
+    return split_leakage(docs.union(planted))

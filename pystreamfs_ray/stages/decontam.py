@@ -197,3 +197,61 @@ def dup_ngram_stats(ds, *, n: int = 5, id_col: str = "doc_id",
     return (marked.groupby(id_col)
             .aggregate(Count(alias_name="n_grams"),
                        Sum("dup", alias_name="n_dup")))
+
+
+def split_leakage(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                  splits=(("train", 0.8), ("val", 0.1), ("test", 0.1))):
+    """Holdout-boundary contamination audit: for every ordered split
+    pair (train-val, train-test, val-test), how many EXACT-duplicate
+    text groups straddle the pair, and how many documents of the
+    later (eval-side) split are contaminated by them — the report a
+    training run wants before trusting its held-out loss (the split
+    itself is `sources.split_assign`'s hash rule, so this audits the
+    exact assignment the export pipeline ships).
+
+    100-TB shape: each batch reduces to per-content-hash one-hot split
+    counts (text never leaves the read task — only int64 hash +
+    3 counters shuffle ONCE), a mergeable Sum groupby resolves global
+    per-group counts, and a second combiner collapses those to 3 rows.
+    Content identity is md5-low-64 (`_md5_lower64` == DuckDB
+    ``md5_number_lower``), so the whole audit is SQL-oracle-checkable;
+    a 64-bit collision would merely co-count two unrelated texts, and
+    identically so in the oracle."""
+    from ray.data.aggregate import Sum
+
+    from pystreamfs_ray.sources import split_cutoffs
+    from pystreamfs_ray.util import arrow_combiner
+
+    names = np.array([nm for nm, _ in splits], dtype=object)
+    cuts = np.array(split_cutoffs(splits), dtype=np.uint64)
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_lower64(df[text_col].tolist()).view(np.int64)
+        sp = names[np.searchsorted(
+            cuts,
+            _md5_lower64([str(v) for v in df[id_col]]) % np.uint64(65536),
+            side="right")]
+        tmp = pd.DataFrame({"h": h})
+        for nm in names:
+            tmp[f"n_{nm}"] = (sp == nm).astype(np.int64)
+        return tmp.groupby("h", sort=False).sum().reset_index()
+
+    groups = (ds.map_batches(arrow_combiner(partial), batch_format="pyarrow")
+              .groupby("h")
+              .aggregate(*[Sum(f"n_{nm}", alias_name=f"n_{nm}")
+                           for nm in names]))
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for a, b in pairs:
+            m = (df[f"n_{a}"] > 0) & (df[f"n_{b}"] > 0)
+            rows.append({"pair": f"{a}-{b}",
+                         "n_groups": np.int64(m.sum()),
+                         "n_eval_docs": np.int64(df.loc[m, f"n_{b}"].sum())})
+        return pd.DataFrame(rows)
+
+    return (groups.map_batches(arrow_combiner(flags), batch_format="pyarrow")
+            .groupby("pair")
+            .aggregate(Sum("n_groups", alias_name="n_groups"),
+                       Sum("n_eval_docs", alias_name="n_eval_docs")))

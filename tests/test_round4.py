@@ -525,3 +525,45 @@ def test_export_sft_jsonl_end_to_end(ray_session, tmp_path):
     rec = json.loads(open(os.path.join(out, sorted(os.listdir(out))[0]))
                      .readline())
     assert set(rec) == {"conv_id", "turn_idx", "prompt", "response"}
+
+
+def test_split_leakage_planted_and_layout_invariant(ray_session):
+    import ray
+
+    from pystreamfs_ray.sources import split_cutoffs
+    from pystreamfs_ray.stages.decontam import split_leakage
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+
+    # 60 texts, each duplicated across two ids -> 60 groups of size 2
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64),
+                       "text": [f"body {i % 60}" for i in range(120)]})
+
+    # expected, from the hash primitive directly (no stage code)
+    cuts = split_cutoffs((("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    names = np.array(["train", "val", "test"], dtype=object)
+    sp = names[np.searchsorted(
+        np.array(cuts, dtype=np.uint64),
+        _md5_lower64([str(i) for i in df["doc_id"]]) % np.uint64(65536),
+        side="right")]
+    want = {}
+    for a, b in [("train", "val"), ("train", "test"), ("val", "test")]:
+        ng = nd = 0
+        for g in range(60):
+            grp = sp[df["text"] == f"body {g}"]
+            na, nb = (grp == a).sum(), (grp == b).sum()
+            if na > 0 and nb > 0:
+                ng, nd = ng + 1, nd + int(nb)
+        want[f"{a}-{b}"] = (ng, nd)
+    assert sum(g for g, _ in want.values()) > 0  # fixture non-trivial
+
+    def run(ds):
+        out = (split_leakage(ds).to_pandas()
+               .sort_values("pair").reset_index(drop=True))
+        return {r["pair"]: (int(r["n_groups"]), int(r["n_eval_docs"]))
+                for _, r in out.iterrows()}
+
+    got = run(ray.data.from_pandas(df))
+    assert got == want
+    # invariant under block layout (duplicates split across blocks)
+    parts = [df.iloc[i::5].reset_index(drop=True) for i in range(5)]
+    assert run(ray.data.from_pandas(parts)) == want
