@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chunk_docs": q.q_chunk_docs,
         "q_word_topk": q.q_word_topk,
         "q_split_leakage": q.q_split_leakage,
+        "q_turn_latency": q.q_turn_latency,
     }
 
 
@@ -2056,5 +2057,29 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(SUM(CASE WHEN n_val > 0 AND n_test > 0
                             THEN n_test ELSE 0 END) AS BIGINT)
             FROM g
+        """,
+        # integer-µs order stats (the q_gap_quantiles doubling trick)
+        "q_turn_latency": f"""
+            WITH {_TRANSCRIPTS_CTE}, l AS (
+              SELECT conv_id, role, ts,
+                     lag(role) OVER w AS prole,
+                     lag(ts) OVER w AS pts
+              FROM transcripts
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ), d AS (
+              SELECT conv_id,
+                     date_diff('microsecond', pts, ts) AS gap_us
+              FROM l WHERE role = 'assistant' AND prole = 'user'
+            ), s AS (
+              SELECT conv_id, list_sort(list(gap_us)) AS v,
+                     COUNT(*) AS n
+              FROM d GROUP BY conv_id
+            )
+            SELECT conv_id, CAST(n AS BIGINT) AS n_responses,
+                   CAST(v[CAST((n - 1) // 2 AS BIGINT) + 1]
+                        + v[CAST(n // 2 AS BIGINT) + 1] AS BIGINT)
+                     AS median2_us,
+                   CAST(v[n] AS BIGINT) AS max_us
+            FROM s
         """,
     }

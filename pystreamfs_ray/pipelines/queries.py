@@ -2418,3 +2418,47 @@ def q_split_leakage(sf_dir: str):
     planted = (docs.filter(expr="doc_id < 60")
                .map_batches(shift, batch_format="pyarrow"))
     return split_leakage(docs.union(planted))
+
+
+def q_turn_latency(sf_dir: str):
+    """Assistant response latency per conversation — for every
+    assistant turn whose immediately preceding turn is a user turn,
+    gap = ts_assistant - ts_user in EXACT integer µs; per conversation
+    emit the response count, 2×median (sum of the two central order
+    stats — the q_gap_quantiles trick, no float interpolation) and the
+    max. Rides the standard conv_id bucket shuffle; each bucket
+    resolves ALL its conversations with one vectorized sorted pass
+    (cumsum group offsets), so per-conv work is O(1) Python calls per
+    bucket, not per conversation."""
+    ts_ds = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+
+    def lat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"],
+                          kind="mergesort", ignore_index=True)
+        conv = g["conv_id"].to_numpy()
+        role = g["role"].to_numpy()
+        t = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        m = (conv[1:] == conv[:-1]) & (role[1:] == "assistant") \
+            & (role[:-1] == "user")
+        d = pd.DataFrame({"conv_id": conv[1:][m],
+                          "gap": t[1:][m] - t[:-1][m]})
+        if not len(d):
+            return pd.DataFrame({"conv_id": pd.Series(dtype=object),
+                                 "n_responses": pd.Series(dtype=np.int64),
+                                 "median2_us": pd.Series(dtype=np.int64),
+                                 "max_us": pd.Series(dtype=np.int64)})
+        d = d.sort_values(["conv_id", "gap"], kind="mergesort",
+                          ignore_index=True)
+        cnt = d.groupby("conv_id", sort=False).size()
+        n = cnt.to_numpy(dtype=np.int64)
+        start = np.concatenate([[0], np.cumsum(n[:-1])])
+        v = d["gap"].to_numpy()
+        return pd.DataFrame({
+            "conv_id": cnt.index.to_numpy(),
+            "n_responses": n,
+            "median2_us": v[start + (n - 1) // 2] + v[start + n // 2],
+            "max_us": v[start + n - 1],
+        })
+
+    return W.per_bucket(ts_ds, lat, entity_col="conv_id",
+                        num_buckets=_BUCKETS)

@@ -567,3 +567,35 @@ def test_split_leakage_planted_and_layout_invariant(ray_session):
     # invariant under block layout (duplicates split across blocks)
     parts = [df.iloc[i::5].reset_index(drop=True) for i in range(5)]
     assert run(ray.data.from_pandas(parts)) == want
+
+
+def test_turn_latency_matches_pandas(ray_session):
+    """q_turn_latency == a naive per-conversation pandas recomputation
+    over the same derived transcripts (the DuckDB oracle covers the
+    SQL contract; this pins the vectorized offset arithmetic)."""
+    from pystreamfs_ray.pipelines.queries import q_turn_latency
+    from pystreamfs_ray.pipelines.transcripts import transcripts_from_events
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_turn_latency(sf).to_pandas()
+           .sort_values("conv_id", ignore_index=True))
+
+    t = (transcripts_from_events(sf, num_buckets=4).to_pandas()
+         .sort_values(["conv_id", "turn_idx"], ignore_index=True))
+    rows = []
+    for conv, g in t.groupby("conv_id"):
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        role = g["role"].to_numpy()
+        gaps = np.sort((ts[1:] - ts[:-1])[(role[1:] == "assistant")
+                                          & (role[:-1] == "user")])
+        n = len(gaps)
+        if n:
+            rows.append((conv, n, int(gaps[(n - 1) // 2] + gaps[n // 2]),
+                         int(gaps[-1])))
+    want = pd.DataFrame(rows, columns=["conv_id", "n_responses",
+                                       "median2_us", "max_us"])
+    assert len(got) == len(want) > 0
+    m = got.merge(want, on="conv_id", suffixes=("", "_w"))
+    assert len(m) == len(want)
+    for c in ("n_responses", "median2_us", "max_us"):
+        assert (m[c].to_numpy() == m[f"{c}_w"].to_numpy()).all(), c
