@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_word_topk": q.q_word_topk,
         "q_split_leakage": q.q_split_leakage,
         "q_turn_latency": q.q_turn_latency,
+        "q_neardup_leakage": q.q_neardup_leakage,
     }
 
 
@@ -392,6 +393,44 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     _tm_case = " ".join(
         f"WHEN '{s}' THEN {int(r * 65536)}" for s, r in sorted(_tm_rates.items())
     )
+    # shared by q_minhash_pairs and q_neardup_leakage (which wraps it)
+    _minhash_pairs_sql = r"""
+        WITH docs AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+            CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+                 ELSE array_to_string(ws[i.i:i.i+2], ' ') END AS s
+          FROM docs CROSS JOIN LATERAL (
+            SELECT unnest(range(1, GREATEST(len(ws) - 2, 1) + 1)) AS i) i
+        ),
+        perms(p, pa, pb) AS (VALUES __PERM_VALUES__),
+        sigs AS (
+          SELECT doc_id, p,
+            MIN(CAST((CAST(md5_number_lower(s) AS HUGEINT) * pa + pb)
+                     % 18446744073709551616 AS UBIGINT)
+                % 2305843009213693951) AS v
+          FROM sh CROSS JOIN perms GROUP BY doc_id, p
+        ),
+        per_band AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p // 4 AS band,
+                 SUM(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS eq
+          FROM sigs a JOIN sigs b ON a.p = b.p AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3
+        )
+        SELECT id_a, id_b, SUM(eq) / 128.0 AS jaccard_est
+        FROM per_band
+        GROUP BY id_a, id_b
+        HAVING MAX(CASE WHEN eq = 4 THEN 1 ELSE 0 END) = 1
+           AND SUM(eq) / 128.0 >= 0.2
+    """.replace("__PERM_VALUES__", _minhash_perm_values(128))
+
+    def _split_case(idc: str) -> str:
+        return (f"CASE WHEN md5_number_lower(CAST({idc} AS VARCHAR)) % 65536"
+                f" < {_cut_train} THEN 'train'"
+                f" WHEN md5_number_lower(CAST({idc} AS VARCHAR)) % 65536"
+                f" < {_cut_val} THEN 'val' ELSE 'test' END")
+
     return {
         # sums quantized via FLOOR(x*scale + 0.5) → integer, exact and
         # order-independent: hash-equal to the Ray side by construction
@@ -1504,36 +1543,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # full signature replay (same md5 shingle hash + seeded permutation
         # constants), pairs sharing >=1 exact band, est = lane-match
         # fraction (exact k/128 double — no rounding on either side)
-        "q_minhash_pairs": r"""
-            WITH docs AS (
-              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
-            ), sh AS (
-              SELECT DISTINCT doc_id,
-                CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
-                     ELSE array_to_string(ws[i.i:i.i+2], ' ') END AS s
-              FROM docs CROSS JOIN LATERAL (
-                SELECT unnest(range(1, GREATEST(len(ws) - 2, 1) + 1)) AS i) i
-            ),
-            perms(p, pa, pb) AS (VALUES __PERM_VALUES__),
-            sigs AS (
-              SELECT doc_id, p,
-                MIN(CAST((CAST(md5_number_lower(s) AS HUGEINT) * pa + pb)
-                         % 18446744073709551616 AS UBIGINT)
-                    % 2305843009213693951) AS v
-              FROM sh CROSS JOIN perms GROUP BY doc_id, p
-            ),
-            per_band AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p // 4 AS band,
-                     SUM(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS eq
-              FROM sigs a JOIN sigs b ON a.p = b.p AND a.doc_id < b.doc_id
-              GROUP BY 1, 2, 3
-            )
-            SELECT id_a, id_b, SUM(eq) / 128.0 AS jaccard_est
-            FROM per_band
-            GROUP BY id_a, id_b
-            HAVING MAX(CASE WHEN eq = 4 THEN 1 ELSE 0 END) = 1
-               AND SUM(eq) / 128.0 >= 0.2
-        """.replace("__PERM_VALUES__", _minhash_perm_values(128)),
+        "q_minhash_pairs": _minhash_pairs_sql,
         # hamming <= h implies a shared band over h+1 bands (pigeonhole),
         # so the engine's LSH banding is EXACT for this predicate and the
         # all-pairs SQL below is its oracle
@@ -2081,5 +2091,16 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                      AS median2_us,
                    CAST(v[n] AS BIGINT) AS max_us
             FROM s
+        """,
+        # near-dup contamination: MinHash candidate pairs (same CTE
+        # chain as q_minhash_pairs) whose two docs land in different
+        # holdout splits (same inlined cutoffs as q_split_assign)
+        "q_neardup_leakage": f"""
+            SELECT id_a, id_b, jaccard_est, split_a, split_b FROM (
+              SELECT id_a, id_b, jaccard_est,
+                     {_split_case('id_a')} AS split_a,
+                     {_split_case('id_b')} AS split_b
+              FROM ({_minhash_pairs_sql}) p
+            ) WHERE split_a <> split_b
         """,
     }

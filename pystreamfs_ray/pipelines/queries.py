@@ -2462,3 +2462,26 @@ def q_turn_latency(sf_dir: str):
 
     return W.per_bucket(ts_ds, lat, entity_col="conv_id",
                         num_buckets=_BUCKETS)
+
+
+def q_neardup_leakage(sf_dir: str):
+    """NEAR-duplicate holdout contamination — the realistic leakage
+    threat exact-hash audits miss: MinHash-LSH candidate pairs
+    (est. Jaccard >= 0.2, same machinery as q_minhash_pairs) whose two
+    documents land in DIFFERENT train/val/test splits. Split labels
+    are the row-local `sources.split_labels` rule applied to the pair
+    ids — a per-batch map over the (already tiny) pair set, zero
+    additional shuffle on top of the LSH banding."""
+    from pystreamfs_ray.sources import split_labels
+    from pystreamfs_ray.stages.dedup import minhash_lsh_pairs
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, threshold=0.2, concurrency=(2, 8))
+
+    def add_splits(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["split_a"] = split_labels(df["id_a"])
+        df["split_b"] = split_labels(df["id_b"])
+        return df[df["split_a"] != df["split_b"]]
+
+    return pairs.map_batches(add_splits, batch_format="pandas")

@@ -360,6 +360,20 @@ def split_cutoffs(splits) -> list[int]:
     return cuts
 
 
+def split_labels(values,
+                 splits=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+                 salt: str = "") -> np.ndarray:
+    """Vector form of the holdout rule: the split name per key value
+    (md5-of-key vs `split_cutoffs`' truncating-integer boundaries).
+    Row-local — usable on any id column of any batch."""
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+
+    names = np.array([name for name, _ in splits], dtype=object)
+    cuts = np.array(split_cutoffs(splits), dtype=np.uint64)
+    h = _md5_lower64([salt + str(v) for v in values]) % np.uint64(65536)
+    return names[np.searchsorted(cuts, h, side="right")]
+
+
 def split_assign(ds, key_col: str,
                  splits=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
                  salt: str = ""):
@@ -369,15 +383,10 @@ def split_assign(ds, key_col: str,
     at any parallelism, stable when the corpus grows (a document never
     changes split), and needs no shuffle at all — the canonical holdout
     split for training-data pipelines (vs `q_kfold`'s fold aggregate)."""
-    from pystreamfs_ray.stages.dedup import _md5_lower64
-
-    names = np.array([name for name, _ in splits], dtype=object)
-    cuts = np.array(split_cutoffs(splits), dtype=np.uint64)
 
     def fn(df):
-        h = _md5_lower64([salt + str(v) for v in df[key_col]]) % np.uint64(65536)
         out = df.copy()
-        out["split"] = names[np.searchsorted(cuts, h, side="right")]
+        out["split"] = split_labels(df[key_col], splits, salt)
         return out
 
     return ds.map_batches(fn, batch_format="pandas")

@@ -599,3 +599,19 @@ def test_turn_latency_matches_pandas(ray_session):
     assert len(m) == len(want)
     for c in ("n_responses", "median2_us", "max_us"):
         assert (m[c].to_numpy() == m[f"{c}_w"].to_numpy()).all(), c
+
+
+def test_split_labels_matches_split_assign(ray_session):
+    import ray
+
+    from pystreamfs_ray.sources import split_assign, split_labels
+
+    df = pd.DataFrame({"k": np.arange(500, dtype=np.int64)})
+    via_ds = (split_assign(ray.data.from_pandas(df), "k").to_pandas()
+              .sort_values("k", ignore_index=True))
+    direct = split_labels(df["k"])
+    assert (via_ds["split"].to_numpy() == direct).all()
+    # every split non-empty at this size and rates roughly honored
+    counts = pd.Series(direct).value_counts()
+    assert set(counts.index) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
