@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_split_leakage": q.q_split_leakage,
         "q_turn_latency": q.q_turn_latency,
         "q_neardup_leakage": q.q_neardup_leakage,
+        "q_data_card": q.q_data_card,
     }
 
 
@@ -2102,5 +2103,16 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                      {_split_case('id_b')} AS split_b
               FROM ({_minhash_pairs_sql}) p
             ) WHERE split_a <> split_b
+        """,
+        "q_data_card": rf"""
+            SELECT split, source, lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                   CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+                     AS n_words
+            FROM (SELECT source, lang, text,
+                         {_split_case('doc_id')} AS split
+                  FROM documents)
+            GROUP BY split, source, lang
         """,
     }

@@ -2485,3 +2485,37 @@ def q_neardup_leakage(sf_dir: str):
         return df[df["split_a"] != df["split_b"]]
 
     return pairs.map_batches(add_splits, batch_format="pandas")
+
+
+def q_data_card(sf_dir: str):
+    """Corpus data card: per (split, source, lang) document, character
+    and word totals — the summary table a training-data release
+    publishes. Pure combiner shape: each batch collapses to at most
+    |splits|x|sources|x|langs| partial rows before ONE tiny mergeable
+    groupby; split labels are row-local (`sources.split_labels`), so
+    the whole card costs a single pruned scan at any corpus size."""
+    from ray.data.aggregate import Sum
+
+    from pystreamfs_ray.sources import split_labels
+    from pystreamfs_ray.util import arrow_combiner
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "text", "lang", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "split": split_labels(df["doc_id"]),
+            "source": df["source"].to_numpy(),
+            "lang": df["lang"].to_numpy(),
+            "n_docs": np.int64(1),
+            "n_chars": df["text"].str.len().to_numpy(dtype=np.int64),
+            "n_words": df["text"].str.count(r"\S+").to_numpy(dtype=np.int64),
+        })
+        return (out.groupby(["split", "source", "lang"], sort=False)
+                .sum().reset_index())
+
+    return (docs.map_batches(arrow_combiner(partial), batch_format="pyarrow")
+            .groupby(["split", "source", "lang"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_chars", alias_name="n_chars"),
+                       Sum("n_words", alias_name="n_words")))
