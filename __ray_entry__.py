@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_turn_latency": q.q_turn_latency,
         "q_neardup_leakage": q.q_neardup_leakage,
         "q_data_card": q.q_data_card,
+        "q_tool_error_rate": q.q_tool_error_rate,
     }
 
 
@@ -2114,5 +2115,17 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                          {_split_case('doc_id')} AS split
                   FROM documents)
             GROUP BY split, source, lang
+        """,
+        "q_tool_error_rate": f"""
+            WITH {_TRANSCRIPTS_CTE}, l AS (
+              SELECT tool,
+                     lead(role) OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx) AS nrole
+              FROM transcripts
+            )
+            SELECT tool, CAST(COUNT(*) AS BIGINT) AS n_calls,
+                   CAST(SUM(CASE WHEN nrole = 'system' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_err_next
+            FROM l WHERE tool <> '' GROUP BY tool
         """,
     }

@@ -2519,3 +2519,38 @@ def q_data_card(sf_dir: str):
             .aggregate(Sum("n_docs", alias_name="n_docs"),
                        Sum("n_chars", alias_name="n_chars"),
                        Sum("n_words", alias_name="n_words")))
+
+
+def q_tool_error_rate(sf_dir: str):
+    """Tool-call outcome accounting over transcripts: per tool, how
+    many calls (turns with a non-empty tool) and how many are followed
+    IMMEDIATELY by a system/error turn in the same conversation — the
+    agent-quality signal a transcript pipeline reports per tool. Same
+    conv-bucket + vectorized-shift shape as q_turn_latency; buckets
+    emit per-tool partial counts, one tiny mergeable Sum groupby
+    finishes (output is |tools| rows)."""
+    from ray.data.aggregate import Sum
+
+    ts_ds = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"],
+                          kind="mergesort", ignore_index=True)
+        conv = g["conv_id"].to_numpy()
+        role = g["role"].to_numpy()
+        tool = g["tool"].to_numpy()
+        nxt_err = np.zeros(len(g), dtype=np.int64)
+        nxt_err[:-1] = ((conv[1:] == conv[:-1])
+                        & (role[1:] == "system")).astype(np.int64)
+        d = pd.DataFrame({"tool": tool, "err": nxt_err})[tool != ""]
+        out = (d.groupby("tool", sort=False)
+               .agg(n_calls=("err", "size"), n_err_next=("err", "sum"))
+               .reset_index())
+        out["n_calls"] = out["n_calls"].astype(np.int64)
+        return out
+
+    partials = W.per_bucket(ts_ds, part, entity_col="conv_id",
+                            num_buckets=_BUCKETS)
+    return (partials.groupby("tool")
+            .aggregate(Sum("n_calls", alias_name="n_calls"),
+                       Sum("n_err_next", alias_name="n_err_next")))
