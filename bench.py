@@ -91,6 +91,12 @@ BENCH_QUERIES = [
     "q_unigram_logprob",
     "q_left_outer_join",
     "q_hll_by_window",
+    # round-4 additions (one per new family: heavy hitters, dup-ngram
+    # accounting, holdout-contamination audit, transcript latency)
+    "q_heavy_terms",
+    "q_dup_ngrams",
+    "q_split_leakage",
+    "q_turn_latency",
 ]
 
 
