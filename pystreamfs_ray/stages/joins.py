@@ -73,11 +73,17 @@ class BloomFilter:
 
 def build_bloom(keys_ds, on: str, *, fp_rate: float = 0.01,
                 capacity: int | None = None) -> BloomFilter:
-    """Build a BloomFilter from a key Dataset without materializing the
-    keys: batches stream through the driver, only bits are kept. (At
+    """Build a BloomFilter from a key Dataset: batches stream through
+    the driver, only bits are kept. When ``capacity`` must be probed,
+    the projected key column (not the full table) is materialized once
+    so the count and the bit-fill don't recompute the upstream. (At
     multi-node scale, build per-partition filters in ``map_batches``
     and OR-reduce the bitarrays — same structure, kept simple here.)"""
     if capacity is None:
+        # the count probe and the bit-fill below both consume the key
+        # dataset — materialize the (projected) keys once instead of
+        # re-deriving them per consumer
+        keys_ds = keys_ds.select_columns([on]).materialize()
         capacity = keys_ds.count()
     bf = BloomFilter(capacity, fp_rate)
     for batch in keys_ds.select_columns([on]).iter_batches(
