@@ -127,10 +127,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_corpus_stopwords": q.q_corpus_stopwords,
         "q_gap_quantiles": q.q_gap_quantiles,
         "q_ann_recall": q.q_ann_recall,
-        "q_dedup_exact": q.q_dedup_exact,
-        "q_token_stats": q.q_token_stats,
-        "q_fingerprint": q.q_fingerprint,
-        "q_ann_topk": q.q_ann_topk,
+        # late-r4 additions, never driver-checked — in the window so
+        # every registered query has a lifetime driver verdict after r4
+        "q_split_leakage": q.q_split_leakage,
+        "q_turn_latency": q.q_turn_latency,
+        "q_neardup_leakage": q.q_neardup_leakage,
+        "q_data_card": q.q_data_card,
+        "q_tool_error_rate": q.q_tool_error_rate,
         "q_grouped_quantiles": q.q_grouped_quantiles,
         "q_grouped_topk": q.q_grouped_topk,
         "q1_lineitem_agg": q.q1_lineitem_agg,
@@ -231,11 +234,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sample_docs": q.q_sample_docs,
         "q_chunk_docs": q.q_chunk_docs,
         "q_word_topk": q.q_word_topk,
-        "q_split_leakage": q.q_split_leakage,
-        "q_turn_latency": q.q_turn_latency,
-        "q_neardup_leakage": q.q_neardup_leakage,
-        "q_data_card": q.q_data_card,
-        "q_tool_error_rate": q.q_tool_error_rate,
+        # rotated out of the first-50 window (lifetime-verified r1/r2)
+        "q_dedup_exact": q.q_dedup_exact,
+        "q_token_stats": q.q_token_stats,
+        "q_fingerprint": q.q_fingerprint,
+        "q_ann_topk": q.q_ann_topk,
     }
 
 
