@@ -239,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_token_stats": q.q_token_stats,
         "q_fingerprint": q.q_fingerprint,
         "q_ann_topk": q.q_ann_topk,
+        "q_neardup_canonical": q.q_neardup_canonical,
+        "q_split_drift": q.q_split_drift,
     }
 
 
@@ -2130,5 +2132,56 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(SUM(CASE WHEN nrole = 'system' THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_err_next
             FROM l WHERE tool <> '' GROUP BY tool
+        """,
+        # near-dup canonicalization: components over the MinHash pair
+        # graph, keep the longest member (tie-break min doc_id)
+        "q_neardup_canonical": f"""
+            WITH RECURSIVE pairs AS (SELECT * FROM ({_minhash_pairs_sql})),
+            edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            cc(node, comp) AS (
+              SELECT DISTINCT s, s FROM edges
+              UNION
+              SELECT e.d, c.comp FROM cc c JOIN edges e ON e.s = c.node
+            ),
+            comps AS (SELECT node, MIN(comp) AS component FROM cc
+                      GROUP BY node),
+            scored AS (
+              SELECT c.component, d.doc_id, d.n_chars,
+                     row_number() OVER (PARTITION BY c.component
+                                        ORDER BY d.n_chars DESC, d.doc_id)
+                       AS rn,
+                     COUNT(*) OVER (PARTITION BY c.component) AS n_members
+              FROM comps c JOIN documents d ON d.doc_id = c.node
+            )
+            SELECT CAST(component AS BIGINT) AS component,
+                   CAST(doc_id AS BIGINT) AS keep_id,
+                   CAST(n_chars AS BIGINT) AS best_score,
+                   CAST(n_members AS BIGINT) AS n_members
+            FROM scored WHERE rn = 1
+        """,
+        # per-split embedding centroid cosine (lexicographic pairs)
+        "q_split_drift": f"""
+            WITH e AS (
+              SELECT {_split_case('vec_id')} AS split,
+                     unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings
+            ),
+            cent AS (SELECT split, dim, AVG(v) AS c FROM e
+                     GROUP BY split, dim),
+            cnt AS (SELECT {_split_case('vec_id')} AS split,
+                           CAST(COUNT(*) AS BIGINT) AS n
+                    FROM embeddings GROUP BY 1)
+            SELECT a.split AS split_a, b.split AS split_b,
+                   ca.n AS n_a, cb.n AS n_b,
+                   ROUND(SUM(a.c * b.c)
+                         / (sqrt(SUM(a.c * a.c)) * sqrt(SUM(b.c * b.c))),
+                         6) AS cosine
+            FROM cent a
+            JOIN cent b ON b.dim = a.dim AND a.split < b.split
+            JOIN cnt ca ON ca.split = a.split
+            JOIN cnt cb ON cb.split = b.split
+            GROUP BY a.split, b.split, ca.n, cb.n
         """,
     }

@@ -2554,3 +2554,30 @@ def q_tool_error_rate(sf_dir: str):
     return (partials.groupby("tool")
             .aggregate(Sum("n_calls", alias_name="n_calls"),
                        Sum("n_err_next", alias_name="n_err_next")))
+
+
+def q_neardup_canonical(sf_dir: str):
+    """Canonical-copy selection per near-duplicate group: MinHash-LSH
+    candidate pairs (same banding/threshold as q_minhash_pairs) →
+    connected components → per component keep the LONGEST member
+    (tie-break smallest doc_id). One row per duplicate group."""
+    from pystreamfs_ray.stages.dedup import minhash_lsh_pairs, neardup_canonical
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, threshold=0.2, concurrency=(2, 8))
+    attrs = read_parquet(_p(sf_dir, "documents"),
+                         columns=["doc_id", "n_chars"])
+    return neardup_canonical(pairs, attrs, id_col="doc_id",
+                             score_col="n_chars")
+
+
+def q_split_drift(sf_dir: str):
+    """Embedding-centroid drift across the deterministic train/val/test
+    holdout: cosine between every split pair's mean embedding — the
+    embedding-space companion to the exact/near contamination audits
+    (a drifted val/test centroid flags a skewed holdout)."""
+    from pystreamfs_ray.stages.cluster import split_centroid_drift
+
+    emb = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"])
+    return split_centroid_drift(emb)

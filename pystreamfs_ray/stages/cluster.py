@@ -147,6 +147,56 @@ def label_centroids(ds, *, label_col: str = "label",
     return out.sort_values([label_col, "dim"], ignore_index=True)
 
 
+def split_centroid_drift(ds, *, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         splits=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+                         salt: str = "", ndigits: int = 6) -> pd.DataFrame:
+    """Distribution-shift check across the holdout split: the embedding
+    centroid of each split (same deterministic md5 rule as
+    ``sources.split_assign``), then the cosine between every split
+    pair. A val/test centroid that drifts away from train's flags a
+    skewed holdout — the embedding-space companion to the exact/near
+    contamination audits in ``stages.decontam``.
+
+    Output one row per unordered pair, lexicographic ``split_a <
+    split_b``: ``(split_a, split_b, n_a, n_b, cosine)``. Same combiner
+    shape as ``label_centroids`` (one (count, sum-vector) row per split
+    per block), so the exchange is ``n_blocks × n_splits`` rows of d
+    floats and the pairwise finish is a driver-side k×k matrix."""
+    from pystreamfs_ray.sources import split_labels
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        X = _as_matrix(df[vec_col])
+        labs = split_labels(df[id_col].to_numpy(), splits, salt=salt)
+        uniq = np.unique(labs)
+        return pd.DataFrame({
+            "split": uniq,
+            "n": [int((labs == u).sum()) for u in uniq],
+            "vsum": [X[labs == u].sum(axis=0) for u in uniq],
+        })
+
+    parts = (ds.select_columns([id_col, vec_col])
+             .map_batches(partial, batch_format="pandas").to_pandas())
+    cent, cnt = {}, {}
+    for s, g in parts.groupby("split"):
+        n = int(g["n"].sum())
+        cnt[s] = n
+        cent[s] = np.sum(np.stack(g["vsum"].to_list()), axis=0) / n
+    names = sorted(cent)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            ca, cb = cent[a], cent[b]
+            cos = float(ca @ cb
+                        / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+            rows.append((a, b, cnt[a], cnt[b], round(cos, ndigits)))
+    out = pd.DataFrame(rows,
+                       columns=["split_a", "split_b", "n_a", "n_b", "cosine"])
+    out["n_a"] = out["n_a"].astype(np.int64)
+    out["n_b"] = out["n_b"].astype(np.int64)
+    return out
+
+
 def cluster_sizes(ds, centroid_ids, centroids, *, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> pd.DataFrame:
     """Per-cluster count + mean distance (rounded) — the usual

@@ -781,6 +781,62 @@ def dedup_groups(pairs_ds, **kw):
     return connected_components(pairs_ds, **kw)
 
 
+def neardup_canonical(pairs_ds, attrs_ds, *, id_col: str = "doc_id",
+                      score_col: str = "n_chars",
+                      num_partitions: int | None = None):
+    """Canonical-copy selection over the near-dup graph: connected
+    components of the candidate-pair graph, then ONE keeper per
+    component — the member with the largest ``score_col`` (tie-break
+    smallest id). One row per duplicate group:
+    ``(component, keep_id, best_score, n_members)`` — the curation form
+    where the longest/highest-quality copy survives instead of the
+    arbitrary min-id one.
+
+    Scale shape: components cost O(log diameter) label rounds over the
+    pair-sized edge set (never corpus-sized); the attribute join ships
+    only ``(id, score)`` for nodes that ARE in components; the argmax
+    reduces through a per-batch combiner partial (one row per component
+    per block) before the component-keyed groupby — text never
+    shuffles, and no component ever needs to fit on the driver."""
+    import ray
+
+    from pystreamfs_ray.util import arrow_block, arrow_combiner
+
+    comps = connected_components(pairs_ds)  # (node, component)
+    attrs = attrs_ds.select_columns([id_col, score_col]).map_batches(
+        lambda t: t.rename_columns(["node", "__score"]),
+        batch_format="pyarrow")
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = min(64, max(4, cpus // 2))
+    joined = comps.join(attrs, join_type="inner",
+                        num_partitions=num_partitions, on=("node",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["component", "__score", "node"],
+                            ascending=[True, False, True], kind="mergesort")
+        best = df.drop_duplicates("component")
+        n = df.groupby("component", sort=False).size()
+        return arrow_block(pd.DataFrame({
+            "component": best["component"].to_numpy(np.int64),
+            "keep_id": best["node"].to_numpy(np.int64),
+            "best_score": best["__score"].to_numpy(np.int64),
+            "n_members": n.loc[best["component"]].to_numpy(np.int64),
+        }))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        n = np.int64(g["n_members"].sum())
+        g = g.sort_values(["best_score", "keep_id"],
+                          ascending=[False, True], kind="mergesort")
+        out = g.iloc[:1][["component", "keep_id", "best_score"]].copy()
+        out["n_members"] = n
+        return out
+
+    return (joined.map_batches(arrow_combiner(partial),
+                               batch_format="pyarrow")
+            .groupby("component").map_groups(final, batch_format="pandas"))
+
+
 # ------------------------------------------------------- embedding near-dup
 
 

@@ -615,3 +615,74 @@ def test_split_labels_matches_split_assign(ray_session):
     counts = pd.Series(direct).value_counts()
     assert set(counts.index) == {"train", "val", "test"}
     assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_neardup_canonical_argmax_and_partition_invariance(ray_session):
+    """Keep-best per connected component: two components (one a chain,
+    so components must propagate past direct neighbors), argmax on
+    score with min-id tie-break, n_members counts every node. Result
+    must not depend on input block layout."""
+    import ray
+
+    from pystreamfs_ray.stages.dedup import neardup_canonical
+
+    # component A: 1-2-3 chain; component B: 10-11
+    pairs = pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+    attrs = pd.DataFrame({"doc_id": [1, 2, 3, 10, 11, 99],
+                          "n_chars": [5, 9, 9, 4, 2, 100]})  # 99: not in graph
+
+    def run(pairs_blocks, attrs_blocks):
+        pds = ray.data.from_pandas(pairs_blocks)
+        ads = ray.data.from_pandas(attrs_blocks)
+        return (neardup_canonical(pds, ads, id_col="doc_id",
+                                  score_col="n_chars", num_partitions=2)
+                .to_pandas().sort_values("component", ignore_index=True))
+
+    got = run([pairs], [attrs])
+    want = pd.DataFrame({"component": [1, 10],
+                         "keep_id": [2, 10],     # 9-tie in A -> min id 2
+                         "best_score": [9, 4],
+                         "n_members": [3, 2]})
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64), want.astype(np.int64))
+
+    # block-permutation invariance: shard both inputs row-wise
+    got2 = run([pairs.iloc[[2]], pairs.iloc[[0]], pairs.iloc[[1]]],
+               [attrs.iloc[[3, 5]], attrs.iloc[[1, 0]], attrs.iloc[[4, 2]]])
+    pd.testing.assert_frame_equal(got.astype(np.int64),
+                                  got2.astype(np.int64))
+
+
+def test_split_centroid_drift_matches_numpy(ray_session):
+    """Per-split centroid cosine equals a direct numpy computation with
+    the same md5 split rule, pairs in lexicographic order."""
+    import ray
+
+    from pystreamfs_ray.sources import split_labels
+    from pystreamfs_ray.stages.cluster import split_centroid_drift
+
+    rng = np.random.default_rng(11)
+    n, d = 400, 8
+    vecs = rng.normal(size=(n, d))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(vecs.astype(np.float32))})
+    got = split_centroid_drift(
+        ray.data.from_pandas([df.iloc[:150], df.iloc[150:]]))
+
+    labs = split_labels(df["vec_id"].to_numpy())
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    cent = {s: X[labs == s].mean(axis=0) for s in np.unique(labs)}
+    names = sorted(cent)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            cos = cent[a] @ cent[b] / (np.linalg.norm(cent[a])
+                                       * np.linalg.norm(cent[b]))
+            rows.append((a, b, int((labs == a).sum()),
+                         int((labs == b).sum()), round(float(cos), 6)))
+    want = pd.DataFrame(rows, columns=["split_a", "split_b",
+                                       "n_a", "n_b", "cosine"])
+    pd.testing.assert_frame_equal(
+        got.sort_values(["split_a", "split_b"], ignore_index=True),
+        want.sort_values(["split_a", "split_b"], ignore_index=True),
+        check_dtype=False)
