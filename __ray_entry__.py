@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_topk": q.q_ann_topk,
         "q_neardup_canonical": q.q_neardup_canonical,
         "q_split_drift": q.q_split_drift,
+        "q_score_docs": q.q_score_docs,
     }
 
 
@@ -2183,5 +2184,27 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             JOIN cnt ca ON ca.split = a.split
             JOIN cnt cb ON cb.split = b.split
             GROUP BY a.split, b.split, ca.n, cb.n
+        """,
+        # linear-model doc scoring: seeded integer weight rule over
+        # md5-hashed BoW buckets, logit = token-weight mean, sigmoid
+        "q_score_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS w
+              FROM documents
+            ),
+            tw AS (
+              SELECT doc_id,
+                     ((CAST(md5_number_lower(w) % 64 AS BIGINT)
+                       * 2654435761 + 1234) % 1000) / 499.5 - 1.0 AS wt
+              FROM toks
+            ),
+            agg AS (SELECT doc_id, SUM(wt) AS s, COUNT(*) AS n
+                    FROM tw GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+                   ROUND(1.0 / (1.0 + exp(-COALESCE(a.s, 0)
+                         / GREATEST(COALESCE(a.n, 0), 1))), 6) AS score
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         """,
     }

@@ -2581,3 +2581,15 @@ def q_split_drift(sf_dir: str):
     emb = read_parquet(_p(sf_dir, "embeddings"),
                        columns=["vec_id", "embedding"])
     return split_centroid_drift(emb)
+
+
+def q_score_docs(sf_dir: str):
+    """Model-inference document scoring: logistic quality score over
+    md5-hashed bag-of-words features with a per-actor weight table —
+    the fasttext-style linear-classifier shape, doc-local and
+    shuffle-free (weights build once per actor, batches score via one
+    vectorized hash + bincount)."""
+    from pystreamfs_ray.stages.textstats import linear_score
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return linear_score(docs, concurrency=(2, 8))

@@ -621,6 +621,63 @@ def pmi_bigrams(ds, *, text_col: str = "text", min_count: int = 5,
     return joined.map_batches(finish_joined, batch_format="pandas")
 
 
+class LinearScorer:
+    """Batched model-inference stage: a logistic quality score over
+    md5-hashed bag-of-words features — the fasttext-style linear
+    classifier shape. The weight table is built ONCE per actor in
+    ``__init__`` (the model-load step of a real classifier; here a
+    seeded integer recurrence so DuckDB can mirror it exactly), and
+    each batch is scored with one vectorized hash + bincount — no
+    per-row Python. Use as
+    ``map_batches(LinearScorer, concurrency=N, fn_constructor_args=…)``.
+
+    Weight rule (SQL-mirrorable, exact in int64):
+    ``w[b] = ((b·2654435761 + seed) % 1000) / 499.5 − 1`` over
+    ``b = md5_number_lower(token) % num_buckets``; the doc logit is the
+    token-weight mean and the score its sigmoid (empty doc → 0.5)."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text",
+                 num_buckets: int = 64, seed: int = 1234,
+                 ndigits: int = 6):
+        self.id_col, self.text_col = id_col, text_col
+        self.num_buckets = num_buckets
+        self.ndigits = ndigits
+        b = np.arange(num_buckets, dtype=np.uint64)
+        self.w = ((b * np.uint64(2654435761) + np.uint64(seed))
+                  % np.uint64(1000)).astype(np.float64) / 499.5 - 1.0
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from pystreamfs_ray.stages.dedup import _md5_lower64
+
+        s = df[self.text_col].str.findall(r"\S+")
+        n = s.map(len).to_numpy(np.int64)
+        logit = np.zeros(len(df))
+        if n.sum():
+            flat = np.concatenate([np.asarray(v, dtype=object) for v in s])
+            uniq, inv = np.unique(flat, return_inverse=True)
+            bkt = (_md5_lower64(uniq)
+                   % np.uint64(self.num_buckets)).astype(np.int64)
+            wsum = np.bincount(np.repeat(np.arange(len(df)), n),
+                               weights=self.w[bkt][inv], minlength=len(df))
+            logit = wsum / np.maximum(n, 1)
+        return pd.DataFrame({
+            self.id_col: df[self.id_col].to_numpy(),
+            "n_tokens": n,
+            "score": np.round(1.0 / (1.0 + np.exp(-logit)), self.ndigits),
+        })
+
+
+def linear_score(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                 num_buckets: int = 64, seed: int = 1234,
+                 concurrency=4):
+    """Score every document with :class:`LinearScorer` — doc-local,
+    shuffle-free; the actor pool amortizes the weight-table build."""
+    return ds.select_columns([id_col, text_col]).map_batches(
+        LinearScorer, batch_format="pandas", concurrency=concurrency,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
+                               "num_buckets": num_buckets, "seed": seed})
+
+
 def feature_hash(ds, *, id_col: str = "doc_id", text_col: str = "text",
                  num_buckets: int = 32):
     """Hashing-trick bag-of-words: each document's tokens are counted

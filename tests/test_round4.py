@@ -686,3 +686,36 @@ def test_split_centroid_drift_matches_numpy(ray_session):
         got.sort_values(["split_a", "split_b"], ignore_index=True),
         want.sort_values(["split_a", "split_b"], ignore_index=True),
         check_dtype=False)
+
+
+def test_linear_score_matches_direct(ray_session):
+    """Actor-pool scoring equals a direct single-process recompute of
+    the seeded weight rule; empty docs score exactly 0.5."""
+    import ray
+
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+    from pystreamfs_ray.stages.textstats import LinearScorer, linear_score
+
+    df = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64),
+                       "text": ["the cat sat", "a b a b c", "",
+                                "   ", "unique words here now",
+                                "the the the"]})
+    got = (linear_score(ray.data.from_pandas([df.iloc[:3], df.iloc[3:]]),
+                        concurrency=2)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+
+    sc = LinearScorer()
+    rows = []
+    for _, r in df.iterrows():
+        toks = r["text"].split()
+        if toks:
+            b = (_md5_lower64(toks) % np.uint64(64)).astype(np.int64)
+            z = sc.w[b].sum() / len(toks)
+        else:
+            z = 0.0
+        rows.append((r["doc_id"], len(toks),
+                     round(float(1 / (1 + np.exp(-z))), 6)))
+    want = pd.DataFrame(rows, columns=["doc_id", "n_tokens", "score"])
+    want["n_tokens"] = want["n_tokens"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got.loc[got["n_tokens"] == 0, "score"].eq(0.5).all()
