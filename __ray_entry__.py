@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_neardup_canonical": q.q_neardup_canonical,
         "q_split_drift": q.q_split_drift,
         "q_score_docs": q.q_score_docs,
+        "q_incremental_dedup": q.q_incremental_dedup,
     }
 
 
@@ -2206,5 +2207,22 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    ROUND(1.0 / (1.0 + exp(-COALESCE(a.s, 0)
                          / GREATEST(COALESCE(a.n, 0), 1))), 6) AS score
             FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        """,
+        # incremental ingestion: arrivals (val+test) dedup among
+        # themselves, then drop texts the train corpus already holds
+        "q_incremental_dedup": f"""
+            WITH lab AS (
+              SELECT doc_id, text, {_split_case('doc_id')} AS split
+              FROM documents
+            ),
+            existing AS (SELECT DISTINCT md5(text) AS fp FROM lab
+                         WHERE split = 'train'),
+            arrivals AS (SELECT doc_id, text, md5(text) AS fp FROM lab
+                         WHERE split <> 'train'),
+            fresh AS (SELECT * FROM arrivals
+                      WHERE fp NOT IN (SELECT fp FROM existing))
+            SELECT MIN(doc_id) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_dupes, text
+            FROM fresh GROUP BY text
         """,
     }

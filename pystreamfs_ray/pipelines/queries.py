@@ -2593,3 +2593,28 @@ def q_score_docs(sf_dir: str):
 
     docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return linear_score(docs, concurrency=(2, 8))
+
+
+def q_incremental_dedup(sf_dir: str):
+    """Incremental-ingestion dedup: the 'train' split plays the
+    already-ingested corpus (reduced to its fingerprint index — in
+    production that index is persisted parquet reloaded per run), the
+    val+test splits play the arrival batch. Arrivals dedup among
+    themselves (keep min doc_id) and drop anything whose md5 identity
+    the corpus already holds, via an exact partitioned anti-join."""
+    from pystreamfs_ray.sources import split_labels
+    from pystreamfs_ray.stages.dedup import (fingerprint_index,
+                                             incremental_exact_dedup)
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def side(member: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            m = split_labels(df["doc_id"].to_numpy()) == "train"
+            return df[m if member else ~m]
+
+        return fn
+
+    existing = docs.map_batches(side(True), batch_format="pandas")
+    arrivals = docs.map_batches(side(False), batch_format="pandas")
+    return incremental_exact_dedup(arrivals, fingerprint_index(existing))

@@ -81,6 +81,69 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def _md5_hex(strings) -> np.ndarray:
+    """Full 128-bit md5 hex per string — matches DuckDB ``md5(s)``.
+    This is the collision-safe content IDENTITY a persisted dedup
+    index stores; the low-64 variant above is for bucketing/banding,
+    not identity."""
+    return np.array([hashlib.md5(s.encode()).hexdigest() for s in strings],
+                    dtype=object)
+
+
+def fingerprint_index(ds, *, text_col: str = "text", num_buckets: int = 64):
+    """Distinct md5 fingerprints of a corpus — the persistable dedup
+    index for incremental ingestion (``write_parquet`` it once, reload
+    on the next ingest run). Per-batch distinct first, then the
+    fixed-bucket vectorized distinct (same shape as ``exact_dedup``);
+    32-byte hex rows shuffle, never text."""
+    from pystreamfs_ray.util import arrow_block, arrow_combiner, content_hash64
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        fp = _md5_hex(df[text_col].drop_duplicates().to_numpy())
+        return arrow_block(pd.DataFrame({
+            "fp": fp,
+            "__b": (content_hash64(fp)
+                    % np.uint64(num_buckets)).astype(np.int64),
+        }))
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("fp")[["fp"]]
+
+    return (ds.map_batches(arrow_combiner(part), batch_format="pyarrow")
+            .groupby("__b").map_groups(distinct, batch_format="pandas"))
+
+
+def incremental_exact_dedup(new_ds, index_ds, *, id_col: str = "doc_id",
+                            text_col: str = "text", num_buckets: int = 64,
+                            num_partitions: int | None = None):
+    """Incremental-ingestion dedup: dedup the arrival batch exactly
+    (keep min id per text), then drop every arrival whose fingerprint
+    is already in the persisted index — an exact distributed LEFT ANTI
+    join on the md5 identity. A Bloom prefilter cannot serve the anti
+    side (its false positives would drop genuinely-new docs), so the
+    index joins partitioned; only the already-deduped arrivals carry
+    text through it. Output matches ``exact_dedup``:
+    ``(id, n_dupes, text)`` for rows NEW to the corpus; ``n_dupes``
+    counts copies within the arrival batch."""
+    import ray
+
+    deduped = exact_dedup(new_ds, id_col=id_col, text_col=text_col,
+                          num_buckets=num_buckets)
+
+    def add_fp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["fp"] = _md5_hex(df[text_col].to_numpy())
+        return df
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = min(64, max(4, cpus // 2))
+    return (deduped.map_batches(add_fp, batch_format="pandas")
+            .join(index_ds, "left_anti",
+                  num_partitions=num_partitions, on=("fp",))
+            .select_columns([id_col, "n_dupes", text_col]))
+
+
 def exact_dup_chain_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                           num_buckets: int = 64):
     """Consecutive-id pairs within each exact-duplicate group (sorted by

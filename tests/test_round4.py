@@ -719,3 +719,29 @@ def test_linear_score_matches_direct(ray_session):
     want["n_tokens"] = want["n_tokens"].astype(np.int64)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got.loc[got["n_tokens"] == 0, "score"].eq(0.5).all()
+
+
+def test_incremental_dedup_index_roundtrip(ray_session, tmp_path):
+    """The fingerprint index survives a parquet round-trip (the
+    per-run resume story): arrivals already in the reloaded index are
+    dropped, arrival-internal duplicates keep the min id."""
+    import ray
+
+    from pystreamfs_ray.stages.dedup import (fingerprint_index,
+                                             incremental_exact_dedup)
+
+    existing = pd.DataFrame({"doc_id": [1, 2], "text": ["alpha", "beta"]})
+    path = str(tmp_path / "fpidx")
+    fingerprint_index(ray.data.from_pandas([existing])).write_parquet(path)
+    idx = ray.data.read_parquet(path)
+
+    arrivals = pd.DataFrame({"doc_id": [10, 11, 12, 13],
+                             "text": ["beta", "gamma", "gamma", "delta"]})
+    got = (incremental_exact_dedup(
+        ray.data.from_pandas([arrivals.iloc[:2], arrivals.iloc[2:]]),
+        idx, num_partitions=2)
+        .to_pandas().sort_values("doc_id", ignore_index=True))
+    want = pd.DataFrame({"doc_id": [11, 13],
+                         "n_dupes": np.array([2, 1], dtype=np.int64),
+                         "text": ["gamma", "delta"]})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
