@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_split_drift": q.q_split_drift,
         "q_score_docs": q.q_score_docs,
         "q_incremental_dedup": q.q_incremental_dedup,
+        "q_bigram_logprob": q.q_bigram_logprob,
     }
 
 
@@ -2224,5 +2225,33 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id,
                    CAST(COUNT(*) AS BIGINT) AS n_dupes, text
             FROM fresh GROUP BY text
+        """,
+        # mean conditional bigram NLL per doc; history count = global
+        # unigram count (the same unnormalized shortcut the engine uses)
+        "q_bigram_logprob": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w,
+                     generate_subscripts(regexp_extract_all(text, '\S+'), 1)
+                       AS i
+              FROM documents
+            ),
+            uni AS (SELECT w, COUNT(*) AS cu FROM toks GROUP BY w),
+            big AS (
+              SELECT a.doc_id, a.w AS w1, b.w AS w2
+              FROM toks a
+              JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            ),
+            bc AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY w1, w2),
+            per AS (
+              SELECT g.doc_id,
+                     ln(CAST(bc.cb AS DOUBLE) / uni.cu) AS lp
+              FROM big g
+              JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+              JOIN uni ON uni.w = g.w1
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) + 1 AS BIGINT) AS n_tokens,
+                   ROUND(-SUM(lp) / COUNT(*), 6) AS nll
+            FROM per GROUP BY doc_id
         """,
     }

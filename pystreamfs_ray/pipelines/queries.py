@@ -2618,3 +2618,14 @@ def q_incremental_dedup(sf_dir: str):
     existing = docs.map_batches(side(True), batch_format="pandas")
     arrivals = docs.map_batches(side(False), batch_format="pandas")
     return incremental_exact_dedup(arrivals, fingerprint_index(existing))
+
+
+def q_bigram_logprob(sf_dir: str):
+    """Per-document mean conditional bigram NLL under the corpus's own
+    bigram LM — the 2-gram sharpening of q_unigram_logprob (catches
+    shuffled-word noise that unigram counts miss). Docs with <2 tokens
+    are omitted."""
+    from pystreamfs_ray.stages.textstats import bigram_logprob
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return bigram_logprob(docs)

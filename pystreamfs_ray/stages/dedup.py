@@ -135,11 +135,16 @@ def incremental_exact_dedup(new_ds, index_ds, *, id_col: str = "doc_id",
         df["fp"] = _md5_hex(df[text_col].to_numpy())
         return df
 
+    from pystreamfs_ray.util import drop_empty_blocks
+
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = min(64, max(4, cpus // 2))
-    return (deduped.map_batches(add_fp, batch_format="pandas")
-            .join(index_ds, "left_anti",
+    # both sides are groupby/map_groups outputs — schema-less empty
+    # blocks break the hash join (see util.drop_empty_blocks)
+    return (drop_empty_blocks(deduped, num_partitions)
+            .map_batches(add_fp, batch_format="pandas")
+            .join(drop_empty_blocks(index_ds, num_partitions), "left_anti",
                   num_partitions=num_partitions, on=("fp",))
             .select_columns([id_col, "n_dupes", text_col]))
 
@@ -865,6 +870,8 @@ def neardup_canonical(pairs_ds, attrs_ds, *, id_col: str = "doc_id",
 
     from pystreamfs_ray.util import arrow_block, arrow_combiner
 
+    from pystreamfs_ray.util import drop_empty_blocks
+
     comps = connected_components(pairs_ds)  # (node, component)
     attrs = attrs_ds.select_columns([id_col, score_col]).map_batches(
         lambda t: t.rename_columns(["node", "__score"]),
@@ -872,8 +879,10 @@ def neardup_canonical(pairs_ds, attrs_ds, *, id_col: str = "doc_id",
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = min(64, max(4, cpus // 2))
-    joined = comps.join(attrs, join_type="inner",
-                        num_partitions=num_partitions, on=("node",))
+    # comps is a groupby output — schema-less empty blocks break the join
+    joined = drop_empty_blocks(comps, num_partitions).join(
+        attrs, join_type="inner",
+        num_partitions=num_partitions, on=("node",))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["component", "__score", "node"],

@@ -857,6 +857,189 @@ def unigram_logprob(ds, *, id_col: str = "doc_id", text_col: str = "text",
     return per_doc.map_batches(finish, batch_format="pandas")
 
 
+def bigram_logprob(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                   ndigits: int = 6, broadcast_threshold: int = 2_000_000,
+                   num_partitions: int | None = None):
+    """Per-document mean conditional bigram negative log-probability
+    under the corpus's own bigram LM:
+    ``nll(d) = -(1/(|d|-1)) Σ_i ln(c(w_i, w_{i+1}) / c(w_i))`` — the
+    2-gram sharpening of the unigram CCNet proxy (templated text still
+    scores low, but shuffled-word noise now scores HIGH even when every
+    individual token is common). The history count is the global
+    unigram count (the usual unnormalized shortcut — identical on both
+    sides of the oracle). Docs with fewer than two tokens are omitted.
+
+    Scale shape: one unigram- and one bigram-sized combiner aggregate
+    (shuffles are vocab- and bigram-vocab-sized, never corpus-sized).
+    Below ``broadcast_threshold`` distinct bigrams both count tables
+    broadcast and scoring is doc-local; above it (web corpus — a
+    driver OOM if pulled) the per-doc (bigram, tf) rows hash-join the
+    two count Datasets and reduce per doc, same switch as
+    ``unigram_logprob``/``tfidf_top_term``."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from pystreamfs_ray.util import arrow_combiner
+
+    SEP = "\x1f"
+    toks = ds.select_columns([id_col, text_col])
+
+    def _pairs(s, n):
+        """Adjacent in-doc pairs of the flattened token stream: the PMI
+        seam-knockout trick (duplicate seams from empty docs collapse,
+        so kept pairs == Σ max(n_i - 1, 0))."""
+        flat = np.concatenate([np.asarray(v, dtype=object) for v in s])
+        if len(flat) < 2:
+            return None
+        keep = np.ones(len(flat) - 1, dtype=bool)
+        seams = np.cumsum(n)[:-1] - 1
+        keep[seams[(seams >= 0) & (seams < len(keep))]] = False
+        return flat[:-1][keep], flat[1:][keep]
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].str.findall(r"\S+")
+        if int(s.map(len).sum()) == 0:
+            return pd.DataFrame({"w": pd.Series([], dtype=object),
+                                 "cu": pd.Series([], dtype=np.int64)})
+        vc = pd.Series(np.concatenate(
+            [np.asarray(v, dtype=object) for v in s])).value_counts()
+        return pd.DataFrame({"w": vc.index.to_numpy(),
+                             "cu": vc.to_numpy(np.int64)})
+
+    def big_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].str.findall(r"\S+")
+        n = s.map(len).to_numpy(np.int64)
+        empty = pd.DataFrame({"w1": pd.Series([], dtype=object),
+                              "w2": pd.Series([], dtype=object),
+                              "cb": pd.Series([], dtype=np.int64)})
+        if n.sum() < 2:
+            return empty
+        pr = _pairs(s, n)
+        if pr is None:
+            return empty
+        g = (pd.DataFrame({"w1": pr[0], "w2": pr[1]})
+             .groupby(["w1", "w2"], sort=False).size())
+        out = g.rename("cb").reset_index()
+        out["cb"] = out["cb"].astype(np.int64)
+        return out
+
+    uni_ds = (toks.map_batches(arrow_combiner(uni_partial),
+                               batch_format="pyarrow")
+              .groupby("w").aggregate(Sum("cu", alias_name="cu"))
+              .materialize())
+    big_ds = (toks.map_batches(arrow_combiner(big_partial),
+                               batch_format="pyarrow")
+              .groupby(["w1", "w2"]).aggregate(Sum("cb", alias_name="cb"))
+              .materialize())
+
+    if big_ds.count() <= broadcast_threshold:
+        bdf = big_ds.to_pandas()
+        bkey = (bdf["w1"].astype(str) + SEP + bdf["w2"].astype(str)).to_numpy()
+        border = np.argsort(bkey)
+        udf = uni_ds.to_pandas()
+        uorder = np.argsort(udf["w"].to_numpy())
+        ref = ray.put((bkey[border],
+                       bdf["cb"].to_numpy()[border].astype(np.float64),
+                       udf["w"].to_numpy()[uorder],
+                       udf["cu"].to_numpy()[uorder].astype(np.float64)))
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            bvoc, cb, uvoc, cu = ray.get(ref)
+            s = df[text_col].str.findall(r"\S+")
+            n = s.map(len).to_numpy(np.int64)
+            npairs = np.maximum(n - 1, 0)
+            out_empty = pd.DataFrame({
+                id_col: df[id_col].iloc[0:0],
+                "n_tokens": pd.Series([], dtype=np.int64),
+                "nll": pd.Series([], dtype=np.float64)})
+            if int(npairs.sum()) == 0:
+                return out_empty
+            pr = _pairs(s, n)
+            w1, w2 = pr
+            key = np.char.add(np.char.add(w1.astype(str), SEP),
+                              w2.astype(str))
+            lp = (np.log(cb[np.searchsorted(bvoc, key)])
+                  - np.log(cu[np.searchsorted(uvoc, w1)]))
+            docpair = np.repeat(np.arange(len(df)), npairs)
+            sums = np.bincount(docpair, weights=lp, minlength=len(df))
+            mask = npairs > 0
+            return pd.DataFrame({
+                id_col: df[id_col].to_numpy()[mask],
+                "n_tokens": n[mask],
+                "nll": np.round(-sums[mask] / npairs[mask], ndigits),
+            })
+
+        return toks.map_batches(score, batch_format="pandas")
+
+    # join path: both count tables stay distributed
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = min(64, max(4, cpus // 2))
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].str.findall(r"\S+")
+        n = s.map(len).to_numpy(np.int64)
+        npairs = np.maximum(n - 1, 0)
+        empty = pd.DataFrame({id_col: pd.Series([], dtype=df[id_col].dtype),
+                              "w1": pd.Series([], dtype=object),
+                              "w2": pd.Series([], dtype=object),
+                              "tf": pd.Series([], dtype=np.int64),
+                              "n_tokens": pd.Series([], dtype=np.int64)})
+        if int(npairs.sum()) == 0:
+            return empty
+        pr = _pairs(s, n)
+        docpair = np.repeat(np.arange(len(df)), npairs)
+        tf = (pd.DataFrame({"d": docpair, "w1": pr[0], "w2": pr[1]})
+              .groupby(["d", "w1", "w2"], sort=False).size()
+              .rename("tf").reset_index())
+        d = tf["d"].to_numpy()
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[d],
+            "w1": tf["w1"].to_numpy(), "w2": tf["w2"].to_numpy(),
+            "tf": tf["tf"].to_numpy(np.int64),
+            "n_tokens": n[d],
+        })
+
+    from pystreamfs_ray.util import drop_empty_blocks
+
+    tf_ds = toks.map_batches(arrow_combiner(tf_rows), batch_format="pyarrow")
+    big_j = drop_empty_blocks(big_ds, num_partitions)
+    uni1 = drop_empty_blocks(uni_ds, num_partitions).map_batches(
+        lambda t: t.rename_columns(["w1", "cu"]), batch_format="pyarrow")
+    joined = (tf_ds.join(big_j, join_type="inner",
+                         num_partitions=num_partitions, on=("w1", "w2"))
+              .join(uni1, join_type="inner",
+                    num_partitions=num_partitions, on=("w1",)))
+
+    def weighted(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_tokens": df["n_tokens"].to_numpy(np.int64),
+            "wl": df["tf"].to_numpy(np.float64)
+                  * (np.log(df["cb"].to_numpy(np.float64))
+                     - np.log(df["cu"].to_numpy(np.float64))),
+        })
+
+    from ray.data.aggregate import Max
+
+    per_doc = (joined.map_batches(arrow_combiner(weighted),
+                                  batch_format="pyarrow")
+               .groupby(id_col)
+               .aggregate(Sum("wl", alias_name="wl"),
+                          Max("n_tokens", alias_name="n_tokens")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_tokens"].to_numpy(np.int64)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_tokens": n,
+            "nll": np.round(-df["wl"].to_numpy(np.float64)
+                            / (n - 1).astype(np.float64), ndigits),
+        })
+
+    return per_doc.map_batches(finish, batch_format="pandas")
+
+
 def document_frequency(ds, *, id_col: str = "doc_id",
                        text_col: str = "text"):
     """Document frequency per word: in how many distinct documents each

@@ -173,3 +173,15 @@ def arrow_combiner(fn):
         return out if isinstance(out, pa.Table) else arrow_block(out)
 
     return wrapped
+
+
+def drop_empty_blocks(ds, num_blocks: int):
+    """Ray's hash aggregator can emit zero-row blocks with an EMPTY
+    (zero-column) schema; a downstream hash join then fails FieldRef
+    resolution on the key ("No match or multiple matches ... on right
+    side of the join"). ``map_batches`` never sees empty blocks, so
+    the Dataset-level fix is a split/merge ``repartition`` (no
+    shuffle), which discards them. Use on any groupby/aggregate output
+    that feeds a join; pick ``num_blocks`` ≈ the join partition
+    count."""
+    return ds.repartition(num_blocks)

@@ -745,3 +745,37 @@ def test_incremental_dedup_index_roundtrip(ray_session, tmp_path):
                          "n_dupes": np.array([2, 1], dtype=np.int64),
                          "text": ["gamma", "delta"]})
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bigram_logprob_paths_and_direct(ray_session):
+    """Join path (broadcast_threshold=0) equals the broadcast path, and
+    both equal a direct computation on a tiny corpus; <2-token docs
+    are omitted, empty docs don't shift pair/doc alignment."""
+    import ray
+
+    from pystreamfs_ray.stages.textstats import bigram_logprob
+
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                       "text": ["a b a b", "b a", "", "c", "a b c"]})
+    ds = ray.data.from_pandas([df.iloc[:2], df.iloc[2:]])
+    a = (bigram_logprob(ds).to_pandas()
+         .sort_values("doc_id", ignore_index=True))
+    b = (bigram_logprob(ds, broadcast_threshold=0).to_pandas()
+         .sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+    # direct: corpus unigrams a:4 b:4 c:2; bigrams ab:2 ba:2 bc:1 ...
+    from collections import Counter
+    toks = [t.split() for t in df["text"]]
+    uni = Counter(w for t in toks for w in t)
+    big = Counter((t[i], t[i + 1]) for t in toks for i in range(len(t) - 1))
+    want = []
+    for d, t in zip(df["doc_id"], toks):
+        if len(t) < 2:
+            continue
+        lp = sum(np.log(big[(t[i], t[i + 1])] / uni[t[i]])
+                 for i in range(len(t) - 1))
+        want.append((d, len(t), round(-lp / (len(t) - 1), 6)))
+    want = pd.DataFrame(want, columns=["doc_id", "n_tokens", "nll"])
+    pd.testing.assert_frame_equal(a, want, check_dtype=False)
+    assert set(a["doc_id"]) == {0, 1, 4}
