@@ -97,6 +97,12 @@ BENCH_QUERIES = [
     "q_dup_ngrams",
     "q_split_leakage",
     "q_turn_latency",
+    # round-4 final-session families: canonicalization, model scoring,
+    # incremental ingestion, bigram LM
+    "q_neardup_canonical",
+    "q_score_docs",
+    "q_incremental_dedup",
+    "q_bigram_logprob",
 ]
 
 

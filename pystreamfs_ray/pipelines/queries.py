@@ -1996,10 +1996,14 @@ def q_left_outer_join(sf_dir: str):
               .aggregate(Count(alias_name="n_orders"),
                          Sum("cents", alias_name="cents")))
 
+    from pystreamfs_ray.util import drop_empty_blocks
+
     # size the aggregator pool by DATA (parquet metadata), not CPUs:
     # each join partition is an actor with real spin-up cost
-    joined = cust.join(orders, join_type="left_outer",
-                       num_partitions=_join_partitions(cust),
+    np_join = _join_partitions(cust)
+    joined = cust.join(drop_empty_blocks(orders, np_join),
+                       join_type="left_outer",
+                       num_partitions=np_join,
                        on=("c_custkey",), right_on=("o_custkey",))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -2039,8 +2043,11 @@ def q_full_outer_join(sf_dir: str):
         lambda t: t.rename_columns(["day_s", "n_signups"]),
         batch_format="pyarrow")
 
-    joined = buys.join(signups, join_type="full_outer", num_partitions=8,
-                       on=("day",), right_on=("day_s",))
+    from pystreamfs_ray.util import drop_empty_blocks
+
+    joined = drop_empty_blocks(buys, 8).join(
+        drop_empty_blocks(signups, 8), join_type="full_outer",
+        num_partitions=8, on=("day",), right_on=("day_s",))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         # Ray's outer join coalesces the right key into the left key

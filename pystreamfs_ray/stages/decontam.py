@@ -133,8 +133,12 @@ def decontaminate(ds, *, n: int = 4, eval_rate: float = 0.10,
         if num_partitions is None:
             cpus = int(ray.cluster_resources().get("CPU", 8))
             num_partitions = min(64, max(4, cpus // 2))
-        eval_grams = (eval_pairs.groupby("gh")
-                      .aggregate(Count(alias_name="__c")).drop_columns(["__c"]))
+        from pystreamfs_ray.util import drop_empty_blocks
+
+        eval_grams = drop_empty_blocks(
+            (eval_pairs.groupby("gh")
+             .aggregate(Count(alias_name="__c")).drop_columns(["__c"])),
+            num_partitions)
         hits = corpus_grams.join(eval_grams, join_type="inner",
                                  num_partitions=num_partitions, on=("gh",))
     return hits.groupby(id_col).aggregate(Count(alias_name="n_shared"))
@@ -192,7 +196,10 @@ def dup_ngram_stats(ds, *, n: int = 5, id_col: str = "doc_id",
 
         marked = pairs.map_batches(mark_bcast, batch_format="pyarrow")
     else:
-        joined = pairs.join(freqs, join_type="inner",
+        from pystreamfs_ray.util import drop_empty_blocks
+
+        joined = pairs.join(drop_empty_blocks(freqs, num_partitions),
+                            join_type="inner",
                             num_partitions=num_partitions, on=("gh",))
 
         def mark(t: pa.Table) -> pa.Table:

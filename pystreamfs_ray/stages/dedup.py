@@ -428,10 +428,15 @@ def minhash_lsh_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=128,
     sig_b = sigs.map_batches(
         lambda t: t.rename_columns(["id_b", "sig_b"]), batch_format="pyarrow"
     )
-    joined = cand.join(sig_a, join_type="inner", num_partitions=num_partitions,
-                       on=("id_a",))
-    joined = joined.join(sig_b, join_type="inner", num_partitions=num_partitions,
-                         on=("id_b",))
+    from pystreamfs_ray.util import drop_empty_blocks
+
+    # cand is a map_groups output — schema-less empty blocks break joins
+    joined = drop_empty_blocks(cand, num_partitions).join(
+        sig_a, join_type="inner", num_partitions=num_partitions,
+        on=("id_a",))
+    joined = drop_empty_blocks(joined, num_partitions).join(
+        sig_b, join_type="inner", num_partitions=num_partitions,
+        on=("id_b",))
     joined = joined.select_columns(["id_a", "id_b", "sig_a", "sig_b"])
 
     def estimate(df: pd.DataFrame) -> pd.DataFrame:
@@ -487,10 +492,15 @@ def ngram_jaccard_pairs(pairs_ds, docs_ds, *, k=3, id_a="id_a", id_b="id_b",
             batch_format="pyarrow",
         )
 
-    j = pairs_ds.join(side(id_a, "__ta"), join_type="inner",
-                      num_partitions=num_partitions, on=(id_a,))
-    j = j.join(side(id_b, "__tb"), join_type="inner",
-               num_partitions=num_partitions, on=(id_b,))
+    from pystreamfs_ray.util import drop_empty_blocks
+
+    # pairs_ds is often a groupby/map_groups output — guard its blocks
+    j = drop_empty_blocks(pairs_ds, num_partitions).join(
+        side(id_a, "__ta"), join_type="inner",
+        num_partitions=num_partitions, on=(id_a,))
+    j = drop_empty_blocks(j, num_partitions).join(
+        side(id_b, "__tb"), join_type="inner",
+        num_partitions=num_partitions, on=(id_b,))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         n_i = np.zeros(len(df), dtype=np.int64)

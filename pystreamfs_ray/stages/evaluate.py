@@ -139,9 +139,12 @@ def evaluate_windows(
 
         lt = features_ds.map_batches(explode_features_capped, batch_format="pyarrow")
     else:
+        from pystreamfs_ray.util import drop_empty_blocks
+
         num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
         capped = features_ds.join(
-            maxw_ds, join_type="inner", num_partitions=num_partitions,
+            drop_empty_blocks(maxw_ds, num_partitions),
+            join_type="inner", num_partitions=num_partitions,
             on=(entity_col,), right_on=(entity_col,),
         )
 

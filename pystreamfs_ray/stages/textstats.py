@@ -466,8 +466,13 @@ def tfidf_top_term(ds, *, id_col: str = "doc_id", text_col: str = "text",
             "tf": tf["tf"].to_numpy(np.int64),
         })
 
+    from pystreamfs_ray.util import drop_empty_blocks
+
     tf_ds = ds.map_batches(arrow_combiner(tf_rows), batch_format="pyarrow")
-    joined = tf_ds.join(df_tbl_ds, join_type="inner",
+    # df_tbl_ds is an aggregate output — schema-less empty blocks
+    # break the hash join (util.drop_empty_blocks)
+    joined = tf_ds.join(drop_empty_blocks(df_tbl_ds, num_partitions),
+                        join_type="inner",
                         num_partitions=num_partitions, on=("w",))
 
     def score_and_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -597,16 +602,22 @@ def pmi_bigrams(ds, *, text_col: str = "text", min_count: int = 5,
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = min(64, max(4, cpus // 2))
+    from pystreamfs_ray.util import drop_empty_blocks
+
     # prune BEFORE the joins: only bigrams that can appear in the output
-    big = big.filter(expr=f"c >= {min_count}")
-    uni1 = uni_ds.map_batches(
+    big = drop_empty_blocks(big.filter(expr=f"c >= {min_count}"),
+                            num_partitions)
+    uni1 = drop_empty_blocks(uni_ds, num_partitions).map_batches(
         lambda t: t.rename_columns(["w1", "cu1"]), batch_format="pyarrow")
-    uni2 = uni_ds.map_batches(
+    uni2 = drop_empty_blocks(uni_ds, num_partitions).map_batches(
         lambda t: t.rename_columns(["w2", "cu2"]), batch_format="pyarrow")
     joined = big.join(uni1, join_type="inner",
                       num_partitions=num_partitions, on=("w1",))
-    joined = joined.join(uni2, join_type="inner",
-                         num_partitions=num_partitions, on=("w2",))
+    # a join's own empty partitions are schema-less too — guard between
+    # chained joins
+    joined = drop_empty_blocks(joined, num_partitions).join(
+        uni2, join_type="inner",
+        num_partitions=num_partitions, on=("w2",))
 
     def finish_joined(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0 or "c" not in df.columns:
@@ -827,7 +838,10 @@ def unigram_logprob(ds, *, id_col: str = "doc_id", text_col: str = "text",
         })
 
     tf_ds = ds.map_batches(arrow_combiner(tf_rows), batch_format="pyarrow")
-    joined = tf_ds.join(counts_ds, join_type="inner",
+    from pystreamfs_ray.util import drop_empty_blocks
+
+    joined = tf_ds.join(drop_empty_blocks(counts_ds, num_partitions),
+                        join_type="inner",
                         num_partitions=num_partitions, on=("w",))
 
     def weighted(df: pd.DataFrame) -> pd.DataFrame:
@@ -1006,10 +1020,11 @@ def bigram_logprob(ds, *, id_col: str = "doc_id", text_col: str = "text",
     big_j = drop_empty_blocks(big_ds, num_partitions)
     uni1 = drop_empty_blocks(uni_ds, num_partitions).map_batches(
         lambda t: t.rename_columns(["w1", "cu"]), batch_format="pyarrow")
-    joined = (tf_ds.join(big_j, join_type="inner",
-                         num_partitions=num_partitions, on=("w1", "w2"))
-              .join(uni1, join_type="inner",
-                    num_partitions=num_partitions, on=("w1",)))
+    joined = drop_empty_blocks(
+        tf_ds.join(big_j, join_type="inner",
+                   num_partitions=num_partitions, on=("w1", "w2")),
+        num_partitions).join(uni1, join_type="inner",
+                             num_partitions=num_partitions, on=("w1",))
 
     def weighted(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

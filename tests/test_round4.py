@@ -779,3 +779,28 @@ def test_bigram_logprob_paths_and_direct(ray_session):
     want = pd.DataFrame(want, columns=["doc_id", "n_tokens", "nll"])
     pd.testing.assert_frame_equal(a, want, check_dtype=False)
     assert set(a["doc_id"]) == {0, 1, 4}
+
+
+def test_join_fallback_paths_survive_tiny_vocab(ray_session):
+    """A corpus whose aggregate leaves some hash partitions EMPTY used
+    to emit schema-less empty blocks that broke every downstream hash
+    join (FieldRef resolution). All broadcast/join-switch operators
+    must now survive threshold=0 on a 3-word corpus."""
+    import ray
+
+    from pystreamfs_ray.stages.textstats import (pmi_bigrams,
+                                                 tfidf_top_term,
+                                                 unigram_logprob)
+
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                       "text": ["a b a b", "b a", "c", "a b c"]})
+    ds = ray.data.from_pandas([df.iloc[:2], df.iloc[2:]])
+    for fn, sort_cols in ((tfidf_top_term, ["doc_id"]),
+                          (unigram_logprob, ["doc_id"]),
+                          (lambda d, **kw: pmi_bigrams(d, min_count=1, **kw),
+                           ["w1", "w2"])):
+        a = (fn(ds).to_pandas()
+             .sort_values(sort_cols, ignore_index=True))
+        b = (fn(ds, broadcast_threshold=0).to_pandas()
+             .sort_values(sort_cols, ignore_index=True))
+        pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
