@@ -257,3 +257,52 @@ def test_quantile_bounds_properties(num_partitions, seed):
     assert (np.diff(b) > 0).all()
     if len(b):
         assert b.min() >= vals.min() and b.max() <= vals.max()
+
+
+@given(st.lists(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=5),
+                         min_size=0, max_size=30),
+                min_size=1, max_size=8),
+       st.integers(1, 4))
+@settings(max_examples=30, deadline=None)
+def test_linear_scorer_invariants(docs_tokens, dup_factor):
+    """The hashed-BoW logistic score is (0,1)-bounded, order-invariant
+    within a doc (bag semantics), invariant under duplicating the whole
+    token multiset (mean logit), and exactly 0.5 for empty docs."""
+    from pystreamfs_ray.stages.textstats import LinearScorer
+
+    sc = LinearScorer()
+    texts = [" ".join(t) for t in docs_tokens]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    out = sc(df)
+    assert ((out["score"] > 0) & (out["score"] < 1)).all()
+    assert (out.loc[out["n_tokens"] == 0, "score"] == 0.5).all()
+
+    rng = np.random.default_rng(7)
+    shuf = [" ".join(rng.permutation(np.asarray(t, dtype=object)))
+            if t else "" for t in docs_tokens]
+    out_shuf = sc(pd.DataFrame({"doc_id": df["doc_id"], "text": shuf}))
+    assert np.array_equal(out["score"].to_numpy(), out_shuf["score"].to_numpy())
+
+    dup = [" ".join(t * dup_factor) for t in docs_tokens]
+    out_dup = sc(pd.DataFrame({"doc_id": df["doc_id"], "text": dup}))
+    # mean logit is invariant under multiset duplication → same score
+    # up to the 6-digit rounding both outputs share
+    assert np.allclose(out["score"], out_dup["score"], atol=2e-6)
+
+
+@given(st.lists(st.text(min_size=0, max_size=24), min_size=1, max_size=12))
+@settings(max_examples=15, deadline=None)
+def test_md5_hex_identity_matches_duckdb(strings):
+    """The fingerprint index's content identity is bit-identical to
+    DuckDB's md5() over arbitrary unicode — the property the
+    q_incremental_dedup oracle relies on."""
+    import duckdb
+
+    from pystreamfs_ray.stages.dedup import _md5_hex
+
+    got = _md5_hex(np.array(strings, dtype=object))
+    con = duckdb.connect()
+    want = [con.execute("SELECT md5(?)", [s]).fetchone()[0]
+            for s in strings]
+    assert list(got) == want
