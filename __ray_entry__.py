@@ -136,11 +136,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tool_error_rate": q.q_tool_error_rate,
         "q_grouped_quantiles": q.q_grouped_quantiles,
         "q_grouped_topk": q.q_grouped_topk,
-        "q1_lineitem_agg": q.q1_lineitem_agg,
-        "q_filter_project": q.q_filter_project,
-        "q_topk_orders": q.q_topk_orders,
-        "q_join_agg": q.q_join_agg,
-        "q_join_shuffle": q.q_join_shuffle,
+        # final-session additions, never driver-checked — in the window
+        # so every registered query has a lifetime verdict after r4
+        "q_neardup_canonical": q.q_neardup_canonical,
+        "q_split_drift": q.q_split_drift,
+        "q_score_docs": q.q_score_docs,
+        "q_incremental_dedup": q.q_incremental_dedup,
+        "q_bigram_logprob": q.q_bigram_logprob,
         "q_region_revenue": q.q_region_revenue,
         "q_part_supplier_revenue": q.q_part_supplier_revenue,
         "q_semi_join": q.q_semi_join,
@@ -239,11 +241,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_token_stats": q.q_token_stats,
         "q_fingerprint": q.q_fingerprint,
         "q_ann_topk": q.q_ann_topk,
-        "q_neardup_canonical": q.q_neardup_canonical,
-        "q_split_drift": q.q_split_drift,
-        "q_score_docs": q.q_score_docs,
-        "q_incremental_dedup": q.q_incremental_dedup,
-        "q_bigram_logprob": q.q_bigram_logprob,
+        "q1_lineitem_agg": q.q1_lineitem_agg,
+        "q_filter_project": q.q_filter_project,
+        "q_topk_orders": q.q_topk_orders,
+        "q_join_agg": q.q_join_agg,
+        "q_join_shuffle": q.q_join_shuffle,
     }
 
 
