@@ -175,8 +175,13 @@ def split_centroid_drift(ds, *, id_col: str = "vec_id",
             "vsum": [X[labs == u].sum(axis=0) for u in uniq],
         })
 
-    parts = (ds.select_columns([id_col, vec_col])
-             .map_batches(partial, batch_format="pandas").to_pandas())
+    from pystreamfs_ray.util import ensure_cols
+
+    # Ray's to_pandas drops the schema of a 0-row dataset
+    parts = ensure_cols(
+        (ds.select_columns([id_col, vec_col])
+         .map_batches(partial, batch_format="pandas").to_pandas()),
+        {"split": object, "n": np.int64, "vsum": object})
     cent, cnt = {}, {}
     for s, g in parts.groupby("split"):
         n = int(g["n"].sum())

@@ -141,9 +141,21 @@ def incremental_exact_dedup(new_ds, index_ds, *, id_col: str = "doc_id",
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = min(64, max(4, cpus // 2))
     # both sides are groupby/map_groups outputs — schema-less empty
-    # blocks break the hash join (see util.drop_empty_blocks)
-    return (drop_empty_blocks(deduped, num_partitions)
-            .map_batches(add_fp, batch_format="pandas")
+    # blocks break the hash join (see util.drop_empty_blocks). The
+    # deduped arrival batch is materialized anyway (it feeds exactly
+    # one join and is far smaller than the raw arrivals), which also
+    # gives a cheap emptiness probe for the no-arrivals short-circuit
+    # (a FULLY empty left side has no schema-carrying block at all).
+    withfp = (drop_empty_blocks(deduped, num_partitions)
+              .map_batches(add_fp, batch_format="pandas")
+              .materialize())
+    if withfp.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.schema(
+            [(id_col, pa.int64()), ("n_dupes", pa.int64()),
+             (text_col, pa.string())]).empty_table())
+    return (withfp
             .join(drop_empty_blocks(index_ds, num_partitions), "left_anti",
                   num_partitions=num_partitions, on=("fp",))
             .select_columns([id_col, "n_dupes", text_col]))
@@ -717,6 +729,16 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
         .repartition(num_partitions)
         .materialize()
     )
+    if edges.schema() is None:
+        # fully empty pair set (map_batches never runs on empty blocks,
+        # so no block carries a schema) — no nodes, no groups
+        import ray.data as rd
+
+        in_schema = pairs_ds.schema()
+        node_type = (dict(zip(in_schema.names, in_schema.types))[id_a]
+                     if in_schema is not None else pa.int64())
+        return rd.from_arrow(pa.schema(
+            [("node", node_type), ("component", node_type)]).empty_table())
     node_type = dict(zip(edges.schema().names, edges.schema().types))["src"]
     label_schema = pa.schema([("node", node_type), ("component", node_type)])
 
@@ -882,7 +904,14 @@ def neardup_canonical(pairs_ds, attrs_ds, *, id_col: str = "doc_id",
 
     from pystreamfs_ray.util import drop_empty_blocks
 
-    comps = connected_components(pairs_ds)  # (node, component)
+    comps = connected_components(pairs_ds)  # (node, component), materialized
+    if comps.count() == 0:  # no pairs → no duplicate groups
+        import ray.data as rd
+
+        return rd.from_arrow(pa.schema(
+            [("component", pa.int64()), ("keep_id", pa.int64()),
+             ("best_score", pa.int64()),
+             ("n_members", pa.int64())]).empty_table())
     attrs = attrs_ds.select_columns([id_col, score_col]).map_batches(
         lambda t: t.rename_columns(["node", "__score"]),
         batch_format="pyarrow")

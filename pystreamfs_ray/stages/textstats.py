@@ -947,10 +947,14 @@ def bigram_logprob(ds, *, id_col: str = "doc_id", text_col: str = "text",
               .materialize())
 
     if big_ds.count() <= broadcast_threshold:
-        bdf = big_ds.to_pandas()
+        from pystreamfs_ray.util import ensure_cols
+
+        bdf = ensure_cols(big_ds.to_pandas(),
+                          {"w1": object, "w2": object, "cb": np.int64})
         bkey = (bdf["w1"].astype(str) + SEP + bdf["w2"].astype(str)).to_numpy()
         border = np.argsort(bkey)
-        udf = uni_ds.to_pandas()
+        udf = ensure_cols(uni_ds.to_pandas(),
+                          {"w": object, "cu": np.int64})
         uorder = np.argsort(udf["w"].to_numpy())
         ref = ray.put((bkey[border],
                        bdf["cb"].to_numpy()[border].astype(np.float64),

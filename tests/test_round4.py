@@ -804,3 +804,44 @@ def test_join_fallback_paths_survive_tiny_vocab(ray_session):
         b = (fn(ds, broadcast_threshold=0).to_pandas()
              .sort_values(sort_cols, ignore_index=True))
         pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+def test_round4_ops_empty_input_safety(ray_session):
+    """Every final-session operator returns a clean empty result on an
+    empty input instead of crashing (empty aggregates lose columns;
+    joins choke on schema-less blocks without the drop_empty guard)."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.cluster import split_centroid_drift
+    from pystreamfs_ray.stages.dedup import (fingerprint_index,
+                                             incremental_exact_dedup,
+                                             neardup_canonical)
+    from pystreamfs_ray.stages.textstats import bigram_logprob, linear_score
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype=np.int64),
+        "text": pd.Series([], dtype=str),
+        "n_chars": pd.Series([], dtype=np.int64)}))
+    pairs = rd.from_pandas(pd.DataFrame({
+        "id_a": pd.Series([], dtype=np.int64),
+        "id_b": pd.Series([], dtype=np.int64)}))
+
+    results = [
+        linear_score(docs, concurrency=2),
+        bigram_logprob(docs),
+        fingerprint_index(docs),
+        incremental_exact_dedup(docs, fingerprint_index(docs),
+                                num_partitions=2),
+        neardup_canonical(pairs, docs, score_col="n_chars",
+                          num_partitions=2),
+    ]
+    for r in results:
+        assert r.count() == 0
+
+    emb = rd.from_pandas(pd.DataFrame({
+        "vec_id": pd.Series([], dtype=np.int64),
+        "embedding": pd.Series([], dtype=object)}))
+    drift = split_centroid_drift(emb)
+    assert len(drift) == 0
+    assert list(drift.columns) == ["split_a", "split_b", "n_a", "n_b",
+                                   "cosine"]
