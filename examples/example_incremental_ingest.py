@@ -55,17 +55,28 @@ def main(sf_dir: str = "/root/testdata/sf0.001",
 
         return fn
 
+    def read_index():
+        # write_parquet of a fully-empty dataset writes ZERO files (an
+        # empty bootstrap corpus is legal), so read the dir defensively
+        import pyarrow as pa
+        files = ([f for f in os.listdir(index_dir) if f.endswith(".parquet")]
+                 if os.path.isdir(index_dir) else [])
+        if not files:
+            return rd.from_arrow(
+                pa.schema([("fp", pa.string())]).empty_table())
+        return rd.read_parquet(index_dir)
+
     # ---- run 0: bootstrap the index from the first batch -------------
     first = docs.map_batches(batch_of("train"), batch_format="pandas")
     fingerprint_index(first).write_parquet(index_dir)
-    n_idx = rd.read_parquet(index_dir).count()
+    n_idx = read_index().count()
     print(f"bootstrap: {n_idx} fingerprints -> {index_dir}")
 
     # ---- runs 1..N: ingest each arrival batch against the index ------
     for run, batch_name in enumerate(("val", "test"), start=1):
         arrivals = docs.map_batches(batch_of(batch_name),
                                     batch_format="pandas")
-        index = rd.read_parquet(index_dir)
+        index = read_index()
         kept = incremental_exact_dedup(arrivals, index).materialize()
         n_kept = kept.count()
         kept.write_parquet(os.path.join(kept_dir, f"run={run}"))

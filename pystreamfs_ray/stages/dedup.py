@@ -152,11 +152,44 @@ def incremental_exact_dedup(new_ds, index_ds, *, id_col: str = "doc_id",
     if withfp.count() == 0:
         import ray.data as rd
 
+        in_schema = new_ds.schema()
+        tmap = (dict(zip(in_schema.names, in_schema.types))
+                if in_schema is not None else {})
+
+        def _pa_type(col, default):
+            # pandas-backed datasets report numpy/Python types here;
+            # keep the id dtype only when it is a real Arrow type
+            t = tmap.get(col)
+            if isinstance(t, pa.DataType):
+                return t
+            try:
+                dt = np.dtype(t) if t is not None else None
+            except TypeError:
+                return default
+            if dt is None:
+                return default
+            if dt == np.dtype(object) or dt.kind in ("U", "S"):
+                return pa.string()  # pandas object/str columns are text
+            try:
+                return pa.from_numpy_dtype(dt)
+            except (TypeError, pa.ArrowNotImplementedError):
+                return default
+
         return rd.from_arrow(pa.schema(
-            [(id_col, pa.int64()), ("n_dupes", pa.int64()),
-             (text_col, pa.string())]).empty_table())
+            [(id_col, _pa_type(id_col, pa.int64())),
+             ("n_dupes", pa.int64()),
+             (text_col, _pa_type(text_col, pa.string()))]).empty_table())
+    # The index side needs the symmetric guard: a FULLY empty index
+    # (bootstrap run against a zero-doc corpus) has no schema-carrying
+    # block either, and repartition can't conjure one — every arrival
+    # is new, skip the join. Materializing here costs nothing extra:
+    # the anti join shuffles the whole index anyway, and it gives the
+    # emptiness probe a single execution.
+    idx = drop_empty_blocks(index_ds, num_partitions).materialize()
+    if idx.count() == 0:
+        return withfp.select_columns([id_col, "n_dupes", text_col])
     return (withfp
-            .join(drop_empty_blocks(index_ds, num_partitions), "left_anti",
+            .join(idx, "left_anti",
                   num_partitions=num_partitions, on=("fp",))
             .select_columns([id_col, "n_dupes", text_col]))
 
@@ -900,9 +933,8 @@ def neardup_canonical(pairs_ds, attrs_ds, *, id_col: str = "doc_id",
     shuffles, and no component ever needs to fit on the driver."""
     import ray
 
-    from pystreamfs_ray.util import arrow_block, arrow_combiner
-
-    from pystreamfs_ray.util import drop_empty_blocks
+    from pystreamfs_ray.util import (arrow_block, arrow_combiner,
+                                     drop_empty_blocks)
 
     comps = connected_components(pairs_ds)  # (node, component), materialized
     if comps.count() == 0:  # no pairs → no duplicate groups

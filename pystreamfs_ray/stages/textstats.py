@@ -607,9 +607,10 @@ def pmi_bigrams(ds, *, text_col: str = "text", min_count: int = 5,
     # prune BEFORE the joins: only bigrams that can appear in the output
     big = drop_empty_blocks(big.filter(expr=f"c >= {min_count}"),
                             num_partitions)
-    uni1 = drop_empty_blocks(uni_ds, num_partitions).map_batches(
+    uni_guarded = drop_empty_blocks(uni_ds, num_partitions)
+    uni1 = uni_guarded.map_batches(
         lambda t: t.rename_columns(["w1", "cu1"]), batch_format="pyarrow")
-    uni2 = drop_empty_blocks(uni_ds, num_partitions).map_batches(
+    uni2 = uni_guarded.map_batches(
         lambda t: t.rename_columns(["w2", "cu2"]), batch_format="pyarrow")
     joined = big.join(uni1, join_type="inner",
                       num_partitions=num_partitions, on=("w1",))

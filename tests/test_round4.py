@@ -845,3 +845,38 @@ def test_round4_ops_empty_input_safety(ray_session):
     assert len(drift) == 0
     assert list(drift.columns) == ["split_a", "split_b", "n_a", "n_b",
                                    "cosine"]
+
+
+def test_incremental_dedup_empty_index_and_id_dtype(ray_session):
+    """The symmetric empty-input direction: a FULLY empty fingerprint
+    index (bootstrap against a zero-doc corpus) with non-empty arrivals
+    must keep every arrival, not crash the anti-join on schema-less
+    blocks; and an empty-arrivals result must preserve the caller's id
+    dtype (string ids stay string) so per-run outputs union cleanly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.dedup import (fingerprint_index,
+                                             incremental_exact_dedup)
+
+    empty_docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype=np.int64),
+        "text": pd.Series([], dtype=str)}))
+    arrivals = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([3, 1, 2, 7], dtype=np.int64),
+        "text": ["a", "b", "a", "c"]}))
+
+    kept = incremental_exact_dedup(arrivals, fingerprint_index(empty_docs),
+                                   num_partitions=2).to_pandas()
+    # empty index → every distinct text survives, min id kept
+    assert sorted(kept["doc_id"].tolist()) == [1, 2, 7]
+
+    # string ids + empty arrivals: schema must say string, not int64
+    str_docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype=str),
+        "text": pd.Series([], dtype=str)}))
+    out = incremental_exact_dedup(
+        str_docs, fingerprint_index(empty_docs), num_partitions=2)
+    assert out.count() == 0
+    schema = out.schema()
+    assert dict(zip(schema.names, schema.types))["doc_id"] == pa.string()
