@@ -246,6 +246,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_topk_orders": q.q_topk_orders,
         "q_join_agg": q.q_join_agg,
         "q_join_shuffle": q.q_join_shuffle,
+        # added after the round-4 window froze — lead the r5 window
+        "q_length_buckets": q.q_length_buckets,
+        "q_ann_int8": q.q_ann_int8,
     }
 
 
@@ -1491,6 +1494,22 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                        AS BIGINT), 0), 63) AS bin,
                    COUNT(*) AS n
             FROM events, mm GROUP BY 1
+        """,
+        # floor(log2(n)) via length(bin(n))-1 — pure integer arithmetic
+        # on both sides (the engine uses frexp), no float boundary risk
+        "q_length_buckets": r"""
+            WITH t AS (
+                SELECT CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                            END AS BIGINT) AS n_tokens
+                FROM documents)
+            SELECT CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   MIN(n_tokens) AS min_tokens,
+                   MAX(n_tokens) AS max_tokens
+            FROM t WHERE n_tokens >= 1
+            GROUP BY 1
         """,
         "q_token_stats": r"""
             SELECT doc_id,

@@ -2636,3 +2636,42 @@ def q_bigram_logprob(sf_dir: str):
 
     docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return bigram_logprob(docs)
+
+
+def q_length_buckets(sf_dir: str):
+    """Power-of-two token-length bucket profile over the corpus — the
+    statistic that sizes length-bucketed packed training batches."""
+    from pystreamfs_ray.stages.textstats import length_buckets
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return length_buckets(docs)
+
+
+def q_ann_int8(sf_dir: str):
+    """Recall@10 of int8-quantized brute-force cosine vs float exact —
+    the quality gate on the 4× storage/bandwidth quantization path.
+    Non-SQL (per-vector quantization + float32 matmul); driver checks
+    rows-only, pytest bounds mean recall ≥ 0.9. Both result sets are
+    queries×k rows — the compare is O(100), never data-sized."""
+    from pystreamfs_ray.stages.similarity import (brute_force_topk,
+                                                  int8_topk,
+                                                  quantize_embeddings)
+
+    emb = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 10").to_pandas()
+    qmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy()
+    exact = brute_force_topk(emb, qids, qmat, k=10,
+                             concurrency=2).to_pandas()
+    approx = int8_topk(quantize_embeddings(emb), qids, qmat, k=10,
+                       concurrency=2).to_pandas()
+    rows = []
+    for qid, grp in exact.groupby("query_id"):
+        true = set(grp["vec_id"])
+        got = set(approx.loc[approx["query_id"] == qid, "vec_id"])
+        rows.append((int(qid), len(true & got), len(true)))
+    out = pd.DataFrame(rows, columns=["query_id", "n_hits", "k"])
+    out["recall"] = np.round(out["n_hits"] / out["k"], 6)
+    return out

@@ -174,3 +174,96 @@ def ivf_topk(ds, query_ids, query_matrix, *, k=10, n_cells=16, nprobe=4,
         return g
 
     return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+
+
+def quantize_embeddings(ds, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding"):
+    """Int8 per-vector quantization of an embedding column — the
+    storage/bandwidth artifact for 100-TB similarity search. Each
+    vector is L2-normalized, then mapped to int8 with a per-vector
+    scale ``s = max|x| / 127`` so that ``cosine(q, v) ≈ (q · v8) * s``
+    with per-component error ≤ s/2 (|error| ≤ ||q||₁ · s/2 total).
+
+    Output: ``(id, q8: list<int8>, scale: float64)``. Written to
+    parquet this is 4× smaller than float32 (8× vs the float64 the
+    fixture carries) — a query scan over the quantized table moves a
+    quarter of the bytes through storage, object store and memory bus,
+    which is where brute-force ANN spends its wall at scale. Doc-local,
+    shuffle-free, stateless ``map_batches``."""
+
+    def quant(t: pa.Table) -> pa.Table:
+        vecs = _normalize(_as_matrix(t[vec_col].to_pylist()))
+        if vecs.size:
+            scale = np.abs(vecs).max(axis=1) / 127.0
+            scale[scale == 0] = 1.0
+            q8 = np.clip(np.round(vecs / scale[:, None]), -127, 127)
+        else:
+            scale = np.zeros(0)
+            q8 = vecs
+        return pa.table({
+            id_col: t[id_col],
+            "q8": pa.array([row.astype(np.int8) for row in q8],
+                           type=pa.list_(pa.int8())),
+            "scale": pa.array(scale, type=pa.float64()),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+class Int8Scorer:
+    """Actor: brute-force cosine over the int8-quantized table. The
+    float query matrix is broadcast once; each batch does one
+    (nq × d) @ (d × batch) matmul over the DEQUANT-FREE int8 codes
+    upcast in registers, then rescales by the per-vector scale —
+    the stored/shuffled representation stays int8 end to end."""
+
+    def __init__(self, queries_ref, id_col: str, k: int):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = q["qids"]
+        self.qmat = _normalize(q["qmat"]).astype(np.float32)
+        self.id_col, self.k = id_col, k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        codes = np.stack([np.asarray(v, dtype=np.int8) for v in df["q8"]])
+        scales = df["scale"].to_numpy(np.float64)
+        # int8 → float32 upcast happens in the matmul input, never in
+        # storage; sims are rescaled per corpus vector afterwards
+        sims = (self.qmat @ codes.T.astype(np.float32)) * scales[None, :]
+        ids = df[self.id_col].to_numpy()
+        k = min(self.k, sims.shape[1])
+        rows_q, rows_id, rows_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            top = _topk_rounded(sims[qi], ids, k)
+            rows_q.extend([self.qids[qi]] * k)
+            rows_id.extend(ids[top])
+            rows_sim.extend(sims[qi, top])
+        return pd.DataFrame({
+            "query_id": np.array(rows_q, dtype=np.int64),
+            self.id_col: np.array(rows_id, dtype=np.int64),
+            "cosine_q": np.array(rows_sim, dtype=np.float64),
+        })
+
+
+def int8_topk(quant_ds, query_ids, query_matrix, *, k=10, id_col="vec_id",
+              concurrency=4, batch_size=4096):
+    """Global approximate cosine top-k per query over a
+    ``quantize_embeddings`` table. Same partial-top-k-then-reduce shape
+    as ``brute_force_topk``: the corpus streams, only
+    (n_queries × k × n_blocks) partial winners move."""
+    ref = ray.put({"qids": np.asarray(query_ids, dtype=np.int64),
+                   "qmat": np.asarray(query_matrix, dtype=np.float64)})
+    partials = quant_ds.map_batches(
+        Int8Scorer, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency, fn_constructor_args=(ref, id_col, k),
+    )
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["cosine_q"] = g["cosine_q"].round(6)
+        g = g.sort_values(["cosine_q", id_col], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(reduce_topk,
+                                                   batch_format="pandas")

@@ -1085,3 +1085,53 @@ def document_frequency(ds, *, id_col: str = "doc_id",
 
     pairs = ds.map_batches(explode, batch_format="pandas")
     return pairs.groupby("word").aggregate(Count(alias_name="df"))
+
+
+def length_buckets(ds, text_col: str = "text"):
+    """Power-of-two token-length bucket profile — the length-bucketed
+    batching statistic a training pipeline uses to size packed batches
+    (docs in bucket b have ``2^b <= n_tokens < 2^(b+1)``). Zero-token
+    docs are excluded (they carry no trainable content).
+
+    Exact integer arithmetic end to end: the bucket is
+    ``floor(log2(n_tokens))`` computed via ``frexp`` (exact for any
+    int64 < 2^53, no float-boundary risk), and the per-bucket
+    ``n_docs/sum_tokens/min/max`` reduce through a per-batch combiner
+    partial — the shuffle carries at most ~40 rows per block no matter
+    the corpus size. Doc-local otherwise; text never shuffles."""
+    from pystreamfs_ray.util import arrow_combiner
+
+    counted = token_stats(ds, text_col)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_tokens"].to_numpy(np.int64)
+        n = n[n >= 1]
+        if len(n) == 0:
+            return pd.DataFrame({
+                "bucket": pd.Series([], dtype=np.int64),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "sum_tokens": pd.Series([], dtype=np.int64),
+                "min_tokens": pd.Series([], dtype=np.int64),
+                "max_tokens": pd.Series([], dtype=np.int64)})
+        # frexp: x = m * 2^e with m in [0.5, 1) → floor(log2 x) = e - 1,
+        # exact for every positive int64 below 2^53
+        bucket = np.frexp(n.astype(np.float64))[1].astype(np.int64) - 1
+        g = (pd.DataFrame({"bucket": bucket, "n": n})
+             .groupby("bucket")["n"]
+             .agg(n_docs="size", sum_tokens="sum", min_tokens="min",
+                  max_tokens="max").reset_index())
+        return g.astype({"bucket": np.int64, "n_docs": np.int64,
+                         "sum_tokens": np.int64, "min_tokens": np.int64,
+                         "max_tokens": np.int64})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": [np.int64(g["bucket"].iloc[0])],
+            "n_docs": [np.int64(g["n_docs"].sum())],
+            "sum_tokens": [np.int64(g["sum_tokens"].sum())],
+            "min_tokens": [np.int64(g["min_tokens"].min())],
+            "max_tokens": [np.int64(g["max_tokens"].max())]})
+
+    return (counted
+            .map_batches(arrow_combiner(partial), batch_format="pyarrow")
+            .groupby("bucket").map_groups(merge, batch_format="pandas"))

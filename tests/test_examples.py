@@ -31,6 +31,20 @@ def test_example_corpus_pipeline():
     assert "RRF top-5 doc ids:" in out.stdout
 
 
+def test_example_incremental_ingest(tmp_path):
+    """Incremental-ingestion loop: bootstrap index → two arrival-batch
+    runs, each deduped against the persisted index — subprocess so it
+    owns its Ray session."""
+    out = subprocess.run(
+        [sys.executable, f"{EX}/example_incremental_ingest.py",
+         "/root/testdata/sf0.001", str(tmp_path / "ingest")],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "bootstrap:" in out.stdout
+    assert "run 2 (test): kept" in out.stdout
+
+
 def test_example_sft_export(tmp_path):
     """SFT export walkthrough: transcripts → pairs → holdout splits →
     sharded JSONL with resume — subprocess so it owns its Ray session."""

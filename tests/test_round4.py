@@ -880,3 +880,91 @@ def test_incremental_dedup_empty_index_and_id_dtype(ray_session):
     assert out.count() == 0
     schema = out.schema()
     assert dict(zip(schema.names, schema.types))["doc_id"] == pa.string()
+
+
+def test_int8_ann_recall_and_error_bound(ray_session):
+    """Int8-quantized brute-force ANN: (1) per-component quantization
+    error implies |approx - exact cosine| <= ||q||_1 * s/2 — checked
+    against the analytic bound; (2) recall@10 vs float exact >= 0.9 on
+    the sf0.001 embeddings; (3) the quantized table is list<int8> (the
+    4x storage artifact)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.similarity import (brute_force_topk,
+                                                  int8_topk,
+                                                  quantize_embeddings)
+
+    rng = np.random.default_rng(42)
+    n, d = 600, 24
+    mat = rng.normal(size=(n, d))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(mat)})
+    ds = rd.from_pandas(df).repartition(4)
+
+    quant = quantize_embeddings(ds).materialize()
+    schema = dict(zip(quant.schema().names, quant.schema().types))
+    assert schema["q8"] == pa.list_(pa.int8())
+
+    # analytic error bound per (query, vector) pair
+    qp = quant.to_pandas().sort_values("vec_id")
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q0 = norm[0]
+    codes = np.stack([np.asarray(v, dtype=np.float64) for v in qp["q8"]])
+    scales = qp["scale"].to_numpy()
+    approx = (codes @ q0) * scales
+    exact = norm @ q0
+    bound = np.abs(q0).sum() * scales / 2 + 1e-12
+    assert (np.abs(approx - exact) <= bound).all()
+
+    qids = np.arange(5, dtype=np.int64)
+    qmat = mat[:5]
+    ex = brute_force_topk(ds, qids, qmat, k=10, concurrency=2).to_pandas()
+    ap = int8_topk(quant, qids, qmat, k=10, concurrency=2).to_pandas()
+    recalls = []
+    for qid in qids:
+        true = set(ex.loc[ex["query_id"] == qid, "vec_id"])
+        got = set(ap.loc[ap["query_id"] == qid, "vec_id"])
+        recalls.append(len(true & got) / len(true))
+    assert np.mean(recalls) >= 0.9, recalls
+
+    # partition invariance: the reduce is deterministic
+    ap2 = int8_topk(quantize_embeddings(ds.repartition(9)), qids, qmat,
+                    k=10, concurrency=2).to_pandas()
+    a = ap.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = ap2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["query_id", "vec_id", "rank"]],
+                                  b[["query_id", "vec_id", "rank"]])
+
+
+def test_length_buckets_exact_and_empty(ray_session):
+    """Power-of-two bucket = floor(log2(n_tokens)) exactly (frexp path
+    vs Python bit_length ground truth), bucket sums match a pandas
+    reference, empty input returns zero rows."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.textstats import length_buckets
+
+    texts = ["one", "a b", "a b c d", "w " * 511 + "w", "", "  ",
+             "x " * 7 + "x", "y " * 8]
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}))
+    out = length_buckets(ds).to_pandas().sort_values("bucket")
+
+    ref = {}
+    for t in texts:
+        nt = len(t.split())
+        if nt >= 1:
+            b = nt.bit_length() - 1
+            c, s, lo, hi = ref.get(b, (0, 0, 1 << 62, -1))
+            ref[b] = (c + 1, s + nt, min(lo, nt), max(hi, nt))
+    assert len(out) == len(ref)
+    for _, r in out.iterrows():
+        c, s, lo, hi = ref[int(r["bucket"])]
+        assert (int(r["n_docs"]), int(r["sum_tokens"]),
+                int(r["min_tokens"]), int(r["max_tokens"])) == (c, s, lo, hi)
+
+    empty = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype=np.int64),
+        "text": pd.Series([], dtype=str)}))
+    assert length_buckets(empty).count() == 0
