@@ -106,8 +106,13 @@ def fingerprint_index(ds, *, text_col: str = "text", num_buckets: int = 64):
                     % np.uint64(num_buckets)).astype(np.int64),
         }))
 
-    def distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates("fp")[["fp"]]
+    def distinct(g: pd.DataFrame) -> pa.Table:
+        # Arrow out: keeps the index dataset's block type uniform with
+        # read-back-from-parquet indexes (incremental_exact_dedup
+        # unions a sentinel row — Ray's union asserts on mixed
+        # pandas/arrow block types)
+        return pa.table({"fp": pa.array(
+            g["fp"].drop_duplicates(), type=pa.string())})
 
     return (ds.map_batches(arrow_combiner(part), batch_format="pyarrow")
             .groupby("__b").map_groups(distinct, batch_format="pandas"))
@@ -181,13 +186,23 @@ def incremental_exact_dedup(new_ds, index_ds, *, id_col: str = "doc_id",
              (text_col, _pa_type(text_col, pa.string()))]).empty_table())
     # The index side needs the symmetric guard: a FULLY empty index
     # (bootstrap run against a zero-doc corpus) has no schema-carrying
-    # block either, and repartition can't conjure one — every arrival
-    # is new, skip the join. Materializing here costs nothing extra:
-    # the anti join shuffles the whole index anyway, and it gives the
-    # emptiness probe a single execution.
-    idx = drop_empty_blocks(index_ds, num_partitions).materialize()
-    if idx.count() == 0:
-        return withfp.select_columns([id_col, "n_dupes", text_col])
+    # block either, and repartition can't conjure one. A count/
+    # materialize probe would SERIALIZE the index build against the
+    # arrival dedup (measured 4.1 s → 12.2 s at sf0.1) — instead union
+    # one sentinel row whose fp is the empty string (a real fp is
+    # always 32 hex chars, so it can never match an arrival): the
+    # right side now always carries a schema, stays lazy, and the
+    # anti-join semantics are unchanged.
+    import ray.data as rd
+
+    sentinel = rd.from_arrow(
+        pa.table({"fp": pa.array([""], type=pa.string())}))
+    # identity map normalizes any pandas-block index to arrow (union
+    # asserts on mixed block types; empty aggregate blocks are already
+    # arrow and pass through untouched)
+    idx_arrow = index_ds.map_batches(lambda t: t, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    idx = drop_empty_blocks(idx_arrow.union(sentinel), num_partitions)
     return (withfp
             .join(idx, "left_anti",
                   num_partitions=num_partitions, on=("fp",))
