@@ -30,6 +30,28 @@ import pyarrow.compute as pc
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+def _arrow_type_of(t, default: pa.DataType) -> pa.DataType:
+    """Best-effort Arrow type from a Ray ``Dataset.schema().types``
+    entry: pandas-backed datasets report numpy dtypes / Python classes
+    there instead of Arrow types. Object/str dtypes map to string (in
+    this engine object columns are text); anything unmappable falls
+    back to ``default``."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        dt = np.dtype(t) if t is not None else None
+    except TypeError:
+        return default
+    if dt is None:
+        return default
+    if dt == np.dtype(object) or dt.kind in ("U", "S"):
+        return pa.string()
+    try:
+        return pa.from_numpy_dtype(dt)
+    except (TypeError, pa.ArrowNotImplementedError):
+        return default
+
+
 def _md5_lower64(strings) -> np.ndarray:
     """md5-low-64 per string: the LAST 8 digest bytes, little-endian —
     exactly DuckDB's ``md5_number_lower``, so every operator built on it
@@ -161,29 +183,11 @@ def incremental_exact_dedup(new_ds, index_ds, *, id_col: str = "doc_id",
         tmap = (dict(zip(in_schema.names, in_schema.types))
                 if in_schema is not None else {})
 
-        def _pa_type(col, default):
-            # pandas-backed datasets report numpy/Python types here;
-            # keep the id dtype only when it is a real Arrow type
-            t = tmap.get(col)
-            if isinstance(t, pa.DataType):
-                return t
-            try:
-                dt = np.dtype(t) if t is not None else None
-            except TypeError:
-                return default
-            if dt is None:
-                return default
-            if dt == np.dtype(object) or dt.kind in ("U", "S"):
-                return pa.string()  # pandas object/str columns are text
-            try:
-                return pa.from_numpy_dtype(dt)
-            except (TypeError, pa.ArrowNotImplementedError):
-                return default
-
         return rd.from_arrow(pa.schema(
-            [(id_col, _pa_type(id_col, pa.int64())),
+            [(id_col, _arrow_type_of(tmap.get(id_col), pa.int64())),
              ("n_dupes", pa.int64()),
-             (text_col, _pa_type(text_col, pa.string()))]).empty_table())
+             (text_col, _arrow_type_of(tmap.get(text_col),
+                                       pa.string()))]).empty_table())
     # The index side needs the symmetric guard: a FULLY empty index
     # (bootstrap run against a zero-doc corpus) has no schema-carrying
     # block either, and repartition can't conjure one. A count/
@@ -735,7 +739,8 @@ def simhash_pairs(ds, *, id_col="doc_id", text_col="text", max_hamming=3,
 
 
 def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
-                         max_rounds: int = 12, num_partitions: int | None = None):
+                         max_rounds: int = 12, num_partitions: int | None = None,
+                         driver_threshold: int = 2_000_000):
     """Duplicate groups from near-dup pairs: distributed min-label
     propagation with POINTER DOUBLING — each round every node adopts
     the smallest of (its label, its neighbors' labels, its label's
@@ -752,6 +757,15 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
     groups, never merged-wrong ones.
 
     Returns (node, component) where component = min node id reachable.
+
+    Size gate (same discipline as the broadcast↔join switches): at or
+    below ``driver_threshold`` DIRECTED edges the identical min-label +
+    pointer-doubling recurrence runs vectorized on the driver — each
+    numpy pass is O(E), so 2M edges converge in milliseconds, versus
+    ~1 s of fixed shuffle/barrier overhead PER ROUND for the
+    distributed loop. The pair graph is LSH candidates (pair-sized,
+    never corpus-sized); above the threshold the all-Dataset path keeps
+    components of any size off the driver.
     """
     import pandas as pd
     import ray.data as rd
@@ -787,8 +801,35 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
                      if in_schema is not None else pa.int64())
         return rd.from_arrow(pa.schema(
             [("node", node_type), ("component", node_type)]).empty_table())
-    node_type = dict(zip(edges.schema().names, edges.schema().types))["src"]
+    node_type = _arrow_type_of(
+        dict(zip(edges.schema().names, edges.schema().types))["src"],
+        pa.int64())
     label_schema = pa.schema([("node", node_type), ("component", node_type)])
+
+    if edges.count() <= driver_threshold:
+        # driver fast path: same recurrence, numpy-vectorized.
+        # np.unique sorts, so index order == value order and min-index
+        # labels equal the distributed min-value labels for ints AND
+        # strings alike.
+        df = edges.to_pandas()
+        src, dst = df["src"].to_numpy(), df["dst"].to_numpy()
+        nodes, inv = np.unique(np.concatenate([src, dst]),
+                               return_inverse=True)
+        a, b = inv[:len(src)], inv[len(src):]
+        lab = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            new = lab.copy()
+            # edges carry both directions (to_edges emits fwd+rev), so
+            # one scatter covers neighbor adoption in both directions
+            np.minimum.at(new, a, lab[b])
+            new = np.minimum(new, new[new])  # pointer-doubling hop
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes).cast(node_type),
+            "component": pa.array(nodes[lab]).cast(node_type)},
+            schema=label_schema))
 
     def norm(t: pa.Table) -> pa.Table:
         # empty shuffle partitions arrive as schema-less blocks, which
@@ -869,8 +910,26 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
             "side": pa.array(np.zeros(len(t), dtype=np.int8)),
         }, schema=co_schema)
 
+    is_str_node = (pa.types.is_string(node_type)
+                   or pa.types.is_large_string(node_type))
+
     def label_sum(ds_):
-        return ds_.aggregate(Sum("component", alias_name="s"))["s"]
+        # convergence witness: labels only ever change (downward), so
+        # the fixed point is exactly "no change". For ints the plain
+        # sum is the witness; for string node ids sum a 61-bit hash of
+        # each label instead (equal sums across a round ⇒ converged,
+        # up to a ~2^-61 per-round collision — the failure mode would
+        # be split groups, same as the round cap)
+        if not is_str_node:
+            return ds_.aggregate(Sum("component", alias_name="s"))["s"]
+
+        def h(t: pa.Table) -> pa.Table:
+            v = (_md5_lower64(t["component"].to_pylist())
+                 % _MERSENNE).astype(np.int64)
+            return pa.table({"h": pa.array(v, type=pa.int64())})
+
+        return (ds_.map_batches(h, batch_format="pyarrow")
+                .aggregate(Sum("h", alias_name="s"))["s"])
 
     prev_sum = label_sum(labels)
     converged = False

@@ -180,7 +180,53 @@ def test_connected_components_warns_on_round_cap(ray_session):
         "id_b": pa_.array(list(range(1, n)), type=pa_.int64()),
     })
     with pytest.warns(RuntimeWarning, match="still converging"):
-        D.connected_components(rd.from_arrow(pairs), max_rounds=1).to_pandas()
+        # the round cap applies to the distributed loop; pin it on
+        # (driver_threshold=0) — the driver path always converges
+        D.connected_components(rd.from_arrow(pairs), max_rounds=1,
+                               driver_threshold=0).to_pandas()
+
+
+def test_connected_components_driver_vs_distributed(ray_session):
+    """The size-gated driver fast path computes the identical labeling
+    to the distributed min-label loop on a random multi-component
+    graph (and on string node ids, where min-index must equal
+    lexicographic min-value)."""
+    import pyarrow as pa_
+    import ray.data as rd
+
+    rng = np.random.default_rng(17)
+    # ~60 components of random sizes with random internal edges
+    ia, ib = [], []
+    base = 0
+    for size in rng.integers(1, 40, size=60):
+        size = int(size)
+        if size >= 2:
+            # spanning chain + extra random intra-component edges
+            perm = base + rng.permutation(size)
+            ia.extend(perm[:-1]); ib.extend(perm[1:])
+            extra = rng.integers(0, size, size=(size // 2, 2)) + base
+            ia.extend(extra[:, 0]); ib.extend(extra[:, 1])
+        base += size
+    m = np.array(ia) != np.array(ib)
+    pairs = pa_.table({"id_a": pa_.array(np.array(ia)[m], type=pa_.int64()),
+                       "id_b": pa_.array(np.array(ib)[m], type=pa_.int64())})
+    ds = rd.from_arrow(pairs).repartition(5)
+    fast = (D.connected_components(ds).to_pandas()
+            .sort_values("node", ignore_index=True))
+    dist = (D.connected_components(ds, driver_threshold=0).to_pandas()
+            .sort_values("node", ignore_index=True))
+    pd.testing.assert_frame_equal(fast, dist)
+
+    # string node ids
+    spairs = pa_.table({
+        "id_a": pa_.array(["d%03d" % i for i in pairs["id_a"].to_pylist()]),
+        "id_b": pa_.array(["d%03d" % i for i in pairs["id_b"].to_pylist()])})
+    sds = rd.from_arrow(spairs)
+    sfast = (D.connected_components(sds).to_pandas()
+             .sort_values("node", ignore_index=True))
+    sdist = (D.connected_components(sds, driver_threshold=0).to_pandas()
+             .sort_values("node", ignore_index=True))
+    pd.testing.assert_frame_equal(sfast, sdist)
 
 
 def test_exact_dup_chain_pairs(ray_session, docs_with_dups):
