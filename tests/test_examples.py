@@ -45,6 +45,21 @@ def test_example_incremental_ingest(tmp_path):
     assert "run 2 (test): kept" in out.stdout
 
 
+def test_example_similarity_search(tmp_path):
+    """Quantize → persist int8 index → query from the persisted index,
+    recall-checked against float exact — subprocess so it owns its Ray
+    session."""
+    out = subprocess.run(
+        [sys.executable, f"{EX}/example_similarity_search.py",
+         "/root/testdata/sf0.001", str(tmp_path / "sim")],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "recall@10" in out.stdout
+    mean = float(out.stdout.split("mean=")[1].split()[0])
+    assert mean >= 0.9
+
+
 def test_example_sft_export(tmp_path):
     """SFT export walkthrough: transcripts → pairs → holdout splits →
     sharded JSONL with resume — subprocess so it owns its Ray session."""
