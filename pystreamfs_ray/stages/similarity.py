@@ -176,6 +176,21 @@ def ivf_topk(ds, query_ids, query_matrix, *, k=10, n_cells=16, nprobe=4,
     return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
 
 
+def quantize_matrix(vecs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pure quantization kernel (Ray-free, property-tested): L2-normalize
+    each row, then int8 with per-vector scale ``s = max|x|/127`` so
+    ``cosine(q, v) ≈ (q · v8) * s`` with per-component error ≤ s/2."""
+    vecs = _normalize(np.asarray(vecs, dtype=np.float64))
+    if vecs.size:
+        scale = np.abs(vecs).max(axis=1) / 127.0
+        scale[scale == 0] = 1.0
+        q8 = np.clip(np.round(vecs / scale[:, None]), -127, 127)
+    else:
+        scale = np.zeros(0)
+        q8 = vecs
+    return q8, scale
+
+
 def quantize_embeddings(ds, *, id_col: str = "vec_id",
                         vec_col: str = "embedding"):
     """Int8 per-vector quantization of an embedding column — the
@@ -192,14 +207,7 @@ def quantize_embeddings(ds, *, id_col: str = "vec_id",
     shuffle-free, stateless ``map_batches``."""
 
     def quant(t: pa.Table) -> pa.Table:
-        vecs = _normalize(_as_matrix(t[vec_col].to_pylist()))
-        if vecs.size:
-            scale = np.abs(vecs).max(axis=1) / 127.0
-            scale[scale == 0] = 1.0
-            q8 = np.clip(np.round(vecs / scale[:, None]), -127, 127)
-        else:
-            scale = np.zeros(0)
-            q8 = vecs
+        q8, scale = quantize_matrix(_as_matrix(t[vec_col].to_pylist()))
         return pa.table({
             id_col: t[id_col],
             "q8": pa.array([row.astype(np.int8) for row in q8],

@@ -306,3 +306,26 @@ def test_md5_hex_identity_matches_duckdb(strings):
     want = [con.execute("SELECT md5(?)", [s]).fetchone()[0]
             for s in strings]
     assert list(got) == want
+
+
+@given(st.integers(2, 48), st.integers(1, 64), st.integers(0, 2**31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_int8_quantization_error_bound(d, n, seed):
+    """Pure-kernel property: for ANY vectors, the int8 approximate
+    cosine deviates from the exact normalized dot by at most
+    ||q||_1 * s / 2 per corpus vector (each component errs <= s/2),
+    and every code is within [-127, 127] with scale > 0."""
+    from pystreamfs_ray.stages.similarity import _normalize, quantize_matrix
+
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, d)) * rng.lognormal(0, 2, size=(n, 1))
+    q8, s = quantize_matrix(mat)
+    assert q8.shape == (n, d) and s.shape == (n,)
+    assert (np.abs(q8) <= 127).all() and (s > 0).all()
+
+    norm = _normalize(np.asarray(mat, dtype=np.float64))
+    q = norm[0]
+    approx = (q8 @ q) * s
+    exact = norm @ q
+    bound = np.abs(q).sum() * s / 2 + 1e-9
+    assert (np.abs(approx - exact) <= bound).all()
