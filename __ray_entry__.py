@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # added after the round-4 window froze — lead the r5 window
         "q_length_buckets": q.q_length_buckets,
         "q_ann_int8": q.q_ann_int8,
+        "q_ann_ivf_int8": q.q_ann_ivf_int8,
     }
 
 

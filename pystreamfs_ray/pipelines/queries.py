@@ -2675,3 +2675,36 @@ def q_ann_int8(sf_dir: str):
     out = pd.DataFrame(rows, columns=["query_id", "n_hits", "k"])
     out["recall"] = np.round(out["n_hits"] / out["k"], 6)
     return out
+
+
+def q_ann_ivf_int8(sf_dir: str):
+    """Recall@10 of the fully composed scale path — IVF probe limiting
+    (compute pruning) over the int8-quantized persisted index shape
+    (bandwidth pruning) — against float exact. Non-SQL (iterative IVF
+    training + quantization); driver checks rows-only, pytest pins
+    full-probe == flat-int8 exactly and bounds partial-probe recall."""
+    from pystreamfs_ray.stages.similarity import (brute_force_topk,
+                                                  ivf_int8_topk,
+                                                  quantize_embeddings,
+                                                  train_centroids)
+
+    emb = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 10").to_pandas()
+    qmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy()
+    cents = train_centroids(emb, n_cells=16)
+    quant = quantize_embeddings(emb, centroids=cents)
+    exact = brute_force_topk(emb, qids, qmat, k=10,
+                             concurrency=2).to_pandas()
+    approx = ivf_int8_topk(quant, qids, qmat, cents, k=10, nprobe=4,
+                           concurrency=2).to_pandas()
+    rows = []
+    for qid, grp in exact.groupby("query_id"):
+        true = set(grp["vec_id"])
+        got = set(approx.loc[approx["query_id"] == qid, "vec_id"])
+        rows.append((int(qid), len(true & got), len(true)))
+    out = pd.DataFrame(rows, columns=["query_id", "n_hits", "k"])
+    out["recall"] = np.round(out["n_hits"] / out["k"], 6)
+    return out

@@ -125,16 +125,13 @@ class IVFScorer:
         })
 
 
-def ivf_topk(ds, query_ids, query_matrix, *, k=10, n_cells=16, nprobe=4,
-             id_col="vec_id", vec_col="embedding", concurrency=4,
-             train_sample: int = 2048, seed=7):
-    """Approximate top-k: seeded k-means-lite centroids (a few Lloyd
-    iterations over a driver-side sample), then probe-limited scoring.
-
-    The training sample is hash-keyed on ``id_col`` (uniform across the
-    WHOLE dataset) — ``ds.limit()`` would take the first blocks, which
-    on cluster-sorted input trains the coarse quantizer on one cluster
-    and skews every probe."""
+def train_centroids(ds, *, n_cells=16, id_col="vec_id",
+                    vec_col="embedding", train_sample: int = 2048,
+                    seed=7) -> np.ndarray:
+    """Seeded k-means-lite coarse quantizer: a hash-keyed uniform
+    sample of the WHOLE dataset (``ds.limit()`` would take the first
+    blocks — on cluster-sorted input that trains on one cluster and
+    skews every probe), five Lloyd iterations on the driver."""
     from pystreamfs_ray.sources import sample_by_hash
 
     n = ds.count()
@@ -146,7 +143,8 @@ def ivf_topk(ds, query_ids, query_matrix, *, k=10, n_cells=16, nprobe=4,
         sample = ds.limit(min(n, train_sample)).to_pandas()
     mat = _normalize(_as_matrix(sample[vec_col]))
     rng = np.random.default_rng(seed)
-    centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)),
+                               replace=False)]
     for _ in range(5):
         assign = np.argmax(mat @ centroids.T, axis=1)
         for c in range(centroids.shape[0]):
@@ -156,6 +154,22 @@ def ivf_topk(ds, query_ids, query_matrix, *, k=10, n_cells=16, nprobe=4,
                 v_norm = np.linalg.norm(v)
                 if v_norm > 0:
                     centroids[c] = v / v_norm
+    return centroids
+
+
+def ivf_topk(ds, query_ids, query_matrix, *, k=10, n_cells=16, nprobe=4,
+             id_col="vec_id", vec_col="embedding", concurrency=4,
+             train_sample: int = 2048, seed=7):
+    """Approximate top-k: seeded k-means-lite centroids (a few Lloyd
+    iterations over a driver-side sample), then probe-limited scoring.
+
+    The training sample is hash-keyed on ``id_col`` (uniform across the
+    WHOLE dataset) — ``ds.limit()`` would take the first blocks, which
+    on cluster-sorted input trains the coarse quantizer on one cluster
+    and skews every probe."""
+    centroids = train_centroids(ds, n_cells=n_cells, id_col=id_col,
+                                vec_col=vec_col, train_sample=train_sample,
+                                seed=seed)
 
     ref = ray.put({"qids": np.asarray(query_ids, dtype=np.int64),
                    "qmat": np.asarray(query_matrix, dtype=np.float64),
@@ -192,7 +206,7 @@ def quantize_matrix(vecs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def quantize_embeddings(ds, *, id_col: str = "vec_id",
-                        vec_col: str = "embedding"):
+                        vec_col: str = "embedding", centroids=None):
     """Int8 per-vector quantization of an embedding column — the
     storage/bandwidth artifact for 100-TB similarity search. Each
     vector is L2-normalized, then mapped to int8 with a per-vector
@@ -204,16 +218,31 @@ def quantize_embeddings(ds, *, id_col: str = "vec_id",
     fixture carries) — a query scan over the quantized table moves a
     quarter of the bytes through storage, object store and memory bus,
     which is where brute-force ANN spends its wall at scale. Doc-local,
-    shuffle-free, stateless ``map_batches``."""
+    shuffle-free, stateless ``map_batches``.
+
+    With ``centroids`` (a ``train_centroids`` matrix, broadcast via
+    ``ray.put`` once) each row also gets its coarse IVF ``cell`` —
+    the persisted IVF-int8 index ``ivf_int8_topk`` scans probe-limited:
+    IVF prunes the COMPUTE (only nprobe cells score), int8 prunes the
+    BANDWIDTH (every scanned byte is a quarter of float32)."""
+    cref = ray.put(np.asarray(centroids, dtype=np.float64)) \
+        if centroids is not None else None
 
     def quant(t: pa.Table) -> pa.Table:
-        q8, scale = quantize_matrix(_as_matrix(t[vec_col].to_pylist()))
-        return pa.table({
+        vecs = _normalize(_as_matrix(t[vec_col].to_pylist()))
+        q8, scale = quantize_matrix(vecs)
+        cols = {
             id_col: t[id_col],
             "q8": pa.array([row.astype(np.int8) for row in q8],
                            type=pa.list_(pa.int8())),
             "scale": pa.array(scale, type=pa.float64()),
-        })
+        }
+        if cref is not None:
+            cents = ray.get(cref)
+            cols["cell"] = pa.array(
+                np.argmax(vecs @ cents.T, axis=1).astype(np.int32),
+                type=pa.int32())
+        return pa.table(cols)
 
     return ds.map_batches(quant, batch_format="pyarrow")
 
@@ -263,6 +292,69 @@ def int8_topk(quant_ds, query_ids, query_matrix, *, k=10, id_col="vec_id",
     partials = quant_ds.map_batches(
         Int8Scorer, batch_format="pandas", batch_size=batch_size,
         concurrency=concurrency, fn_constructor_args=(ref, id_col, k),
+    )
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["cosine_q"] = g["cosine_q"].round(6)
+        g = g.sort_values(["cosine_q", id_col], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(reduce_topk,
+                                                   batch_format="pandas")
+
+
+class IVFInt8Scorer(Int8Scorer):
+    """Probe-limited int8 scoring: only rows whose coarse ``cell`` is
+    among each query's ``nprobe`` closest cells are scored — IVF prunes
+    the matmul, int8 pruned the bytes that got here."""
+
+    def __init__(self, state_ref, id_col: str, k: int, nprobe: int):
+        s = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
+        super().__init__({"qids": s["qids"], "qmat": s["qmat"]}, id_col, k)
+        qc = _normalize(s["qmat"]) @ s["centroids"].T
+        self.probe = np.argsort(-qc, axis=1)[:, :nprobe]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        codes = np.stack([np.asarray(v, dtype=np.int8) for v in df["q8"]])
+        scales = df["scale"].to_numpy(np.float64)
+        cell = df["cell"].to_numpy()
+        ids = df[self.id_col].to_numpy()
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(len(self.qids)):
+            mask = np.isin(cell, self.probe[qi])
+            if not mask.any():
+                continue
+            sims = ((self.qmat[qi] @ codes[mask].T.astype(np.float32))
+                    * scales[mask])
+            k = min(self.k, sims.shape[0])
+            top = _topk_rounded(sims, ids[mask], k)
+            out_q.extend([self.qids[qi]] * k)
+            out_id.extend(ids[mask][top])
+            out_sim.extend(sims[top])
+        return pd.DataFrame({
+            "query_id": np.array(out_q, dtype=np.int64),
+            self.id_col: np.array(out_id, dtype=np.int64),
+            "cosine_q": np.array(out_sim, dtype=np.float64),
+        })
+
+
+def ivf_int8_topk(quant_ds, query_ids, query_matrix, centroids, *, k=10,
+                  nprobe=4, id_col="vec_id", concurrency=4,
+                  batch_size=4096):
+    """Approximate top-k over a cell-tagged ``quantize_embeddings``
+    table (the persisted IVF-int8 index): the composition of the two
+    scale paths — IVF limits which vectors score (compute), int8 limits
+    the bytes every scan moves (bandwidth). Same partial-top-k reduce
+    as the flat paths."""
+    ref = ray.put({"qids": np.asarray(query_ids, dtype=np.int64),
+                   "qmat": np.asarray(query_matrix, dtype=np.float64),
+                   "centroids": np.asarray(centroids, dtype=np.float64)})
+    partials = quant_ds.map_batches(
+        IVFInt8Scorer, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency, fn_constructor_args=(ref, id_col, k, nprobe),
     )
 
     def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:

@@ -968,3 +968,47 @@ def test_length_buckets_exact_and_empty(ray_session):
         "doc_id": pd.Series([], dtype=np.int64),
         "text": pd.Series([], dtype=str)}))
     assert length_buckets(empty).count() == 0
+
+
+def test_ivf_int8_composition(ray_session):
+    """IVF×int8 composition: at FULL probe the cell mask passes every
+    vector, so results equal the flat int8 scan exactly; at partial
+    probe recall@10 vs float exact stays above the IVF bound."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.similarity import (brute_force_topk,
+                                                  int8_topk, ivf_int8_topk,
+                                                  quantize_embeddings,
+                                                  train_centroids)
+
+    rng = np.random.default_rng(7)
+    # clustered corpus so IVF cells are meaningful
+    centers = rng.normal(size=(8, 16)) * 4
+    mat = np.concatenate([c + rng.normal(size=(80, 16)) for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(len(mat), dtype=np.int64),
+                       "embedding": list(mat)})
+    ds = rd.from_pandas(df).repartition(4)
+
+    cents = train_centroids(ds, n_cells=8, train_sample=400)
+    quant = quantize_embeddings(ds, centroids=cents).materialize()
+    assert "cell" in quant.schema().names
+
+    qids = np.arange(6, dtype=np.int64)
+    qmat = mat[:6]
+    flat = int8_topk(quant, qids, qmat, k=10, concurrency=2).to_pandas()
+    full = ivf_int8_topk(quant, qids, qmat, cents, k=10, nprobe=8,
+                         concurrency=2).to_pandas()
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        flat.sort_values(key, ignore_index=True)[["query_id", "vec_id", "rank"]],
+        full.sort_values(key, ignore_index=True)[["query_id", "vec_id", "rank"]])
+
+    exact = brute_force_topk(ds, qids, qmat, k=10, concurrency=2).to_pandas()
+    part = ivf_int8_topk(quant, qids, qmat, cents, k=10, nprobe=2,
+                         concurrency=2).to_pandas()
+    recalls = []
+    for qid in qids:
+        true = set(exact.loc[exact["query_id"] == qid, "vec_id"])
+        got = set(part.loc[part["query_id"] == qid, "vec_id"])
+        recalls.append(len(true & got) / len(true))
+    assert np.mean(recalls) >= 0.5, recalls
