@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_length_buckets": q.q_length_buckets,
         "q_ann_int8": q.q_ann_int8,
         "q_ann_ivf_int8": q.q_ann_ivf_int8,
+        "q_late_events": q.q_late_events,
     }
 
 
@@ -1495,6 +1496,28 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                        AS BIGINT), 0), 63) AS bin,
                    COUNT(*) AS n
             FROM events, mm GROUP BY 1
+        """,
+        # arrival order = md5(event_id) on BOTH sides (the fixture is
+        # time-ordered; the deterministic scramble makes the audit
+        # non-trivial); lateness compares exact integer µs
+        "q_late_events": r"""
+            WITH e AS (
+                SELECT user_id, ts,
+                       md5(CAST(event_id AS VARCHAR)) AS arrival
+                FROM events),
+            w AS (
+                SELECT user_id, ts,
+                       MAX(ts) OVER (PARTITION BY user_id ORDER BY arrival
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pm
+                FROM e)
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) FILTER (WHERE ts < pm) AS BIGINT) AS n_late,
+                   CAST(COALESCE(MAX(CASE WHEN ts < pm
+                        THEN epoch_us(pm) - epoch_us(ts) END), 0) AS BIGINT)
+                       AS max_late_us
+            FROM w GROUP BY user_id
         """,
         # floor(log2(n)) via length(bin(n))-1 — pure integer arithmetic
         # on both sides (the engine uses frexp), no float boundary risk

@@ -2708,3 +2708,26 @@ def q_ann_ivf_int8(sf_dir: str):
     out = pd.DataFrame(rows, columns=["query_id", "n_hits", "k"])
     out["recall"] = np.round(out["n_hits"] / out["k"], 6)
     return out
+
+
+def q_late_events(sf_dir: str):
+    """Per-user out-of-order audit over a deterministically scrambled
+    ingest order (md5 of event_id — the sf* events fixture is fully
+    time-ordered, so, like q_split_leakage's planted duplicates, the
+    scramble makes the audit non-trivial while staying exactly
+    SQL-mirrorable): n_events, n_late (event-time below the running
+    max), worst lateness in exact integer µs."""
+    from pystreamfs_ray.stages.dedup import _md5_hex
+    from pystreamfs_ray.stages.temporal import late_event_stats
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["user_id", "event_id", "ts"])
+
+    def scramble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["arrival"] = _md5_hex(
+            df["event_id"].astype(str).to_numpy(dtype=object))
+        return df.drop(columns=["event_id"])
+
+    return late_event_stats(ev.map_batches(scramble, batch_format="pandas"),
+                            order_col="arrival")

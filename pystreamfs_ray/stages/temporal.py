@@ -114,3 +114,44 @@ def funnel_counts(ds, stages: list[str], *, entity_col: str = "user_id",
         "stage": [stages[i] for i in tot["stage_idx"]],
         "n_users": tot["n_users_pc"].astype(np.int64),
     })
+
+
+def late_event_stats(ds, *, entity_col: str = "user_id",
+                     order_col: str = "event_id", ts_col: str = "ts",
+                     num_buckets: int = 32, concurrency=None):
+    """Out-of-order (late-arrival) audit per entity: walking each
+    entity's events in ARRIVAL order (``order_col`` — the ingest
+    sequence), count events whose event-time ``ts`` is EARLIER than the
+    entity's running maximum, and the worst lateness in exact integer
+    µs. This is the disorder statistic that sizes streaming watermarks
+    and backfill windows (how late can data be before a window must
+    reopen).
+
+    Scale shape: columns pruned to (entity, order, ts) before ONE
+    entity-hash shuffle; each bucket resolves all its entities with a
+    vectorized grouped cummax (C-backed, no per-entity Python loop).
+    Output is entity-count-sized."""
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([entity_col, order_col],
+                            kind="mergesort", ignore_index=True)
+        ts_i = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        df["__ts_i"] = ts_i
+        g = df.groupby(entity_col, sort=False)
+        cm = g["__ts_i"].cummax()
+        prev = cm.shift(1)
+        first = ~df[entity_col].duplicated()  # segment starts
+        prev[first.to_numpy()] = np.nan
+        late = prev.notna().to_numpy() & (ts_i < prev.fillna(-1).to_numpy())
+        lateness = np.where(late, prev.fillna(0).to_numpy() - ts_i, 0)
+        out = pd.DataFrame({entity_col: df[entity_col], "__late": late,
+                            "__lateness": lateness.astype(np.int64)})
+        agg = (out.groupby(entity_col, sort=False)
+               .agg(n_events=("__late", "size"), n_late=("__late", "sum"),
+                    max_late_us=("__lateness", "max")).reset_index())
+        return agg.astype({"n_events": np.int64, "n_late": np.int64,
+                           "max_late_us": np.int64})
+
+    return per_bucket(ds.select_columns([entity_col, order_col, ts_col]),
+                      bucket_fn, entity_col=entity_col,
+                      num_buckets=num_buckets, concurrency=concurrency)

@@ -178,3 +178,37 @@ def test_retention_cohorts_known_values(ray_session):
            for r in out.itertuples()}
     assert got == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1,
                    ("2024-01-08", 0): 1}
+
+
+def test_late_event_stats_hand_case(ray_session):
+    """Hand-verifiable disorder: user A's arrival order carries one
+    event 5 µs late and one 2 µs late (max 5); user B is fully ordered;
+    ties (equal ts) are NOT late; empty input returns zero rows."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.temporal import late_event_stats
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    df = pd.DataFrame({
+        "user_id": ["A", "A", "A", "A", "B", "B", "C"],
+        "arrival": [1, 2, 3, 4, 1, 2, 1],
+        "ts": [base + np.timedelta64(t, "us")
+               for t in (10, 5, 8, 10, 3, 3, 7)],
+    })
+    out = (late_event_stats(rd.from_pandas(df).repartition(3),
+                            order_col="arrival", num_buckets=2,
+                            concurrency=2)
+           .to_pandas().set_index("user_id").sort_index())
+    # A: arrivals ts 10,5,8,10 → late: 5 (by 5), 8 (by 2); 10==max not late
+    assert out.loc["A", "n_events"] == 4
+    assert out.loc["A", "n_late"] == 2
+    assert out.loc["A", "max_late_us"] == 5
+    # B: 3,3 — equal ts is not late
+    assert out.loc["B", "n_late"] == 0 and out.loc["B", "max_late_us"] == 0
+    assert out.loc["C", "n_events"] == 1 and out.loc["C", "n_late"] == 0
+
+    empty = rd.from_pandas(pd.DataFrame({
+        "user_id": pd.Series([], dtype=str),
+        "arrival": pd.Series([], dtype=np.int64),
+        "ts": pd.Series([], dtype="datetime64[us]")}))
+    assert late_event_stats(empty, order_col="arrival").count() == 0
