@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_int8": q.q_ann_int8,
         "q_ann_ivf_int8": q.q_ann_ivf_int8,
         "q_late_events": q.q_late_events,
+        "q_snapshot_diff": q.q_snapshot_diff,
     }
 
 
@@ -1496,6 +1497,36 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                        AS BIGINT), 0), 63) AS bin,
                    COUNT(*) AS n
             FROM events, mm GROUP BY 1
+        """,
+        # snapshot B is derived from A with the same integer-modulus
+        # rules on both sides; md5 is the change identity
+        "q_snapshot_diff": r"""
+            WITH a AS (
+                SELECT doc_id, source, md5(text) AS fp FROM documents),
+            b AS (
+                SELECT doc_id, source,
+                       md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                                ELSE text END) AS fp
+                FROM documents WHERE doc_id % 10 != 0
+                UNION ALL
+                SELECT doc_id + 2000000, source, md5(CASE WHEN doc_id % 7 = 0
+                           THEN text || ' v2' ELSE text END)
+                FROM documents WHERE doc_id % 10 != 0 AND doc_id % 37 = 0),
+            j AS (
+                SELECT COALESCE(a.source, b.source) AS source,
+                       a.fp AS fa, b.fp AS fb
+                FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+            SELECT source,
+                   CAST(COUNT(*) FILTER (WHERE fa IS NULL) AS BIGINT)
+                       AS n_added,
+                   CAST(COUNT(*) FILTER (WHERE fb IS NULL) AS BIGINT)
+                       AS n_removed,
+                   CAST(COUNT(*) FILTER (WHERE fa IS NOT NULL
+                        AND fb IS NOT NULL AND fa != fb) AS BIGINT)
+                       AS n_changed,
+                   CAST(COUNT(*) FILTER (WHERE fa = fb) AS BIGINT)
+                       AS n_unchanged
+            FROM j GROUP BY source
         """,
         # arrival order = md5(event_id) on BOTH sides (the fixture is
         # time-ordered; the deterministic scramble makes the audit

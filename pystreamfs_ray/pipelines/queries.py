@@ -2731,3 +2731,27 @@ def q_late_events(sf_dir: str):
 
     return late_event_stats(ev.map_batches(scramble, batch_format="pandas"),
                             order_col="arrival")
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Corpus snapshot audit: diff two versions of the documents table
+    (B = A minus every 10th doc, with every 7th doc's text revised and
+    an id-shifted copy of every 37th doc added — all deterministic and
+    SQL-mirrorable) → per-source added/removed/changed/unchanged
+    counts. Only md5 identities move through the full-outer join."""
+    from pystreamfs_ray.stages.dedup import snapshot_diff
+
+    cols = ["doc_id", "source", "text"]
+    a = read_parquet(_p(sf_dir, "documents"), columns=cols)
+
+    def to_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % 10 != 0].copy()
+        rev = df["doc_id"] % 7 == 0
+        df.loc[rev, "text"] = df.loc[rev, "text"] + " v2"
+        added = df[df["doc_id"] % 37 == 0].copy()
+        added["doc_id"] = added["doc_id"] + 2_000_000
+        return pd.concat([df, added], ignore_index=True)
+
+    b = read_parquet(_p(sf_dir, "documents"), columns=cols).map_batches(
+        to_b, batch_format="pandas")
+    return snapshot_diff(a, b)

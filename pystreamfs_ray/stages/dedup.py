@@ -1270,3 +1270,90 @@ def windowed_exact_dedup(ds, *, id_col: str = "event_id",
         .groupby("__h")
         .map_groups(keep_first, batch_format="pandas")
     )
+
+
+def snapshot_diff(a_ds, b_ds, *, id_col: str = "doc_id",
+                  text_col: str = "text", group_col: str = "source",
+                  num_partitions: int | None = None):
+    """Corpus snapshot diff — the audit between two training-corpus
+    versions: per ``group_col``, how many docs were ADDED (id only in
+    B), REMOVED (id only in A), CHANGED (same id, different md5
+    identity) and UNCHANGED. Only ``(md5(id), group, md5(text))`` rows
+    move through the full-outer join — text never shuffles, and the
+    output is group-count-sized.
+
+    Both sides join on the md5-hex of the id (not the raw id), which
+    buys empty-input safety for free: each side unions one sentinel
+    row with join key '' — a real key is always 32 hex chars — so a
+    fully empty snapshot still carries a schema into the join (the
+    two sentinels pair up and are dropped after classification; no
+    materialize/count probe, both sides stay lazy — see SCALE.md on
+    the probe-serialization trap)."""
+    import ray
+    import ray.data as rd
+
+    from pystreamfs_ray.util import arrow_combiner, drop_empty_blocks
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = min(64, max(4, cpus // 2))
+
+    def side(tag: str):
+        k, g, f, s = f"k_{tag}", f"grp_{tag}", f"fp_{tag}", f"sent_{tag}"
+
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                k: _md5_hex(df[id_col].astype(str).to_numpy(dtype=object)),
+                g: df[group_col].astype(str).to_numpy(dtype=object),
+                f: _md5_hex(df[text_col].to_numpy(dtype=object)),
+                s: np.zeros(len(df), dtype=np.int8),
+            })
+
+        sentinel = rd.from_arrow(pa.table({
+            k: pa.array([""], type=pa.string()),
+            g: pa.array([""], type=pa.string()),
+            f: pa.array([""], type=pa.string()),
+            s: pa.array([np.int8(1)], type=pa.int8()),
+        }))
+        ds = (a_ds if tag == "a" else b_ds)
+        mapped = ds.map_batches(fn, batch_format="pandas").map_batches(
+            lambda t: t, batch_format="pyarrow", zero_copy_batch=True)
+        return drop_empty_blocks(mapped.union(sentinel), num_partitions)
+
+    joined = side("a").join(side("b"), join_type="full_outer",
+                            num_partitions=num_partitions,
+                            on=("k_a",), right_on=("k_b",))
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        # Ray's outer join coalesces the right key into k_a; sentinel
+        # rows pair with each other (only key that can be '') — drop
+        sent = (df.get("sent_a").fillna(0).to_numpy(np.int8)
+                | df.get("sent_b").fillna(0).to_numpy(np.int8))
+        df = df[sent == 0]
+        fa = df["fp_a"]
+        fb = df["fp_b"]
+        added = fa.isna().to_numpy()
+        removed = fb.isna().to_numpy()
+        both = ~added & ~removed
+        changed = both & (fa.to_numpy() != fb.to_numpy())
+        grp = np.where(added, df["grp_b"].to_numpy(dtype=object),
+                       df["grp_a"].to_numpy(dtype=object))
+        out = pd.DataFrame({
+            group_col: grp,
+            "n_added": added.astype(np.int64),
+            "n_removed": removed.astype(np.int64),
+            "n_changed": changed.astype(np.int64),
+            "n_unchanged": (both & ~changed).astype(np.int64),
+        })
+        return (out.groupby(group_col, sort=False, as_index=False).sum())
+
+    from ray.data.aggregate import Sum
+
+    partials = (drop_empty_blocks(joined, num_partitions)
+                .map_batches(arrow_combiner(classify),
+                             batch_format="pyarrow"))
+    return (partials.groupby(group_col)
+            .aggregate(Sum("n_added", alias_name="n_added"),
+                       Sum("n_removed", alias_name="n_removed"),
+                       Sum("n_changed", alias_name="n_changed"),
+                       Sum("n_unchanged", alias_name="n_unchanged")))

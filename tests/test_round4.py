@@ -1012,3 +1012,38 @@ def test_ivf_int8_composition(ray_session):
         got = set(part.loc[part["query_id"] == qid, "vec_id"])
         recalls.append(len(true & got) / len(true))
     assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_snapshot_diff_hand_case_and_empty(ray_session):
+    """Hand-verifiable diff: one added, one removed, one changed, one
+    unchanged, split across two sources; fully-empty sides survive via
+    the sentinel pair (no schema-less join crash) and classify
+    everything as added/removed respectively."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.dedup import snapshot_diff
+
+    a = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "source": ["web", "web", "book"],
+        "text": ["same", "old", "stays"]}))
+    b = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([1, 3, 9], dtype=np.int64),
+        "source": ["web", "book", "book"],
+        "text": ["same", "stays-revised", "brand new"]}))
+    out = (snapshot_diff(a, b, num_partitions=2).to_pandas()
+           .set_index("source").sort_index())
+    assert out.loc["web"].tolist() == [0, 1, 0, 1]   # added,removed,changed,unchanged
+    assert out.loc["book"].tolist() == [1, 0, 1, 0]
+
+    empty = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype=np.int64),
+        "source": pd.Series([], dtype=str),
+        "text": pd.Series([], dtype=str)}))
+    only_added = (snapshot_diff(empty, b, num_partitions=2).to_pandas())
+    assert only_added["n_added"].sum() == 3
+    assert (only_added[["n_removed", "n_changed", "n_unchanged"]]
+            .to_numpy().sum() == 0)
+    only_removed = snapshot_diff(a, empty, num_partitions=2).to_pandas()
+    assert only_removed["n_removed"].sum() == 3
+    assert snapshot_diff(empty, empty, num_partitions=2).count() == 0
