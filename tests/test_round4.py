@@ -1047,3 +1047,49 @@ def test_snapshot_diff_hand_case_and_empty(ray_session):
     only_removed = snapshot_diff(a, empty, num_partitions=2).to_pandas()
     assert only_removed["n_removed"].sum() == 3
     assert snapshot_diff(empty, empty, num_partitions=2).count() == 0
+
+
+def test_new_ops_partition_invariance(ray_session):
+    """The session's new operators are block-layout invariant: identical
+    results at 1, 3 and 7 partitions (the engine's core distribution
+    promise — no operator may depend on how rows land in blocks)."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.dedup import snapshot_diff
+    from pystreamfs_ray.stages.temporal import late_event_stats
+    from pystreamfs_ray.stages.textstats import length_buckets
+
+    rng = np.random.default_rng(23)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64),
+        "source": rng.choice(["web", "book", "code"], 300),
+        "text": [" ".join(["w%d" % v for v in rng.integers(0, 50, size=n)])
+                 for n in rng.integers(1, 120, size=300)]})
+    docs_b = docs[docs["doc_id"] % 3 != 0].copy()
+    docs_b.loc[docs_b["doc_id"] % 5 == 0, "text"] += " rev"
+    base = np.datetime64("2026-02-01", "us")
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 20, 500),
+        "arrival": rng.permutation(500).astype(np.int64),
+        "ts": [base + np.timedelta64(int(t), "s")
+               for t in rng.integers(0, 86400, 500)]})
+
+    def run(nparts):
+        d = rd.from_pandas(docs).repartition(nparts)
+        db = rd.from_pandas(docs_b).repartition(nparts)
+        e = rd.from_pandas(ev).repartition(nparts)
+        return (
+            length_buckets(d).to_pandas()
+            .sort_values("bucket", ignore_index=True),
+            snapshot_diff(d, db, num_partitions=2).to_pandas()
+            .sort_values("source", ignore_index=True),
+            late_event_stats(e, order_col="arrival", num_buckets=4,
+                             concurrency=2).to_pandas()
+            .sort_values("user_id", ignore_index=True),
+        )
+
+    ref = run(1)
+    for nparts in (3, 7):
+        got = run(nparts)
+        for r, g in zip(ref, got):
+            pd.testing.assert_frame_equal(r, g)
