@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_ivf_int8": q.q_ann_ivf_int8,
         "q_late_events": q.q_late_events,
         "q_snapshot_diff": q.q_snapshot_diff,
+        "q_chunk_dedup": q.q_chunk_dedup,
     }
 
 
@@ -1373,6 +1374,28 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text,
                    LEAST(n - start, 64) AS n_chunk_tokens
             FROM starts
+        """,
+        # same chunk CTE as q_chunk_docs, grouped by chunk text
+        "q_chunk_dedup": r"""
+            WITH d AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+              FROM documents WHERE doc_id < 200
+            ), starts AS (
+              SELECT doc_id, toks, n,
+                     unnest(generate_series(0,
+                        CAST(FLOOR((GREATEST(n - 16, 1) - 1) / 48.0) AS BIGINT) * 48, 48)) AS start
+              FROM d
+            ), c AS (
+              SELECT doc_id * 1024 + CAST(start / 48 AS BIGINT) AS cid,
+                     array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
+              FROM starts
+            )
+            SELECT MIN(cid) AS cid,
+                   CAST(COUNT(*) AS BIGINT) AS n_dupes,
+                   chunk_text
+            FROM c GROUP BY chunk_text
         """,
         "q_word_topk": """
             WITH w AS (

@@ -2755,3 +2755,25 @@ def q_snapshot_diff(sf_dir: str):
     b = read_parquet(_p(sf_dir, "documents"), columns=cols).map_batches(
         to_b, batch_format="pandas")
     return snapshot_diff(a, b)
+
+
+def q_chunk_dedup(sf_dir: str):
+    """Chunk-level exact dedup — dedup at CHUNK granularity (boilerplate
+    headers/footers repeat across documents even when full texts
+    differ): chunk the corpus, then keep the smallest composite id per
+    distinct chunk text. Pure composition of chunk_documents →
+    exact_dedup; the chunk table (not the raw text) is what shuffles."""
+    from pystreamfs_ray.stages.dedup import exact_dedup
+    from pystreamfs_ray.stages.textstats import chunk_documents
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    chunks = chunk_documents(docs.filter(expr="doc_id < 200"),
+                             chunk_tokens=64, overlap=16)
+
+    def cid(t: pa.Table) -> pa.Table:
+        c = pc.add(pc.multiply(t["doc_id"], 1024), t["chunk_id"])
+        return pa.table({"cid": pc.cast(c, pa.int64()),
+                         "chunk_text": t["chunk_text"]})
+
+    return exact_dedup(chunks.map_batches(cid, batch_format="pyarrow"),
+                       id_col="cid", text_col="chunk_text")
