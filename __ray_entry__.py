@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_late_events": q.q_late_events,
         "q_snapshot_diff": q.q_snapshot_diff,
         "q_chunk_dedup": q.q_chunk_dedup,
+        "q_pii_rate": q.q_pii_rate,
     }
 
 
@@ -1976,6 +1977,36 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    n_emails,
                    CAST(len(regexp_extract_all(m1, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones
             FROM e
+        """,
+        # same planting + patterns as q_mask_pii, rolled up per source
+        "q_pii_rate": r"""
+            WITH planted AS (
+              SELECT doc_id, source,
+                     text ||
+                     CASE WHEN doc_id % 5 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 7 = 0
+                          THEN ' call 555-123-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                          ELSE '' END AS t
+              FROM documents
+            ), e AS (
+              SELECT source,
+                     CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                     CAST(len(regexp_extract_all(
+                         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                         '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones
+              FROM planted
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) FILTER (WHERE n_emails > 0) AS BIGINT)
+                       AS n_email_docs,
+                   CAST(COUNT(*) FILTER (WHERE n_phones > 0) AS BIGINT)
+                       AS n_phone_docs,
+                   CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+                   CAST(SUM(n_phones) AS BIGINT) AS n_phones
+            FROM e GROUP BY source
         """,
         "q_pseudonymize": """
             SELECT event_id,

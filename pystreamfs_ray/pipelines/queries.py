@@ -2777,3 +2777,50 @@ def q_chunk_dedup(sf_dir: str):
 
     return exact_dedup(chunks.map_batches(cid, batch_format="pyarrow"),
                        id_col="cid", text_col="chunk_text")
+
+
+def q_pii_rate(sf_dir: str):
+    """Per-source PII exposure audit — the go/no-go gate a curation run
+    checks before export: document counts with ≥1 email / ≥1 phone plus
+    total match counts, per source (same deterministic planting as
+    q_mask_pii; the corpus itself is PII-free). Doc-local detection,
+    then a combiner partial so the shuffle is source-count-sized."""
+    from pystreamfs_ray.stages.pii import mask_pii
+    from pystreamfs_ray.util import arrow_combiner
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "source", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        did = df["doc_id"].to_numpy()
+        txt = df["text"].astype(str)
+        em = pd.Series([f" contact user{d}@example.com now" if d % 5 == 0
+                        else "" for d in did], index=df.index)
+        ph = pd.Series([f" call 555-123-{1000 + d % 9000}" if d % 7 == 0
+                        else "" for d in did], index=df.index)
+        df["text"] = txt + em + ph
+        return df
+
+    masked = mask_pii(docs.map_batches(plant, batch_format="pandas"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", sort=False)
+        out = pd.DataFrame({
+            "n_docs": g.size(),
+            "n_email_docs": g["n_emails"].agg(lambda s: int((s > 0).sum())),
+            "n_phone_docs": g["n_phones"].agg(lambda s: int((s > 0).sum())),
+            "n_emails": g["n_emails"].sum(),
+            "n_phones": g["n_phones"].sum(),
+        }).reset_index()
+        return out.astype({c: np.int64 for c in out.columns
+                           if c != "source"})
+
+    return (masked.map_batches(arrow_combiner(partial),
+                               batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_email_docs", alias_name="n_email_docs"),
+                       Sum("n_phone_docs", alias_name="n_phone_docs"),
+                       Sum("n_emails", alias_name="n_emails"),
+                       Sum("n_phones", alias_name="n_phones")))
