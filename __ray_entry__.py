@@ -1389,7 +1389,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         CAST(FLOOR((GREATEST(n - 16, 1) - 1) / 48.0) AS BIGINT) * 48, 48)) AS start
               FROM d
             ), c AS (
-              SELECT doc_id * 1024 + CAST(start / 48 AS BIGINT) AS cid,
+              SELECT doc_id * 1048576 + CAST(start / 48 AS BIGINT) AS cid,
                      array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
               FROM starts
             )

@@ -2377,6 +2377,21 @@ def q_gap_quantiles(sf_dir: str):
         stats, batch_format="pandas")
 
 
+def _recall_frame(exact: pd.DataFrame, approx: pd.DataFrame,
+                  id_col: str = "vec_id") -> pd.DataFrame:
+    """Shared recall@k computation for every ANN quality-gate query:
+    per exact-top-k query, the fraction of true neighbors the
+    approximate result recovered (one definition, one rounding)."""
+    rows = []
+    for qid, grp in exact.groupby("query_id"):
+        true = set(grp[id_col])
+        got = set(approx.loc[approx["query_id"] == qid, id_col])
+        rows.append((int(qid), len(true & got), len(true)))
+    out = pd.DataFrame(rows, columns=["query_id", "n_hits", "k"])
+    out["recall"] = np.round(out["n_hits"] / out["k"], 6)
+    return out
+
+
 def q_ann_recall(sf_dir: str):
     """Recall@10 of the APPROXIMATE IVF path (nprobe=4 of 16 cells)
     against the brute-force exact top-k — the quality gate that keeps
@@ -2397,14 +2412,7 @@ def q_ann_recall(sf_dir: str):
                              concurrency=2).to_pandas()
     approx = ivf_topk(emb, qids, qmat, k=10, n_cells=16, nprobe=4,
                       concurrency=2).to_pandas()
-    rows = []
-    for qid, grp in exact.groupby("query_id"):
-        true = set(grp["vec_id"])
-        got = set(approx.loc[approx["query_id"] == qid, "vec_id"])
-        rows.append((int(qid), len(true & got), len(true)))
-    out = pd.DataFrame(rows, columns=["query_id", "n_hits", "k"])
-    out["recall"] = np.round(out["n_hits"] / out["k"], 6)
-    return out
+    return _recall_frame(exact, approx)
 
 
 def q_split_leakage(sf_dir: str):
@@ -2667,14 +2675,7 @@ def q_ann_int8(sf_dir: str):
                              concurrency=2).to_pandas()
     approx = int8_topk(quantize_embeddings(emb), qids, qmat, k=10,
                        concurrency=2).to_pandas()
-    rows = []
-    for qid, grp in exact.groupby("query_id"):
-        true = set(grp["vec_id"])
-        got = set(approx.loc[approx["query_id"] == qid, "vec_id"])
-        rows.append((int(qid), len(true & got), len(true)))
-    out = pd.DataFrame(rows, columns=["query_id", "n_hits", "k"])
-    out["recall"] = np.round(out["n_hits"] / out["k"], 6)
-    return out
+    return _recall_frame(exact, approx)
 
 
 def q_ann_ivf_int8(sf_dir: str):
@@ -2700,14 +2701,7 @@ def q_ann_ivf_int8(sf_dir: str):
                              concurrency=2).to_pandas()
     approx = ivf_int8_topk(quant, qids, qmat, cents, k=10, nprobe=4,
                            concurrency=2).to_pandas()
-    rows = []
-    for qid, grp in exact.groupby("query_id"):
-        true = set(grp["vec_id"])
-        got = set(approx.loc[approx["query_id"] == qid, "vec_id"])
-        rows.append((int(qid), len(true & got), len(true)))
-    out = pd.DataFrame(rows, columns=["query_id", "n_hits", "k"])
-    out["recall"] = np.round(out["n_hits"] / out["k"], 6)
-    return out
+    return _recall_frame(exact, approx)
 
 
 def q_late_events(sf_dir: str):
@@ -2771,7 +2765,15 @@ def q_chunk_dedup(sf_dir: str):
                              chunk_tokens=64, overlap=16)
 
     def cid(t: pa.Table) -> pa.Table:
-        c = pc.add(pc.multiply(t["doc_id"], 1024), t["chunk_id"])
+        # 2^20 chunk slots per doc: collision-free up to ~50M-token docs
+        # (the guard makes an overflow loud — a silent collision would
+        # corrupt the dedup identity AND its mirrored oracle equally,
+        # invisible to the gate)
+        if t.num_rows and pc.max(t["chunk_id"]).as_py() >= 1 << 20:
+            raise ValueError("chunk_id >= 2^20: composite cid would collide")
+        c = pc.add(pc.multiply(pc.cast(t["doc_id"], pa.int64()),
+                               np.int64(1 << 20)),
+                   pc.cast(t["chunk_id"], pa.int64()))
         return pa.table({"cid": pc.cast(c, pa.int64()),
                          "chunk_text": t["chunk_text"]})
 

@@ -31,6 +31,22 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _reduce_topk(score_col: str, id_col: str, k: int):
+    """The ONE ranking policy — (round(score,6) desc, id asc), stable
+    mergesort — shared by every ANN reduce so per-batch truncation, the
+    global reduce and the DuckDB oracle can never disagree."""
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g[score_col] = g[score_col].round(6)
+        g = g.sort_values([score_col, id_col], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return reduce_topk
+
+
 def _topk_rounded(sims: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
     """Indices of the top-k by (round(sim,6) desc, id asc) — the same
     ordering the global reduce (and the DuckDB oracle) ranks by, so
@@ -79,15 +95,8 @@ def brute_force_topk(ds, query_ids, query_matrix, *, k=10, id_col="vec_id",
         fn_constructor_args=(ref, id_col, vec_col, k),
     )
 
-    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["cosine"] = g["cosine"].round(6)
-        g = g.sort_values(["cosine", id_col], ascending=[False, True],
-                          kind="mergesort").head(k)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _reduce_topk("cosine", id_col, k), batch_format="pandas")
 
 
 class IVFScorer:
@@ -179,22 +188,20 @@ def ivf_topk(ds, query_ids, query_matrix, *, k=10, n_cells=16, nprobe=4,
         fn_constructor_args=(ref, id_col, vec_col, k, nprobe),
     )
 
-    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["cosine"] = g["cosine"].round(6)
-        g = g.sort_values(["cosine", id_col], ascending=[False, True],
-                          kind="mergesort").head(k)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _reduce_topk("cosine", id_col, k), batch_format="pandas")
 
 
-def quantize_matrix(vecs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def quantize_matrix(vecs: np.ndarray, *,
+                    normalized: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """Pure quantization kernel (Ray-free, property-tested): L2-normalize
     each row, then int8 with per-vector scale ``s = max|x|/127`` so
-    ``cosine(q, v) ≈ (q · v8) * s`` with per-component error ≤ s/2."""
-    vecs = _normalize(np.asarray(vecs, dtype=np.float64))
+    ``cosine(q, v) ≈ (q · v8) * s`` with per-component error ≤ s/2.
+    ``normalized=True`` skips the norm pass when the caller already
+    holds unit vectors (the ingest path normalizes once per batch)."""
+    vecs = np.asarray(vecs, dtype=np.float64)
+    if not normalized:
+        vecs = _normalize(vecs)
     if vecs.size:
         scale = np.abs(vecs).max(axis=1) / 127.0
         scale[scale == 0] = 1.0
@@ -229,8 +236,10 @@ def quantize_embeddings(ds, *, id_col: str = "vec_id",
         if centroids is not None else None
 
     def quant(t: pa.Table) -> pa.Table:
+        # normalize ONCE per batch: the int8 step and the cell
+        # assignment share the unit vectors
         vecs = _normalize(_as_matrix(t[vec_col].to_pylist()))
-        q8, scale = quantize_matrix(vecs)
+        q8, scale = quantize_matrix(vecs, normalized=True)
         cols = {
             id_col: t[id_col],
             "q8": pa.array([row.astype(np.int8) for row in q8],
@@ -294,16 +303,8 @@ def int8_topk(quant_ds, query_ids, query_matrix, *, k=10, id_col="vec_id",
         concurrency=concurrency, fn_constructor_args=(ref, id_col, k),
     )
 
-    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["cosine_q"] = g["cosine_q"].round(6)
-        g = g.sort_values(["cosine_q", id_col], ascending=[False, True],
-                          kind="mergesort").head(k)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(reduce_topk,
-                                                   batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _reduce_topk("cosine_q", id_col, k), batch_format="pandas")
 
 
 class IVFInt8Scorer(Int8Scorer):
@@ -357,13 +358,5 @@ def ivf_int8_topk(quant_ds, query_ids, query_matrix, centroids, *, k=10,
         concurrency=concurrency, fn_constructor_args=(ref, id_col, k, nprobe),
     )
 
-    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["cosine_q"] = g["cosine_q"].round(6)
-        g = g.sort_values(["cosine_q", id_col], ascending=[False, True],
-                          kind="mergesort").head(k)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(reduce_topk,
-                                                   batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _reduce_topk("cosine_q", id_col, k), batch_format="pandas")

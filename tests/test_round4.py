@@ -998,10 +998,18 @@ def test_ivf_int8_composition(ray_session):
     flat = int8_topk(quant, qids, qmat, k=10, concurrency=2).to_pandas()
     full = ivf_int8_topk(quant, qids, qmat, cents, k=10, nprobe=8,
                          concurrency=2).to_pandas()
-    key = ["query_id", "rank"]
-    pd.testing.assert_frame_equal(
-        flat.sort_values(key, ignore_index=True)[["query_id", "vec_id", "rank"]],
-        full.sort_values(key, ignore_index=True)[["query_id", "vec_id", "rank"]])
+    # full probe scans every vector, so the two paths see identical
+    # candidates; compare per-query top-k SETS + scores (not rank
+    # order: the flat path scores via a 2-D sgemm, the probed path via
+    # per-query matvecs — float32 BLAS kernels may accumulate in
+    # different orders, and a last-ulp difference at a round-6 tie
+    # boundary could legally swap adjacent ranks)
+    for qid in qids:
+        f = flat[flat["query_id"] == qid].set_index("vec_id")["cosine_q"]
+        g = full[full["query_id"] == qid].set_index("vec_id")["cosine_q"]
+        assert set(f.index) == set(g.index), qid
+        np.testing.assert_allclose(f.sort_index().to_numpy(),
+                                   g.sort_index().to_numpy(), atol=1e-5)
 
     exact = brute_force_topk(ds, qids, qmat, k=10, concurrency=2).to_pandas()
     part = ivf_int8_topk(quant, qids, qmat, cents, k=10, nprobe=2,
