@@ -155,10 +155,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chunk_dedup": q.q_chunk_dedup,
         "q_pii_rate": q.q_pii_rate,
         "q_region_revenue": q.q_region_revenue,
+        # new this session, never driver-checked — in the window in
+        # place of 3 lifetime-green r1/r2 queries
+        "q_best_of_n": q.q_best_of_n,
+        "q_loss_spans": q.q_loss_spans,
+        "q_nucleus_vocab": q.q_nucleus_vocab,
+        # --- end of 50-query driver window ----------------------------
         "q_part_supplier_revenue": q.q_part_supplier_revenue,
         "q_stratified_sample": q.q_stratified_sample,
         "q_funnel": q.q_funnel,
-        # --- end of 50-query driver window ----------------------------
         "q_semi_join": q.q_semi_join,
         "q_bloom_semi": q.q_bloom_semi,
         "q_anti_join": q.q_anti_join,
@@ -602,6 +607,48 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             )
             SELECT MIN(pair_id) AS pair_id, COUNT(*) AS n_dupes, prompt
             FROM p GROUP BY prompt
+        """,
+        # best-of-n: per distinct prompt keep the highest-scoring
+        # response (score = response token count), ties to smallest
+        # (conv_id, turn_idx); n_candidates = pool size
+        "q_best_of_n": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            p AS (
+              SELECT a.conv_id, CAST(a.turn_idx AS BIGINT) AS turn_idx,
+                     a.text AS prompt,
+                     CAST(len(regexp_extract_all(b.text, '\\S+')) AS BIGINT)
+                       AS score
+              FROM transcripts a JOIN transcripts b
+                ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+              WHERE a.role = 'user' AND b.role = 'assistant'
+            )
+            SELECT prompt, conv_id, turn_idx, score,
+                   CAST(COUNT(*) OVER (PARTITION BY prompt) AS BIGINT)
+                     AS n_candidates
+            FROM p
+            QUALIFY row_number() OVER (
+              PARTITION BY prompt
+              ORDER BY score DESC, conv_id, turn_idx) = 1
+        """,
+        # SFT loss-mask spans: exclusive running token count per
+        # conversation in turn order; emit assistant turns only
+        "q_loss_spans": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            t2 AS (
+              SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+                     CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS tok
+              FROM transcripts
+            ), s AS (
+              SELECT conv_id, turn_idx, role, tok,
+                     CAST(COALESCE(SUM(tok) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS tok_start
+              FROM t2
+            )
+            SELECT conv_id, turn_idx, tok_start, tok_start + tok AS tok_end
+            FROM s WHERE role = 'assistant'
         """,
         # SFT pair mining: user turn + immediately-following assistant turn
         "q_sft_pairs": f"""
@@ -1410,6 +1457,27 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM w GROUP BY word
             ORDER BY n_total DESC, word
             LIMIT 20
+        """,
+        # nucleus (top-p) vocabulary: minimal (count desc, word asc)
+        # prefix covering >= 9/10 of tokens; integer coverage test
+        "q_nucleus_vocab": """
+            WITH w AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
+              FROM documents
+            ), c AS (
+              SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+              FROM w GROUP BY word
+            ), t AS (
+              SELECT CAST(SUM(n) AS BIGINT) AS total FROM c
+            ), s AS (
+              SELECT word, n,
+                     CAST(SUM(n) OVER (
+                       ORDER BY n DESC, word
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM c
+            )
+            SELECT word, n, cum
+            FROM s, t WHERE 10 * (cum - n) < 9 * total
         """,
         "q_hll_users": """
             WITH h AS (

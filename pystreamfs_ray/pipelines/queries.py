@@ -2826,3 +2826,36 @@ def q_pii_rate(sf_dir: str):
                        Sum("n_phone_docs", alias_name="n_phone_docs"),
                        Sum("n_emails", alias_name="n_emails"),
                        Sum("n_phones", alias_name="n_phones")))
+
+
+def q_best_of_n(sf_dir: str):
+    """Best-of-n response selection per distinct prompt (rejection
+    sampling over the mined SFT candidate pool): deterministic score =
+    response token count, ties to the smallest (conv_id, turn_idx);
+    one conv-bucket shuffle + one prompt-content-hash shuffle."""
+    from pystreamfs_ray.pipelines.transcripts import best_of_n
+
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+    return best_of_n(t, num_buckets=_BUCKETS)
+
+
+def q_loss_spans(sf_dir: str):
+    """SFT loss-mask spans: per conversation laid end-to-end in
+    turn_idx order (whitespace token counts), the [tok_start, tok_end)
+    window of every assistant turn — integer-exact, one entity
+    shuffle."""
+    from pystreamfs_ray.pipelines.transcripts import loss_spans
+
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+    return loss_spans(t, num_buckets=_BUCKETS)
+
+
+def q_nucleus_vocab(sf_dir: str):
+    """Top-p (90%) nucleus vocabulary over the document corpus: minimal
+    (count desc, word asc) vocab prefix covering 9/10 of all tokens.
+    Combiner word counts + the packing two-phase prefix sum; the
+    coverage test is integer on both sides (10*(cum-n) < 9*total)."""
+    from pystreamfs_ray.stages.textstats import nucleus_vocab
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["text"])
+    return nucleus_vocab(docs)

@@ -128,3 +128,84 @@ def export_sft_jsonl(sf_dir: str, out_dir: str, *, num_shards: int = 16,
     return export_jsonl_sharded(pairs, out_dir, by="conv_id",
                                 num_shards=num_shards, resume=resume,
                                 sort_cols=["conv_id", "turn_idx"])
+
+
+def best_of_n(ts_ds, *, num_buckets: int = 64):
+    """Best-of-n response selection: per DISTINCT prompt text, keep the
+    single highest-scoring candidate response — the rejection-sampling
+    / RLHF candidate-pool reduction step. Deterministic score =
+    response whitespace-token count (the stand-in for a reward model;
+    swap the score expression, keep the shape); ties break on the
+    lexicographically smallest (conv_id, turn_idx).
+
+    Scale shape: pair mining rides the conv_id bucket shuffle, then ONE
+    bucketed prompt-content-hash shuffle co-locates each prompt's
+    candidate pool (same shape as ``exact_dedup_keep_best``,
+    stages/dedup.py:1136); inside a bucket the argmax is one vectorized
+    sort + groupby-first, never a per-prompt Python loop. Prompt text
+    moves once; candidate pools never meet the driver.
+
+    Output: (prompt, conv_id, turn_idx, score, n_candidates).
+    """
+    pairs = sft_pairs(ts_ds, num_buckets=num_buckets)
+
+    def add_score(df: pd.DataFrame):
+        from pystreamfs_ray.util import arrow_block, content_hash64
+
+        out = pd.DataFrame({
+            "prompt": df["prompt"],
+            "conv_id": df["conv_id"],
+            "turn_idx": df["turn_idx"].astype(np.int64),
+            "score": df["response"].str.count(r"\S+").to_numpy(np.int64),
+        })
+        out["__h"] = (content_hash64(out["prompt"].to_numpy())
+                      % np.uint64(num_buckets)).astype(np.int64)
+        return arrow_block(out)
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["prompt", "score", "conv_id", "turn_idx"],
+                          ascending=[True, False, True, True],
+                          kind="mergesort")
+        grp = g.groupby("prompt", sort=False)
+        out = grp.agg(conv_id=("conv_id", "first"),
+                      turn_idx=("turn_idx", "first"),
+                      score=("score", "first"),
+                      n_candidates=("score", "size")).reset_index()
+        out["n_candidates"] = out["n_candidates"].astype(np.int64)
+        return out
+
+    from pystreamfs_ray.util import arrow_combiner
+
+    return (pairs.map_batches(arrow_combiner(add_score),
+                              batch_format="pyarrow")
+            .groupby("__h").map_groups(argmax, batch_format="pandas"))
+
+
+def loss_spans(ts_ds, *, num_buckets: int = 64):
+    """SFT loss-mask spans: lay each conversation's turns end-to-end in
+    turn_idx order (whitespace token counts, matching ``token_stats``)
+    and emit, for every ASSISTANT turn, the [tok_start, tok_end) window
+    of the concatenated token stream where the training loss applies —
+    the mask every chat-SFT trainer needs next to the packed tokens.
+
+    Rides the standard conv_id bucket shuffle; the per-conversation
+    exclusive cumsum is one vectorized ``groupby().cumsum()`` per
+    bucket. Output: (conv_id, turn_idx, tok_start, tok_end).
+    """
+
+    def spans(g: pd.DataFrame) -> pd.DataFrame:
+        g = sort_entity(g, entity_col="conv_id", order_cols=("turn_idx",))
+        tok = g["text"].str.count(r"\S+").to_numpy(np.int64)
+        g = g.assign(__tok=tok)
+        start = (g.groupby("conv_id", sort=False)["__tok"].cumsum()
+                 .to_numpy(np.int64) - tok)
+        m = (g["role"] == "assistant").to_numpy()
+        return pd.DataFrame({
+            "conv_id": g["conv_id"].to_numpy()[m],
+            "turn_idx": g["turn_idx"].to_numpy(np.int64)[m],
+            "tok_start": start[m],
+            "tok_end": start[m] + tok[m],
+        })
+
+    return per_bucket(ts_ds, spans, entity_col="conv_id",
+                      num_buckets=num_buckets)

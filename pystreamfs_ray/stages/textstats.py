@@ -1135,3 +1135,82 @@ def length_buckets(ds, text_col: str = "text"):
     return (counted
             .map_batches(arrow_combiner(partial), batch_format="pyarrow")
             .groupby("bucket").map_groups(merge, batch_format="pandas"))
+
+
+def nucleus_vocab(ds, *, text_col: str = "text",
+                  coverage_num: int = 9, coverage_den: int = 10,
+                  num_partitions: int = 32):
+    """Top-p (nucleus) vocabulary coverage: the MINIMAL prefix of the
+    vocabulary, sorted by (count desc, word asc), whose cumulative
+    token count reaches ``coverage_num/coverage_den`` of all tokens
+    (default 90%) — the report that sizes a tokenizer vocab or a
+    stopword/core-vocab cut. Output: (word, n, cum) with ``cum`` the
+    inclusive cumulative count in global nucleus order.
+
+    The coverage test is INTEGER-exact on both sides of the oracle:
+    a word is in the nucleus iff ``coverage_den * (cum - n) <
+    coverage_num * total`` — no float threshold to diverge on.
+
+    Scale shape: one corpus scan builds vocab-sized (word, count)
+    partials (combiner pattern, the shuffle moves vocabulary rows, not
+    tokens); the counts table is materialized ONCE (bounded by |vocab|,
+    orders of magnitude below the corpus) so the grand total and the
+    global cumsum don't re-scan the corpus; the cumulative count uses
+    the same two-phase distributed prefix sum as sequence packing
+    (stages/packing.py:26) over a zero-padded (max-n, word) composite
+    key — Zipf-tail counts spread across range partitions by word, so
+    no single partition holds the whole n=1 tail.
+    """
+    from ray.data.aggregate import Sum
+
+    from pystreamfs_ray.stages.packing import distributed_prefix_sum
+    from pystreamfs_ray.util import arrow_combiner
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        words = (df[text_col].str.lower().str.findall(r"[a-z0-9_]+")
+                 .explode().dropna())
+        vc = words.value_counts()
+        return pd.DataFrame({"word": vc.index.astype(str),
+                             "n": vc.to_numpy(np.int64)})
+
+    counts = (ds.map_batches(arrow_combiner(partial_counts),
+                             batch_format="pyarrow")
+              .groupby("word").aggregate(Sum("n", alias_name="n"))
+              ).materialize()
+    total = int(counts.sum("n") or 0)
+    if total == 0:
+        return counts.map_batches(
+            lambda df: pd.DataFrame({"word": pd.Series(dtype=str),
+                                     "n": pd.Series(dtype=np.int64),
+                                     "cum": pd.Series(dtype=np.int64)}),
+            batch_format="pandas")
+
+    def okey(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["word"].to_numpy(zero_copy_only=False)
+        # zero-padded (2^63-1 - n) then word: string order == (n desc,
+        # word asc); unique because words are distinct post-aggregate
+        inv = (np.int64(2**63 - 1) - n).astype("U19")
+        key = np.char.add(np.char.add(np.char.zfill(inv, 19), "|"),
+                          w.astype("U"))
+        return pa.table({"word": t["word"], "n": pa.array(n),
+                         "__okey": pa.array(key)})
+
+    scanned = distributed_prefix_sum(
+        counts.map_batches(okey, batch_format="pyarrow"),
+        order_col="__okey", value_col="n", out_col="__excl",
+        num_partitions=num_partitions)
+
+    num_total, den = coverage_num * total, coverage_den  # closed over
+
+    def nucleus(t: pa.Table) -> pa.Table:
+        excl = t["__excl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = den * excl < num_total
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "word": t["word"].filter(pa.array(keep)),
+            "n": pa.array(n[keep]),
+            "cum": pa.array(excl[keep] + n[keep]),
+        })
+
+    return scanned.map_batches(nucleus, batch_format="pyarrow")

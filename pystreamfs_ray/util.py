@@ -143,6 +143,12 @@ def quantile_bounds(values: np.ndarray, num_partitions: int) -> np.ndarray:
     if len(values) == 0 or num_partitions <= 1:
         return np.array([], dtype=values.dtype if len(values) else np.float64)
     qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
+    if not np.issubdtype(values.dtype, np.number):
+        # string/object keys: positional nearest-quantiles of the sorted
+        # sample (np.quantile is numeric-only); same semantics
+        vs = np.sort(values)
+        idx = np.rint(qs * (len(vs) - 1)).astype(np.int64)
+        return np.unique(vs[idx])
     return np.unique(np.quantile(values, qs, method="nearest"))
 
 

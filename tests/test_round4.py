@@ -1101,3 +1101,122 @@ def test_new_ops_partition_invariance(ray_session):
         got = run(nparts)
         for r, g in zip(ref, got):
             pd.testing.assert_frame_equal(r, g)
+
+
+def test_best_of_n_semantics(ray_session):
+    """Per distinct prompt: highest response token count wins, ties to
+    the smallest (conv_id, turn_idx); n_candidates = pool size.
+    Checked against a pure-pandas reference on real sf0.001 pairs, plus
+    bucket-count invariance (2 vs 8 prompt-hash buckets)."""
+    from pystreamfs_ray.pipelines.transcripts import (best_of_n, sft_pairs,
+                                                      transcripts_from_events)
+
+    sf = "/root/testdata/sf0.001"
+    t = transcripts_from_events(sf, num_buckets=4)
+    got = (best_of_n(t, num_buckets=4).to_pandas()
+           .sort_values("prompt", ignore_index=True))
+
+    pairs = sft_pairs(transcripts_from_events(sf, num_buckets=4),
+                      num_buckets=4).to_pandas()
+    pairs["score"] = pairs["response"].str.count(r"\S+").astype(np.int64)
+    ref = (pairs.sort_values(["prompt", "score", "conv_id", "turn_idx"],
+                             ascending=[True, False, True, True],
+                             kind="mergesort")
+           .groupby("prompt")
+           .agg(conv_id=("conv_id", "first"), turn_idx=("turn_idx", "first"),
+                score=("score", "first"), n_candidates=("score", "size"))
+           .reset_index().sort_values("prompt", ignore_index=True))
+    assert len(got) == len(ref) > 0
+    pd.testing.assert_frame_equal(
+        got[["prompt", "conv_id", "turn_idx", "score", "n_candidates"]],
+        ref[["prompt", "conv_id", "turn_idx", "score", "n_candidates"]],
+        check_dtype=False)
+
+    again = (best_of_n(transcripts_from_events(sf, num_buckets=8),
+                       num_buckets=8).to_pandas()
+             .sort_values("prompt", ignore_index=True))
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), again.reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_loss_spans_semantics(ray_session):
+    """Spans tile each conversation's token stream: per conv the
+    assistant spans are disjoint, ordered, bounded by the conv total,
+    and every span equals the turn's own token count; exclusive starts
+    match a pandas cumsum reference."""
+    from pystreamfs_ray.pipelines.transcripts import (loss_spans,
+                                                      transcripts_from_events)
+
+    sf = "/root/testdata/sf0.001"
+    got = (loss_spans(transcripts_from_events(sf, num_buckets=4),
+                      num_buckets=4).to_pandas()
+           .sort_values(["conv_id", "turn_idx"], ignore_index=True))
+
+    t = (transcripts_from_events(sf, num_buckets=4).to_pandas()
+         .sort_values(["conv_id", "turn_idx"], ignore_index=True))
+    t["tok"] = t["text"].str.count(r"\S+").astype(np.int64)
+    t["start"] = t.groupby("conv_id")["tok"].cumsum() - t["tok"]
+    ref = t[t["role"] == "assistant"]
+    assert len(got) == len(ref) > 0
+    m = got.merge(ref, on=["conv_id", "turn_idx"])
+    assert len(m) == len(ref)
+    assert (m["tok_start"] == m["start"]).all()
+    assert (m["tok_end"] == m["start"] + m["tok"]).all()
+    # spans never overlap within a conversation
+    s = got.sort_values(["conv_id", "tok_start"])
+    same = s["conv_id"].to_numpy()[1:] == s["conv_id"].to_numpy()[:-1]
+    assert (s["tok_end"].to_numpy()[:-1][same]
+            <= s["tok_start"].to_numpy()[1:][same]).all()
+
+
+def test_nucleus_vocab_minimality(ray_session):
+    """The nucleus is the MINIMAL >=90% prefix: covered fraction >= 0.9,
+    removing the last (smallest-count, word-desc) member drops below
+    0.9; counts and cumulative sums match a pandas reference; stable
+    under a different partition count."""
+    import ray
+
+    from pystreamfs_ray.stages.textstats import nucleus_vocab
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(200)]
+    weights = 1.0 / np.arange(1, 201)  # Zipf
+    weights /= weights.sum()
+    docs = [" ".join(rng.choice(vocab, size=50, p=weights))
+            for _ in range(200)]
+    frames = [pd.DataFrame({"text": docs[i::8]}) for i in range(8)]
+    ds = ray.data.from_pandas(frames)
+
+    got = (nucleus_vocab(ds, num_partitions=4).to_pandas()
+           .sort_values("cum", ignore_index=True))
+
+    words = pd.Series(" ".join(docs).split()).value_counts()
+    ref = (words.rename_axis("word").reset_index(name="n")
+           .sort_values(["n", "word"], ascending=[False, True],
+                        kind="mergesort", ignore_index=True))
+    ref["cum"] = ref["n"].cumsum()
+    total = int(ref["n"].sum())
+    ref = ref[10 * (ref["cum"] - ref["n"]) < 9 * total]
+    pd.testing.assert_frame_equal(
+        got[["word", "n", "cum"]],
+        ref[["word", "n", "cum"]].reset_index(drop=True),
+        check_dtype=False)
+    assert int(got["cum"].iloc[-1]) * 10 >= 9 * total          # covers
+    assert (int(got["cum"].iloc[-1]) - int(got["n"].iloc[-1])) * 10 \
+        < 9 * total                                            # minimal
+
+    again = (nucleus_vocab(ds, num_partitions=9).to_pandas()
+             .sort_values("cum", ignore_index=True))
+    pd.testing.assert_frame_equal(got, again)
+
+
+def test_quantile_bounds_string_keys():
+    """quantile_bounds on non-numeric keys: positional nearest
+    quantiles of the sorted sample (np.quantile is numeric-only)."""
+    from pystreamfs_ray.util import quantile_bounds
+
+    vals = np.array([f"k{i:04d}" for i in range(100)], dtype=object)
+    b = quantile_bounds(vals, 4)
+    assert len(b) == 3 and all(b[i] < b[i + 1] for i in range(2))
+    assert quantile_bounds(np.array([], dtype=object), 4).size == 0
