@@ -154,13 +154,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_snapshot_diff": q.q_snapshot_diff,
         "q_chunk_dedup": q.q_chunk_dedup,
         "q_pii_rate": q.q_pii_rate,
-        "q_region_revenue": q.q_region_revenue,
         # new this session, never driver-checked — in the window in
-        # place of 3 lifetime-green r1/r2 queries
+        # place of 4 lifetime-green r1/r2 queries
         "q_best_of_n": q.q_best_of_n,
         "q_loss_spans": q.q_loss_spans,
         "q_nucleus_vocab": q.q_nucleus_vocab,
         # --- end of 50-query driver window ----------------------------
+        "q_region_revenue": q.q_region_revenue,
         "q_part_supplier_revenue": q.q_part_supplier_revenue,
         "q_stratified_sample": q.q_stratified_sample,
         "q_funnel": q.q_funnel,
