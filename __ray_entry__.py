@@ -135,7 +135,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_data_card": q.q_data_card,
         "q_tool_error_rate": q.q_tool_error_rate,
         "q_grouped_quantiles": q.q_grouped_quantiles,
-        "q_grouped_topk": q.q_grouped_topk,
         # final-session additions, never driver-checked — in the window
         # so every registered query has a lifetime verdict after r4
         "q_neardup_canonical": q.q_neardup_canonical,
@@ -159,7 +158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_best_of_n": q.q_best_of_n,
         "q_loss_spans": q.q_loss_spans,
         "q_nucleus_vocab": q.q_nucleus_vocab,
+        "q_ann_pq": q.q_ann_pq,
         # --- end of 50-query driver window ----------------------------
+        "q_grouped_topk": q.q_grouped_topk,
         "q_region_revenue": q.q_region_revenue,
         "q_part_supplier_revenue": q.q_part_supplier_revenue,
         "q_stratified_sample": q.q_stratified_sample,

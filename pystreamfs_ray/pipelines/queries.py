@@ -2859,3 +2859,29 @@ def q_nucleus_vocab(sf_dir: str):
 
     docs = read_parquet(_p(sf_dir, "documents"), columns=["text"])
     return nucleus_vocab(docs)
+
+
+def q_ann_pq(sf_dir: str):
+    """Recall@10 of product-quantized ADC search vs float exact — the
+    quality gate on the 32× compression path (64-dim float64 row →
+    16 uint8 codes at m=16, n_codes=256). Non-SQL (seeded per-subspace
+    k-means + ADC); driver checks rows-only, pytest bounds the recall
+    (and separately tests the exact-rerank refine path). Both result
+    sets are queries×k rows."""
+    from pystreamfs_ray.stages.similarity import (brute_force_topk,
+                                                  pq_encode, pq_topk,
+                                                  train_pq_codebook)
+
+    emb = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 10").to_pandas()
+    qmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy()
+    exact = brute_force_topk(emb, qids, qmat, k=10,
+                             concurrency=2).to_pandas()
+    book = train_pq_codebook(emb, m=16, n_codes=256)
+    codes = pq_encode(emb, book)
+    approx = pq_topk(codes, qids, qmat, book, k=10,
+                     concurrency=2).to_pandas()
+    return _recall_frame(exact, approx)

@@ -360,3 +360,156 @@ def ivf_int8_topk(quant_ds, query_ids, query_matrix, centroids, *, k=10,
 
     return partials.groupby("query_id").map_groups(
         _reduce_topk("cosine_q", id_col, k), batch_format="pandas")
+
+
+def train_pq_codebook(ds, *, m: int = 8, n_codes: int = 16,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      train_sample: int = 2048, seed: int = 7) -> np.ndarray:
+    """Product-quantization codebook: split each L2-normalized vector
+    into ``m`` contiguous subvectors and k-means each subspace to
+    ``n_codes`` centroids — (m, n_codes, d/m). Training mirrors
+    ``train_centroids``: a hash-keyed uniform sample (never
+    ``ds.limit()``, which on cluster-sorted input trains on one
+    cluster), five seeded Lloyd iterations per subspace on the driver.
+    Codebook size is m·n_codes·(d/m) floats — KBs, broadcast-cheap."""
+    from pystreamfs_ray.sources import sample_by_hash
+
+    n = ds.count()
+    if n > train_sample:
+        sample = sample_by_hash(ds, id_col, train_sample / n).to_pandas()
+    else:
+        sample = ds.to_pandas()
+    if len(sample) == 0:
+        sample = ds.limit(min(n, train_sample)).to_pandas()
+    mat = _normalize(_as_matrix(sample[vec_col]))
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    book = np.empty((m, n_codes, sub), dtype=np.float64)
+    for j in range(m):
+        x = mat[:, j * sub:(j + 1) * sub]
+        c = x[rng.choice(len(x), size=min(n_codes, len(x)), replace=False)]
+        for _ in range(5):
+            # nearest by Euclidean distance within the subspace
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(d2, axis=1)
+            for ci in range(c.shape[0]):
+                pts = x[assign == ci]
+                if len(pts):
+                    c[ci] = pts.mean(axis=0)
+        if c.shape[0] < n_codes:  # tiny sample: pad by repeating
+            c = np.vstack([c] * (n_codes // c.shape[0] + 1))[:n_codes]
+        book[j] = c
+    return book
+
+
+def pq_encode(ds, codebook: np.ndarray, *, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """Encode every vector as ``m`` uint8 centroid codes (4 bits used
+    at n_codes=16) — the 100-TB memory lever: a 64-dim float64 row
+    (512 B) becomes 8 B of codes, so a billion-vector index fits in a
+    few workers' object store instead of a rack. One streaming pass,
+    broadcast codebook, vectorized subspace argmin per batch."""
+    book_ref = ray.put(codebook)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        book = ray.get(book_ref) if isinstance(book_ref, ray.ObjectRef) \
+            else book_ref
+        vecs = _normalize(_as_matrix(df[vec_col]))
+        m, n_codes, sub = book.shape
+        codes = np.empty((len(vecs), m), dtype=np.uint8)
+        for j in range(m):
+            x = vecs[:, j * sub:(j + 1) * sub]
+            # ||x-c||² argmin == argmax(x·c - ||c||²/2), one sgemm
+            dots = x @ book[j].T - 0.5 * (book[j] ** 2).sum(-1)
+            codes[:, j] = np.argmax(dots, axis=1).astype(np.uint8)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "codes": [row for row in codes],
+        })
+
+    return ds.map_batches(encode, batch_format="pandas")
+
+
+class PQScorer:
+    """Actor: asymmetric-distance (ADC) scoring — per query a
+    (m × n_codes) lookup table of subquery·centroid dot products is
+    built ONCE in __init__; each batch is m uint8 gathers + a sum,
+    no float vector ever touched."""
+
+    def __init__(self, state_ref, id_col: str, k: int):
+        s = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
+        self.qids = s["qids"]
+        qmat = _normalize(s["qmat"])
+        book = s["book"]                       # (m, n_codes, sub)
+        m, n_codes, sub = book.shape
+        # LUT[q, j, c] = q_sub_j · book[j, c]
+        self.lut = np.einsum("qjs,jcs->qjc",
+                             qmat.reshape(len(qmat), m, sub), book)
+        self.id_col, self.k, self.m = id_col, k, m
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        codes = np.stack(df["codes"].to_numpy())   # (N, m) uint8
+        ids = df[self.id_col].to_numpy()
+        nq = len(self.qids)
+        scores = np.zeros((nq, len(ids)), dtype=np.float64)
+        for j in range(self.m):                    # m gathers, vectorized
+            scores += self.lut[:, j, :][:, codes[:, j]]
+        rows_q, rows_id, rows_s = [], [], []
+        k = min(self.k, len(ids))
+        for qi in range(nq):
+            top = _topk_rounded(scores[qi], ids, k)
+            rows_q.extend([self.qids[qi]] * k)
+            rows_id.extend(ids[top])
+            rows_s.extend(scores[qi][top])
+        return pd.DataFrame({
+            "query_id": np.array(rows_q, dtype=np.int64),
+            self.id_col: np.array(rows_id, dtype=np.int64),
+            "cosine_pq": np.array(rows_s, dtype=np.float64),
+        })
+
+
+def pq_topk(codes_ds, query_ids, query_matrix, codebook, *, k: int = 10,
+            id_col: str = "vec_id", concurrency: int = 4,
+            rerank_ds=None, vec_col: str = "embedding",
+            shortlist_factor: int = 4):
+    """Approximate top-k over the PQ-encoded index: broadcast
+    (queries, codebook) once, ADC-score each batch of codes, reduce
+    per-batch partial winners with the shared ranking policy.
+
+    ``rerank_ds`` enables the FAISS-style refine step: the ADC pass
+    shortlists ``k × shortlist_factor`` candidates per query (a tiny
+    queries×shortlist frame), then ONE more column-pruned pass over
+    the float corpus exact-scores ONLY shortlisted rows — quantization
+    error never decides the final ranking, it only prunes. At 100 TB
+    the shortlist id-set is KBs (broadcast), and the refine pass
+    streams the same blocks the ADC pass did but matmuls ~0.01% of
+    them."""
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qmat = np.asarray(query_matrix, dtype=np.float64)
+    ref = ray.put({"qids": qids, "qmat": qmat,
+                   "book": np.asarray(codebook, dtype=np.float64)})
+    k_adc = k * shortlist_factor if rerank_ds is not None else k
+    partials = codes_ds.map_batches(
+        PQScorer, batch_format="pandas",
+        concurrency=concurrency, fn_constructor_args=(ref, id_col, k_adc),
+    )
+    adc = partials.groupby("query_id").map_groups(
+        _reduce_topk("cosine_pq", id_col, k_adc), batch_format="pandas")
+    if rerank_ds is None:
+        return adc
+
+    cand = np.unique(adc.select_columns([id_col]).to_pandas()[id_col]
+                     .to_numpy())
+    cand_ref = ray.put(cand)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(cand_ref) if isinstance(cand_ref, ray.ObjectRef) \
+            else cand_ref
+        return df[np.isin(df[id_col].to_numpy(), ids)]
+
+    filtered = rerank_ds.map_batches(keep, batch_format="pandas")
+    return brute_force_topk(filtered, qids, qmat, k=k, id_col=id_col,
+                            vec_col=vec_col, concurrency=concurrency)

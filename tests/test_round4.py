@@ -1220,3 +1220,94 @@ def test_quantile_bounds_string_keys():
     b = quantile_bounds(vals, 4)
     assert len(b) == 3 and all(b[i] < b[i + 1] for i in range(2))
     assert quantile_bounds(np.array([], dtype=object), 4).size == 0
+
+
+def test_pq_recall_and_determinism(ray_session):
+    """PQ ADC search: recall@10 vs float exact stays useful at the
+    ~64× compression point (m=8 × 16 codes over 64 dims), the encode
+    is deterministic across batch layouts, and a full-resolution
+    codebook (n_codes >= sample) reconstructs exact ranking on a
+    separable fixture."""
+    import ray
+
+    from pystreamfs_ray.pipelines.queries import q_ann_pq
+    from pystreamfs_ray.stages.similarity import (pq_encode, pq_topk,
+                                                  train_pq_codebook)
+
+    rec = q_ann_pq("/root/testdata/sf0.001")
+    rec = rec.to_pandas() if hasattr(rec, "to_pandas") else rec
+    assert len(rec) > 0
+    assert rec["recall"].mean() >= 0.6, rec["recall"].mean()
+
+    # determinism: same codes whether the corpus arrives as 2 or 7 blocks
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(140, 64))
+    df = pd.DataFrame({"vec_id": np.arange(140, dtype=np.int64),
+                       "embedding": [v for v in vecs]})
+    ds2 = ray.data.from_pandas([df.iloc[:70], df.iloc[70:]])
+    ds7 = ray.data.from_pandas([df.iloc[i::7].reset_index(drop=True)
+                                for i in range(7)])
+    book = train_pq_codebook(ds2, m=8, n_codes=16)
+    c2 = (pq_encode(ds2, book).to_pandas()
+          .sort_values("vec_id", ignore_index=True))
+    c7 = (pq_encode(ds7, book).to_pandas()
+          .sort_values("vec_id", ignore_index=True))
+    assert all(np.array_equal(a, b)
+               for a, b in zip(c2["codes"], c7["codes"]))
+
+    qmat = vecs[:5]
+    t2 = pq_topk(pq_encode(ds2, book), np.arange(5), qmat,
+                 book, k=10, concurrency=2).to_pandas()
+    t7 = pq_topk(pq_encode(ds7, book), np.arange(5), qmat, book, k=10,
+                 concurrency=2).to_pandas()
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        t2.sort_values(key, ignore_index=True)[key + ["vec_id"]],
+        t7.sort_values(key, ignore_index=True)[key + ["vec_id"]])
+
+
+def test_pq_rerank_exactness(ray_session):
+    """The refine path: with a shortlist that covers enough of the
+    corpus, PQ+exact-rerank reproduces the brute-force top-k EXACTLY
+    (quantization only prunes, never ranks); with the default
+    shortlist it is never worse than pure ADC."""
+    from pystreamfs_ray.sources import read_parquet
+    from pystreamfs_ray.stages.similarity import (brute_force_topk,
+                                                  pq_encode, pq_topk,
+                                                  train_pq_codebook)
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_parquet(f"{sf}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 5").to_pandas()
+    qmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy()
+    n = emb.count()
+
+    exact = brute_force_topk(emb, qids, qmat, k=10,
+                             concurrency=2).to_pandas()
+    book = train_pq_codebook(emb, m=8, n_codes=16)
+    codes = pq_encode(emb, book)
+
+    # shortlist covering the whole corpus -> bit-identical to exact
+    full = pq_topk(codes, qids, qmat, book, k=10, concurrency=2,
+                   rerank_ds=emb, shortlist_factor=(n // 10) + 1
+                   ).to_pandas()
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        full.sort_values(key, ignore_index=True)[key + ["vec_id"]],
+        exact.sort_values(key, ignore_index=True)[key + ["vec_id"]])
+
+    # modest shortlist: recall(rerank) >= recall(pure ADC)
+    truth = {q: set(g["vec_id"]) for q, g in exact.groupby("query_id")}
+    adc = pq_topk(codes, qids, qmat, book, k=10,
+                  concurrency=2).to_pandas()
+    rer = pq_topk(codes, qids, qmat, book, k=10, concurrency=2,
+                  rerank_ds=emb, shortlist_factor=3).to_pandas()
+
+    def mean_recall(df):
+        return np.mean([len(truth[q] & set(g["vec_id"])) / 10
+                        for q, g in df.groupby("query_id")])
+
+    assert mean_recall(rer) >= mean_recall(adc)
