@@ -134,7 +134,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_neardup_leakage": q.q_neardup_leakage,
         "q_data_card": q.q_data_card,
         "q_tool_error_rate": q.q_tool_error_rate,
-        "q_grouped_quantiles": q.q_grouped_quantiles,
         # final-session additions, never driver-checked — in the window
         # so every registered query has a lifetime verdict after r4
         "q_neardup_canonical": q.q_neardup_canonical,
@@ -159,7 +158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_loss_spans": q.q_loss_spans,
         "q_nucleus_vocab": q.q_nucleus_vocab,
         "q_ann_pq": q.q_ann_pq,
+        "q_winsorize": q.q_winsorize,
         # --- end of 50-query driver window ----------------------------
+        "q_grouped_quantiles": q.q_grouped_quantiles,
         "q_grouped_topk": q.q_grouped_topk,
         "q_region_revenue": q.q_region_revenue,
         "q_part_supplier_revenue": q.q_part_supplier_revenue,
@@ -2201,6 +2202,29 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                      AS p90lo_gap_us,
                    n
             FROM s
+        """,
+        # per-group winsorization: clamp to exact integer-cent [p05,p95]
+        # lower order stats (FLOOR(p*(n-1)) is the same IEEE product
+        # both sides)
+        "q_winsorize": """
+            WITH v AS (
+              SELECT o_orderkey, o_orderpriority,
+                     CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+              FROM orders
+            ), b AS (
+              SELECT o_orderpriority, list_sort(list(c)) AS s,
+                     COUNT(*) AS n
+              FROM v GROUP BY o_orderpriority
+            ), k AS (
+              SELECT o_orderpriority,
+                     s[CAST(FLOOR(0.05 * (n - 1)) AS BIGINT) + 1] AS lo,
+                     s[CAST(FLOOR(0.95 * (n - 1)) AS BIGINT) + 1] AS hi
+              FROM b
+            )
+            SELECT v.o_orderkey, v.o_orderpriority,
+                   CAST(LEAST(GREATEST(v.c, k.lo), k.hi) AS BIGINT)
+                     AS w_cents
+            FROM v JOIN k USING (o_orderpriority)
         """,
         "q_mad_outliers": """
             WITH c AS (

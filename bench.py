@@ -103,6 +103,11 @@ BENCH_QUERIES = [
     "q_score_docs",
     "q_incremental_dedup",
     "q_bigram_logprob",
+    # post-close session families: nucleus vocabulary (two-phase prefix
+    # sum), best-of-n selection (double shuffle), PQ ANN (ADC path)
+    "q_nucleus_vocab",
+    "q_best_of_n",
+    "q_ann_pq",
 ]
 
 

@@ -2885,3 +2885,17 @@ def q_ann_pq(sf_dir: str):
     approx = pq_topk(codes, qids, qmat, book, k=10,
                      concurrency=2).to_pandas()
     return _recall_frame(exact, approx)
+
+
+def q_winsorize(sf_dir: str):
+    """Per-priority winsorized order value: clamp o_totalprice cents to
+    the group's exact [p05, p95] order statistics — the standard
+    feature-eng tail-taming transform. Bounds pass is group-count-
+    sized; the clamp pass is broadcast + shuffle-free."""
+    from pystreamfs_ray.stages.grouped import winsorize
+
+    orders = read_parquet(_p(sf_dir, "orders"),
+                          columns=["o_orderkey", "o_orderpriority",
+                                   "o_totalprice"])
+    return winsorize(orders, "o_orderpriority", "o_totalprice",
+                     id_col="o_orderkey")

@@ -599,3 +599,56 @@ def mad_outliers(ds, group_col: str, value_col: str, *, z: int = 3):
     return (ds.select_columns([group_col, value_col])
               .groupby(group_col)
               .map_groups(fn, batch_format="pandas"))
+
+
+def winsorize(ds, group_col: str, value_col: str, *, id_col: str,
+              p_lo: float = 0.05, p_hi: float = 0.95):
+    """Per-group winsorization: clamp ``value_col`` to the group's
+    [p_lo, p_hi] EXACT integer-cent order statistics (lower order stat
+    at index ``floor(p·(n−1))`` — the same IEEE product the SQL oracle
+    computes, so bounds match bit-for-bit; no float interpolation).
+
+    Two passes: (1) a column-pruned (group, cents) shuffle reduces each
+    group to ONE bounds row — group-count-sized, driver-safe; the exact
+    form shares :func:`grouped_quantiles`'s documented sketch escape
+    hatch for extreme per-group cardinality. (2) the bounds dict is
+    broadcast (``ray.put``) and every batch clamps vectorized —
+    shuffle-free, input-sized output, original rows never re-keyed."""
+    import ray
+
+    def bounds(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        cs = np.sort(np.floor(v * 100.0 + 0.5).astype(np.int64))
+        n = len(cs)
+        if n == 0:
+            return pd.DataFrame({group_col: [df[group_col].iloc[0]],
+                                 "lo": [np.int64(0)], "hi": [np.int64(0)]})
+        return pd.DataFrame({
+            group_col: [df[group_col].iloc[0]],
+            "lo": [cs[int(np.floor(p_lo * (n - 1)))]],
+            "hi": [cs[int(np.floor(p_hi * (n - 1)))]],
+        })
+
+    bdf = (ds.select_columns([group_col, value_col])
+           .groupby(group_col)
+           .map_groups(bounds, batch_format="pandas").to_pandas())
+    lo_of = dict(zip(bdf[group_col], bdf["lo"].astype(np.int64)))
+    hi_of = dict(zip(bdf[group_col], bdf["hi"].astype(np.int64)))
+    bref = ray.put((lo_of, hi_of))
+
+    def clamp(df: pd.DataFrame) -> pd.DataFrame:
+        lo_d, hi_d = ray.get(bref) if isinstance(bref, ray.ObjectRef) \
+            else bref
+        c = np.floor(df[value_col].to_numpy(np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+        lo = df[group_col].map(lo_d).to_numpy(np.int64)
+        hi = df[group_col].map(hi_d).to_numpy(np.int64)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            group_col: df[group_col].to_numpy(),
+            "w_cents": np.clip(c, lo, hi),
+        })
+
+    return ds.select_columns([id_col, group_col, value_col]).map_batches(
+        clamp, batch_format="pandas")

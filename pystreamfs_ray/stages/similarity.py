@@ -392,9 +392,10 @@ def train_pq_codebook(ds, *, m: int = 8, n_codes: int = 16,
         x = mat[:, j * sub:(j + 1) * sub]
         c = x[rng.choice(len(x), size=min(n_codes, len(x)), replace=False)]
         for _ in range(5):
-            # nearest by Euclidean distance within the subspace
-            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
-            assign = np.argmin(d2, axis=1)
+            # nearest by Euclidean distance within the subspace, via the
+            # ||x-c||² == -2(x·c - ||c||²/2) identity: one sgemm, no
+            # (n × n_codes × sub) broadcast tensor
+            assign = np.argmax(x @ c.T - 0.5 * (c ** 2).sum(-1), axis=1)
             for ci in range(c.shape[0]):
                 pts = x[assign == ci]
                 if len(pts):

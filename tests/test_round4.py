@@ -1311,3 +1311,41 @@ def test_pq_rerank_exactness(ray_session):
                         for q, g in df.groupby("query_id")])
 
     assert mean_recall(rer) >= mean_recall(adc)
+
+
+def test_winsorize_bounds_and_invariance(ray_session):
+    """Winsorized values equal a pandas clip at the exact per-group
+    integer-cent [p05, p95] lower order stats; identical across
+    partitionings; within-bounds rows pass through unchanged."""
+    import ray
+
+    from pystreamfs_ray.stages.grouped import winsorize
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "id": np.arange(3000, dtype=np.int64),
+        "g": rng.choice(["a", "b", "c"], size=3000),
+        "v": np.round(rng.lognormal(3.0, 1.0, 3000), 2),
+    })
+
+    def run(nsplit):
+        ds = ray.data.from_pandas([df.iloc[i::nsplit].reset_index(drop=True)
+                                   for i in range(nsplit)])
+        return (winsorize(ds, "g", "v", id_col="id").to_pandas()
+                .sort_values("id", ignore_index=True))
+
+    got = run(4)
+    ref_rows = []
+    for g, grp in df.groupby("g"):
+        c = np.floor(grp["v"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        cs = np.sort(c)
+        n = len(cs)
+        lo = cs[int(np.floor(0.05 * (n - 1)))]
+        hi = cs[int(np.floor(0.95 * (n - 1)))]
+        ref_rows.append(pd.DataFrame({"id": grp["id"].to_numpy(),
+                                      "g": g,
+                                      "w_cents": np.clip(c, lo, hi)}))
+    ref = (pd.concat(ref_rows).sort_values("id", ignore_index=True))
+    pd.testing.assert_frame_equal(got[["id", "g", "w_cents"]], ref,
+                                  check_dtype=False)
+    pd.testing.assert_frame_equal(got, run(9))
