@@ -264,6 +264,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_topk_orders": q.q_topk_orders,
         "q_join_agg": q.q_join_agg,
         "q_join_shuffle": q.q_join_shuffle,
+        # added after the round-4 window saturated - lead the r5 window
+        "q_tool_chains": q.q_tool_chains,
     }
 
 
@@ -2349,6 +2351,20 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                          {_split_case('doc_id')} AS split
                   FROM documents)
             GROUP BY split, source, lang
+        """,
+        # tool-transition bigrams over the per-conversation tool-call
+        # subsequence (non-tool turns skipped)
+        "q_tool_chains": f"""
+            WITH {_TRANSCRIPTS_CTE}, tc AS (
+              SELECT conv_id, tool,
+                     lead(tool) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+              FROM transcripts WHERE tool <> ''
+            )
+            SELECT tool AS tool_from, nxt AS tool_to,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM tc WHERE nxt IS NOT NULL
+            GROUP BY tool, nxt
         """,
         "q_tool_error_rate": f"""
             WITH {_TRANSCRIPTS_CTE}, l AS (

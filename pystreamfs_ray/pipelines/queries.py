@@ -2899,3 +2899,33 @@ def q_winsorize(sf_dir: str):
                                    "o_totalprice"])
     return winsorize(orders, "o_orderpriority", "o_totalprice",
                      id_col="o_orderkey")
+
+
+def q_tool_chains(sf_dir: str):
+    """Tool-transition bigrams: for every pair of CONSECUTIVE tool
+    calls inside a conversation (both turns have a non-empty tool,
+    intervening non-tool turns skipped), count (tool_from, tool_to) —
+    the agent-behavior transition matrix a transcript pipeline reports.
+    Same conv-bucket + vectorized-shift shape as q_turn_latency on the
+    tool-call subsequence; buckets emit |tools|² partial counts, one
+    tiny mergeable Sum groupby finishes."""
+    from ray.data.aggregate import Sum
+
+    ts_ds = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["tool"] != ""].sort_values(
+            ["conv_id", "turn_idx"], kind="mergesort", ignore_index=True)
+        conv = g["conv_id"].to_numpy()
+        tool = g["tool"].to_numpy()
+        m = conv[1:] == conv[:-1]
+        d = pd.DataFrame({"tool_from": tool[:-1][m], "tool_to": tool[1:][m]})
+        out = (d.groupby(["tool_from", "tool_to"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = W.per_bucket(ts_ds, part, entity_col="conv_id",
+                            num_buckets=_BUCKETS)
+    return (partials.groupby(["tool_from", "tool_to"])
+            .aggregate(Sum("n", alias_name="n")))

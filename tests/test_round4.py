@@ -1349,3 +1349,27 @@ def test_winsorize_bounds_and_invariance(ray_session):
     pd.testing.assert_frame_equal(got[["id", "g", "w_cents"]], ref,
                                   check_dtype=False)
     pd.testing.assert_frame_equal(got, run(9))
+
+
+def test_tool_chains_semantics(ray_session):
+    """Tool-transition bigrams equal a pandas LEAD reference over the
+    per-conversation tool-call subsequence (non-tool turns skipped,
+    conversation boundaries respected)."""
+    from pystreamfs_ray.pipelines.queries import q_tool_chains
+    from pystreamfs_ray.pipelines.transcripts import transcripts_from_events
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_tool_chains(sf).to_pandas()
+           .sort_values(["tool_from", "tool_to"], ignore_index=True))
+
+    t = (transcripts_from_events(sf, num_buckets=4).to_pandas()
+         .sort_values(["conv_id", "turn_idx"], ignore_index=True))
+    t = t[t["tool"] != ""]
+    conv = t["conv_id"].to_numpy()
+    tool = t["tool"].to_numpy()
+    m = conv[1:] == conv[:-1]
+    ref = (pd.DataFrame({"tool_from": tool[:-1][m], "tool_to": tool[1:][m]})
+           .groupby(["tool_from", "tool_to"]).size().reset_index(name="n")
+           .sort_values(["tool_from", "tool_to"], ignore_index=True))
+    assert len(got) == len(ref) > 0
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
