@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_join_shuffle": q.q_join_shuffle,
         # added after the round-4 window saturated - lead the r5 window
         "q_tool_chains": q.q_tool_chains,
+        "q_ann_matryoshka": q.q_ann_matryoshka,
     }
 
 

