@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # added after the round-4 window saturated - lead the r5 window
         "q_tool_chains": q.q_tool_chains,
         "q_ann_matryoshka": q.q_ann_matryoshka,
+        "q_dedup_convs": q.q_dedup_convs,
     }
 
 
@@ -598,6 +599,17 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    STRING_AGG(role || ': ' || text, chr(10)
                               ORDER BY turn_idx) AS rendered
             FROM transcripts GROUP BY conv_id
+        """,
+        # whole-conversation dedup on the canonical rendering
+        "q_dedup_convs": f"""
+            WITH {_TRANSCRIPTS_CTE}, r AS (
+              SELECT conv_id,
+                     STRING_AGG(role || ': ' || text, chr(10)
+                                ORDER BY turn_idx) AS rendered
+              FROM transcripts GROUP BY conv_id
+            )
+            SELECT MIN(conv_id) AS conv_id, COUNT(*) AS n_dupes, rendered
+            FROM r GROUP BY rendered
         """,
         # dedup mined SFT prompts: first pair id per distinct prompt
         "q_dedup_prompts": f"""

@@ -2960,3 +2960,18 @@ def q_ann_matryoshka(sf_dir: str):
     approx = brute_force_topk(half, qids, qmat[:, :trunc_d], k=10,
                               concurrency=2).to_pandas()
     return _recall_frame(exact, approx)
+
+
+def q_dedup_convs(sf_dir: str):
+    """Conversation-level exact dedup: render each conversation to its
+    canonical chat text (role: text lines in turn order), then keep the
+    lexicographically-first conv_id per distinct rendering with the
+    duplicate count — the whole-conversation dedup step before SFT.
+    Composition: render_chat (one entity shuffle) → exact_dedup (one
+    bucketed content-hash shuffle; renderings move once)."""
+    from pystreamfs_ray.pipelines.transcripts import render_chat
+    from pystreamfs_ray.stages.dedup import exact_dedup
+
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+    rendered = render_chat(t, num_buckets=_BUCKETS).drop_columns(["n_turns"])
+    return exact_dedup(rendered, id_col="conv_id", text_col="rendered")

@@ -1386,3 +1386,24 @@ def test_ann_matryoshka_recall(ray_session):
     assert len(rec) == 10
     assert (rec["k"] == 10).all()
     assert rec["recall"].mean() > 0.2, rec["recall"].mean()
+
+
+def test_dedup_convs_composition(ray_session):
+    """Whole-conversation dedup == pandas groupby on the canonical
+    rendering (min conv_id per distinct text + dup count)."""
+    from pystreamfs_ray.pipelines.queries import q_dedup_convs
+    from pystreamfs_ray.pipelines.transcripts import (render_chat,
+                                                      transcripts_from_events)
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_dedup_convs(sf).to_pandas()
+           .sort_values("conv_id", ignore_index=True))
+    r = render_chat(transcripts_from_events(sf, num_buckets=4),
+                    num_buckets=4).to_pandas()
+    ref = (r.groupby("rendered")
+           .agg(conv_id=("conv_id", "min"), n_dupes=("conv_id", "size"))
+           .reset_index().sort_values("conv_id", ignore_index=True))
+    assert len(got) == len(ref) > 0
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "n_dupes", "rendered"]],
+        ref[["conv_id", "n_dupes", "rendered"]], check_dtype=False)
