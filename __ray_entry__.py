@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tool_chains": q.q_tool_chains,
         "q_ann_matryoshka": q.q_ann_matryoshka,
         "q_dedup_convs": q.q_dedup_convs,
+        "q_dedup_snapshots": q.q_dedup_snapshots,
     }
 
 
@@ -610,6 +611,33 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             )
             SELECT MIN(conv_id) AS conv_id, COUNT(*) AS n_dupes, rendered
             FROM r GROUP BY rendered
+        """,
+        # agent-snapshot dedup: keep only snapshots (cumulative per-turn
+        # renderings) that are not a strict prefix of any other snapshot;
+        # the sorted-distinct-successor test mirrors prefix_dedup's
+        # range-partition algorithm (a string is a strict prefix of some
+        # member iff it prefixes the smallest member greater than it)
+        "q_dedup_snapshots": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            s AS (
+              SELECT conv_id, turn_idx,
+                     STRING_AGG(role || ': ' || text, chr(10)) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS UNBOUNDED PRECEDING) AS snap
+              FROM transcripts
+            ),
+            u AS (SELECT DISTINCT snap FROM s),
+            v AS (SELECT snap, lead(snap) OVER (ORDER BY snap) AS nxt
+                  FROM u),
+            surv AS (
+              SELECT snap FROM v
+              WHERE nxt IS NULL
+                 OR NOT (length(nxt) > length(snap)
+                         AND substr(nxt, 1, length(snap)) = snap)
+            )
+            SELECT s.conv_id, s.turn_idx,
+                   CAST(length(s.snap) AS BIGINT) AS snap_len
+            FROM s JOIN surv ON s.snap = surv.snap
         """,
         # dedup mined SFT prompts: first pair id per distinct prompt
         "q_dedup_prompts": f"""

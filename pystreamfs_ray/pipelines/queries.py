@@ -2975,3 +2975,30 @@ def q_dedup_convs(sf_dir: str):
     t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
     rendered = render_chat(t, num_buckets=_BUCKETS).drop_columns(["n_turns"])
     return exact_dedup(rendered, id_col="conv_id", text_col="rendered")
+
+
+def q_dedup_snapshots(sf_dir: str):
+    """Agent-snapshot dedup: build the cumulative per-turn rendering
+    table (every checkpoint of every growing conversation), then keep
+    only the maximal snapshots — rows whose rendering is not a strict
+    prefix of any other snapshot. Survivors are each conversation's
+    final rendering UNLESS that rendering is itself a prefix of another
+    conversation's snapshot (cross-conversation containment), which the
+    range-partitioned distinct-successor test catches exactly.
+    Composition: snapshot_renders (one entity shuffle) → prefix_dedup
+    (one text-range shuffle + pruned min scan)."""
+    from pystreamfs_ray.pipelines.transcripts import snapshot_renders
+    from pystreamfs_ray.stages.dedup import prefix_dedup
+
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+    snaps = snapshot_renders(t, num_buckets=_BUCKETS)
+    kept = prefix_dedup(snaps, text_col="snap", num_partitions=_BUCKETS)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "conv_id": df["conv_id"].to_numpy(),
+            "turn_idx": df["turn_idx"].to_numpy(np.int64),
+            "snap_len": df["snap"].str.len().to_numpy(np.int64),
+        })
+
+    return kept.map_batches(project, batch_format="pandas")

@@ -209,3 +209,36 @@ def loss_spans(ts_ds, *, num_buckets: int = 64):
 
     return per_bucket(ts_ds, spans, entity_col="conv_id",
                       num_buckets=num_buckets)
+
+
+def snapshot_renders(ts_ds, *, num_buckets: int = 64, sep: str = "\n"):
+    """Cumulative per-turn renderings — the agent-snapshot table: one
+    row per (conversation, turn k) holding the ``render_chat`` text of
+    turns 0..k. Models retry/checkpoint logging where every snapshot of
+    a growing transcript was persisted; ``prefix_dedup`` then recovers
+    exactly the maximal (latest) snapshots.
+
+    One conv_id bucket shuffle. Output volume is Θ(Σ_conv n·len̄)
+    (quadratic per conversation) — at 100 TB run it on a hash-sampled
+    cohort or cap turns upstream; the per-bucket accumulate is
+    O(output chars), never re-renders from scratch per row.
+    """
+    import itertools
+
+    def _snaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = sort_entity(g, entity_col="conv_id", order_cols=("turn_idx",))
+        line = (g["role"].astype(str) + ": " + g["text"].astype(str)).to_numpy()
+        conv = g["conv_id"].to_numpy()
+        snap = np.empty(len(g), dtype=object)
+        seg = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1], True])
+        for s0, s1 in zip(seg[:-1], seg[1:]):
+            snap[s0:s1] = list(itertools.accumulate(
+                line[s0:s1], lambda a, b: a + sep + b))
+        return pd.DataFrame({
+            "conv_id": conv,
+            "turn_idx": g["turn_idx"].to_numpy(np.int64),
+            "snap": snap,
+        })
+
+    return per_bucket(ts_ds, _snaps, entity_col="conv_id",
+                      num_buckets=num_buckets)

@@ -1357,3 +1357,75 @@ def snapshot_diff(a_ds, b_ds, *, id_col: str = "doc_id",
                        Sum("n_removed", alias_name="n_removed"),
                        Sum("n_changed", alias_name="n_changed"),
                        Sum("n_unchanged", alias_name="n_unchanged")))
+
+
+def prefix_dedup(ds, *, text_col: str = "text", num_partitions: int = 32,
+                 boundary_per_block: int = 8):
+    """Keep only rows whose ``text_col`` is NOT a strict prefix of any
+    OTHER row's text — the agent-snapshot dedup: when every checkpoint
+    of a growing transcript was persisted, only the maximal renderings
+    survive. Equal texts all survive (equality is not a strict prefix;
+    compose with ``exact_dedup`` to collapse those).
+
+    Execution (one text shuffle + one pruned scan):
+    range-partition rows on the text itself (spread-sampled
+    boundaries), then inside each partition sort the DISTINCT texts and
+    test each against its immediate distinct successor — a string s is
+    a strict prefix of SOME string in the set iff it is a prefix of the
+    smallest string strictly greater than it (any string between them
+    would itself extend s). The partition-edge case is exact: the
+    minimum text of every partition is computed by a per-block partial
+    pass (P·B driver rows), suffix-min'd on the driver, and carried
+    into the preceding partition as the cross-boundary successor.
+    Because equal texts share a searchsorted bucket, the carry is
+    always strictly greater than the partition max. Boundary quality
+    affects only balance, never correctness. The prefix test itself is
+    adjacent-distinct-pairs only — O(m) C-level ``startswith`` calls,
+    never O(n²).
+    """
+    import ray.data  # noqa: F401  (Dataset ops only)
+
+    from pystreamfs_ray.util import quantile_bounds, spread_sample_values
+
+    sample = spread_sample_values(ds, text_col, per_block=boundary_per_block)
+    bounds = quantile_bounds(np.asarray(sample, dtype=object), num_partitions)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        part = np.searchsorted(bounds, df[text_col].to_numpy(dtype=object),
+                               side="left")
+        return df.assign(__part=part.astype(np.int32))
+
+    parted = ds.map_batches(assign, batch_format="pandas").materialize()
+
+    # per-block (part, min_text) partials → driver suffix-min: the
+    # smallest text living in any LATER partition, i.e. the true
+    # lexicographic successor of each partition's max.
+    def block_min(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("__part", sort=False)[text_col].min()
+        return pd.DataFrame({"__part": g.index.to_numpy(np.int32),
+                             "__min": g.to_numpy(dtype=object)})
+
+    partials = parted.select_columns(["__part", text_col]).map_batches(
+        block_min, batch_format="pandas").to_pandas()
+    next_min: dict[int, str] = {}
+    if len(partials):
+        mins = partials.groupby("__part")["__min"].min().sort_index()
+        carry = None
+        for p in mins.index[::-1]:
+            next_min[int(p)] = carry
+            carry = mins[p] if carry is None else min(mins[p], carry)
+
+    def verdict(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["__part"].iloc[0])
+        texts = g[text_col].to_numpy(dtype=object)
+        uniq, inv = np.unique(texts, return_inverse=True)
+        nxt = np.empty(len(uniq), dtype=object)
+        nxt[:-1] = uniq[1:]
+        nxt[-1] = next_min.get(part)
+        pref = np.fromiter(
+            ((n is not None) and n.startswith(s)
+             for s, n in zip(uniq, nxt)),
+            dtype=bool, count=len(uniq))
+        return g.loc[~pref[inv]].drop(columns=["__part"])
+
+    return parted.groupby("__part").map_groups(verdict, batch_format="pandas")

@@ -1407,3 +1407,52 @@ def test_dedup_convs_composition(ray_session):
     pd.testing.assert_frame_equal(
         got[["conv_id", "n_dupes", "rendered"]],
         ref[["conv_id", "n_dupes", "rendered"]], check_dtype=False)
+
+
+def _prefix_ref(texts):
+    """O(n²) reference: keep texts not a strict prefix of any other."""
+    return [a for a in texts
+            if not any(b.startswith(a) and len(b) > len(a) for b in texts)]
+
+
+def test_prefix_dedup_semantics(ray_session):
+    """prefix_dedup == the O(n²) strict-prefix reference on a fixture
+    engineered to hit every edge: equal texts (both survive), chains
+    (a < ab < abc), cross-partition boundaries (many partitions vs few
+    rows so every distinct text straddles its own range), and texts
+    that sort between a string and its extension."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.dedup import prefix_dedup
+
+    texts = (["a", "ab", "abc", "abd", "ab", "b", "ba", "b",
+              "c", "ca", "cab", "caa", "z"]
+             + [f"doc{i:03d}" for i in range(40)]
+             + [f"doc{i:03d}x" for i in range(0, 40, 3)])
+    rows = [{"rid": i, "text": t} for i, t in enumerate(texts)]
+    ref = sorted(r["rid"] for r in rows if r["text"] in set(_prefix_ref(texts)))
+    for nparts in (1, 4, 16, 64):
+        ds = rd.from_items(rows, override_num_blocks=7)
+        got = prefix_dedup(ds, text_col="text", num_partitions=nparts)
+        got_ids = sorted(got.to_pandas()["rid"].tolist())
+        assert got_ids == ref, (nparts, got_ids[:10], ref[:10])
+
+
+def test_snapshot_renders_cumulative(ray_session):
+    """Each snapshot extends the previous by exactly one rendered line,
+    and the last snapshot equals render_chat's full rendering."""
+    from pystreamfs_ray.pipelines.transcripts import (render_chat,
+                                                      snapshot_renders,
+                                                      transcripts_from_events)
+
+    sf = "/root/testdata/sf0.001"
+    t = transcripts_from_events(sf, num_buckets=4)
+    snaps = snapshot_renders(t, num_buckets=4).to_pandas()
+    snaps = snaps.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    full = render_chat(t, num_buckets=4).to_pandas().set_index("conv_id")
+    for conv, g in snaps.groupby("conv_id"):
+        s = g["snap"].tolist()
+        for a, b in zip(s, s[1:]):
+            assert b.startswith(a + "\n") and len(b) > len(a)
+        assert s[-1] == full.loc[conv, "rendered"]
+        assert len(s) == full.loc[conv, "n_turns"]
