@@ -269,6 +269,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_matryoshka": q.q_ann_matryoshka,
         "q_dedup_convs": q.q_dedup_convs,
         "q_dedup_snapshots": q.q_dedup_snapshots,
+        "q_recency": q.q_recency,
+        "q_truncate_context": q.q_truncate_context,
+        "q_psi_drift": q.q_psi_drift,
     }
 
 
@@ -611,6 +614,82 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             )
             SELECT MIN(conv_id) AS conv_id, COUNT(*) AS n_dupes, rendered
             FROM r GROUP BY rendered
+        """,
+        # strictly-causal recency features: prior-type counts and µs
+        # gaps over each user's (ts, event_id)-ordered history
+        "q_recency": """
+            SELECT event_id,
+                   CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                        OVER w_prior AS BIGINT) AS n_prior_purchase,
+                   CAST(COALESCE(date_diff('microsecond',
+                        MAX(CASE WHEN event_type = 'error' THEN ts END)
+                          OVER w_prior, ts), -1) AS BIGINT) AS us_since_error,
+                   CAST(COALESCE(date_diff('microsecond',
+                        lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id), ts), -1)
+                        AS BIGINT) AS us_since_prev
+            FROM events
+            WINDOW w_prior AS (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+        """,
+        # context-window truncation: longest turn suffix within a
+        # 64-token budget per conversation (reverse running sum)
+        "q_truncate_context": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            tok AS (
+              SELECT conv_id, turn_idx,
+                     CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS tok
+              FROM transcripts
+            ),
+            r AS (
+              SELECT conv_id, turn_idx, tok,
+                     SUM(tok) OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx DESC
+                                    ROWS UNBOUNDED PRECEDING) AS rcum
+              FROM tok
+            )
+            SELECT conv_id,
+                   CAST(MIN(turn_idx) AS BIGINT) AS first_kept_turn,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(tok) AS BIGINT) AS tok_kept
+            FROM r WHERE rcum <= 64 GROUP BY conv_id
+        """,
+        # day-over-day PSI of the value histogram (10 cent-bins of
+        # width 5000 on [0, 50000), Laplace-smoothed shares)
+        "q_psi_drift": """
+            WITH e AS (
+              SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                     LEAST(GREATEST(CAST(FLOOR(value * 100.0 + 0.5)
+                                    AS BIGINT) // 5000, 0), 9) AS bin
+              FROM events
+            ),
+            grid AS (
+              SELECT day, b.bin
+              FROM (SELECT DISTINCT day FROM e),
+                   (SELECT unnest(range(10)) AS bin) b
+            ),
+            c AS (
+              SELECT g.day, g.bin, COALESCE(x.cnt, 0) AS cnt
+              FROM grid g LEFT JOIN (
+                SELECT day, bin, COUNT(*) AS cnt FROM e GROUP BY day, bin
+              ) x ON g.day = x.day AND g.bin = x.bin
+            ),
+            p AS (
+              SELECT day, bin,
+                     CAST(cnt + 1 AS DOUBLE) /
+                     (CAST(SUM(cnt) OVER (PARTITION BY day) AS DOUBLE) + 10)
+                       AS p
+              FROM c
+            ),
+            pq AS (
+              SELECT day, bin, p,
+                     lag(p) OVER (PARTITION BY bin ORDER BY day) AS q
+              FROM p
+            )
+            SELECT day, SUM((p - q) * ln(p / q)) AS psi
+            FROM pq WHERE q IS NOT NULL GROUP BY day
         """,
         # agent-snapshot dedup: keep only snapshots (cumulative per-turn
         # renderings) that are not a strict prefix of any other snapshot;

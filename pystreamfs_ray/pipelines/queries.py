@@ -3002,3 +3002,49 @@ def q_dedup_snapshots(sf_dir: str):
         })
 
     return kept.map_batches(project, batch_format="pandas")
+
+
+def q_recency(sf_dir: str):
+    """Online recency features per event: prior-purchase count, µs
+    since the latest preceding error, µs since the previous event —
+    the strictly-causal (no-leakage) feature columns a streaming model
+    consumes. One entity shuffle; cythonized shift/cumsum/cummax per
+    bucket; integer-exact µs gaps (timestamps rebased below 2^53
+    before the float cummax)."""
+    from pystreamfs_ray.stages.window import recency_features
+
+    events = read_parquet(_p(sf_dir, "events"),
+                          columns=["event_id", "ts", "user_id",
+                                   "event_type"])
+
+    def _feats(g: pd.DataFrame) -> pd.DataFrame:
+        g = W.sort_entity(g, entity_col="user_id",
+                          order_cols=("ts", "event_id"))
+        g = recency_features(g, entity_col="user_id")
+        return g[["event_id", "n_prior_purchase", "us_since_error",
+                  "us_since_prev"]]
+
+    return W.per_bucket(events, _feats, entity_col="user_id",
+                        num_buckets=_BUCKETS)
+
+
+def q_truncate_context(sf_dir: str):
+    """Context-window truncation audit: per conversation the longest
+    turn suffix fitting a 64-token budget (first kept turn, turns and
+    tokens kept); conversations whose final turn alone overflows emit
+    nothing."""
+    from pystreamfs_ray.pipelines.transcripts import truncate_context
+
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+    return truncate_context(t, budget_tokens=64, num_buckets=_BUCKETS)
+
+
+def q_psi_drift(sf_dir: str):
+    """Day-over-day PSI drift of the event value distribution
+    (10 fixed cent-bins, Laplace-smoothed shares) — the feature-drift
+    monitor; one combiner aggregate, D×B driver table."""
+    from pystreamfs_ray.stages.grouped import psi_drift
+
+    events = read_parquet(_p(sf_dir, "events"), columns=["ts", "value"])
+    return psi_drift(events, value_col="value", ts_col="ts", bins=10,
+                     lo_cents=0, hi_cents=50_000)

@@ -242,3 +242,36 @@ def snapshot_renders(ts_ds, *, num_buckets: int = 64, sep: str = "\n"):
 
     return per_bucket(ts_ds, _snaps, entity_col="conv_id",
                       num_buckets=num_buckets)
+
+
+def truncate_context(ts_ds, *, budget_tokens: int = 64,
+                     num_buckets: int = 64):
+    """Context-window truncation audit: for each conversation, the
+    longest turn SUFFIX whose total whitespace-token count fits in
+    ``budget_tokens`` (what an inference server keeps when the context
+    overflows). Emits (conv_id, first_kept_turn, n_kept, tok_kept);
+    conversations whose final turn alone exceeds the budget emit
+    nothing. Reverse cumulative sums are exact int64 via
+    total − inclusive-prefix + self; one entity shuffle, output is one
+    row per conversation."""
+
+    def _trunc(g: pd.DataFrame) -> pd.DataFrame:
+        g = sort_entity(g, entity_col="conv_id", order_cols=("turn_idx",))
+        tok = g["text"].str.count(r"\S+").to_numpy(np.int64)
+        s = pd.Series(tok, index=g.index)
+        grp = s.groupby(g["conv_id"], sort=False)
+        rcum = grp.transform("sum").to_numpy(np.int64) \
+            - grp.cumsum().to_numpy(np.int64) + tok
+        k = g.loc[rcum <= budget_tokens, ["conv_id", "turn_idx"]].assign(
+            __tok=tok[rcum <= budget_tokens])
+        out = (k.groupby("conv_id", sort=False)
+                .agg(first_kept_turn=("turn_idx", "min"),
+                     n_kept=("turn_idx", "size"),
+                     tok_kept=("__tok", "sum"))
+                .reset_index())
+        for c in ("first_kept_turn", "n_kept", "tok_kept"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return per_bucket(ts_ds, _trunc, entity_col="conv_id",
+                      num_buckets=num_buckets)

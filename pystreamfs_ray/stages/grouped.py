@@ -652,3 +652,55 @@ def winsorize(ds, group_col: str, value_col: str, *, id_col: str,
 
     return ds.select_columns([id_col, group_col, value_col]).map_batches(
         clamp, batch_format="pandas")
+
+
+def psi_drift(ds, *, value_col="value", ts_col="ts", bins=10,
+              lo_cents=0, hi_cents=50_000):
+    """Population-Stability-Index drift monitor: PSI of the
+    ``value_col`` histogram between every pair of CONSECUTIVE observed
+    days — the standard production check that a feature's distribution
+    hasn't shifted under the model. PSI_d = Σ_b (p_b − q_b)·ln(p_b/q_b)
+    with Laplace-smoothed shares p = (cnt+1)/(n+bins) so empty bins
+    stay finite and both sides of the oracle compute the same exact
+    rationals.
+
+    Distributed part is ONE tiny combiner aggregate: per-batch
+    (day, bin) partial counts (cent-quantized, fixed-width clipped
+    bins) → groupby-sum. The D×B count table (calendar days × bins,
+    never data-sized) finishes on the driver with vectorized numpy —
+    the same bounded-summary shape as the sketch operators.
+    """
+    from ray.data.aggregate import Sum
+
+    width = (hi_cents - lo_cents) // bins
+    if width * bins != hi_cents - lo_cents:
+        raise ValueError("bin range must divide evenly")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df[value_col].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        b = np.clip((cents - lo_cents) // width, 0, bins - 1)
+        day = df[ts_col].dt.strftime("%Y-%m-%d")
+        out = (pd.DataFrame({"day": day, "bin": b.astype(np.int64)})
+               .groupby(["day", "bin"], sort=False).size()
+               .rename("cnt").reset_index())
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    counts = (ds.map_batches(arrow_combiner(partial),
+                             batch_format="pyarrow")
+              .groupby(["day", "bin"])
+              .aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas())
+    if counts.empty:
+        return pd.DataFrame({"day": pd.Series([], dtype=object),
+                             "psi": pd.Series([], dtype=np.float64)})
+    days = np.sort(counts["day"].unique())
+    mat = np.zeros((len(days), bins), dtype=np.int64)
+    di = {d: i for i, d in enumerate(days)}
+    mat[counts["day"].map(di).to_numpy(),
+        counts["bin"].to_numpy(np.int64)] = counts["cnt"].to_numpy(np.int64)
+    p = (mat + 1).astype(np.float64) / (mat.sum(axis=1, keepdims=True) + bins)
+    cur, prv = p[1:], p[:-1]
+    psi = ((cur - prv) * np.log(cur / prv)).sum(axis=1)
+    return pd.DataFrame({"day": days[1:], "psi": psi})

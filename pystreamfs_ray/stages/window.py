@@ -287,3 +287,44 @@ def add_window_funcs(df: pd.DataFrame, *, entity_col="conv_id", ts_col="ts",
         pd.Series(cents).groupby(df[entity_col], sort=False).cumsum() / 100.0
     )
     return df
+
+
+def recency_features(df: pd.DataFrame, *, entity_col="user_id",
+                     ts_col="ts", type_col="event_type",
+                     count_types=("purchase",), since_types=("error",)):
+    """Per-row recency features over each entity's ordered history —
+    the classic online feature-engineering columns: ``n_prior_<t>``
+    (count of strictly-preceding type-t rows), ``us_since_<t>``
+    (microseconds since the latest strictly-preceding type-t row, -1
+    if none) and ``us_since_prev`` (lag-1 gap, -1 on the first row).
+
+    Caller passes an entity-sorted bucket (per_bucket + sort_entity).
+    Everything is cythonized groupby shift/cumsum/cummax — no Python
+    loop. Timestamps are rebased to the bucket minimum before the
+    float cummax so epoch-µs (≈1.7e18, beyond float64's 2^53 exact
+    range) never loses integer exactness; only differences are
+    emitted, so the rebase cancels.
+    """
+    ts_us = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+    base = ts_us.min() if len(ts_us) else 0
+    rel = (ts_us - base).astype(np.float64)
+    key = df[entity_col]
+    rel_s = pd.Series(rel, index=df.index)
+    prev = rel_s.groupby(key, sort=False).shift(1)
+    df["us_since_prev"] = np.where(
+        prev.isna(), -1, rel - prev.to_numpy()).astype(np.int64)
+    for t in count_types:
+        is_t = df[type_col] == t
+        cnt = is_t.groupby(key, sort=False).cumsum() - is_t.astype(np.int64)
+        df[f"n_prior_{t}"] = cnt.to_numpy(np.int64)
+    for t in since_types:
+        s = pd.Series(np.where(df[type_col] == t, rel, np.nan), index=df.index)
+        # cummax → ffill → shift = max over rows STRICTLY before i
+        # (groupby.cummax leaves NaN rows NaN instead of carrying the
+        # running max, so the ffill is what propagates it)
+        prior = (s.groupby(key, sort=False).cummax()
+                  .groupby(key, sort=False).ffill()
+                  .groupby(key, sort=False).shift(1))
+        df[f"us_since_{t}"] = np.where(
+            prior.isna(), -1, rel - prior.to_numpy()).astype(np.int64)
+    return df

@@ -1456,3 +1456,79 @@ def test_snapshot_renders_cumulative(ray_session):
             assert b.startswith(a + "\n") and len(b) > len(a)
         assert s[-1] == full.loc[conv, "rendered"]
         assert len(s) == full.loc[conv, "n_turns"]
+
+
+def test_recency_features_reference():
+    """recency_features == the O(n²) brute-force reference on a frame
+    with interleaved entities, repeated types, and no-prior cases."""
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 9, n),
+        "ts": pd.to_datetime("2024-01-01")
+              + pd.to_timedelta(rng.integers(0, 10**9, n), unit="us"),
+        "event_type": rng.choice(["purchase", "error", "click"], n),
+    })
+    df["event_id"] = np.arange(n)
+    from pystreamfs_ray.stages.window import recency_features, sort_entity
+
+    g = sort_entity(df.copy(), entity_col="user_id",
+                    order_cols=("ts", "event_id"))
+    out = recency_features(g, entity_col="user_id")
+    ts_us = out["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    u = out["user_id"].to_numpy()
+    et = out["event_type"].to_numpy()
+    for i in range(len(out)):
+        prior = np.flatnonzero((u[:i] == u[i]))
+        want_cnt = int((et[prior] == "purchase").sum())
+        errs = prior[et[prior] == "error"]
+        want_err = int(ts_us[i] - ts_us[errs].max()) if len(errs) else -1
+        want_prev = int(ts_us[i] - ts_us[prior].max()) if len(prior) else -1
+        assert out["n_prior_purchase"].iloc[i] == want_cnt
+        assert out["us_since_error"].iloc[i] == want_err, i
+        assert out["us_since_prev"].iloc[i] == want_prev
+
+
+def test_truncate_context_suffix_property(ray_session):
+    """Kept turns form the maximal suffix within budget: adding the
+    preceding turn would overflow, and kept tokens <= budget."""
+    from pystreamfs_ray.pipelines.queries import q_truncate_context
+    from pystreamfs_ray.pipelines.transcripts import transcripts_from_events
+
+    sf = "/root/testdata/sf0.001"
+    got = q_truncate_context(sf).to_pandas().set_index("conv_id")
+    t = transcripts_from_events(sf, num_buckets=4).to_pandas()
+    t["tok"] = t["text"].str.count(r"\S+")
+    for conv, g in t.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        tok = g["tok"].to_numpy(np.int64)
+        rcum = tok[::-1].cumsum()[::-1]
+        keep = rcum <= 64
+        if not keep.any():
+            assert conv not in got.index
+            continue
+        row = got.loc[conv]
+        assert row["first_kept_turn"] == g["turn_idx"].to_numpy()[keep].min()
+        assert row["n_kept"] == keep.sum()
+        assert row["tok_kept"] == tok[keep].sum() <= 64
+
+
+def test_psi_drift_zero_and_shift(ray_session):
+    """PSI is exactly 0 for identical day distributions, positive for a
+    shifted one, and invariant to input partitioning."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.grouped import psi_drift
+
+    rows = []
+    for day, vals in (("2024-01-01", [10.0] * 50 + [400.0] * 50),
+                      ("2024-01-02", [10.0] * 50 + [400.0] * 50),
+                      ("2024-01-03", [10.0] * 90 + [400.0] * 10)):
+        rows += [{"ts": pd.Timestamp(day), "value": v} for v in vals]
+    for nb in (2, 17):
+        out = psi_drift(rd.from_items(rows, override_num_blocks=nb),
+                        bins=10, lo_cents=0, hi_cents=50_000)
+        out = out.sort_values("day", ignore_index=True)
+        assert out["day"].tolist() == ["2024-01-02", "2024-01-03"]
+        assert out["psi"].iloc[0] == 0.0
+        assert out["psi"].iloc[1] > 0.5
