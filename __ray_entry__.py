@@ -272,6 +272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_recency": q.q_recency,
         "q_truncate_context": q.q_truncate_context,
         "q_psi_drift": q.q_psi_drift,
+        "q_leakage_corr": q.q_leakage_corr,
+        "q_incremental_minhash": q.q_incremental_minhash,
     }
 
 
@@ -614,6 +616,46 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             )
             SELECT MIN(conv_id) AS conv_id, COUNT(*) AS n_dupes, rendered
             FROM r GROUP BY rendered
+        """,
+        # feature→future-label leakage audit: Pearson corr from exact
+        # integer sums; the float expression mirrors the engine
+        # op-for-op (double mul/sub, exact BIGINT cross-products,
+        # sqrt of the double product), so it is bit-identical
+        "q_leakage_corr": f"""
+            WITH {_TRANSCRIPTS_CTE}, {_FEAT_CTE},
+            l AS (
+              SELECT f_text_chars, f_text_words,
+                     CASE WHEN role = 'user' THEN 1 ELSE 0 END
+                       AS f_role_user,
+                     lead(label) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS y
+              FROM feat
+            ),
+            m AS (SELECT * FROM l WHERE y IS NOT NULL),
+            s AS (
+              {" UNION ALL ".join(f'''
+              SELECT '{c}' AS feature,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST({c} AS BIGINT)) AS BIGINT) AS sx,
+                     CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS sy,
+                     CAST(SUM(CAST({c} AS BIGINT) * CAST({c} AS BIGINT))
+                          AS BIGINT) AS sxx,
+                     CAST(SUM(CAST({c} AS BIGINT) * CAST(y AS BIGINT))
+                          AS BIGINT) AS sxy,
+                     CAST(SUM(CAST(y AS BIGINT) * CAST(y AS BIGINT))
+                          AS BIGINT) AS syy
+              FROM m''' for c in ("f_text_chars", "f_text_words",
+                                  "f_role_user"))}
+            )
+            SELECT feature, n,
+                   CASE WHEN (n * sxx - sx * sx) = 0
+                          OR (n * syy - sy * sy) = 0 THEN 0.0
+                        ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx * sy AS DOUBLE))
+                             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                    * CAST(n * syy - sy * sy AS DOUBLE))
+                   END AS leak_corr
+            FROM s
         """,
         # strictly-causal recency features: prior-type counts and µs
         # gaps over each user's (ts, event_id)-ordered history
@@ -1849,6 +1891,15 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # constants), pairs sharing >=1 exact band, est = lane-match
         # fraction (exact k/128 double — no rounding on either side)
         "q_minhash_pairs": _minhash_pairs_sql,
+        # incremental near-dup ingestion: same signature/banding CTE,
+        # but the pair join is cross-side (odd doc_ids = arrivals,
+        # even = persisted index) instead of id_a < id_b
+        "q_incremental_minhash": f"""
+            SELECT id_a AS doc_id, id_b AS dup_of, jaccard_est
+            FROM ({_minhash_pairs_sql.replace(
+                "AND a.doc_id < b.doc_id",
+                "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0")})
+        """,
         # hamming <= h implies a shared band over h+1 bands (pigeonhole),
         # so the engine's LSH banding is EXACT for this predicate and the
         # all-pairs SQL below is its oracle

@@ -3048,3 +3048,41 @@ def q_psi_drift(sf_dir: str):
     events = read_parquet(_p(sf_dir, "events"), columns=["ts", "value"])
     return psi_drift(events, value_col="value", ts_col="ts", bins=10,
                      lo_cents=0, hi_cents=50_000)
+
+
+def q_leakage_corr(sf_dir: str):
+    """Feature→future-label leakage audit: Pearson correlation of each
+    integer-valued text feature with the NEXT turn's label inside the
+    same conversation, from exact int64 partial sums (combiner
+    aggregate; the float expression mirrors the oracle op-for-op)."""
+    from pystreamfs_ray.stages.audit import feature_leakage_corr
+
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+    feats = featurize(t)
+    return feature_leakage_corr(
+        feats, feature_cols=["f_text_chars", "f_text_words", "f_role_user"],
+        num_buckets=_BUCKETS)
+
+
+def q_incremental_minhash(sf_dir: str):
+    """Incremental NEAR-dup ingestion: even doc_ids play the persisted
+    corpus (reduced to its minhash signature index), odd doc_ids play
+    the arrival batch; emit (doc_id, dup_of, jaccard_est) for every
+    arrival near-matching an indexed doc. Cross-side-only pair
+    generation — the corpus's internal pairs are never formed."""
+    from pystreamfs_ray.stages.dedup import (incremental_minhash_pairs,
+                                             minhash_signatures)
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def side(parity: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["doc_id"].to_numpy() % 2 == parity]
+        return fn
+
+    index_sigs = minhash_signatures(
+        docs.map_batches(side(0), batch_format="pandas"),
+        concurrency=(2, 8))
+    return incremental_minhash_pairs(
+        docs.map_batches(side(1), batch_format="pandas"),
+        index_sigs, threshold=0.2, concurrency=(2, 8))

@@ -338,6 +338,30 @@ def _sig_matrix(blobs, num_perm: int) -> np.ndarray:
     return np.frombuffer(b"".join(blobs), dtype=np.uint64).reshape(n, num_perm)
 
 
+def _explode_bands(df: pd.DataFrame, id_col: str, num_perm: int,
+                   bands: int) -> pd.DataFrame:
+    """(id, band_id, band_hash) rows — one per document per band. The
+    band key is a vectorized 64-bit xor-multiply-shift mix of the
+    band's raw signature lanes (no per-row Python); collisions only
+    ever ADD candidates, which estimate-threshold verification then
+    filters."""
+    n = len(df)
+    rows_per_band = num_perm // bands
+    lanes = _sig_matrix(df["sig"].tolist(), num_perm).reshape(
+        n, bands, rows_per_band
+    )
+    h = np.zeros((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(rows_per_band):
+            h = (h ^ lanes[:, :, j]) * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+    return pd.DataFrame({
+        id_col: np.repeat(df[id_col].to_numpy(), bands),
+        "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
+        "band_hash": (h >> np.uint64(1)).astype(np.int64).ravel(),
+    })
+
+
 def minhash_lsh_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=128,
                       bands=32, shingle_k=3, threshold=0.5, concurrency=4,
                       broadcast_threshold=200_000, num_partitions=None):
@@ -363,22 +387,7 @@ def minhash_lsh_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=128,
     ).materialize()  # reused twice (banding + verification join)
 
     def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
-        lanes = _sig_matrix(df["sig"].tolist(), num_perm).reshape(
-            n, bands, rows_per_band
-        )
-        # vectorized 64-bit lane mix (xor-multiply-shift) per band —
-        # replaces the old per-row × per-band blake2b Python loop
-        h = np.zeros((n, bands), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for j in range(rows_per_band):
-                h = (h ^ lanes[:, :, j]) * np.uint64(0x9E3779B97F4A7C15)
-                h ^= h >> np.uint64(29)
-        return pd.DataFrame({
-            id_col: np.repeat(df[id_col].to_numpy(), bands),
-            "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
-            "band_hash": (h >> np.uint64(1)).astype(np.int64).ravel(),
-        })
+        return _explode_bands(df, id_col, num_perm, bands)
 
     # Banding buckets are mostly singletons (that is the point of LSH):
     # a groupby keyed on (band_id, band_hash) would pay a per-GROUP
@@ -1429,3 +1438,131 @@ def prefix_dedup(ds, *, text_col: str = "text", num_partitions: int = 32,
         return g.loc[~pref[inv]].drop(columns=["__part"])
 
     return parted.groupby("__part").map_groups(verdict, batch_format="pandas")
+
+
+def incremental_minhash_pairs(new_ds, index_sigs, *, id_col="doc_id",
+                              text_col="text", num_perm=128, bands=32,
+                              shingle_k=3, threshold=0.5, concurrency=4,
+                              num_partitions=None, pair_buckets=64):
+    """Incremental near-dup ingestion: match an ARRIVAL batch against a
+    PERSISTED corpus signature index (``minhash_signatures`` output,
+    e.g. read back from parquet) and emit
+    ``(doc_id, dup_of, jaccard_est)`` for every arrival whose estimated
+    Jaccard against some indexed doc passes ``threshold``.
+
+    Scale shape — the cost an ingestion batch pays must track the
+    BATCH, not the corpus: band explosion runs on both sides (the
+    index side is (id, band, hash) rows only — signatures stay put),
+    and pair generation is CROSS-SIDE ONLY; index×index candidates —
+    the corpus's internal near-dup pairs, a corpus-quadratic cost —
+    are never formed. Arrival signatures broadcast once (`ray.put`,
+    batch-sized); index signatures reach the surviving candidates via
+    ONE partitioned hash join keyed on the indexed id. Re-running with
+    the same batch is idempotent; arrivals matching nothing simply
+    emit no row (compose with ``incremental_exact_dedup`` for the
+    exact-identity tier)."""
+    import ray
+    import ray.data as rd
+
+    from pystreamfs_ray.util import arrow_combiner, drop_empty_blocks
+
+    assert num_perm % bands == 0
+
+    new_sigs = minhash_signatures(
+        new_ds, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        shingle_k=shingle_k, concurrency=concurrency,
+    ).materialize()  # reused: banding + broadcast verification
+
+    def explode_side(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = _explode_bands(df, id_col, num_perm, bands)
+            out["__side"] = np.int8(side)
+            return out
+        return fn
+
+    idx_bands = index_sigs.map_batches(
+        arrow_combiner(explode_side(0)), batch_format="pyarrow")
+    new_bands = new_sigs.map_batches(
+        arrow_combiner(explode_side(1)), batch_format="pyarrow")
+
+    def assign_pb(df: pd.DataFrame) -> pd.DataFrame:
+        with np.errstate(over="ignore"):
+            mix = (df["band_hash"].to_numpy().astype(np.uint64)
+                   * np.uint64(0x9E3779B97F4A7C15)
+                   + df["band_id"].to_numpy().astype(np.uint64))
+            mix ^= mix >> np.uint64(31)
+        df["__pb"] = (mix % np.uint64(pair_buckets)).astype(np.int32)
+        return df
+
+    def cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                 "dup_of": pd.Series(dtype=np.int64)})
+        bid = g["band_id"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        ids = g[id_col].to_numpy()
+        side = g["__side"].to_numpy()
+        order = np.lexsort((ids, side, bh, bid))
+        bid, bh, ids, side = bid[order], bh[order], ids[order], side[order]
+        change = np.flatnonzero(
+            (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(g)]))
+        # per group, rows sort index-side first; only groups holding
+        # BOTH sides produce pairs (new × index mesh, never new × new
+        # or index × index)
+        out_new, out_idx = [], []
+        n_new_per = np.add.reduceat(side.astype(np.int64), starts)
+        sizes = ends - starts
+        for gi in np.flatnonzero((n_new_per >= 1) & (sizes - n_new_per >= 1)):
+            s0, s1 = starts[gi], ends[gi]
+            k_idx = int(s1 - s0 - n_new_per[gi])
+            idx_ids = ids[s0:s0 + k_idx]
+            new_ids = ids[s0 + k_idx:s1]
+            mesh_n, mesh_i = np.meshgrid(new_ids, idx_ids, indexing="ij")
+            out_new.append(mesh_n.ravel())
+            out_idx.append(mesh_i.ravel())
+        if not out_new:
+            return pd.DataFrame({id_col: pd.Series(dtype=ids.dtype),
+                                 "dup_of": pd.Series(dtype=ids.dtype)})
+        return pd.DataFrame({id_col: np.concatenate(out_new),
+                             "dup_of": np.concatenate(out_idx)})
+
+    cand = (idx_bands.union(new_bands)
+            .map_batches(arrow_combiner(assign_pb), batch_format="pyarrow")
+            .groupby("__pb")
+            .map_groups(cross_pairs, batch_format="pandas"))
+
+    # distinct (a pair fires in many bands) via the C-backed aggregate
+    from ray.data.aggregate import Count as _Count
+
+    cand = (cand.groupby([id_col, "dup_of"])
+            .aggregate(_Count(alias_name="__nb")).drop_columns(["__nb"]))
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = min(64, max(4, cpus // 2))
+
+    sig_idx = index_sigs.map_batches(
+        lambda t: t.rename_columns(["dup_of", "sig_idx"]),
+        batch_format="pyarrow")
+    joined = drop_empty_blocks(cand, num_partitions).join(
+        drop_empty_blocks(sig_idx, num_partitions), join_type="inner",
+        num_partitions=num_partitions, on=("dup_of",))
+
+    new_pdf = new_sigs.to_pandas()
+    ref = ray.put(dict(zip(new_pdf[id_col], new_pdf["sig"])))
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = df[[id_col, "dup_of"]].copy()
+            out["jaccard_est"] = np.zeros(0)
+            return out
+        table = ray.get(ref)
+        sa = _sig_matrix([table[a] for a in df[id_col]], num_perm)
+        sb = _sig_matrix(df["sig_idx"].tolist(), num_perm)
+        out = df[[id_col, "dup_of"]].copy()
+        out["jaccard_est"] = (sa == sb).mean(axis=1)
+        return out[out["jaccard_est"] >= threshold]
+
+    return joined.map_batches(estimate, batch_format="pandas")

@@ -1532,3 +1532,68 @@ def test_psi_drift_zero_and_shift(ray_session):
         assert out["day"].tolist() == ["2024-01-02", "2024-01-03"]
         assert out["psi"].iloc[0] == 0.0
         assert out["psi"].iloc[1] > 0.5
+
+
+def test_leakage_corr_reference(ray_session):
+    """Engine leak_corr == pandas-computed Pearson of feature vs
+    lead(label) from the same exact integer sums."""
+    from pystreamfs_ray.pipelines.queries import q_leakage_corr
+    from pystreamfs_ray.pipelines.transcripts import transcripts_from_events
+    from pystreamfs_ray.stages.featurize import featurize
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_leakage_corr(sf).to_pandas()
+           .sort_values("feature", ignore_index=True))
+    f = featurize(transcripts_from_events(sf, num_buckets=4)).to_pandas()
+    f = f.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    f["__y"] = f.groupby("conv_id", sort=False)["label"].shift(-1)
+    m = f[f["__y"].notna()]
+    for _, row in got.iterrows():
+        x = m[row["feature"]].to_numpy(np.float64).astype(np.int64)
+        y = m["__y"].to_numpy(np.int64)
+        n = len(x)
+        assert row["n"] == n
+        num = float(n) * float((x * y).sum()) - float(x.sum() * y.sum())
+        vx = n * (x * x).sum() - x.sum() ** 2
+        vy = n * (y * y).sum() - y.sum() ** 2
+        want = 0.0 if vx == 0 or vy == 0 else num / np.sqrt(float(vx) * float(vy))
+        assert row["leak_corr"] == want, row["feature"]
+
+
+def test_incremental_minhash_cross_side_only(ray_session):
+    """Every emitted pair is arrival(odd) vs index(even), matches the
+    full symmetric minhash_lsh_pairs run restricted to cross-parity
+    pairs, and index-internal duplicates never surface."""
+    from pystreamfs_ray.stages.dedup import (incremental_minhash_pairs,
+                                             minhash_lsh_pairs,
+                                             minhash_signatures)
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    docs0 = read_parquet(sf + "/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def side(parity):
+        def fn(df):
+            return df[df["doc_id"].to_numpy() % 2 == parity]
+        return fn
+
+    # concurrency=1 + pre-materialized index: two live 2-actor pools
+    # would reserve all 4 fixture CPUs and starve the shuffle
+    idx_sigs = minhash_signatures(
+        docs0.map_batches(side(0), batch_format="pandas"),
+        concurrency=1).materialize()
+    got = incremental_minhash_pairs(
+        docs0.map_batches(side(1), batch_format="pandas"), idx_sigs,
+        threshold=0.2, concurrency=1).to_pandas()
+    assert (got["doc_id"] % 2 == 1).all()
+    assert (got["dup_of"] % 2 == 0).all()
+    docs = read_parquet(sf + "/documents.parquet",
+                        columns=["doc_id", "text"])
+    full = minhash_lsh_pairs(docs, threshold=0.2, concurrency=1).to_pandas()
+    cross = full[(full["id_a"] % 2) != (full["id_b"] % 2)]
+    want = set()
+    for a, b, j in cross.itertuples(index=False):
+        new, idx = (a, b) if a % 2 == 1 else (b, a)
+        want.add((new, idx, j))
+    assert set(map(tuple, got.to_numpy())) == want and len(want) > 0
