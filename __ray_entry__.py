@@ -274,6 +274,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_psi_drift": q.q_psi_drift,
         "q_leakage_corr": q.q_leakage_corr,
         "q_incremental_minhash": q.q_incremental_minhash,
+        "q_prior_ctr": q.q_prior_ctr,
+        "q_bpe_train": q.q_bpe_train,
+        "q_footer_stats": q.q_footer_stats,
+        "q_zorder": q.q_zorder,
     }
 
 
@@ -656,6 +660,54 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                     * CAST(n * syy - sy * sy AS DOUBLE))
                    END AS leak_corr
             FROM s
+        """,
+        # shard-planning audit from parquet footers: per-row-group
+        # min/max/null stats of plain-int64 columns (physical INT64,
+        # no logical type — excludes timestamps), across all tables
+        "q_footer_stats": f"""
+            SELECT m.file_name,
+                   CAST(m.row_group_id AS BIGINT) AS row_group_id,
+                   m.path_in_schema AS column_name,
+                   CAST(m.num_values AS BIGINT) AS num_values,
+                   CAST(m.stats_null_count AS BIGINT) AS null_count,
+                   CAST(m.stats_min_value AS BIGINT) AS min_v,
+                   CAST(m.stats_max_value AS BIGINT) AS max_v
+            FROM parquet_metadata('{sf_dir}/*.parquet') m
+            JOIN parquet_schema('{sf_dir}/*.parquet') s
+              ON s.file_name = m.file_name AND s.name = m.path_in_schema
+            WHERE s.type = 'INT64' AND s.converted_type IS NULL
+        """,
+        # z-order (Morton) interleave of (user_id low 16 bits,
+        # day-of-month low 16 bits) — bit-for-bit vs the engine
+        "q_zorder": f"""
+            WITH d AS (
+              SELECT event_id,
+                     CAST(user_id AS BIGINT) & 65535 AS a,
+                     CAST(EXTRACT(day FROM ts) AS BIGINT) & 65535 AS b
+              FROM events
+            )
+            SELECT event_id,
+                   ({" + ".join(
+                       f"(((a >> {i}) & 1) << {2 * i})"
+                       f" + (((b >> {i}) & 1) << {2 * i + 1})"
+                       for i in range(16))}) AS zkey
+            FROM d
+        """,
+        # expanding causal label mean: purchase rate over the user's
+        # strictly-preceding events (-1.0 = no history); the division
+        # mirrors the engine (double(sum)/double(cnt))
+        "q_prior_ctr": """
+            SELECT event_id,
+                   CASE WHEN COUNT(*) OVER w_prior IS NULL
+                          OR COUNT(*) OVER w_prior = 0 THEN -1.0
+                        ELSE CAST(COUNT(CASE WHEN event_type = 'purchase'
+                                        THEN 1 END) OVER w_prior AS DOUBLE)
+                             / CAST(COUNT(*) OVER w_prior AS DOUBLE)
+                   END AS prior_ctr
+            FROM events
+            WINDOW w_prior AS (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
         """,
         # strictly-causal recency features: prior-type counts and µs
         # gaps over each user's (ts, event_id)-ordered history

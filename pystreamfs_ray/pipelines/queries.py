@@ -3080,9 +3080,87 @@ def q_incremental_minhash(sf_dir: str):
             return df[df["doc_id"].to_numpy() % 2 == parity]
         return fn
 
+    # TWO signature pools run concurrently (index + arrivals): size
+    # them from the session so their combined minimum never reserves
+    # every CPU and starves the downstream shuffle (4-CPU test
+    # sessions deadlock with two (2, 8) pools)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    conc = (1, max(2, cpus // 4))
     index_sigs = minhash_signatures(
         docs.map_batches(side(0), batch_format="pandas"),
-        concurrency=(2, 8))
+        concurrency=conc)
     return incremental_minhash_pairs(
         docs.map_batches(side(1), batch_format="pandas"),
-        index_sigs, threshold=0.2, concurrency=(2, 8))
+        index_sigs, threshold=0.2, concurrency=conc)
+
+
+def q_prior_ctr(sf_dir: str):
+    """Expanding causal label mean (the 'prior CTR' feature): for each
+    event, the purchase rate over the user's strictly-preceding events
+    — exact int64 running sums/counts, float division mirrored
+    op-for-op in the oracle (-1.0 marks no history)."""
+    events = read_parquet(_p(sf_dir, "events"),
+                          columns=["event_id", "ts", "user_id",
+                                   "event_type"])
+
+    def _feats(g: pd.DataFrame) -> pd.DataFrame:
+        g = W.sort_entity(g, entity_col="user_id",
+                          order_cols=("ts", "event_id"))
+        is_p = (g["event_type"] == "purchase")
+        key = g["user_id"]
+        cnt_prior = key.groupby(key, sort=False).cumcount().to_numpy(np.int64)
+        sum_prior = (is_p.groupby(key, sort=False).cumsum()
+                     - is_p.astype(np.int64)).to_numpy(np.int64)
+        ctr = np.where(cnt_prior == 0, -1.0,
+                       sum_prior.astype(np.float64)
+                       / cnt_prior.astype(np.float64))
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(np.int64),
+                             "prior_ctr": ctr})
+
+    return W.per_bucket(events, _feats, entity_col="user_id",
+                        num_buckets=_BUCKETS)
+
+
+def q_bpe_train(sf_dir: str):
+    """BPE tokenizer training: top-32 byte-pair merges learned from one
+    distributed word-count aggregate + the bounded vocab-table merge
+    loop (iterative — rows-only check; pytest compares a naive
+    sequential reference)."""
+    from pystreamfs_ray.stages.textstats import bpe_train
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["text"])
+    return bpe_train(docs, num_merges=32)
+
+
+def q_footer_stats(sf_dir: str):
+    """Shard-planning audit: per-row-group min/max/null stats of every
+    plain-int64 column across all table files, read from parquet
+    FOOTERS only (no data pages) — metadata-sized even at a
+    million-shard layout."""
+    import glob
+
+    from pystreamfs_ray.sources import parquet_footer_stats
+
+    paths = sorted(glob.glob(os.path.join(sf_dir, "*.parquet")))
+    return parquet_footer_stats(paths)
+
+
+def q_zorder(sf_dir: str):
+    """Z-order (Morton) layout keys over (user_id, day-of-month): the
+    space-filling-curve clustering key computed with pure vectorized
+    bit interleaving; bit-for-bit SQL-mirrorable."""
+    from pystreamfs_ray.stages.rank import zorder_keys
+
+    events = read_parquet(_p(sf_dir, "events"),
+                          columns=["event_id", "ts", "user_id"])
+
+    def add_day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "day": df["ts"].dt.day.to_numpy(np.int64),
+        })
+
+    keyed = zorder_keys(events.map_batches(add_day, batch_format="pandas"),
+                        "user_id", "day", bits=16)
+    return keyed.select_columns(["event_id", "zkey"])

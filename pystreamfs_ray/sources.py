@@ -450,3 +450,60 @@ def export_jsonl_sharded(ds, path: str, *, by: str = "conv_id",
                             "skipped": pd.Series([], dtype=bool),
                             "path": pd.Series([], dtype=str)})
     return mdf
+
+
+def parquet_footer_stats(paths):
+    """Shard-planning audit from parquet FOOTERS only — per row group,
+    per plain-int64 column (physical INT64, no logical type — i.e. not
+    timestamps): value count, null count, and the min/max the engine's
+    row-group pruning relies on. No data pages are read: one footer
+    fetch per file, parallelized as a Dataset over the path list, so
+    auditing a million-shard 100 TB layout is a metadata-sized job.
+    The same rule a `read_parquet(columns=..., filter=...)` planner
+    applies — this is the operator that VERIFIES pruning is possible.
+    """
+    import pandas as pd
+    import pyarrow.types as pat
+    import ray.data as rd
+
+    def footers(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        rows = []
+        for path in df["path"]:
+            pf = pq.ParquetFile(path)
+            sa = pf.schema_arrow
+            int_cols = {f.name for f in sa if pat.is_int64(f.type)}
+            md = pf.metadata
+            name_of = {i: md.schema.column(i).path
+                       for i in range(md.num_columns)}
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                for ci in range(rg.num_columns):
+                    if name_of[ci] not in int_cols:
+                        continue
+                    st = rg.column(ci).statistics
+                    rows.append((path, rg_i, name_of[ci],
+                                 int(st.num_values), int(st.null_count),
+                                 int(st.min), int(st.max)))
+        import pyarrow as pa
+
+        out = pd.DataFrame(rows, columns=[
+            "file_name", "row_group_id", "column_name", "num_values",
+            "null_count", "min_v", "max_v"])
+        # explicit Arrow schema: a file with no plain-int64 columns
+        # yields an EMPTY frame whose object columns otherwise break
+        # Ray's block size estimation (and schema unification)
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema([("file_name", pa.string()),
+                       ("row_group_id", pa.int64()),
+                       ("column_name", pa.string()),
+                       ("num_values", pa.int64()),
+                       ("null_count", pa.int64()),
+                       ("min_v", pa.int64()),
+                       ("max_v", pa.int64())])).replace_schema_metadata(None)
+
+    return rd.from_items(
+        [{"path": p} for p in paths],
+        override_num_blocks=max(1, len(paths)),
+    ).map_batches(footers, batch_format="pandas")

@@ -1214,3 +1214,78 @@ def nucleus_vocab(ds, *, text_col: str = "text",
         })
 
     return scanned.map_batches(nucleus, batch_format="pyarrow")
+
+
+def bpe_train(ds, *, text_col: str = "text", num_merges: int = 32,
+              min_count: int = 1):
+    """BPE tokenizer TRAINING over the corpus — learn the top
+    ``num_merges`` byte-pair merges, the way production trainers do it:
+    the corpus-sized work is ONE distributed word-count aggregate
+    (combiner partials; the shuffle moves vocabulary rows, never
+    tokens), and the merge loop runs on the BOUNDED (word, count)
+    table — every real BPE trainer (e.g. the published
+    sentencepiece/HF algorithm) iterates on word counts, not the
+    corpus, because pair statistics are exactly recoverable from them.
+
+    Words are lowercase ``[a-z0-9_]+`` runs (the engine-wide tokenizer
+    class); symbols start as single characters, no end-of-word marker.
+    Each round picks the (count desc, pair asc) lexicographically
+    deterministic best pair, so reruns and partitionings agree exactly.
+    ``min_count`` prunes the Zipf tail before the driver pull —
+    at 100 TB set it so the pulled vocab stays ~1e6 rows.
+
+    Returns a pandas DataFrame (rank, left, right, pair_count) — the
+    ordered merge table a tokenizer ships with. Iterative training has
+    no SQL mirror (rows-only driver check); the pytest compares
+    against a naive sequential reference.
+    """
+    from ray.data.aggregate import Sum
+
+    from pystreamfs_ray.util import arrow_combiner
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        words = (df[text_col].str.lower().str.findall(r"[a-z0-9_]+")
+                 .explode().dropna())
+        vc = words.value_counts()
+        return pd.DataFrame({"word": vc.index.astype(str),
+                             "n": vc.to_numpy(np.int64)})
+
+    counts = (ds.map_batches(arrow_combiner(partial_counts),
+                             batch_format="pyarrow")
+              .groupby("word").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    if len(counts):
+        counts = counts[counts["n"] >= min_count]
+    vocab = [(tuple(w), int(n))
+             for w, n in zip(counts.get("word", []), counts.get("n", []))]
+
+    merges = []
+    for rank in range(num_merges):
+        pair_counts: dict = {}
+        for syms, n in vocab:
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + n
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merged = a + b
+        new_vocab = []
+        for syms, n in vocab:
+            if a in syms:  # cheap containment pre-filter
+                out, i, m = [], 0, len(syms)
+                while i < m:
+                    if i + 1 < m and syms[i] == a and syms[i + 1] == b:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = tuple(out)
+            new_vocab.append((syms, n))
+        vocab = new_vocab
+        merges.append((rank, a, b, cnt))
+
+    return pd.DataFrame(merges, columns=["rank", "left", "right",
+                                         "pair_count"]).astype(
+        {"rank": np.int64, "pair_count": np.int64})

@@ -1597,3 +1597,116 @@ def test_incremental_minhash_cross_side_only(ray_session):
         new, idx = (a, b) if a % 2 == 1 else (b, a)
         want.add((new, idx, j))
     assert set(map(tuple, got.to_numpy())) == want and len(want) > 0
+
+
+def test_prior_ctr_reference(ray_session):
+    """prior_ctr == brute-force strictly-prior purchase rate."""
+    from pystreamfs_ray.pipelines.queries import q_prior_ctr
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_prior_ctr(sf).to_pandas()
+           .sort_values("event_id", ignore_index=True))
+    ev = (read_parquet(sf + "/events.parquet",
+                       columns=["event_id", "ts", "user_id", "event_type"])
+          .to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                   ignore_index=True))
+    is_p = (ev["event_type"] == "purchase")
+    grp = ev.groupby("user_id", sort=False)
+    cnt = grp.cumcount().to_numpy(np.int64)
+    s = (is_p.groupby(ev["user_id"], sort=False).cumsum()
+         - is_p.astype(np.int64)).to_numpy(np.int64)
+    want = pd.DataFrame({
+        "event_id": ev["event_id"],
+        "prior_ctr": np.where(cnt == 0, -1.0, s / np.maximum(cnt, 1)),
+    }).sort_values("event_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def _bpe_reference(word_counts, num_merges):
+    """Naive sequential BPE: recount all pairs each round, merge the
+    (count desc, pair asc) best everywhere."""
+    vocab = [(tuple(w), n) for w, n in word_counts]
+    merges = []
+    for rank in range(num_merges):
+        pc = {}
+        for syms, n in vocab:
+            for p in zip(syms, syms[1:]):
+                pc[p] = pc.get(p, 0) + n
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        nv = []
+        for syms, n in vocab:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            nv.append((tuple(out), n))
+        vocab = nv
+        merges.append((rank, a, b, cnt))
+    return merges
+
+
+def test_bpe_train_matches_reference(ray_session):
+    """Distributed bpe_train == the naive sequential trainer on the
+    same corpus (tie-breaks included), and is partition-invariant."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.textstats import bpe_train
+
+    texts = ["the cat sat on the mat", "the cat ate the rat",
+             "low lower lowest", "new newer newest", "the the the"] * 3
+    wc = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    ref = _bpe_reference(sorted(wc.items()), 12)
+    for nb in (1, 5):
+        ds = rd.from_items([{"text": t} for t in texts],
+                           override_num_blocks=nb)
+        got = bpe_train(ds, num_merges=12)
+        assert [tuple(r) for r in got.to_numpy()] == ref
+        assert len(got) == 12
+
+
+def test_zorder_bit_interleave(ray_session):
+    """zkey decodes back to the two inputs (deinterleave inverse), and
+    the curve property holds: both-dims-near rows have near keys."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.rank import zorder_keys
+
+    rows = [{"a": a, "b": b} for a in range(17) for b in range(17)]
+    out = zorder_keys(rd.from_items(rows, override_num_blocks=3),
+                      "a", "b", bits=16).to_pandas()
+    z = out["zkey"].to_numpy(np.int64)
+    da = np.zeros(len(out), np.int64)
+    db = np.zeros(len(out), np.int64)
+    for i in range(16):
+        da |= ((z >> (2 * i)) & 1) << i
+        db |= ((z >> (2 * i + 1)) & 1) << i
+    assert (da == out["a"].to_numpy()).all()
+    assert (db == out["b"].to_numpy()).all()
+
+
+def test_footer_stats_matches_table_scan(ray_session):
+    """Footer min/max/null/num_values agree with a full scan of the
+    actual data for every reported (file, row group, column)."""
+    import pyarrow.parquet as pq
+
+    from pystreamfs_ray.sources import parquet_footer_stats
+
+    paths = [f"/root/testdata/sf0.001/{t}.parquet"
+             for t in ("events", "orders", "documents")]
+    got = parquet_footer_stats(paths).to_pandas()
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        t = pq.ParquetFile(r["file_name"]).read_row_group(
+            int(r["row_group_id"]), columns=[r["column_name"]])
+        col = t[r["column_name"]].to_pandas()
+        assert r["num_values"] == col.notna().sum()
+        assert r["null_count"] == col.isna().sum()
+        assert r["min_v"] == col.min() and r["max_v"] == col.max()
