@@ -108,6 +108,13 @@ BENCH_QUERIES = [
     "q_nucleus_vocab",
     "q_best_of_n",
     "q_ann_pq",
+    # this session's families: snapshot prefix dedup (text-range
+    # partition), causal recency features, incremental MinHash
+    # ingestion, BPE training (word-count aggregate + vocab loop)
+    "q_dedup_snapshots",
+    "q_recency",
+    "q_incremental_minhash",
+    "q_bpe_train",
 ]
 
 
