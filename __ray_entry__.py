@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bpe_train": q.q_bpe_train,
         "q_footer_stats": q.q_footer_stats,
         "q_zorder": q.q_zorder,
+        "q_attribution": q.q_attribution,
     }
 
 
@@ -981,6 +982,37 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    COUNT(*) AS n_events, MIN(ts) AS ts_start, MAX(ts) AS ts_end
             FROM s GROUP BY user_id, session_id
+        """,
+        # first-touch session attribution: the event type that opened
+        # each purchase's 30-min gap session + µs from session start
+        # (first = smallest (ts, event_id) in session; µs exact)
+        "q_attribution": """
+            WITH d AS (
+                SELECT event_id, user_id, ts, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT event_id, user_id, ts, event_type,
+                       SUM(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM d
+            ), f AS (
+                SELECT event_id, ts, event_type,
+                       FIRST_VALUE(event_type) OVER ws AS src_event_type,
+                       FIRST_VALUE(ts) OVER ws AS ts_start
+                FROM s
+                WINDOW ws AS (PARTITION BY user_id, sid
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT event_id, src_event_type,
+                   CAST(date_diff('microsecond', ts_start, ts) AS BIGINT)
+                     AS us_from_start
+            FROM f WHERE event_type = 'purchase'
         """,
         "q_interval_join": """
             SELECT l.user_id,

@@ -3085,7 +3085,9 @@ def q_incremental_minhash(sf_dir: str):
     # every CPU and starves the downstream shuffle (4-CPU test
     # sessions deadlock with two (2, 8) pools)
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    conc = (1, max(2, cpus // 4))
+    # warm-start 2 actors per pool when the session can afford 4+
+    # reserved CPUs (autoscaling from 1 pays ~2s of ramp at sf0.1)
+    conc = (min(2, max(1, cpus // 8)), max(2, cpus // 4))
     index_sigs = minhash_signatures(
         docs.map_batches(side(0), batch_format="pandas"),
         concurrency=conc)
@@ -3164,3 +3166,32 @@ def q_zorder(sf_dir: str):
     keyed = zorder_keys(events.map_batches(add_day, batch_format="pandas"),
                         "user_id", "day", bits=16)
     return keyed.select_columns(["event_id", "zkey"])
+
+
+def q_attribution(sf_dir: str):
+    """Session-level conversion attribution (first-touch): for each
+    purchase, the event type that OPENED its 30-min gap session and the
+    µs elapsed from session start — the classic marketing/behavior
+    feature. One entity shuffle; sessionize + vectorized first-touch
+    via cythonized groupby transform."""
+    ds = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "user_id", "ts", "event_type"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        g = W.sessionize(g, gap_s=1800, entity_col="user_id")
+        key = [g["user_id"], g["session_id"]]
+        first_type = g.groupby(key, sort=False)["event_type"].transform("first")
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        base = ts_us.min() if len(ts_us) else 0
+        rel = pd.Series((ts_us - base).astype(np.float64), index=g.index)
+        start = rel.groupby(key, sort=False).transform("min")
+        m = (g["event_type"] == "purchase").to_numpy()
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64)[m],
+            "src_event_type": first_type.to_numpy()[m],
+            "us_from_start": (rel - start).to_numpy()[m].astype(np.int64),
+        })
+
+    return W.per_bucket(ds, fn, entity_col="user_id", num_buckets=_BUCKETS)

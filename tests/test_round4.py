@@ -1710,3 +1710,33 @@ def test_footer_stats_matches_table_scan(ray_session):
         assert r["num_values"] == col.notna().sum()
         assert r["null_count"] == col.isna().sum()
         assert r["min_v"] == col.min() and r["max_v"] == col.max()
+
+
+def test_attribution_first_touch(ray_session):
+    """Every purchase attributes to the first event of its own 30-min
+    session: brute-force per-user replay agrees."""
+    from pystreamfs_ray.pipelines.queries import q_attribution
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_attribution(sf).to_pandas()
+           .sort_values("event_id", ignore_index=True))
+    ev = (read_parquet(sf + "/events.parquet",
+                       columns=["event_id", "user_id", "ts", "event_type"])
+          .to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                   ignore_index=True))
+    rows = []
+    for _, g in ev.groupby("user_id"):
+        start_ts, start_type = None, None
+        prev = None
+        for r in g.itertuples(index=False):
+            if prev is None or (r.ts - prev).total_seconds() > 1800:
+                start_ts, start_type = r.ts, r.event_type
+            prev = r.ts
+            if r.event_type == "purchase":
+                rows.append((r.event_id, start_type,
+                             int((r.ts - start_ts).value // 1000)))
+    want = pd.DataFrame(rows, columns=["event_id", "src_event_type",
+                                       "us_from_start"]).sort_values(
+        "event_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
