@@ -1473,6 +1473,18 @@ def incremental_minhash_pairs(new_ds, index_sigs, *, id_col="doc_id",
         shingle_k=shingle_k, concurrency=concurrency,
     ).materialize()  # reused: banding + broadcast verification
 
+    if new_sigs.count() == 0:
+        # empty arrival batch: 0-row to_pandas drops the schema, so
+        # build the typed empty result directly (id dtype follows the
+        # caller's input schema)
+        in_schema = new_ds.schema()
+        tmap = (dict(zip(in_schema.names, in_schema.types))
+                if in_schema is not None else {})
+        id_t = _arrow_type_of(tmap.get(id_col), pa.int64())
+        return rd.from_arrow(pa.schema(
+            [(id_col, id_t), ("dup_of", id_t),
+             ("jaccard_est", pa.float64())]).empty_table())
+
     def explode_side(side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             out = _explode_bands(df, id_col, num_perm, bands)

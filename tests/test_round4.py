@@ -1740,3 +1740,40 @@ def test_attribution_first_touch(ray_session):
                                        "us_from_start"]).sort_values(
         "event_id", ignore_index=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_session3_ops_empty_input_safety(ray_session):
+    """This session's operators survive empty inputs: no crashes, clean
+    zero-row results with stable semantics."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.dedup import (incremental_minhash_pairs,
+                                             minhash_signatures,
+                                             prefix_dedup)
+    from pystreamfs_ray.stages.grouped import psi_drift
+    from pystreamfs_ray.stages.rank import zorder_keys
+    from pystreamfs_ray.stages.textstats import bpe_train
+    from pystreamfs_ray.sources import parquet_footer_stats
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype=np.int64),
+        "text": pd.Series([], dtype=str)}))
+    ev = rd.from_pandas(pd.DataFrame({
+        "ts": pd.Series([], dtype="datetime64[us]"),
+        "value": pd.Series([], dtype=np.float64),
+        "a": pd.Series([], dtype=np.int64),
+        "b": pd.Series([], dtype=np.int64)}))
+
+    assert prefix_dedup(docs, text_col="text", num_partitions=4).count() == 0
+    sigs = minhash_signatures(docs, concurrency=1).materialize()
+    assert incremental_minhash_pairs(docs, sigs, threshold=0.2,
+                                     concurrency=1,
+                                     num_partitions=2).count() == 0
+    p = psi_drift(ev, bins=10, lo_cents=0, hi_cents=50_000)
+    assert len(p) == 0 and list(p.columns) == ["day", "psi"]
+    b = bpe_train(docs, num_merges=4)
+    assert len(b) == 0 and list(b.columns) == ["rank", "left", "right",
+                                               "pair_count"]
+    assert zorder_keys(ev, "a", "b").count() == 0
+    f = parquet_footer_stats([])
+    assert f.count() == 0
