@@ -39,10 +39,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001",
 
     from pystreamfs_ray.sources import read_parquet, split_labels
     from pystreamfs_ray.stages.dedup import (fingerprint_index,
-                                             incremental_exact_dedup)
+                                             incremental_exact_dedup,
+                                             incremental_minhash_pairs,
+                                             minhash_signatures)
 
     out_dir = out_dir or tempfile.mkdtemp(prefix="incremental_ingest_")
     index_dir = os.path.join(out_dir, "fpindex")
+    sig_dir = os.path.join(out_dir, "sigindex")
     kept_dir = os.path.join(out_dir, "kept")
 
     docs = read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -66,9 +69,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001",
                 pa.schema([("fp", pa.string())]).empty_table())
         return rd.read_parquet(index_dir)
 
-    # ---- run 0: bootstrap the index from the first batch -------------
+    def read_sigs():
+        import pyarrow as pa
+        files = ([f for f in os.listdir(sig_dir) if f.endswith(".parquet")]
+                 if os.path.isdir(sig_dir) else [])
+        if not files:
+            return rd.from_arrow(pa.schema(
+                [("doc_id", pa.int64()),
+                 ("sig", pa.binary())]).empty_table())
+        return rd.read_parquet(sig_dir)
+
+    # ---- run 0: bootstrap both indexes from the first batch ----------
     first = docs.map_batches(batch_of("train"), batch_format="pandas")
     fingerprint_index(first).write_parquet(index_dir)
+    minhash_signatures(first, concurrency=1).write_parquet(sig_dir)
     n_idx = read_index().count()
     print(f"bootstrap: {n_idx} fingerprints -> {index_dir}")
 
@@ -79,12 +93,22 @@ def main(sf_dir: str = "/root/testdata/sf0.001",
         index = read_index()
         kept = incremental_exact_dedup(arrivals, index).materialize()
         n_kept = kept.count()
+        # near-dup tier: flag exact-new docs whose MinHash signature
+        # near-matches the persisted corpus index (cross-side-only
+        # banding — the corpus's internal pairs are never formed)
+        near = incremental_minhash_pairs(
+            kept.select_columns(["doc_id", "text"]), read_sigs(),
+            threshold=0.5, concurrency=1, num_partitions=2).materialize()
+        n_near = near.count()
         kept.write_parquet(os.path.join(kept_dir, f"run={run}"))
-        # union the new fingerprints in for the next run
+        # union the new fingerprints + signatures in for the next run
         new_fps = fingerprint_index(kept.select_columns(["doc_id", "text"]))
         new_fps.write_parquet(index_dir)  # appends new files to the dir
+        minhash_signatures(kept.select_columns(["doc_id", "text"]),
+                           concurrency=1).write_parquet(sig_dir)
         n_idx = rd.read_parquet(index_dir).count()
-        print(f"run {run} ({batch_name}): kept {n_kept} new docs, "
+        print(f"run {run} ({batch_name}): kept {n_kept} new docs "
+              f"({n_near} flagged as near-dups of the corpus), "
               f"index now {n_idx} fingerprints")
 
     print(f"kept docs under {kept_dir}, index under {index_dir}")
