@@ -279,6 +279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_footer_stats": q.q_footer_stats,
         "q_zorder": q.q_zorder,
         "q_attribution": q.q_attribution,
+        "q_range_search": q.q_range_search,
+        "q_context_window": q.q_context_window,
     }
 
 
@@ -982,6 +984,50 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    COUNT(*) AS n_events, MIN(ts) AS ts_start, MAX(ts) AS ts_end
             FROM s GROUP BY user_id, session_id
+        """,
+        # cosine range search: every pair clearing ROUND(cos,6) >= 0.3
+        # — the all-neighbors complement of the top-k oracle
+        "q_range_search": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 10
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       ROUND(list_cosine_similarity(
+                           q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+                FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, vec_id, cosine
+            FROM scored WHERE cosine >= 0.3
+        """,
+        # SFT context assembly: previous-4-turn rendered context sizes
+        # for each assistant turn (chars incl 'role: ' tags + newline
+        # separators, whitespace tokens, turns present)
+        "q_context_window": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            t AS (
+              SELECT conv_id, turn_idx, role,
+                     CAST(length(role) + 2 + length(text) AS BIGINT)
+                       AS line_len,
+                     CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS tok
+              FROM transcripts
+            ),
+            w AS (
+              SELECT conv_id, turn_idx, role,
+                     COALESCE(SUM(line_len) OVER w4, 0) AS ctx_raw,
+                     COALESCE(SUM(tok) OVER w4, 0) AS ctx_tokens,
+                     COUNT(*) OVER w4 AS n_ctx_turns
+              FROM t
+              WINDOW w4 AS (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT conv_id, turn_idx,
+                   CAST(ctx_raw + GREATEST(n_ctx_turns - 1, 0) AS BIGINT)
+                     AS ctx_chars,
+                   CAST(ctx_tokens AS BIGINT) AS ctx_tokens,
+                   CAST(n_ctx_turns AS BIGINT) AS n_ctx_turns
+            FROM w WHERE role = 'assistant'
         """,
         # first-touch session attribution: the event type that opened
         # each purchase's 30-min gap session + µs from session start

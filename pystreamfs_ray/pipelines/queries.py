@@ -3195,3 +3195,61 @@ def q_attribution(sf_dir: str):
         })
 
     return W.per_bucket(ds, fn, entity_col="user_id", num_buckets=_BUCKETS)
+
+
+def q_range_search(sf_dir: str):
+    """Cosine range search: all corpus vectors with ROUND(cos,6) ≥ 0.3
+    of each of the first 10 query vectors — a pure streaming filter
+    (zero shuffles, no reduce)."""
+    from pystreamfs_ray.stages.similarity import range_search
+
+    emb = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 10").to_pandas()
+    qmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in qdf["embedding"]])
+    return range_search(emb, qdf["vec_id"].to_numpy(), qmat,
+                        threshold=0.3, concurrency=2)
+
+
+def q_context_window(sf_dir: str):
+    """SFT context assembly stats: for each assistant turn, the size of
+    the previous-4-turn rendered context (chars incl. 'role: ' tags and
+    separators, token count, turns present) — the window every context-
+    bounded trainer materializes. Vectorized cumsum-difference per
+    conversation; one entity shuffle."""
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = W.sort_entity(g, entity_col="conv_id", order_cols=("turn_idx",))
+        line_len = (g["role"].astype(str).str.len() + 2
+                    + g["text"].astype(str).str.len()).to_numpy(np.int64)
+        tok = g["text"].str.count(r"\S+").to_numpy(np.int64)
+        key = g["conv_id"]
+        pos = key.groupby(key, sort=False).cumcount().to_numpy(np.int64)
+
+        def window_sum(vals):
+            c = (pd.Series(vals, index=g.index)
+                 .groupby(key, sort=False).cumsum().to_numpy(np.int64))
+            excl = c - vals                      # sum of rows < i
+            back = np.minimum(pos, 4)            # rows available, max 4
+            # grouped-exclusive cumsum at the window start row i-back:
+            # excl[i] - excl[i-back] = sum of rows [i-back, i), and
+            # back <= pos keeps i-back inside the same conversation
+            idx = np.arange(len(vals)) - back
+            return excl - np.where(back > 0, excl[idx], 0)
+        ctx_chars = window_sum(line_len)
+        ctx_tok = window_sum(tok)
+        n_ctx = np.minimum(pos, 4)
+        # separators: one per joint between context turns
+        ctx_chars = ctx_chars + np.maximum(n_ctx - 1, 0)
+        m = (g["role"] == "assistant").to_numpy()
+        return pd.DataFrame({
+            "conv_id": g["conv_id"].to_numpy()[m],
+            "turn_idx": g["turn_idx"].to_numpy(np.int64)[m],
+            "ctx_chars": ctx_chars[m],
+            "ctx_tokens": ctx_tok[m],
+            "n_ctx_turns": n_ctx[m],
+        })
+
+    return W.per_bucket(t, fn, entity_col="conv_id", num_buckets=_BUCKETS)

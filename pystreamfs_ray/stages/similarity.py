@@ -514,3 +514,51 @@ def pq_topk(codes_ds, query_ids, query_matrix, codebook, *, k: int = 10,
     filtered = rerank_ds.map_batches(keep, batch_format="pandas")
     return brute_force_topk(filtered, qids, qmat, k=k, id_col=id_col,
                             vec_col=vec_col, concurrency=concurrency)
+
+
+class RangeScorer:
+    """Actor: emit every (query, vector) pair whose ROUND(cosine, 6)
+    clears the threshold — queries broadcast once per actor."""
+
+    def __init__(self, queries_ref, id_col: str, vec_col: str,
+                 threshold: float):
+        q = (ray.get(queries_ref)
+             if isinstance(queries_ref, ray.ObjectRef) else queries_ref)
+        self.qids = q["qids"]
+        self.qmat = _normalize(q["qmat"])
+        self.id_col, self.vec_col = id_col, vec_col
+        self.threshold = threshold
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        vecs = _normalize(_as_matrix(df[self.vec_col]))
+        sims = np.round(self.qmat @ vecs.T, 6)  # (nq, batch)
+        qi, vi = np.nonzero(sims >= self.threshold)
+        ids = df[self.id_col].to_numpy()
+        return pd.DataFrame({
+            "query_id": self.qids[qi].astype(np.int64),
+            self.id_col: ids[vi].astype(np.int64),
+            "cosine": sims[qi, vi].astype(np.float64),
+        })
+
+
+def range_search(ds, query_ids, query_matrix, *, threshold=0.3,
+                 id_col="vec_id", vec_col="embedding", concurrency=4,
+                 batch_size=4096):
+    """Cosine RANGE search: every corpus vector within the similarity
+    radius of each query — the all-neighbors complement of top-k
+    (retrieval recall floors, near-dup sweeps around a probe set).
+
+    Unlike top-k there is NO reduce step: the operator is a pure
+    streaming filter over the corpus (zero shuffles, nothing
+    materialized), so wall time is the column scan + one matmul per
+    batch and the output streams straight to the consumer. Thresholding
+    happens on ROUND(cosine, 6) — the same quantization the oracle and
+    the top-k ranking use — so the boundary is deterministic.
+    """
+    ref = ray.put({"qids": np.asarray(query_ids, dtype=np.int64),
+                   "qmat": np.asarray(query_matrix, dtype=np.float64)})
+    return ds.map_batches(
+        RangeScorer, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_args=(ref, id_col, vec_col, threshold),
+    )

@@ -1777,3 +1777,59 @@ def test_session3_ops_empty_input_safety(ray_session):
     assert zorder_keys(ev, "a", "b").count() == 0
     f = parquet_footer_stats([])
     assert f.count() == 0
+
+
+def test_range_search_matches_bruteforce(ray_session):
+    """Range search == pandas brute-force cosine filter at the rounded
+    threshold, and it contains the top-k hits above the radius."""
+    import ray.data as rd
+
+    from pystreamfs_ray.sources import read_parquet
+    from pystreamfs_ray.stages.similarity import range_search
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_parquet(sf + "/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    pdf = emb.to_pandas()
+    mat = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = pdf[pdf["vec_id"] < 5]
+    qmat = np.stack([np.asarray(v, np.float64) for v in q["embedding"]])
+    got = range_search(emb, q["vec_id"].to_numpy(), qmat, threshold=0.3,
+                       concurrency=1).to_pandas()
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    sims = np.round(qn @ mat.T, 6)
+    qi, vi = np.nonzero(sims >= 0.3)
+    want = set(zip(q["vec_id"].to_numpy()[qi],
+                   pdf["vec_id"].to_numpy()[vi]))
+    assert set(zip(got["query_id"], got["vec_id"])) == want and len(want) > 0
+
+
+def test_context_window_bruteforce(ray_session):
+    """Context stats == per-turn replay over the previous 4 turns."""
+    from pystreamfs_ray.pipelines.queries import q_context_window
+    from pystreamfs_ray.pipelines.transcripts import transcripts_from_events
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_context_window(sf).to_pandas()
+           .sort_values(["conv_id", "turn_idx"], ignore_index=True))
+    t = (transcripts_from_events(sf, num_buckets=4).to_pandas()
+         .sort_values(["conv_id", "turn_idx"], ignore_index=True))
+    rows = []
+    for conv, g in t.groupby("conv_id"):
+        lines = (g["role"] + ": " + g["text"]).tolist()
+        toks = g["text"].str.count(r"\S+").tolist()
+        roles = g["role"].tolist()
+        idxs = g["turn_idx"].tolist()
+        for i in range(len(lines)):
+            if roles[i] != "assistant":
+                continue
+            ctx = lines[max(0, i - 4):i]
+            rows.append((conv, idxs[i],
+                         sum(len(x) for x in ctx) + max(len(ctx) - 1, 0),
+                         sum(toks[max(0, i - 4):i]), len(ctx)))
+    want = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ctx_chars",
+                                       "ctx_tokens", "n_ctx_turns"]
+                        ).sort_values(["conv_id", "turn_idx"],
+                                      ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
