@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_attribution": q.q_attribution,
         "q_range_search": q.q_range_search,
         "q_context_window": q.q_context_window,
+        "q_session_lag": q.q_session_lag,
     }
 
 
@@ -984,6 +985,32 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    COUNT(*) AS n_events, MIN(ts) AS ts_start, MAX(ts) AS ts_end
             FROM s GROUP BY user_id, session_id
+        """,
+        # session-scoped lag: µs since the previous event within the
+        # same 30-min session, -1 at session starts (the lag never
+        # leaks across a session boundary)
+        "q_session_lag": """
+            WITH d AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT event_id, user_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) - 1
+                         AS session_id
+                FROM d
+            )
+            SELECT event_id, CAST(session_id AS BIGINT) AS session_id,
+                   CAST(COALESCE(date_diff('microsecond',
+                        lag(ts) OVER (PARTITION BY user_id, session_id
+                                      ORDER BY ts, event_id), ts), -1)
+                        AS BIGINT) AS us_in_session
+            FROM s
         """,
         # cosine range search: every pair clearing ROUND(cos,6) >= 0.3
         # — the all-neighbors complement of the top-k oracle

@@ -3253,3 +3253,31 @@ def q_context_window(sf_dir: str):
         })
 
     return W.per_bucket(t, fn, entity_col="conv_id", num_buckets=_BUCKETS)
+
+
+def q_session_lag(sf_dir: str):
+    """Session-scoped lag features: µs since the previous event WITHIN
+    the same 30-min gap session (-1 at each session start — the gap
+    never leaks across sessions, unlike a plain per-entity lag). The
+    sessionize × lag composition the point-in-time feature rule calls
+    for; one entity shuffle."""
+    ds = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "user_id", "ts"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        g = W.sessionize(g, gap_s=1800, entity_col="user_id")
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        base = ts_us.min() if len(ts_us) else 0
+        rel = pd.Series((ts_us - base).astype(np.float64), index=g.index)
+        prev = rel.groupby([g["user_id"], g["session_id"]],
+                           sort=False).shift(1)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "session_id": g["session_id"].to_numpy(np.int64),
+            "us_in_session": np.where(prev.isna(), -1,
+                                      rel - prev.to_numpy()).astype(np.int64),
+        })
+
+    return W.per_bucket(ds, fn, entity_col="user_id", num_buckets=_BUCKETS)

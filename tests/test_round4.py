@@ -1833,3 +1833,25 @@ def test_context_window_bruteforce(ray_session):
                         ).sort_values(["conv_id", "turn_idx"],
                                       ignore_index=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_session_lag_resets_at_boundary(ray_session):
+    """us_in_session is -1 exactly at session starts (gap > 30 min or
+    first event) and equals the µs gap otherwise."""
+    from pystreamfs_ray.pipelines.queries import q_session_lag
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_session_lag(sf).to_pandas()
+           .set_index("event_id").sort_index())
+    ev = (read_parquet(sf + "/events.parquet",
+                       columns=["event_id", "user_id", "ts"])
+          .to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                   ignore_index=True))
+    for _, g in ev.groupby("user_id"):
+        prev = None
+        for r in g.itertuples(index=False):
+            gap = None if prev is None else (r.ts - prev).value // 1000
+            want = -1 if gap is None or gap > 1800_000_000 else gap
+            assert got.loc[r.event_id, "us_in_session"] == want
+            prev = r.ts
