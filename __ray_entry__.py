@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_range_search": q.q_range_search,
         "q_context_window": q.q_context_window,
         "q_session_lag": q.q_session_lag,
+        "q_rolling_distinct": q.q_rolling_distinct,
     }
 
 
@@ -985,6 +986,23 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    COUNT(*) AS n_events, MIN(ts) AS ts_start, MAX(ts) AS ts_end
             FROM s GROUP BY user_id, session_id
+        """,
+        # windowed distinct count: distinct tools among the previous
+        # 4 turns of each conversation (anti-repetition feature)
+        "q_rolling_distinct": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            w AS (
+              SELECT conv_id, turn_idx,
+                     list(tool) OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx
+                                      ROWS BETWEEN 4 PRECEDING
+                                               AND 1 PRECEDING) AS prev
+              FROM transcripts
+            )
+            SELECT conv_id, turn_idx,
+                   CAST(COALESCE(len(list_distinct(prev)), 0) AS BIGINT)
+                     AS n_distinct_tools
+            FROM w
         """,
         # session-scoped lag: µs since the previous event within the
         # same 30-min session, -1 at session starts (the lag never

@@ -3281,3 +3281,34 @@ def q_session_lag(sf_dir: str):
         })
 
     return W.per_bucket(ds, fn, entity_col="user_id", num_buckets=_BUCKETS)
+
+
+def q_rolling_distinct(sf_dir: str):
+    """Windowed distinct count: how many DISTINCT tools the previous 4
+    turns of the conversation used (the anti-repetition / diversity
+    feature). k=4 unrolls to 4 shifted arrays + 6 pairwise compares —
+    fully vectorized, one entity shuffle."""
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = W.sort_entity(g, entity_col="conv_id", order_cols=("turn_idx",))
+        key = g["conv_id"]
+        pos = key.groupby(key, sort=False).cumcount().to_numpy(np.int64)
+        tool = g["tool"].astype(str)
+        sh = [tool.groupby(key, sort=False).shift(i).to_numpy(dtype=object)
+              for i in range(1, 5)]
+        valid = [pos >= i for i in range(1, 5)]
+        # v_i counts iff valid and != every nearer (still-valid) lag
+        distinct = np.zeros(len(g), dtype=np.int64)
+        for i in range(4):
+            new = valid[i].copy()
+            for j in range(i):
+                new &= ~(valid[j] & (sh[i] == sh[j]))
+            distinct += new.astype(np.int64)
+        return pd.DataFrame({
+            "conv_id": g["conv_id"].to_numpy(),
+            "turn_idx": g["turn_idx"].to_numpy(np.int64),
+            "n_distinct_tools": distinct,
+        })
+
+    return W.per_bucket(t, fn, entity_col="conv_id", num_buckets=_BUCKETS)

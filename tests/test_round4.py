@@ -1855,3 +1855,21 @@ def test_session_lag_resets_at_boundary(ray_session):
             want = -1 if gap is None or gap > 1800_000_000 else gap
             assert got.loc[r.event_id, "us_in_session"] == want
             prev = r.ts
+
+
+def test_rolling_distinct_bruteforce(ray_session):
+    """Windowed distinct == per-turn set replay over the prior 4."""
+    from pystreamfs_ray.pipelines.queries import q_rolling_distinct
+    from pystreamfs_ray.pipelines.transcripts import transcripts_from_events
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_rolling_distinct(sf).to_pandas()
+           .sort_values(["conv_id", "turn_idx"], ignore_index=True))
+    t = (transcripts_from_events(sf, num_buckets=4).to_pandas()
+         .sort_values(["conv_id", "turn_idx"], ignore_index=True))
+    want = []
+    for _, g in t.groupby("conv_id"):
+        tools = g["tool"].astype(str).tolist()
+        for i in range(len(tools)):
+            want.append(len(set(tools[max(0, i - 4):i])))
+    assert got["n_distinct_tools"].tolist() == want
