@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_context_window": q.q_context_window,
         "q_session_lag": q.q_session_lag,
         "q_rolling_distinct": q.q_rolling_distinct,
+        "q_lang_outliers": q.q_lang_outliers,
     }
 
 
@@ -986,6 +987,24 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    COUNT(*) AS n_events, MIN(ts) AS ts_start, MAX(ts) AS ts_end
             FROM s GROUP BY user_id, session_id
+        """,
+        # per-source language-consistency audit: majority language
+        # (ties to smallest) + deviating doc counts
+        "q_lang_outliers": """
+            WITH c AS (
+              SELECT source, lang, COUNT(*) AS n
+              FROM documents GROUP BY source, lang
+            ), r AS (
+              SELECT source, lang, n,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n DESC, lang) AS rk,
+                     SUM(n) OVER (PARTITION BY source) AS tot
+              FROM c
+            )
+            SELECT source, lang AS majority_lang,
+                   CAST(tot AS BIGINT) AS n_docs,
+                   CAST(tot - n AS BIGINT) AS n_outliers
+            FROM r WHERE rk = 1
         """,
         # windowed distinct count: distinct tools among the previous
         # 4 turns of each conversation (anti-repetition feature)

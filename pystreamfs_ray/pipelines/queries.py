@@ -3312,3 +3312,47 @@ def q_rolling_distinct(sf_dir: str):
         })
 
     return W.per_bucket(t, fn, entity_col="conv_id", num_buckets=_BUCKETS)
+
+
+def q_lang_outliers(sf_dir: str):
+    """Per-source language-consistency audit: each source's majority
+    language (ties to the lexicographically smallest) and how many of
+    its docs deviate — the curation signal for mislabeled/mixed-source
+    shards. ONE combiner aggregate builds the (source, lang) count
+    table; majority and outlier counts both derive from it (no second
+    corpus scan)."""
+    from pystreamfs_ray.util import arrow_combiner
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "source", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["source", "lang"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = (docs.map_batches(arrow_combiner(partial),
+                               batch_format="pyarrow")
+              .groupby(["source", "lang"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # |sources|×|langs| rows — bounded; majority = (max n, min lang)
+        df = df.sort_values(["source", "n", "lang"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        grp = df.groupby("source", sort=False)
+        top = grp.head(1).rename(columns={"lang": "majority_lang"})
+        tot = grp["n"].sum()
+        out = top[["source", "majority_lang"]].copy()
+        out["n_docs"] = tot.loc[out["source"]].to_numpy(np.int64)
+        out["n_outliers"] = (out["n_docs"]
+                             - top["n"].to_numpy(np.int64))
+        return out.reset_index(drop=True)
+
+    # coalesce the bounded count table to ONE block first — finish
+    # needs every (source, lang) row of a source in the same batch
+    return counts.repartition(1).map_batches(finish,
+                                             batch_format="pandas",
+                                             batch_size=None)

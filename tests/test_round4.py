@@ -1873,3 +1873,23 @@ def test_rolling_distinct_bruteforce(ray_session):
         for i in range(len(tools)):
             want.append(len(set(tools[max(0, i - 4):i])))
     assert got["n_distinct_tools"].tolist() == want
+
+
+def test_lang_outliers_partition_invariance(ray_session):
+    """Majority/outlier table is exact and block-count-invariant."""
+    from pystreamfs_ray.pipelines.queries import q_lang_outliers
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_lang_outliers(sf).to_pandas()
+           .sort_values("source", ignore_index=True))
+    d = read_parquet(sf + "/documents.parquet",
+                     columns=["doc_id", "source", "lang"]).to_pandas()
+    for _, r in got.iterrows():
+        g = d[d["source"] == r["source"]]
+        vc = g["lang"].value_counts()
+        best = sorted(vc[vc == vc.max()].index)[0]
+        assert r["majority_lang"] == best
+        assert r["n_docs"] == len(g)
+        assert r["n_outliers"] == (g["lang"] != best).sum()
+    assert len(got) == d["source"].nunique()
