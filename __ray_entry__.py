@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_session_lag": q.q_session_lag,
         "q_rolling_distinct": q.q_rolling_distinct,
         "q_lang_outliers": q.q_lang_outliers,
+        "q_frame_plan": q.q_frame_plan,
     }
 
 
@@ -987,6 +988,22 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    COUNT(*) AS n_events, MIN(ts) AS ts_start, MAX(ts) AS ts_end
             FROM s GROUP BY user_id, session_id
+        """,
+        # frame-sampling plan from the decode stub's independently
+        # re-derived duration spec (video rows only; every_s=1, max 16;
+        # FLOOR mirrors Python int() truncation — DuckDB CAST rounds)
+        "q_frame_plan": f"""
+            WITH m AS ({_decode_media_oracle()}),
+            p AS (
+              SELECT media_id,
+                     LEAST(16, GREATEST(1,
+                       CAST(FLOOR(duration_s / 1.0) AS BIGINT)))
+                       AS n_frames
+              FROM m WHERE kind = 'video'
+            )
+            SELECT media_id, n_frames,
+                   CAST((n_frames - 1) AS DOUBLE) * 1.0 AS last_ts_s
+            FROM p
         """,
         # per-source language-consistency audit: majority language
         # (ties to smallest) + deviating doc counts

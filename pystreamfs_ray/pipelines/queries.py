@@ -3356,3 +3356,20 @@ def q_lang_outliers(sf_dir: str):
     return counts.repartition(1).map_batches(finish,
                                              batch_format="pandas",
                                              batch_size=None)
+
+
+def q_frame_plan(sf_dir: str):
+    """Multimodal frame-sampling plan: run the row-expanding video
+    frame sampler (actor pool; payload slices ride along exactly as a
+    pyav sampler's frames would) and roll up per-media plan stats —
+    the oracle re-derives frame counts independently from the decode
+    stub's published duration spec."""
+    from pystreamfs_ray.stages.multimodal import (sample_frames,
+                                                  synth_media_table)
+
+    media = rd.from_arrow(synth_media_table(500, seed=21))
+    frames = sample_frames(media, every_s=1.0, max_frames=16,
+                           concurrency=2, batch_size=32)
+    return (frames.groupby("media_id")
+            .aggregate(Count(alias_name="n_frames"),
+                       Max("frame_ts_s", alias_name="last_ts_s")))

@@ -1893,3 +1893,27 @@ def test_lang_outliers_partition_invariance(ray_session):
         assert r["n_docs"] == len(g)
         assert r["n_outliers"] == (g["lang"] != best).sum()
     assert len(got) == d["source"].nunique()
+
+
+def test_frame_plan_spec(ray_session):
+    """Frame rollup == the stub spec: n = min(16, max(1, int(dur))),
+    ts grid = every_s, payload slices cover only video rows."""
+    from pystreamfs_ray.pipelines.queries import q_frame_plan
+    from pystreamfs_ray.stages.multimodal import synth_media_table
+
+    got = q_frame_plan("unused").to_pandas().set_index("media_id")
+    import hashlib
+    t = synth_media_table(500, seed=21)
+    kinds = t["kind"].to_pylist()
+    payloads = t["payload"].to_pylist()
+    n_video = 0
+    for i, (k, p) in enumerate(zip(kinds, payloads)):
+        if k != "video":
+            assert i not in got.index
+            continue
+        n_video += 1
+        h = hashlib.blake2b(p, digest_size=16).digest()
+        n = min(16, max(1, int(((h[2] % 300) / 10.0) / 1.0)))
+        assert got.loc[i, "n_frames"] == n
+        assert got.loc[i, "last_ts_s"] == float(n - 1)
+    assert len(got) == n_video > 0
