@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rolling_distinct": q.q_rolling_distinct,
         "q_lang_outliers": q.q_lang_outliers,
         "q_frame_plan": q.q_frame_plan,
+        "q_label_propagate": q.q_label_propagate,
     }
 
 
@@ -2364,6 +2365,42 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               SELECT e.d, c.comp FROM cc c JOIN edges e ON e.s = c.node
             )
             SELECT node, MIN(comp) AS component FROM cc GROUP BY node
+        """,
+        # weak-supervision label propagation: component majority label
+        # (ties to smallest) assigned to every member
+        "q_label_propagate": f"""
+            WITH RECURSIVE {_ALLV_CTE},
+            pairs AS ({_EMBED_PAIRS_SQL}),
+            edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            cc(node, comp) AS (
+              SELECT DISTINCT s, s FROM edges
+              UNION
+              SELECT e.d, c.comp FROM cc c JOIN edges e ON e.s = c.node
+            ),
+            comp AS (SELECT node, MIN(comp) AS component FROM cc
+                     GROUP BY node),
+            lab AS (
+              SELECT c.node, c.component, e.label
+              FROM comp c JOIN embeddings e ON e.vec_id = c.node
+            ),
+            cnt AS (
+              SELECT component, label, COUNT(*) AS n
+              FROM lab GROUP BY component, label
+            ),
+            maj AS (
+              SELECT component, label AS prop_label
+              FROM (SELECT component, label,
+                           row_number() OVER (PARTITION BY component
+                                              ORDER BY n DESC, label)
+                             AS rk
+                    FROM cnt)
+              WHERE rk = 1
+            )
+            SELECT l.node, l.component,
+                   CAST(l.label AS INTEGER) AS label,
+                   CAST(m.prop_label AS INTEGER) AS prop_label
+            FROM lab l JOIN maj m ON m.component = l.component
         """,
         "q_ngram_jaccard": """
             WITH docs AS (

@@ -3373,3 +3373,58 @@ def q_frame_plan(sf_dir: str):
     return (frames.groupby("media_id")
             .aggregate(Count(alias_name="n_frames"),
                        Max("frame_ts_s", alias_name="last_ts_s")))
+
+
+def q_label_propagate(sf_dir: str):
+    """Weak-supervision label propagation: embedding near-dup pairs →
+    connected components → each component's MAJORITY label (ties to the
+    smallest) assigned to every member — how a curation pipeline
+    spreads sparse quality labels across duplicate clusters. Component
+    labels resolve via one partitioned hash join + a bounded
+    (component, label) count table; members get the verdict through a
+    second keyed join."""
+    from pystreamfs_ray.stages.dedup import dedup_groups
+    from pystreamfs_ray.util import arrow_combiner, drop_empty_blocks
+
+    comp = dedup_groups(q_embedding_neardup(sf_dir))  # (node, component)
+    emb = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "label"])
+    nparts = _join_partitions(emb)  # data-sized actor pool
+
+    lab = emb.map_batches(
+        lambda t: t.rename_columns(["node", "label"]),
+        batch_format="pyarrow")
+    joined = drop_empty_blocks(comp, nparts).join(
+        drop_empty_blocks(lab, nparts), join_type="inner",
+        num_partitions=nparts, on=("node",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["component", "label"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = (joined.map_batches(arrow_combiner(partial),
+                                 batch_format="pyarrow")
+              .groupby(["component", "label"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def majority(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["component", "n", "label"],
+                           ascending=[True, False, True],
+                           kind="mergesort")
+        top = d.groupby("component", sort=False).head(1)
+        return pd.DataFrame({
+            "component": top["component"].to_numpy(np.int64),
+            "prop_label": top["label"].to_numpy(np.int64),
+        })
+
+    verdict = counts.repartition(1).map_batches(
+        majority, batch_format="pandas", batch_size=None)
+    out = drop_empty_blocks(joined.select_columns(["node", "component",
+                                                   "label"]),
+                            nparts).join(
+        drop_empty_blocks(verdict, nparts), join_type="inner",
+        num_partitions=nparts, on=("component",))
+    return out.select_columns(["node", "component", "label",
+                               "prop_label"])

@@ -1917,3 +1917,16 @@ def test_frame_plan_spec(ray_session):
         assert got.loc[i, "n_frames"] == n
         assert got.loc[i, "last_ts_s"] == float(n - 1)
     assert len(got) == n_video > 0
+
+
+def test_label_propagate_majority(ray_session):
+    """Every member of a component carries the component's majority
+    label (ties to smallest), verified against a pandas replay."""
+    from pystreamfs_ray.pipelines.queries import q_label_propagate
+
+    got = q_label_propagate("/root/testdata/sf0.001").to_pandas()
+    assert len(got) > 0
+    for comp, g in got.groupby("component"):
+        vc = g["label"].value_counts()
+        best = sorted(vc[vc == vc.max()].index)[0]
+        assert (g["prop_label"] == best).all(), comp
