@@ -286,6 +286,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lang_outliers": q.q_lang_outliers,
         "q_frame_plan": q.q_frame_plan,
         "q_label_propagate": q.q_label_propagate,
+        "q_vocab_growth": q.q_vocab_growth,
+        "q_peak_rate": q.q_peak_rate,
     }
 
 
@@ -2365,6 +2367,40 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               SELECT e.d, c.comp FROM cc c JOIN edges e ON e.s = c.node
             )
             SELECT node, MIN(comp) AS component FROM cc GROUP BY node
+        """,
+        # Heaps-law per-turn vocabulary novelty: tokens first seen at
+        # each turn of the conversation
+        "q_vocab_growth": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            tok AS (
+              SELECT conv_id, turn_idx, unnest(
+                       regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+              FROM transcripts
+            ),
+            firsts AS (
+              SELECT conv_id, w, MIN(turn_idx) AS turn_idx
+              FROM tok GROUP BY conv_id, w
+            ),
+            newc AS (
+              SELECT conv_id, turn_idx, COUNT(*) AS n_new
+              FROM firsts GROUP BY conv_id, turn_idx
+            )
+            SELECT t.conv_id, t.turn_idx,
+                   CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_tokens
+            FROM transcripts t
+            LEFT JOIN newc n ON n.conv_id = t.conv_id
+                            AND n.turn_idx = t.turn_idx
+        """,
+        # busiest 5-minute bucket per user + buckets touched
+        "q_peak_rate": """
+            WITH b AS (
+              SELECT user_id, epoch_us(ts) // 300000000 AS bucket,
+                     COUNT(*) AS n
+              FROM events GROUP BY user_id, bucket
+            )
+            SELECT user_id, CAST(MAX(n) AS BIGINT) AS peak_rate,
+                   CAST(COUNT(*) AS BIGINT) AS n_buckets
+            FROM b GROUP BY user_id
         """,
         # weak-supervision label propagation: component majority label
         # (ties to smallest) assigned to every member

@@ -3428,3 +3428,62 @@ def q_label_propagate(sf_dir: str):
         num_partitions=nparts, on=("component",))
     return out.select_columns(["node", "component", "label",
                                "prop_label"])
+
+
+def q_vocab_growth(sf_dir: str):
+    """Vocabulary growth (Heaps-law) per conversation: how many tokens
+    each turn introduces that the conversation has never used before —
+    the repetition/novelty curve of a dialog. Conversations co-locate
+    via the entity bucket, so first-occurrence detection is one local
+    pandas duplicated() over the exploded token stream; no extra
+    shuffle."""
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = W.sort_entity(g, entity_col="conv_id", order_cols=("turn_idx",))
+        toks = g["text"].str.lower().str.findall(r"[a-z0-9_]+")
+        n_tok = toks.str.len().to_numpy(np.int64)
+        conv = np.repeat(g["conv_id"].to_numpy(), n_tok)
+        turn = np.repeat(g["turn_idx"].to_numpy(np.int64), n_tok)
+        flat = np.concatenate(toks.to_list()) if len(g) else np.array([])
+        if flat.size:
+            first = ~pd.DataFrame({"c": conv, "w": flat}).duplicated(
+                ["c", "w"], keep="first").to_numpy()
+            new_per_row = np.add.reduceat(
+                first.astype(np.int64), np.r_[0, np.cumsum(n_tok)[:-1]])
+            # reduceat returns a[i] (not 0) for empty slices at i
+            new_per_row = np.where(n_tok == 0, 0, new_per_row)
+        else:
+            new_per_row = np.zeros(len(g), dtype=np.int64)
+        return pd.DataFrame({
+            "conv_id": g["conv_id"].to_numpy(),
+            "turn_idx": g["turn_idx"].to_numpy(np.int64),
+            "n_new_tokens": new_per_row.astype(np.int64),
+        })
+
+    return W.per_bucket(t, fn, entity_col="conv_id", num_buckets=_BUCKETS)
+
+
+def q_peak_rate(sf_dir: str):
+    """Burstiness: each user's busiest 5-minute bucket (events in it)
+    and total buckets touched — two nested grouped counts riding one
+    entity shuffle."""
+    ds = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "user_id", "ts"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        bucket = ts_us // (300 * 1_000_000)
+        c = (pd.DataFrame({"u": g["user_id"].to_numpy(np.int64),
+                           "b": bucket})
+             .groupby(["u", "b"], sort=False).size().rename("n")
+             .reset_index())
+        out = (c.groupby("u", sort=False)
+               .agg(peak_rate=("n", "max"), n_buckets=("b", "size"))
+               .reset_index().rename(columns={"u": "user_id"}))
+        for col in ("peak_rate", "n_buckets"):
+            out[col] = out[col].astype(np.int64)
+        return out
+
+    return W.per_bucket(ds, fn, entity_col="user_id",
+                        num_buckets=_BUCKETS)

@@ -1930,3 +1930,27 @@ def test_label_propagate_majority(ray_session):
         vc = g["label"].value_counts()
         best = sorted(vc[vc == vc.max()].index)[0]
         assert (g["prop_label"] == best).all(), comp
+
+
+def test_vocab_growth_replay(ray_session):
+    """n_new_tokens == per-conversation set replay; totals equal the
+    conversation's distinct vocabulary."""
+    import re
+
+    from pystreamfs_ray.pipelines.queries import q_vocab_growth
+    from pystreamfs_ray.pipelines.transcripts import transcripts_from_events
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_vocab_growth(sf).to_pandas()
+           .sort_values(["conv_id", "turn_idx"], ignore_index=True))
+    t = (transcripts_from_events(sf, num_buckets=4).to_pandas()
+         .sort_values(["conv_id", "turn_idx"], ignore_index=True))
+    want = []
+    for _, g in t.groupby("conv_id"):
+        seen: set = set()
+        for txt in g["text"]:
+            ws = re.findall(r"[a-z0-9_]+", txt.lower())
+            new = set(ws) - seen
+            want.append(len(new))
+            seen |= set(ws)
+    assert got["n_new_tokens"].tolist() == want
