@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_label_propagate": q.q_label_propagate,
         "q_vocab_growth": q.q_vocab_growth,
         "q_peak_rate": q.q_peak_rate,
+        "q_ncm_kappa": q.q_ncm_kappa,
     }
 
 
@@ -321,6 +322,31 @@ _ALLV_CTE = """
     allv AS (SELECT vec_id, e FROM v
              UNION ALL
              SELECT vec_id + 1000000, e FROM v WHERE vec_id < 5)
+"""
+
+_NCM_CONF_SQL = """
+    WITH u AS (
+      SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ), cm AS (
+      SELECT label, dim, ROUND(AVG(v), 6) AS av
+      FROM u GROUP BY label, dim
+    ), c AS (
+      SELECT label AS plabel, list(av ORDER BY dim) AS cvec
+      FROM cm GROUP BY label
+    ), d AS (
+      SELECT e.vec_id, e.label, c.plabel,
+             list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec) AS dist
+      FROM embeddings e CROSS JOIN c
+    ), a AS (
+      SELECT vec_id, label, plabel FROM d
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, plabel) = 1
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(plabel AS BIGINT) AS pred, COUNT(*) AS n
+    FROM a GROUP BY label, plabel
 """
 
 _ANN_TOPK_SQL = """
@@ -1643,30 +1669,30 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         """,
         # nearest-class-mean confusion matrix over 6-digit-rounded
         # class centroids; ties to the smallest predicted label
-        "q_ncm_confusion": """
-            WITH u AS (
-              SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
-                     generate_subscripts(embedding, 1) AS dim
-              FROM embeddings
-            ), cm AS (
-              SELECT label, dim, ROUND(AVG(v), 6) AS av
-              FROM u GROUP BY label, dim
-            ), c AS (
-              SELECT label AS plabel, list(av ORDER BY dim) AS cvec
-              FROM cm GROUP BY label
-            ), d AS (
-              SELECT e.vec_id, e.label, c.plabel,
-                     list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec)
-                       AS dist
-              FROM embeddings e CROSS JOIN c
-            ), a AS (
-              SELECT vec_id, label, plabel FROM d
-              QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-                                         ORDER BY dist, plabel) = 1
+        "q_ncm_confusion": _NCM_CONF_SQL,
+        # Cohen's kappa + accuracy from the same confusion counts:
+        # kappa = (D*N - E) / (N*N - E) with D = diagonal, E = sum of
+        # row*col marginal products — one float division of exact ints
+        "q_ncm_kappa": f"""
+            WITH conf AS ({_NCM_CONF_SQL}),
+            m AS (
+              SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                     CAST(SUM(CASE WHEN label = pred THEN n ELSE 0 END)
+                          AS BIGINT) AS d
+              FROM conf
+            ),
+            e AS (
+              SELECT CAST(SUM(rk * ck) AS BIGINT) AS ee
+              FROM (SELECT label AS k, CAST(SUM(n) AS BIGINT) AS rk
+                    FROM conf GROUP BY label) r
+              JOIN (SELECT pred AS k, CAST(SUM(n) AS BIGINT) AS ck
+                    FROM conf GROUP BY pred) c USING (k)
             )
-            SELECT CAST(label AS BIGINT) AS label,
-                   CAST(plabel AS BIGINT) AS pred, COUNT(*) AS n
-            FROM a GROUP BY label, plabel
+            SELECT m.nn AS n,
+                   CAST(m.d AS DOUBLE) / CAST(m.nn AS DOUBLE) AS accuracy,
+                   CAST(m.d * m.nn - e.ee AS DOUBLE)
+                   / CAST(m.nn * m.nn - e.ee AS DOUBLE) AS kappa
+            FROM m, e
         """,
         # population covariance matrix of the embedding space, long form
         "q_embedding_cov": """

@@ -3487,3 +3487,23 @@ def q_peak_rate(sf_dir: str):
 
     return W.per_bucket(ds, fn, entity_col="user_id",
                         num_buckets=_BUCKETS)
+
+
+def q_ncm_kappa(sf_dir: str):
+    """Cohen's kappa + accuracy of the nearest-class-mean classifier,
+    finished on the bounded (labels²-row) confusion table: kappa =
+    (D·N − E)/(N² − E) from exact integer counts (D diagonal, E sum of
+    row×col marginal products), one float division mirrored in the
+    oracle."""
+    df = q_ncm_confusion(sf_dir).to_pandas()
+    N = int(df["n"].sum())
+    D = int(df.loc[df["label"] == df["pred"], "n"].sum())
+    rk = df.groupby("label")["n"].sum()
+    ck = df.groupby("pred")["n"].sum()
+    E = sum(int(rk.get(k, 0)) * int(ck.get(k, 0))
+            for k in set(rk.index) | set(ck.index))
+    return pd.DataFrame({
+        "n": np.array([N], dtype=np.int64),
+        "accuracy": [float(D) / float(N)],
+        "kappa": [float(D * N - E) / float(N * N - E)],
+    })

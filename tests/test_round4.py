@@ -1954,3 +1954,25 @@ def test_vocab_growth_replay(ray_session):
             want.append(len(new))
             seen |= set(ws)
     assert got["n_new_tokens"].tolist() == want
+
+
+def test_ncm_kappa_formula(ray_session):
+    """kappa/accuracy recompute from the confusion table via sklearn's
+    published formula (replayed in numpy)."""
+    from pystreamfs_ray.pipelines.queries import q_ncm_confusion, q_ncm_kappa
+
+    sf = "/root/testdata/sf0.001"
+    conf = q_ncm_confusion(sf).to_pandas()
+    got = q_ncm_kappa(sf)
+    labs = sorted(set(conf["label"]) | set(conf["pred"]))
+    li = {v: i for i, v in enumerate(labs)}
+    m = np.zeros((len(labs), len(labs)), dtype=np.int64)
+    for r in conf.itertuples(index=False):
+        m[li[r.label], li[r.pred]] = r.n
+    n = m.sum()
+    po = np.trace(m) / n
+    pe = (m.sum(1) * m.sum(0)).sum() / (n * n)
+    assert got["n"].iloc[0] == n
+    assert abs(got["accuracy"].iloc[0] - po) < 1e-12
+    assert abs(got["kappa"].iloc[0] - (po - pe) / (1 - pe)) < 1e-12
+    assert -1.0 <= got["kappa"].iloc[0] <= 1.0
