@@ -70,3 +70,14 @@ def test_example_sft_export(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "train:" in out.stdout and "resume skipped shards:" in out.stdout
+
+
+def test_example_data_health():
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, f"{EX}/example_data_health.py"],
+        capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "language consistency:" in r.stdout
+    assert "PSI:" in r.stdout
