@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_vocab_growth": q.q_vocab_growth,
         "q_peak_rate": q.q_peak_rate,
         "q_ncm_kappa": q.q_ncm_kappa,
+        "q_curriculum": q.q_curriculum,
     }
 
 
@@ -1441,6 +1442,26 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    ROUND(-SUM(LN(c.c / total.n)) / COUNT(*), 6) AS nll
             FROM toks t JOIN c USING (w), total
             GROUP BY t.doc_id
+        """,
+        # curriculum difficulty buckets: NTILE(4) over the unigram NLL
+        "q_curriculum": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+              FROM documents
+            ), total AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks
+            ), c AS (
+              SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY w
+            ), nll AS (
+              SELECT t.doc_id,
+                     ROUND(-SUM(LN(c.c / total.n)) / COUNT(*), 6) AS nll
+              FROM toks t JOIN c USING (w), total
+              GROUP BY t.doc_id
+            )
+            SELECT doc_id,
+                   CAST(NTILE(4) OVER (ORDER BY nll, doc_id) AS BIGINT)
+                     AS bucket
+            FROM nll
         """,
         # per-user session rollup (exact sums; means are client-side)
         "q_session_stats": """

@@ -3507,3 +3507,18 @@ def q_ncm_kappa(sf_dir: str):
         "accuracy": [float(D) / float(N)],
         "kappa": [float(D * N - E) / float(N * N - E)],
     })
+
+
+def q_curriculum(sf_dir: str):
+    """Curriculum difficulty buckets: NTILE(4) over the CCNet-style
+    unigram NLL quality proxy — easy→hard training phases without a
+    global sort (composition: vocab-bounded LM scoring → two-phase
+    range-partitioned NTILE)."""
+    from pystreamfs_ray.stages.rank import global_ntile
+    from pystreamfs_ray.stages.textstats import unigram_logprob
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    nll = unigram_logprob(docs)
+    # global_ntile emits (id, bucket) — the assignment IS the result
+    return global_ntile(nll, 4, value_col="nll", id_col="doc_id",
+                        num_partitions=_BUCKETS)

@@ -1976,3 +1976,26 @@ def test_ncm_kappa_formula(ray_session):
     assert abs(got["accuracy"].iloc[0] - po) < 1e-12
     assert abs(got["kappa"].iloc[0] - (po - pe) / (1 - pe)) < 1e-12
     assert -1.0 <= got["kappa"].iloc[0] <= 1.0
+
+
+def test_curriculum_buckets_balanced(ray_session):
+    """NTILE(4) over the NLL: buckets are balanced (sizes differ by at
+    most 1) and ordered (max nll of bucket k <= min nll of bucket k+1,
+    modulo the rounded-value tie rule)."""
+    from pystreamfs_ray.pipelines.queries import q_curriculum
+    from pystreamfs_ray.stages.textstats import unigram_logprob
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_curriculum(sf).to_pandas()
+    sizes = got.groupby("bucket").size()
+    assert sorted(sizes.index) == [1, 2, 3, 4]
+    assert sizes.max() - sizes.min() <= 1
+    nll = unigram_logprob(read_parquet(sf + "/documents.parquet",
+                                       columns=["doc_id", "text"])
+                          ).to_pandas().set_index("doc_id")["nll"]
+    j = got.set_index("doc_id")
+    for k in (1, 2, 3):
+        lo = nll.loc[j.index[j["bucket"] == k]].max()
+        hi = nll.loc[j.index[j["bucket"] == k + 1]].min()
+        assert lo <= hi
