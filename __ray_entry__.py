@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_peak_rate": q.q_peak_rate,
         "q_ncm_kappa": q.q_ncm_kappa,
         "q_curriculum": q.q_curriculum,
+        "q_needle_scan": q.q_needle_scan,
     }
 
 
@@ -1442,6 +1443,18 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    ROUND(-SUM(LN(c.c / total.n)) / COUNT(*), 6) AS nll
             FROM toks t JOIN c USING (w), total
             GROUP BY t.doc_id
+        """,
+        # exact-needle contamination scan: docs containing each 20-char
+        # probe lifted from the first documents (plain containment)
+        "q_needle_scan": """
+            WITH needles AS (
+              SELECT substr(text, 11, 20) AS needle
+              FROM documents WHERE doc_id < 5 AND length(text) >= 30
+            )
+            SELECT n.needle, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM needles n JOIN documents d
+              ON contains(d.text, n.needle)
+            GROUP BY n.needle
         """,
         # curriculum difficulty buckets: NTILE(4) over the unigram NLL
         "q_curriculum": r"""

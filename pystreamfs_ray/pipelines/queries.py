@@ -3522,3 +3522,31 @@ def q_curriculum(sf_dir: str):
     # global_ntile emits (id, bucket) — the assignment IS the result
     return global_ntile(nll, 4, value_col="nll", id_col="doc_id",
                         num_partitions=_BUCKETS)
+
+
+def q_needle_scan(sf_dir: str):
+    """Exact-needle contamination scan: count documents containing each
+    of 5 probe substrings (20 chars lifted from the first docs) — the
+    benchmark-canary check run before a training snapshot ships.
+    Needles broadcast in the closure; per-batch vectorized substring
+    containment (no regex compilation, plain find) + a 5-row count
+    aggregate."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from pystreamfs_ray.util import arrow_combiner
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    probe = (docs.filter(expr="doc_id < 5").to_pandas()
+             .sort_values("doc_id"))
+    needles = [t[10:30] for t in probe["text"] if len(t) >= 30]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = [(nd, int(df["text"].str.contains(nd, regex=False).sum()))
+                for nd in needles]
+        return pd.DataFrame(rows, columns=["needle", "n_docs"]).astype(
+            {"n_docs": np.int64})
+
+    return (docs.map_batches(arrow_combiner(partial),
+                             batch_format="pyarrow")
+            .groupby("needle").aggregate(_Sum("n_docs",
+                                              alias_name="n_docs")))

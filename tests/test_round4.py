@@ -1999,3 +1999,22 @@ def test_curriculum_buckets_balanced(ray_session):
         lo = nll.loc[j.index[j["bucket"] == k]].max()
         hi = nll.loc[j.index[j["bucket"] == k + 1]].min()
         assert lo <= hi
+
+
+def test_needle_scan_self_match(ray_session):
+    """Every probe matches at least its own source doc, and counts
+    equal a pandas containment replay."""
+    from pystreamfs_ray.pipelines.queries import q_needle_scan
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_needle_scan(sf).to_pandas().set_index("needle")
+    docs = read_parquet(sf + "/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas()
+    probes = [t[10:30] for t in
+              docs[docs["doc_id"] < 5].sort_values("doc_id")["text"]
+              if len(t) >= 30]
+    assert len(got) == len(probes) > 0
+    for nd in probes:
+        want = int(docs["text"].str.contains(nd, regex=False).sum())
+        assert got.loc[nd, "n_docs"] == want >= 1
