@@ -2018,3 +2018,31 @@ def test_needle_scan_self_match(ray_session):
     for nd in probes:
         want = int(docs["text"].str.contains(nd, regex=False).sum())
         assert got.loc[nd, "n_docs"] == want >= 1
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.lists(st.text(alphabet="ab", min_size=0, max_size=5),
+                min_size=1, max_size=30),
+       st.integers(1, 9))
+@settings(max_examples=12, deadline=None)
+def test_prefix_dedup_property(ray_session, texts, nparts):
+    """Random short strings over a tiny alphabet (maximal prefix
+    collisions incl. empty strings and duplicates): prefix_dedup ==
+    the O(n²) reference at any partition count."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.dedup import prefix_dedup
+
+    rows = [{"rid": i, "text": t} for i, t in enumerate(texts)]
+    surv = {t for t in texts
+            if not any(u.startswith(t) and len(u) > len(t)
+                       for u in texts)}
+    ref = sorted(r["rid"] for r in rows if r["text"] in surv)
+    ds = rd.from_items(rows, override_num_blocks=min(3, len(rows)))
+    got = sorted(prefix_dedup(ds, text_col="text",
+                              num_partitions=nparts)
+                 .to_pandas()["rid"].tolist())
+    assert got == ref, (texts, nparts)
