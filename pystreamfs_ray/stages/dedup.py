@@ -173,8 +173,13 @@ def incremental_exact_dedup(new_ds, index_ds, *, id_col: str = "doc_id",
     # one join and is far smaller than the raw arrivals), which also
     # gives a cheap emptiness probe for the no-arrivals short-circuit
     # (a FULLY empty left side has no schema-carrying block at all).
+    from pystreamfs_ray.util import arrow_combiner
+
+    # arrow blocks through the join's hash shuffle: pandas blocks cost
+    # more map/reduce CPU AND their schema defeats Ray's shuffle
+    # schema-dedup ("Failed to hash the schemas" warnings)
     withfp = (drop_empty_blocks(deduped, num_partitions)
-              .map_batches(add_fp, batch_format="pandas")
+              .map_batches(arrow_combiner(add_fp), batch_format="pyarrow")
               .materialize())
     if withfp.count() == 0:
         import ray.data as rd
