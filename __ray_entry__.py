@@ -291,6 +291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ncm_kappa": q.q_ncm_kappa,
         "q_curriculum": q.q_curriculum,
         "q_needle_scan": q.q_needle_scan,
+        "q_tool_loops": q.q_tool_loops,
+        "q_alternation": q.q_alternation,
     }
 
 
@@ -1443,6 +1445,41 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    ROUND(-SUM(LN(c.c / total.n)) / COUNT(*), 6) AS nll
             FROM toks t JOIN c USING (w), total
             GROUP BY t.doc_id
+        """,
+        # longest same-tool consecutive run per conversation
+        # (gaps-and-islands; tool-less turns break runs)
+        "q_tool_loops": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            r AS (
+              SELECT conv_id, tool, turn_idx,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx)
+                     - row_number() OVER (PARTITION BY conv_id, tool
+                                          ORDER BY turn_idx) AS island
+              FROM transcripts
+            ),
+            runs AS (
+              SELECT conv_id, tool, island, COUNT(*) AS n
+              FROM r WHERE tool <> '' GROUP BY conv_id, tool, island
+            )
+            SELECT conv_id, CAST(MAX(n) AS BIGINT) AS max_run
+            FROM runs GROUP BY conv_id
+        """,
+        # adjacent-turn speaker switches per conversation
+        "q_alternation": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            d AS (
+              SELECT conv_id,
+                     CASE WHEN lag(role) OVER w IS NULL THEN NULL
+                          WHEN lag(role) OVER w <> role THEN 1
+                          ELSE 0 END AS sw
+              FROM transcripts
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT conv_id,
+                   CAST(COALESCE(SUM(sw), 0) AS BIGINT) AS n_switches,
+                   CAST(COUNT(sw) AS BIGINT) AS n_pairs
+            FROM d GROUP BY conv_id
         """,
         # exact-needle contamination scan: docs containing each 20-char
         # probe lifted from the first documents (plain containment)

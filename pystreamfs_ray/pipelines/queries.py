@@ -3550,3 +3550,57 @@ def q_needle_scan(sf_dir: str):
                              batch_format="pyarrow")
             .groupby("needle").aggregate(_Sum("n_docs",
                                               alias_name="n_docs")))
+
+
+def q_tool_loops(sf_dir: str):
+    """Agent tool-loop detection: each conversation's longest run of
+    CONSECUTIVE turns calling the same tool (loop bugs show up as long
+    runs). Gaps-and-islands run-length per bucket, all vectorized; one
+    entity shuffle. Tool-less turns ('') break runs and never count."""
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = W.sort_entity(g, entity_col="conv_id", order_cols=("turn_idx",))
+        conv = g["conv_id"].to_numpy()
+        tool = g["tool"].astype(str).to_numpy()
+        new_run = np.r_[True, (conv[1:] != conv[:-1])
+                        | (tool[1:] != tool[:-1])]
+        run_id = np.cumsum(new_run)
+        d = pd.DataFrame({"conv_id": conv, "tool": tool, "rid": run_id})
+        d = d[d["tool"] != ""]
+        if not len(d):
+            return pd.DataFrame({"conv_id": pd.Series(dtype=object),
+                                 "max_run": pd.Series(dtype=np.int64)})
+        runs = (d.groupby(["conv_id", "rid"], sort=False)
+                .size().rename("n").reset_index())
+        out = (runs.groupby("conv_id", sort=False)["n"].max()
+               .rename("max_run").reset_index())
+        out["max_run"] = out["max_run"].astype(np.int64)
+        return out
+
+    return W.per_bucket(t, fn, entity_col="conv_id", num_buckets=_BUCKETS)
+
+
+def q_alternation(sf_dir: str):
+    """Turn-taking balance: per conversation, how many adjacent turn
+    pairs change speaker (role) and the total pairs — the dialog-
+    structure feature separating monologues from interactions."""
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = W.sort_entity(g, entity_col="conv_id", order_cols=("turn_idx",))
+        conv = g["conv_id"].to_numpy()
+        role = g["role"].to_numpy()
+        same_conv = np.r_[False, conv[1:] == conv[:-1]]
+        switch = np.r_[False, role[1:] != role[:-1]] & same_conv
+        d = pd.DataFrame({"conv_id": conv,
+                          "sw": switch.astype(np.int64),
+                          "pair": same_conv.astype(np.int64)})
+        out = (d.groupby("conv_id", sort=False)
+               .agg(n_switches=("sw", "sum"), n_pairs=("pair", "sum"))
+               .reset_index())
+        for c in ("n_switches", "n_pairs"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return W.per_bucket(t, fn, entity_col="conv_id", num_buckets=_BUCKETS)

@@ -2046,3 +2046,31 @@ def test_prefix_dedup_property(ray_session, texts, nparts):
                               num_partitions=nparts)
                  .to_pandas()["rid"].tolist())
     assert got == ref, (texts, nparts)
+
+
+def test_tool_loops_and_alternation_replay(ray_session):
+    """Both dialog-structure features match per-conversation replays."""
+    from pystreamfs_ray.pipelines.queries import q_alternation, q_tool_loops
+    from pystreamfs_ray.pipelines.transcripts import transcripts_from_events
+
+    sf = "/root/testdata/sf0.001"
+    loops = q_tool_loops(sf).to_pandas().set_index("conv_id")
+    alt = q_alternation(sf).to_pandas().set_index("conv_id")
+    t = (transcripts_from_events(sf, num_buckets=4).to_pandas()
+         .sort_values(["conv_id", "turn_idx"], ignore_index=True))
+    for conv, g in t.groupby("conv_id"):
+        tools = g["tool"].astype(str).tolist()
+        best = run = 0
+        prev = None
+        for x in tools:
+            run = run + 1 if (x == prev and x != "") else (1 if x else 0)
+            best = max(best, run)
+            prev = x
+        if best:
+            assert loops.loc[conv, "max_run"] == best
+        else:
+            assert conv not in loops.index
+        roles = g["role"].tolist()
+        sw = sum(1 for a, b in zip(roles, roles[1:]) if a != b)
+        assert alt.loc[conv, "n_switches"] == sw
+        assert alt.loc[conv, "n_pairs"] == len(roles) - 1
