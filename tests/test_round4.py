@@ -2074,3 +2074,33 @@ def test_tool_loops_and_alternation_replay(ray_session):
         sw = sum(1 for a, b in zip(roles, roles[1:]) if a != b)
         assert alt.loc[conv, "n_switches"] == sw
         assert alt.loc[conv, "n_pairs"] == len(roles) - 1
+
+
+def test_multi_shard_input_equivalence(ray_session, tmp_path):
+    """Operators read a DIRECTORY of many parquet shards identically to
+    the single-file testdata layout (the 100-TB deployment shape):
+    exact dedup and a grouped aggregate agree bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from pystreamfs_ray.sources import read_parquet
+    from pystreamfs_ray.stages.dedup import exact_dedup
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    t = pq.read_table(src)
+    shard_dir = tmp_path / "docs_sharded"
+    shard_dir.mkdir()
+    n = len(t)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i, (a, b) in enumerate(zip(cuts[:-1], cuts[1:])):
+        pq.write_table(t.slice(a, b - a), shard_dir / f"part-{i}.parquet")
+
+    one = exact_dedup(read_parquet(src, columns=["doc_id", "text"]),
+                      id_col="doc_id", text_col="text").to_pandas()
+    many = exact_dedup(read_parquet(str(shard_dir),
+                                    columns=["doc_id", "text"]),
+                       id_col="doc_id", text_col="text").to_pandas()
+    one = one.sort_values("doc_id", ignore_index=True)
+    many = many.sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(one, many)
