@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_needle_scan": q.q_needle_scan,
         "q_tool_loops": q.q_tool_loops,
         "q_alternation": q.q_alternation,
+        "q_dup_rate_by_source": q.q_dup_rate_by_source,
     }
 
 
@@ -1445,6 +1446,16 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    ROUND(-SUM(LN(c.c / total.n)) / COUNT(*), 6) AS nll
             FROM toks t JOIN c USING (w), total
             GROUP BY t.doc_id
+        """,
+        # per-source duplicate rate: distinct md5 identities vs docs
+        "q_dup_rate_by_source": """
+            WITH f AS (
+              SELECT source, md5(text) AS fp, COUNT(*) AS n
+              FROM documents GROUP BY source, md5(text)
+            )
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(SUM(n) AS BIGINT) AS n_docs
+            FROM f GROUP BY source
         """,
         # longest same-tool consecutive run per conversation
         # (gaps-and-islands; tool-less turns break runs)

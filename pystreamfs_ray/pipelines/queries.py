@@ -3604,3 +3604,41 @@ def q_alternation(sf_dir: str):
         return out
 
     return W.per_bucket(t, fn, entity_col="conv_id", num_buckets=_BUCKETS)
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Curation dashboard metric: per source, distinct-text count vs
+    total docs (the duplicate rate that decides which feed needs
+    upstream dedup). One (source, md5) content-hash shuffle — text
+    never moves — then a source-keyed rollup of the hash table."""
+    from pystreamfs_ray.stages.dedup import _md5_hex
+    from pystreamfs_ray.util import arrow_combiner
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (pd.DataFrame({"source": df["source"].to_numpy(),
+                             "fp": _md5_hex(df["text"].to_numpy())})
+               .groupby(["source", "fp"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    per_hash = (docs.map_batches(arrow_combiner(partial),
+                                 batch_format="pyarrow")
+                .groupby(["source", "fp"])
+                .aggregate(Sum("n", alias_name="n")))
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"source": df["source"].to_numpy(),
+                            "one": np.ones(len(df), dtype=np.int64),
+                            "n": df["n"].to_numpy(np.int64)})
+        return (out.groupby("source", sort=False, as_index=False).sum()
+                .rename(columns={"one": "n_distinct", "n": "n_docs"}))
+
+    return (per_hash.map_batches(arrow_combiner(rollup),
+                                 batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("n_distinct", alias_name="n_distinct"),
+                       Sum("n_docs", alias_name="n_docs")))

@@ -2104,3 +2104,17 @@ def test_multi_shard_input_equivalence(ray_session, tmp_path):
     one = one.sort_values("doc_id", ignore_index=True)
     many = many.sort_values("doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(one, many)
+
+
+def test_dup_rate_by_source_replay(ray_session):
+    from pystreamfs_ray.pipelines.queries import q_dup_rate_by_source
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_dup_rate_by_source(sf).to_pandas()
+           .set_index("source").sort_index())
+    d = read_parquet(sf + "/documents.parquet",
+                     columns=["source", "text"]).to_pandas()
+    for src, g in d.groupby("source"):
+        assert got.loc[src, "n_docs"] == len(g)
+        assert got.loc[src, "n_distinct"] == g["text"].nunique()
