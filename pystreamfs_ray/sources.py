@@ -507,3 +507,67 @@ def parquet_footer_stats(paths):
         [{"path": p} for p in paths],
         override_num_blocks=max(1, len(paths)),
     ).map_batches(footers, batch_format="pandas")
+
+
+def read_orc(paths, *, columns=None):
+    """ORC source (Ray 2.49 ships no ``read_orc``): the path list fans
+    out one task per file, each decoding via ``pyarrow.orc`` with
+    column pruning pushed into the reader. A sharded 100-TB ORC layout
+    (many files) parallelizes file-per-task, matching how the parquet
+    reader assigns blocks; single giant ORC files should be re-sharded
+    upstream (stripe-level splitting needs a dedicated datasource)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        paths = (sorted(_glob.glob(_os.path.join(paths, "*.orc")))
+                 if _os.path.isdir(paths) else [paths])
+
+    def load(df) -> pa.Table:
+        import pyarrow.orc as orc
+
+        tables = [orc.read_table(p, columns=columns) for p in df["path"]]
+        return (pa.concat_tables(tables).replace_schema_metadata(None)
+                if tables else pa.table({}))
+
+    return rd.from_items(
+        [{"path": p} for p in paths],
+        override_num_blocks=max(1, len(paths)),
+    ).map_batches(load, batch_format="pandas")
+
+
+def write_orc(ds, out_dir: str) -> int:
+    """ORC sink: one file per streamed block, named by the block's
+    content hash — deterministic (same data → same file set, any
+    partitioning → identical bytes-per-name), so a re-run overwrites
+    idempotently instead of duplicating. Returns the file count."""
+    import os as _os
+
+    import pyarrow as pa
+
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def dump(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        import pyarrow.orc as orc
+
+        if len(t) == 0:
+            return pa.table({"path": pa.array([], type=pa.string())})
+        h = hashlib.md5()
+        for name in sorted(t.column_names):
+            for chunk in t[name].chunks:
+                for buf in (b for b in chunk.buffers() if b is not None):
+                    h.update(buf)
+        path = _os.path.join(out_dir, f"part-{h.hexdigest()}.orc")
+        tmp = path + ".tmp"
+        orc.write_table(t, tmp)
+        _os.replace(tmp, path)  # atomic publish
+        return pa.table({"path": pa.array([path], type=pa.string())})
+
+    files = ds.map_batches(dump, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    return len(files)

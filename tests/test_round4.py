@@ -2118,3 +2118,28 @@ def test_dup_rate_by_source_replay(ray_session):
     for src, g in d.groupby("source"):
         assert got.loc[src, "n_docs"] == len(g)
         assert got.loc[src, "n_distinct"] == g["text"].nunique()
+
+
+def test_orc_roundtrip(ray_session, tmp_path):
+    """ORC sink/source roundtrip: write documents to content-hash-named
+    ORC shards, read them back identically; filenames are deterministic
+    (a rewrite publishes the same file set, no duplicates)."""
+    from pystreamfs_ray.sources import read_orc, read_parquet, write_orc
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    ds = read_parquet(src, columns=["doc_id", "text", "source"])
+    out = str(tmp_path / "docs_orc")
+    n1 = write_orc(ds, out)
+    import os
+    files1 = sorted(os.listdir(out))
+    n2 = write_orc(read_parquet(src, columns=["doc_id", "text", "source"]),
+                   out)
+    assert sorted(os.listdir(out)) == files1 and n1 == n2
+
+    back = (read_orc(out).to_pandas()
+            .sort_values("doc_id", ignore_index=True))
+    want = (ds.to_pandas().sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(back[sorted(back.columns)],
+                                  want[sorted(want.columns)])
+    pruned = read_orc(out, columns=["doc_id"]).to_pandas()
+    assert list(pruned.columns) == ["doc_id"] and len(pruned) == len(want)
