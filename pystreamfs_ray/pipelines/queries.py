@@ -3168,6 +3168,19 @@ def q_zorder(sf_dir: str):
     return keyed.select_columns(["event_id", "zkey"])
 
 
+def _sessionized_rel(g: pd.DataFrame, *, gap_s: float = 1800.0):
+    """Shared session preamble: (ts, event_id)-sorted frame with
+    session_id plus the 2^53-safe rebased float-µs timestamp series
+    (only µs DIFFERENCES are ever emitted, so the rebase cancels)."""
+    g = g.sort_values(["user_id", "ts", "event_id"],
+                      kind="mergesort", ignore_index=True)
+    g = W.sessionize(g, gap_s=gap_s, entity_col="user_id")
+    ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    base = ts_us.min() if len(ts_us) else 0
+    rel = pd.Series((ts_us - base).astype(np.float64), index=g.index)
+    return g, rel
+
+
 def q_attribution(sf_dir: str):
     """Session-level conversion attribution (first-touch): for each
     purchase, the event type that OPENED its 30-min gap session and the
@@ -3178,14 +3191,9 @@ def q_attribution(sf_dir: str):
                       columns=["event_id", "user_id", "ts", "event_type"])
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"],
-                          kind="mergesort", ignore_index=True)
-        g = W.sessionize(g, gap_s=1800, entity_col="user_id")
+        g, rel = _sessionized_rel(g)
         key = [g["user_id"], g["session_id"]]
         first_type = g.groupby(key, sort=False)["event_type"].transform("first")
-        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        base = ts_us.min() if len(ts_us) else 0
-        rel = pd.Series((ts_us - base).astype(np.float64), index=g.index)
         start = rel.groupby(key, sort=False).transform("min")
         m = (g["event_type"] == "purchase").to_numpy()
         return pd.DataFrame({
@@ -3265,12 +3273,7 @@ def q_session_lag(sf_dir: str):
                       columns=["event_id", "user_id", "ts"])
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"],
-                          kind="mergesort", ignore_index=True)
-        g = W.sessionize(g, gap_s=1800, entity_col="user_id")
-        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        base = ts_us.min() if len(ts_us) else 0
-        rel = pd.Series((ts_us - base).astype(np.float64), index=g.index)
+        g, rel = _sessionized_rel(g)
         prev = rel.groupby([g["user_id"], g["session_id"]],
                            sort=False).shift(1)
         return pd.DataFrame({
@@ -3437,31 +3440,11 @@ def q_vocab_growth(sf_dir: str):
     via the entity bucket, so first-occurrence detection is one local
     pandas duplicated() over the exploded token stream; no extra
     shuffle."""
+    from pystreamfs_ray.pipelines.transcripts import vocab_novelty
+
     t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
-
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = W.sort_entity(g, entity_col="conv_id", order_cols=("turn_idx",))
-        toks = g["text"].str.lower().str.findall(r"[a-z0-9_]+")
-        n_tok = toks.str.len().to_numpy(np.int64)
-        conv = np.repeat(g["conv_id"].to_numpy(), n_tok)
-        turn = np.repeat(g["turn_idx"].to_numpy(np.int64), n_tok)
-        flat = np.concatenate(toks.to_list()) if len(g) else np.array([])
-        if flat.size:
-            first = ~pd.DataFrame({"c": conv, "w": flat}).duplicated(
-                ["c", "w"], keep="first").to_numpy()
-            new_per_row = np.add.reduceat(
-                first.astype(np.int64), np.r_[0, np.cumsum(n_tok)[:-1]])
-            # reduceat returns a[i] (not 0) for empty slices at i
-            new_per_row = np.where(n_tok == 0, 0, new_per_row)
-        else:
-            new_per_row = np.zeros(len(g), dtype=np.int64)
-        return pd.DataFrame({
-            "conv_id": g["conv_id"].to_numpy(),
-            "turn_idx": g["turn_idx"].to_numpy(np.int64),
-            "n_new_tokens": new_per_row.astype(np.int64),
-        })
-
-    return W.per_bucket(t, fn, entity_col="conv_id", num_buckets=_BUCKETS)
+    return W.per_bucket(t, vocab_novelty, entity_col="conv_id",
+                        num_buckets=_BUCKETS)
 
 
 def q_peak_rate(sf_dir: str):
@@ -3502,10 +3485,17 @@ def q_ncm_kappa(sf_dir: str):
     ck = df.groupby("pred")["n"].sum()
     E = sum(int(rk.get(k, 0)) * int(ck.get(k, 0))
             for k in set(rk.index) | set(ck.index))
+    denom = N * N - E
+    if denom == 0:
+        # degenerate single-label table: DuckDB's DOUBLE division gives
+        # nan (0/0, all correct) or -inf (chance beats a wrong model)
+        kappa = float("nan") if D == N else float("-inf")
+    else:
+        kappa = float(D * N - E) / float(denom)
     return pd.DataFrame({
         "n": np.array([N], dtype=np.int64),
         "accuracy": [float(D) / float(N)],
-        "kappa": [float(D * N - E) / float(N * N - E)],
+        "kappa": [kappa],
     })
 
 

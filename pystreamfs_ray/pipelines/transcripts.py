@@ -275,3 +275,32 @@ def truncate_context(ts_ds, *, budget_tokens: int = 64,
 
     return per_bucket(ts_ds, _trunc, entity_col="conv_id",
                       num_buckets=num_buckets)
+
+
+def vocab_novelty(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-turn never-seen-before token counts for an entity-sorted
+    bucket (the Heaps-law novelty curve). One duplicated() over the
+    exploded token stream; reduceat runs only over token-bearing rows
+    (a trailing zero-token turn's start offset == flat.size and would
+    raise; interleaved empty turns contribute no elements to the
+    enclosing segment, so skipping them is exact)."""
+    from pystreamfs_ray.stages.window import sort_entity
+
+    g = sort_entity(g, entity_col="conv_id", order_cols=("turn_idx",))
+    toks = g["text"].str.lower().str.findall(r"[a-z0-9_]+")
+    n_tok = toks.str.len().to_numpy(np.int64)
+    conv = np.repeat(g["conv_id"].to_numpy(), n_tok)
+    flat = np.concatenate(toks.to_list()) if len(g) else np.array([])
+    new_per_row = np.zeros(len(g), dtype=np.int64)
+    if flat.size:
+        first = ~pd.DataFrame({"c": conv, "w": flat}).duplicated(
+            ["c", "w"], keep="first").to_numpy()
+        starts = np.r_[0, np.cumsum(n_tok)[:-1]]
+        has = n_tok > 0
+        new_per_row[has] = np.add.reduceat(
+            first.astype(np.int64), starts[has])
+    return pd.DataFrame({
+        "conv_id": g["conv_id"].to_numpy(),
+        "turn_idx": g["turn_idx"].to_numpy(np.int64),
+        "n_new_tokens": new_per_row.astype(np.int64),
+    })

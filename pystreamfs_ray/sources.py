@@ -482,10 +482,19 @@ def parquet_footer_stats(paths):
                 for ci in range(rg.num_columns):
                     if name_of[ci] not in int_cols:
                         continue
-                    st = rg.column(ci).statistics
+                    col = rg.column(ci)
+                    st = col.statistics
+                    # statistics can be absent (write_statistics=False)
+                    # and min/max unset (all-null chunk) — emit NULLs
+                    # like DuckDB's parquet_metadata, never crash
+                    nulls = (int(st.null_count) if st is not None
+                             and st.has_null_count else None)
+                    mn = (int(st.min) if st is not None
+                          and st.has_min_max else None)
+                    mx = (int(st.max) if st is not None
+                          and st.has_min_max else None)
                     rows.append((path, rg_i, name_of[ci],
-                                 int(st.num_values), int(st.null_count),
-                                 int(st.min), int(st.max)))
+                                 int(col.num_values), nulls, mn, mx))
         import pyarrow as pa
 
         out = pd.DataFrame(rows, columns=[
@@ -539,19 +548,30 @@ def read_orc(paths, *, columns=None):
     ).map_batches(load, batch_format="pandas")
 
 
-def write_orc(ds, out_dir: str) -> int:
-    """ORC sink: one file per streamed block, named by the block's
-    content hash — deterministic (same data → same file set, any
-    partitioning → identical bytes-per-name), so a re-run overwrites
-    idempotently instead of duplicating. Returns the file count."""
+def write_orc(ds, out_dir: str, *, overwrite: bool = False) -> int:
+    """ORC sink: one file per streamed block. Names combine the block's
+    content hash with a per-writer uuid so byte-identical blocks (or
+    Arrow layout variants of the same values) NEVER collapse or race —
+    a sink must preserve row multiplicity. Idempotency is directory-
+    level, like ``write_partitioned_parquet``: the target must be empty
+    (or pass ``overwrite=True`` to clear it), so a re-run replaces the
+    output instead of appending duplicates. Returns the file count."""
     import os as _os
+    import shutil as _shutil
 
     import pyarrow as pa
 
+    if _os.path.isdir(out_dir) and _os.listdir(out_dir):
+        if not overwrite:
+            raise FileExistsError(
+                f"{out_dir} is not empty; pass overwrite=True "
+                "(appending would duplicate rows on re-runs)")
+        _shutil.rmtree(out_dir)
     _os.makedirs(out_dir, exist_ok=True)
 
     def dump(t: pa.Table) -> pa.Table:
         import hashlib
+        import uuid
 
         import pyarrow.orc as orc
 
@@ -559,10 +579,11 @@ def write_orc(ds, out_dir: str) -> int:
             return pa.table({"path": pa.array([], type=pa.string())})
         h = hashlib.md5()
         for name in sorted(t.column_names):
-            for chunk in t[name].chunks:
-                for buf in (b for b in chunk.buffers() if b is not None):
-                    h.update(buf)
-        path = _os.path.join(out_dir, f"part-{h.hexdigest()}.orc")
+            arr = t[name].combine_chunks()  # one contiguous Array
+            for buf in (b for b in arr.buffers() if b is not None):
+                h.update(buf)
+        stem = f"part-{h.hexdigest()[:16]}-{uuid.uuid4().hex[:8]}"
+        path = _os.path.join(out_dir, stem + ".orc")
         tmp = path + ".tmp"
         orc.write_table(t, tmp)
         _os.replace(tmp, path)  # atomic publish

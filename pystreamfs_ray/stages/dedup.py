@@ -1419,8 +1419,20 @@ def prefix_dedup(ds, *, text_col: str = "text", num_partitions: int = 32,
         return pd.DataFrame({"__part": g.index.to_numpy(np.int32),
                              "__min": g.to_numpy(dtype=object)})
 
-    partials = parted.select_columns(["__part", text_col]).map_batches(
-        block_min, batch_format="pandas").to_pandas()
+    # combiner mins per block, then a P-row Min aggregate — the driver
+    # receives ONE text per partition, not one per block (snapshot
+    # texts can be MB-scale; a blocks-sized pull of them would be a
+    # driver OOM at the 100 TB shape)
+    from ray.data.aggregate import Min as _Min
+
+    from pystreamfs_ray.util import arrow_combiner
+
+    partials = (parted.select_columns(["__part", text_col])
+                .map_batches(arrow_combiner(block_min),
+                             batch_format="pyarrow")
+                .groupby("__part")
+                .aggregate(_Min("__min", alias_name="__min"))
+                .to_pandas())
     next_min: dict[int, str] = {}
     if len(partials):
         mins = partials.groupby("__part")["__min"].min().sort_index()

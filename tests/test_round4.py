@@ -2121,20 +2121,22 @@ def test_dup_rate_by_source_replay(ray_session):
 
 
 def test_orc_roundtrip(ray_session, tmp_path):
-    """ORC sink/source roundtrip: write documents to content-hash-named
-    ORC shards, read them back identically; filenames are deterministic
-    (a rewrite publishes the same file set, no duplicates)."""
+    """ORC sink/source roundtrip; multiplicity survives byte-identical
+    blocks; non-empty target refuses unless overwrite=True."""
+    import ray.data as rd
+
     from pystreamfs_ray.sources import read_orc, read_parquet, write_orc
 
     src = "/root/testdata/sf0.001/documents.parquet"
     ds = read_parquet(src, columns=["doc_id", "text", "source"])
     out = str(tmp_path / "docs_orc")
-    n1 = write_orc(ds, out)
+    write_orc(ds, out)
     import os
-    files1 = sorted(os.listdir(out))
-    n2 = write_orc(read_parquet(src, columns=["doc_id", "text", "source"]),
-                   out)
-    assert sorted(os.listdir(out)) == files1 and n1 == n2
+    import pytest as _pytest
+    with _pytest.raises(FileExistsError):
+        write_orc(ds, out)
+    write_orc(read_parquet(src, columns=["doc_id", "text", "source"]),
+              out, overwrite=True)
 
     back = (read_orc(out).to_pandas()
             .sort_values("doc_id", ignore_index=True))
@@ -2143,3 +2145,27 @@ def test_orc_roundtrip(ray_session, tmp_path):
                                   want[sorted(want.columns)])
     pruned = read_orc(out, columns=["doc_id"]).to_pandas()
     assert list(pruned.columns) == ["doc_id"] and len(pruned) == len(want)
+
+    # byte-identical blocks must BOTH survive (a sink preserves
+    # multiplicity — the review repro for the hash-collapse bug)
+    dup = rd.from_items([{"a": 1}, {"a": 1}], override_num_blocks=2)
+    out2 = str(tmp_path / "dup_orc")
+    write_orc(dup, out2)
+    assert len(read_orc(out2).to_pandas()) == 2
+
+
+def test_vocab_novelty_zero_token_turns():
+    """Regression (review finding): trailing/interleaved turns with NO
+    [a-z0-9_]+ tokens must yield 0, not an IndexError from reduceat."""
+    from pystreamfs_ray.pipelines.transcripts import vocab_novelty
+
+    g = pd.DataFrame({
+        "conv_id": ["c", "c", "c", "d", "d"],
+        "turn_idx": [0, 1, 2, 0, 1],
+        "text": ["hello world", "???", "", "!!!", "hello"],
+    })
+    out = vocab_novelty(g)
+    assert out["n_new_tokens"].tolist() == [2, 0, 0, 0, 1]
+    all_empty = vocab_novelty(pd.DataFrame({
+        "conv_id": ["e"], "turn_idx": [0], "text": ["?!"]}))
+    assert all_empty["n_new_tokens"].tolist() == [0]
