@@ -294,6 +294,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tool_loops": q.q_tool_loops,
         "q_alternation": q.q_alternation,
         "q_dup_rate_by_source": q.q_dup_rate_by_source,
+        "q_tool_entropy": q.q_tool_entropy,
+        "q_len_slope": q.q_len_slope,
+        "q_burstiness": q.q_burstiness,
     }
 
 
@@ -3058,5 +3061,61 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(COUNT(*) + 1 AS BIGINT) AS n_tokens,
                    ROUND(-SUM(lp) / COUNT(*), 6) AS nll
             FROM per GROUP BY doc_id
+        """,
+        # per-conversation tool-usage Shannon entropy (nats)
+        "q_tool_entropy": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            c AS (
+              SELECT conv_id, tool, CAST(COUNT(*) AS BIGINT) AS c
+              FROM transcripts WHERE tool <> '' GROUP BY conv_id, tool
+            ),
+            n AS (
+              SELECT conv_id, CAST(SUM(c) AS BIGINT) AS n
+              FROM c GROUP BY conv_id
+            )
+            SELECT c.conv_id,
+                   CAST(SUM(c.c) AS BIGINT) AS n_calls,
+                   ROUND(-SUM((CAST(c.c AS DOUBLE) / n.n)
+                              * LN(CAST(c.c AS DOUBLE) / n.n)), 6) AS h
+            FROM c JOIN n USING (conv_id)
+            GROUP BY c.conv_id
+        """,
+        # per-conversation OLS slope of text length over turn_idx,
+        # computed from exact BIGINT moments on both sides
+        "q_len_slope": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            m AS (
+              SELECT conv_id,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(turn_idx) AS BIGINT) AS sx,
+                     CAST(SUM(length(text)) AS BIGINT) AS sy,
+                     CAST(SUM(turn_idx * length(text)) AS BIGINT) AS sxy,
+                     CAST(SUM(turn_idx * turn_idx) AS BIGINT) AS sxx
+              FROM transcripts GROUP BY conv_id
+            )
+            SELECT conv_id, n AS n_turns,
+                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+            FROM m WHERE n >= 2
+        """,
+        # per-user Fano factor of hourly event counts over active hours
+        "q_burstiness": """
+            WITH h AS (
+              SELECT user_id,
+                     epoch_us(ts) // 3600000000 AS hr,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY user_id, hr
+            ),
+            m AS (
+              SELECT user_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_hours,
+                     CAST(SUM(c) AS BIGINT) AS s,
+                     CAST(SUM(c * c) AS BIGINT) AS q
+              FROM h GROUP BY user_id
+            )
+            SELECT user_id, n_hours, s AS n_events,
+                   ROUND(CAST(n_hours * q - s * s AS DOUBLE)
+                         / CAST(n_hours * s AS DOUBLE), 6) AS fano
+            FROM m
         """,
     }

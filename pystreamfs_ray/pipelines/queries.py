@@ -3632,3 +3632,128 @@ def q_dup_rate_by_source(sf_dir: str):
             .groupby("source")
             .aggregate(Sum("n_distinct", alias_name="n_distinct"),
                        Sum("n_docs", alias_name="n_docs")))
+
+
+def q_tool_entropy(sf_dir: str):
+    """Per-conversation Shannon entropy (nats) of the tool-usage
+    distribution over tool-calling turns — the agent-behavior
+    diversity feature (a conversation that only ever calls one tool
+    scores 0). Entity-hash bucketing makes per-conv tool counts
+    complete inside one bucket, so the float entropy is computed once
+    from exact integer counts; output is one row per tool-using
+    conversation. Shuffle: the single conv-bucket exchange."""
+    ts_ds = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["tool"] != ""]
+        if len(g) == 0:
+            return pd.DataFrame({"conv_id": pd.Series([], dtype=str),
+                                 "n_calls": pd.Series([], dtype=np.int64),
+                                 "h": pd.Series([], dtype=np.float64)})
+        c = (g.groupby(["conv_id", "tool"], sort=True)
+             .size().rename("c").reset_index())
+        n = c.groupby("conv_id", sort=False)["c"].transform("sum")
+        p = c["c"].to_numpy(np.float64) / n.to_numpy(np.float64)
+        contrib = pd.Series(-p * np.log(p), index=c.index)
+        out = pd.DataFrame({
+            "conv_id": c["conv_id"],
+            "n_calls": c["c"].astype(np.int64),
+            "h": contrib,
+        }).groupby("conv_id", sort=False, as_index=False).sum()
+        out["n_calls"] = out["n_calls"].astype(np.int64)
+        out["h"] = out["h"].round(6)
+        return out
+
+    return W.per_bucket(ts_ds, part, entity_col="conv_id",
+                        num_buckets=_BUCKETS)
+
+
+def q_len_slope(sf_dir: str):
+    """Per-conversation OLS slope of text length over turn_idx — the
+    within-conversation verbosity-drift feature (do turns grow or
+    shrink as the conversation progresses?). All moments (n, Σx, Σy,
+    Σxy, Σxx) are exact int64 inside the conv bucket (bounds: n ≤ 1e4
+    turns × len ≤ 1e6 chars keeps n·Σxy < 2^62), so engine and oracle
+    divide the SAME two exact integers in IEEE double — bit-identical
+    before the 6-digit round. Convs with a single turn are excluded
+    (slope undefined). Shuffle: the single conv-bucket exchange."""
+    ts_ds = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        x = g["turn_idx"].to_numpy(np.int64)
+        y = np.char.str_len(g["text"].to_numpy(str)).astype(np.int64)
+        d = pd.DataFrame({"conv_id": g["conv_id"].to_numpy(),
+                          "one": np.ones(len(g), dtype=np.int64),
+                          "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
+        s = d.groupby("conv_id", sort=False, as_index=False).sum()
+        s = s[s["one"] >= 2]
+        n = s["one"].to_numpy(np.int64)
+        num = n * s["sxy"].to_numpy(np.int64) - \
+            s["sx"].to_numpy(np.int64) * s["sy"].to_numpy(np.int64)
+        den = n * s["sxx"].to_numpy(np.int64) - \
+            s["sx"].to_numpy(np.int64) ** 2
+        return pd.DataFrame({
+            "conv_id": s["conv_id"],
+            "n_turns": n,
+            "slope": np.round(num.astype(np.float64) /
+                              den.astype(np.float64), 6),
+        })
+
+    return W.per_bucket(ts_ds, part, entity_col="conv_id",
+                        num_buckets=_BUCKETS)
+
+
+def q_burstiness(sf_dir: str):
+    """Per-user Fano factor (var/mean) of hourly event counts over the
+    user's ACTIVE hours — the burstiness feature that separates steady
+    producers from spike traffic (Fano 0 = perfectly regular, >1 =
+    bursty). Two mergeable integer stages: (user, hour) partial counts
+    → Sum, then per-user moment partials (n_hours, Σc, Σc²) → Sum; the
+    one float division happens once on exact int64 moments, identical
+    to the oracle's. Shuffle: two small keyed aggregates; raw events
+    never move."""
+    from pystreamfs_ray.util import arrow_combiner
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def hours(df: pd.DataFrame) -> pd.DataFrame:
+        hr = df["ts"].astype("int64").to_numpy() // 3_600_000_000
+        out = (pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                             "hr": hr})
+               .groupby(["user_id", "hr"], sort=False)
+               .size().rename("c").reset_index())
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    per_hour = (ev.map_batches(arrow_combiner(hours),
+                               batch_format="pyarrow")
+                .groupby(["user_id", "hr"])
+                .aggregate(Sum("c", alias_name="c")))
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy(np.int64)
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                          "n_hours": np.ones(len(df), dtype=np.int64),
+                          "s": c, "q": c * c})
+        return d.groupby("user_id", sort=False, as_index=False).sum()
+
+    agg = (per_hour.map_batches(arrow_combiner(moments),
+                                batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Sum("n_hours", alias_name="n_hours"),
+                      Sum("s", alias_name="s"),
+                      Sum("q", alias_name="q")))
+
+    def fano(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_hours"].to_numpy(np.int64)
+        s = df["s"].to_numpy(np.int64)
+        q = df["q"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "n_hours": n,
+            "n_events": s,
+            "fano": np.round((n * q - s * s).astype(np.float64) /
+                             (n * s).astype(np.float64), 6),
+        })
+
+    return agg.map_batches(fano, batch_format="pandas")

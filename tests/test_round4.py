@@ -2169,3 +2169,59 @@ def test_vocab_novelty_zero_token_turns():
     all_empty = vocab_novelty(pd.DataFrame({
         "conv_id": ["e"], "turn_idx": [0], "text": ["?!"]}))
     assert all_empty["n_new_tokens"].tolist() == [0]
+
+
+def test_tool_entropy_semantics(ray_session):
+    """Single-tool convs score 0; mixed convs score ln-based entropy
+    computed from exact per-conv counts."""
+    from pystreamfs_ray.pipelines.queries import q_tool_entropy
+    from pystreamfs_ray.pipelines.transcripts import transcripts_from_events
+
+    sf = "/root/testdata/sf0.001"
+    got = q_tool_entropy(sf).to_pandas().set_index("conv_id")
+    t = transcripts_from_events(sf).to_pandas()
+    t = t[t["tool"] != ""]
+    for conv, g in t.groupby("conv_id"):
+        c = g["tool"].value_counts().to_numpy(np.float64)
+        p = c / c.sum()
+        want = round(float(-(p * np.log(p)).sum()), 6)
+        assert got.loc[conv, "n_calls"] == len(g)
+        assert abs(got.loc[conv, "h"] - want) < 1e-9
+        if g["tool"].nunique() == 1:
+            assert got.loc[conv, "h"] == 0.0
+
+
+def test_len_slope_matches_polyfit(ray_session):
+    from pystreamfs_ray.pipelines.queries import q_len_slope
+    from pystreamfs_ray.pipelines.transcripts import transcripts_from_events
+
+    sf = "/root/testdata/sf0.001"
+    got = q_len_slope(sf).to_pandas().set_index("conv_id")
+    t = transcripts_from_events(sf).to_pandas()
+    for conv, g in t.groupby("conv_id"):
+        if len(g) < 2:
+            assert conv not in got.index
+            continue
+        x = g["turn_idx"].to_numpy(np.float64)
+        y = g["text"].str.len().to_numpy(np.float64)
+        want = np.polyfit(x, y, 1)[0]
+        assert abs(got.loc[conv, "slope"] - want) < 1e-5, conv
+
+
+def test_burstiness_regular_vs_bursty(ray_session):
+    """Fano factor is 0 for one-event-per-hour users and grows with
+    concentration; verify against a brute-force pandas replay."""
+    from pystreamfs_ray.pipelines.queries import q_burstiness
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_burstiness(sf).to_pandas().set_index("user_id")
+    ev = read_parquet(sf + "/events.parquet",
+                      columns=["user_id", "ts"]).to_pandas()
+    ev["hr"] = ev["ts"].astype("int64") // 3_600_000_000
+    for uid, g in ev.groupby("user_id"):
+        c = g.groupby("hr").size().to_numpy(np.float64)
+        want = round(float(c.var() / c.mean()), 6)
+        assert abs(got.loc[uid, "fano"] - want) < 1e-6
+        assert got.loc[uid, "n_hours"] == g["hr"].nunique()
+        assert got.loc[uid, "n_events"] == len(g)
