@@ -297,6 +297,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tool_entropy": q.q_tool_entropy,
         "q_len_slope": q.q_len_slope,
         "q_burstiness": q.q_burstiness,
+        "q_tool_cooccur": q.q_tool_cooccur,
+        "q_chi2_cells": q.q_chi2_cells,
+        "q_profile_events": q.q_profile_events,
     }
 
 
@@ -3117,5 +3120,60 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    ROUND(CAST(n_hours * q - s * s AS DOUBLE)
                          / CAST(n_hours * s AS DOUBLE), 6) AS fano
             FROM m
+        """,
+        # unordered distinct-tool pairs co-occurring in a conversation
+        "q_tool_cooccur": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            d AS (
+              SELECT DISTINCT conv_id, tool
+              FROM transcripts WHERE tool <> ''
+            )
+            SELECT a.tool AS tool_a, b.tool AS tool_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_convs
+            FROM d a JOIN d b
+              ON a.conv_id = b.conv_id AND a.tool < b.tool
+            GROUP BY a.tool, b.tool
+        """,
+        # chi-squared contingency cells for lang x source, from exact
+        # BIGINT marginals with per-cell float math (no cross-cell sum)
+        "q_chi2_cells": """
+            WITH c AS (
+              SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS observed
+              FROM documents GROUP BY lang, source
+            ),
+            r AS (SELECT lang, CAST(SUM(observed) AS BIGINT) AS rt
+                  FROM c GROUP BY lang),
+            s AS (SELECT source, CAST(SUM(observed) AS BIGINT) AS ct
+                  FROM c GROUP BY source),
+            n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM c)
+            SELECT c.lang, c.source, c.observed,
+                   ROUND(CAST(r.rt * s.ct AS DOUBLE)
+                         / CAST(n.n AS DOUBLE), 6) AS expected,
+                   ROUND((CAST(c.observed AS DOUBLE)
+                          - CAST(r.rt * s.ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+                         * (CAST(c.observed AS DOUBLE)
+                            - CAST(r.rt * s.ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+                         / (CAST(r.rt * s.ct AS DOUBLE) / CAST(n.n AS DOUBLE)),
+                         6) AS contrib
+            FROM c JOIN r USING (lang) JOIN s USING (source), n
+        """,
+        # per-column null count + exact distinct count over events
+        "q_profile_events": """
+            SELECT * FROM (
+              SELECT 'event_id' AS column,
+                     CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                     CAST(COUNT(*) FILTER (event_id IS NULL) AS BIGINT) AS n_nulls
+              FROM events
+              UNION ALL SELECT 'ts', COUNT(DISTINCT ts),
+                     COUNT(*) FILTER (ts IS NULL) FROM events
+              UNION ALL SELECT 'user_id', COUNT(DISTINCT user_id),
+                     COUNT(*) FILTER (user_id IS NULL) FROM events
+              UNION ALL SELECT 'event_type', COUNT(DISTINCT event_type),
+                     COUNT(*) FILTER (event_type IS NULL) FROM events
+              UNION ALL SELECT 'value', COUNT(DISTINCT value),
+                     COUNT(*) FILTER (value IS NULL) FROM events
+              UNION ALL SELECT 'props', COUNT(DISTINCT props),
+                     COUNT(*) FILTER (props IS NULL) FROM events
+            )
         """,
     }

@@ -3757,3 +3757,104 @@ def q_burstiness(sf_dir: str):
         })
 
     return agg.map_batches(fano, batch_format="pandas")
+
+
+def q_tool_cooccur(sf_dir: str):
+    """Tool co-occurrence: for every unordered pair of DISTINCT tools
+    used inside the same conversation, count conversations — the
+    capability-bundle signal (which tools travel together) an agent
+    analytics pipeline reports. Each conv's distinct-tool set is
+    complete inside its entity bucket, so buckets emit exact pair
+    partials; one tiny |tools|²-keyed Sum finishes."""
+    ts_ds = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g[g["tool"] != ""][["conv_id", "tool"]]
+             .drop_duplicates())
+        pairs = d.merge(d, on="conv_id", suffixes=("_a", "_b"))
+        pairs = pairs[pairs["tool_a"] < pairs["tool_b"]]
+        out = (pairs.groupby(["tool_a", "tool_b"], sort=False)
+               .size().rename("n_convs").reset_index())
+        out["n_convs"] = out["n_convs"].astype(np.int64)
+        return out
+
+    partials = W.per_bucket(ts_ds, part, entity_col="conv_id",
+                            num_buckets=_BUCKETS)
+    return (partials.groupby(["tool_a", "tool_b"])
+            .aggregate(Sum("n_convs", alias_name="n_convs")))
+
+
+def q_chi2_cells(sf_dir: str):
+    """Chi-squared contingency cells for lang × source over documents:
+    observed count, expected count under independence, and the cell's
+    chi² contribution — the category-association audit that flags a
+    source feeding one language disproportionately. Counts are exact
+    int64 combiner partials; the float expected/contrib math runs once
+    on the tiny |lang|×|source| table with the same IEEE ops as the
+    oracle (no cross-cell summation, so no association-order risk)."""
+    from pystreamfs_ray.util import arrow_combiner
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["lang", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["lang", "source"], sort=False)
+               .size().rename("observed").reset_index())
+        out["observed"] = out["observed"].astype(np.int64)
+        return out
+
+    cells = (docs.map_batches(arrow_combiner(partial),
+                              batch_format="pyarrow")
+             .groupby(["lang", "source"])
+             .aggregate(Sum("observed", alias_name="observed"))
+             .to_pandas())
+    # tiny driver-side finish: |lang| x |source| rows
+    row_tot = cells.groupby("lang")["observed"].transform("sum")
+    col_tot = cells.groupby("source")["observed"].transform("sum")
+    n = np.int64(cells["observed"].sum())
+    e = ((row_tot.to_numpy(np.int64) * col_tot.to_numpy(np.int64))
+         .astype(np.float64) / np.float64(n))
+    o = cells["observed"].to_numpy(np.int64).astype(np.float64)
+    cells["expected"] = np.round(e, 6)
+    cells["contrib"] = np.round((o - e) * (o - e) / e, 6)
+    cells["observed"] = cells["observed"].astype(np.int64)
+    return cells
+
+
+def q_profile_events(sf_dir: str):
+    """Per-column dataset profile of the events table: null count and
+    exact distinct count — the schema-health report a pipeline runs
+    before training. Nulls are one combiner pass over all columns;
+    distincts are one narrow single-column groupby per column (the
+    column moves, never the table). Scale path above a cardinality
+    budget: the existing HLL sketch (stages/sketch.py) swaps in per
+    column; exact here because the oracle is COUNT(DISTINCT)."""
+    from pystreamfs_ray.util import arrow_combiner
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ev = read_parquet(_p(sf_dir, "events"), columns=cols)
+
+    def null_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "column": cols,
+            "n_nulls": [np.int64(df[c].isna().sum()) for c in cols],
+        })
+
+    nulls = (ev.map_batches(arrow_combiner(null_partial),
+                            batch_format="pyarrow")
+             .groupby("column")
+             .aggregate(Sum("n_nulls", alias_name="n_nulls"))
+             .to_pandas())
+
+    distinct = {}
+    for c in cols:
+        col_ds = read_parquet(_p(sf_dir, "events"), columns=[c])
+        distinct[c] = (col_ds.map_batches(
+            lambda t, _c=c: t.filter(pc.is_valid(t[_c])),
+            batch_format="pyarrow")
+            .groupby(c).count().count())
+    out = pd.DataFrame({"column": cols,
+                        "n_distinct": [np.int64(distinct[c]) for c in cols]})
+    out = out.merge(nulls, on="column")
+    out["n_nulls"] = out["n_nulls"].astype(np.int64)
+    return out

@@ -2225,3 +2225,50 @@ def test_burstiness_regular_vs_bursty(ray_session):
         assert abs(got.loc[uid, "fano"] - want) < 1e-6
         assert got.loc[uid, "n_hours"] == g["hr"].nunique()
         assert got.loc[uid, "n_events"] == len(g)
+
+
+def test_tool_cooccur_replay(ray_session):
+    from pystreamfs_ray.pipelines.queries import q_tool_cooccur
+    from pystreamfs_ray.pipelines.transcripts import transcripts_from_events
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_tool_cooccur(sf).to_pandas()
+           .set_index(["tool_a", "tool_b"])["n_convs"])
+    t = transcripts_from_events(sf).to_pandas()
+    t = t[t["tool"] != ""]
+    from itertools import combinations
+    from collections import Counter
+    want = Counter()
+    for _, g in t.groupby("conv_id"):
+        for a, b in combinations(sorted(g["tool"].unique()), 2):
+            want[(a, b)] += 1
+    assert dict(got) == dict(want)
+
+
+def test_chi2_cells_sums_to_scipy_free_chi2(ray_session):
+    """Cell contributions reconstruct the classic chi² statistic."""
+    from pystreamfs_ray.pipelines.queries import q_chi2_cells
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_chi2_cells(sf)
+    d = read_parquet(sf + "/documents.parquet",
+                     columns=["lang", "source"]).to_pandas()
+    ct = pd.crosstab(d["lang"], d["source"])
+    e = np.outer(ct.sum(1), ct.sum(0)) / ct.to_numpy().sum()
+    mask = ct.to_numpy() > 0  # engine emits observed cells only
+    want = (((ct.to_numpy() - e) ** 2 / e)[mask]).sum()
+    assert abs(got["contrib"].sum() - want) < 1e-3
+    assert got["observed"].sum() == len(d)
+
+
+def test_profile_events_counts(ray_session):
+    from pystreamfs_ray.pipelines.queries import q_profile_events
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_profile_events(sf).set_index("column")
+    ev = read_parquet(sf + "/events.parquet").to_pandas()
+    for c in ev.columns:
+        assert got.loc[c, "n_distinct"] == ev[c].nunique(), c
+        assert got.loc[c, "n_nulls"] == int(ev[c].isna().sum()), c
