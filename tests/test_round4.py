@@ -2272,3 +2272,39 @@ def test_profile_events_counts(ray_session):
     for c in ev.columns:
         assert got.loc[c, "n_distinct"] == ev[c].nunique(), c
         assert got.loc[c, "n_nulls"] == int(ev[c].isna().sum()), c
+
+
+def test_ipc_roundtrip(ray_session, tmp_path):
+    """Arrow IPC sink/source roundtrip: values survive, multiplicity
+    survives byte-identical blocks, column pruning works, and a
+    non-empty target refuses unless overwrite=True."""
+    import pytest as _pytest
+
+    from pystreamfs_ray.sources import read_ipc, read_parquet, write_ipc
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    ds = read_parquet(src, columns=["doc_id", "text", "source"])
+    out = str(tmp_path / "docs_ipc")
+    n_files = write_ipc(ds, out)
+    assert n_files >= 1
+    with _pytest.raises(FileExistsError):
+        write_ipc(ds, out)
+    write_ipc(read_parquet(src, columns=["doc_id", "text", "source"]),
+              out, overwrite=True)
+
+    back = read_ipc(out).to_pandas().sort_values("doc_id",
+                                                 ignore_index=True)
+    want = (read_parquet(src, columns=["doc_id", "text", "source"])
+            .to_pandas().sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(back[want.columns], want)
+
+    pruned = read_ipc(out, columns=["doc_id"]).to_pandas()
+    assert list(pruned.columns) == ["doc_id"]
+    assert sorted(pruned["doc_id"]) == sorted(want["doc_id"])
+
+    # multiplicity: two byte-identical blocks -> both files survive
+    import ray.data as rd
+    dup = rd.from_items([{"a": 1}, {"a": 1}]).repartition(2)
+    out2 = str(tmp_path / "dup_ipc")
+    write_ipc(dup, out2)
+    assert len(read_ipc(out2).to_pandas()) == 2
