@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tool_cooccur": q.q_tool_cooccur,
         "q_chi2_cells": q.q_chi2_cells,
         "q_profile_events": q.q_profile_events,
+        "q_ewma_value": q.q_ewma_value,
     }
 
 
@@ -3175,5 +3176,26 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               UNION ALL SELECT 'props', COUNT(DISTINCT props),
                      COUNT(*) FILTER (props IS NULL) FROM events
             )
+        """,
+        # 4-tap renormalized EWMA of value over the user's last events;
+        # float expression left-associated identically on both sides
+        "q_ewma_value": """
+            WITH o AS (
+              SELECT user_id, event_id, value,
+                     LAG(value, 1) OVER w AS x1,
+                     LAG(value, 2) OVER w AS x2,
+                     LAG(value, 3) OVER w AS x3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, event_id,
+                   ROUND((value + 0.5 * COALESCE(x1, 0)
+                                + 0.25 * COALESCE(x2, 0)
+                                + 0.125 * COALESCE(x3, 0))
+                         / (1 + 0.5 * CASE WHEN x1 IS NULL THEN 0 ELSE 1 END
+                              + 0.25 * CASE WHEN x2 IS NULL THEN 0 ELSE 1 END
+                              + 0.125 * CASE WHEN x3 IS NULL THEN 0 ELSE 1 END),
+                         6) AS ewma
+            FROM o
         """,
     }

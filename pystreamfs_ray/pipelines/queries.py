@@ -3858,3 +3858,44 @@ def q_profile_events(sf_dir: str):
     out = out.merge(nulls, on="column")
     out["n_nulls"] = out["n_nulls"].astype(np.int64)
     return out
+
+
+def q_ewma_value(sf_dir: str):
+    """Per-event bounded exponential smoothing of ``value``: a 4-tap
+    EWMA over the user's last 4 events (weights 1, 1/2, 1/4, 1/8,
+    renormalized when fewer lags exist) — the denoised-signal feature a
+    streaming feature store serves next to the raw value. Each user's
+    event sequence is complete inside its entity bucket, so the lag
+    taps are exact; the float expression is written in the same
+    left-associated order as the oracle's, making the doubles
+    bit-identical before the 6-digit round. Shuffle: one user-bucket
+    exchange."""
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "ts", "user_id", "value"])
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        u = g["user_id"].to_numpy()
+        x = g["value"].to_numpy(np.float64)
+        n = len(g)
+        taps, masks = [], []
+        for k in (1, 2, 3):
+            xs = np.zeros(n, dtype=np.float64)
+            ms = np.zeros(n, dtype=np.float64)
+            if n > k:
+                same = u[k:] == u[:-k]
+                xs[k:] = np.where(same, x[:-k], 0.0)
+                ms[k:] = same.astype(np.float64)
+            taps.append(xs)
+            masks.append(ms)
+        num = x + 0.5 * taps[0] + 0.25 * taps[1] + 0.125 * taps[2]
+        den = 1.0 + 0.5 * masks[0] + 0.25 * masks[1] + 0.125 * masks[2]
+        return pd.DataFrame({
+            "user_id": u,
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "ewma": np.round(num / den, 6),
+        })
+
+    return W.per_bucket(ev, part, entity_col="user_id",
+                        num_buckets=_BUCKETS)

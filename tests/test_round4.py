@@ -2308,3 +2308,28 @@ def test_ipc_roundtrip(ray_session, tmp_path):
     out2 = str(tmp_path / "dup_ipc")
     write_ipc(dup, out2)
     assert len(read_ipc(out2).to_pandas()) == 2
+
+
+def test_ewma_value_semantics(ray_session):
+    """First event of a user equals its raw value; a brute-force pandas
+    replay of the 4-tap renormalized EWMA matches everywhere."""
+    from pystreamfs_ray.pipelines.queries import q_ewma_value
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_ewma_value(sf).to_pandas()
+           .set_index("event_id")["ewma"])
+    ev = (read_parquet(sf + "/events.parquet",
+                       columns=["event_id", "ts", "user_id", "value"])
+          .to_pandas()
+          .sort_values(["user_id", "ts", "event_id"], ignore_index=True))
+    w = [1.0, 0.5, 0.25, 0.125]
+    for _, g in ev.groupby("user_id"):
+        x = g["value"].to_numpy()
+        for i in range(len(g)):
+            taps = [x[i - k] for k in range(min(i, 3) + 1)]
+            want = round(sum(t * w[k] for k, t in enumerate(taps))
+                         / sum(w[: len(taps)]), 6)
+            eid = g["event_id"].iloc[i]
+            assert abs(got.loc[eid] - want) < 1e-9, eid
+        assert got.loc[g["event_id"].iloc[0]] == round(x[0], 6)
