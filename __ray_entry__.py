@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chi2_cells": q.q_chi2_cells,
         "q_profile_events": q.q_profile_events,
         "q_ewma_value": q.q_ewma_value,
+        "q_feature_cross": q.q_feature_cross,
+        "q_span_corrupt": q.q_span_corrupt,
     }
 
 
@@ -3197,5 +3199,39 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                               + 0.125 * CASE WHEN x3 IS NULL THEN 0 ELSE 1 END),
                          6) AS ewma
             FROM o
+        """,
+        # hashed role x tool cross: per-slot turn count + collision audit
+        "q_feature_cross": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            c AS (
+              SELECT role, tool, CAST(COUNT(*) AS BIGINT) AS n
+              FROM transcripts GROUP BY role, tool
+            )
+            SELECT CAST(md5_number_lower(role || '|' || tool) % 64
+                        AS BIGINT) AS bucket,
+                   CAST(SUM(n) AS BIGINT) AS n_turns,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM c GROUP BY bucket
+        """,
+        # deterministic T5-style span corruption (every 4th token,
+        # phase 1) into (input, target) denoising pairs
+        "q_span_corrupt": r"""
+            WITH l AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     array_to_string(list_transform(toks, (w, i) ->
+                       CASE WHEN (i - 1) % 4 = 1 THEN '<mask>'
+                            ELSE w END), ' ') AS input_text,
+                     array_to_string(list_filter(toks, (w, i) ->
+                       (i - 1) % 4 = 1), ' ') AS target_text,
+                     CAST(len(list_filter(toks, (w, i) ->
+                       (i - 1) % 4 = 1)) AS BIGINT) AS n_masked
+              FROM l
+            )
+            SELECT doc_id, input_text, target_text, n_masked
+            FROM m WHERE n_masked > 0
         """,
     }

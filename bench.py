@@ -115,6 +115,10 @@ BENCH_QUERIES = [
     "q_recency",
     "q_incremental_minhash",
     "q_bpe_train",
+    # this session: smoothing / burstiness features and the profiler
+    "q_ewma_value",
+    "q_burstiness",
+    "q_profile_events",
 ]
 
 

@@ -1289,3 +1289,58 @@ def bpe_train(ds, *, text_col: str = "text", num_merges: int = 32,
     return pd.DataFrame(merges, columns=["rank", "left", "right",
                                          "pair_count"]).astype(
         {"rank": np.int64, "pair_count": np.int64})
+
+
+def span_corrupt(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                 every: int = 4, phase: int = 1, sentinel: str = "<mask>"):
+    """T5-style denoising-objective preparation, deterministic variant:
+    tokenize on whitespace and mask every token whose 0-based position
+    is ``phase`` modulo ``every`` (a fixed ~1/``every`` corruption
+    rate, reproducible at any parallelism — no RNG to thread through
+    workers). Emits ``input_text`` (masked tokens replaced by
+    ``sentinel``), ``target_text`` (the masked tokens, space-joined)
+    and ``n_masked``; documents with nothing to mask are dropped.
+    Doc-local and shuffle-free: the whole operator is one vectorized
+    ``map_batches`` over flattened token arrays."""
+
+    def corrupt(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.findall(r"\S+")
+        n = toks.map(len).to_numpy(np.int64)
+        keep_doc = n > 0
+        if not keep_doc.any():
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=df[id_col].dtype),
+                "input_text": pd.Series([], dtype=str),
+                "target_text": pd.Series([], dtype=str),
+                "n_masked": pd.Series([], dtype=np.int64),
+            })
+        ids = df[id_col].to_numpy()[keep_doc]
+        toks = toks[keep_doc]
+        n = n[keep_doc]
+        flat = np.concatenate([np.asarray(v, dtype=object) for v in toks])
+        doc_ix = np.repeat(np.arange(len(toks)), n)
+        # position within each doc, 0-based
+        starts = np.zeros(len(toks), dtype=np.int64)
+        starts[1:] = np.cumsum(n)[:-1]
+        pos = np.arange(len(flat), dtype=np.int64) - starts[doc_ix]
+        masked = (pos % every) == phase
+        inp = flat.copy()
+        inp[masked] = sentinel
+        s_in = pd.Series(inp).groupby(doc_ix, sort=False).agg(" ".join)
+        tgt_doc = doc_ix[masked]
+        s_tgt = pd.Series(flat[masked]).groupby(
+            tgt_doc, sort=False).agg(" ".join)
+        n_masked = np.bincount(doc_ix, weights=masked,
+                               minlength=len(toks)).astype(np.int64)
+        out = pd.DataFrame({
+            id_col: ids,
+            "input_text": s_in.to_numpy(),
+            "n_masked": n_masked,
+        })
+        out["target_text"] = out.index.map(
+            dict(zip(s_tgt.index, s_tgt.to_numpy())))
+        out = out[out["n_masked"] > 0]
+        return out[[id_col, "input_text", "target_text", "n_masked"]]
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        corrupt, batch_format="pandas")

@@ -2333,3 +2333,66 @@ def test_ewma_value_semantics(ray_session):
             eid = g["event_id"].iloc[i]
             assert abs(got.loc[eid] - want) < 1e-9, eid
         assert got.loc[g["event_id"].iloc[0]] == round(x[0], 6)
+
+
+def test_feature_cross_buckets(ray_session):
+    """Slot totals reconstruct the full turn count; pair counts match a
+    pandas crosstab of the derived transcript table."""
+    from pystreamfs_ray.pipelines.queries import q_feature_cross
+    from pystreamfs_ray.pipelines.transcripts import transcripts_from_events
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+
+    sf = "/root/testdata/sf0.001"
+    got = q_feature_cross(sf).set_index("bucket")
+    t = transcripts_from_events(sf).to_pandas()
+    c = t.groupby(["role", "tool"]).size().reset_index(name="n")
+    c["bucket"] = (_md5_lower64(
+        list(c["role"] + "|" + c["tool"])) % np.uint64(64)).astype(np.int64)
+    want = c.groupby("bucket").agg(n_turns=("n", "sum"),
+                                   n_pairs=("n", "size"))
+    assert got["n_turns"].sum() == len(t)
+    pd.testing.assert_frame_equal(
+        got.sort_index(), want.sort_index(), check_dtype=False)
+
+
+def test_profile_columns_nulls_and_negzero(ray_session):
+    """Nulls counted separately (SQL COUNT DISTINCT semantics) and
+    -0.0 folds into +0.0 across batches."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.profile import profile_columns
+
+    rows = [{"a": 1, "b": None, "c": 0.0}, {"a": 1, "b": "x", "c": -0.0},
+            {"a": 2, "b": None, "c": 1.5}, {"a": 3, "b": "y", "c": None}]
+    ds = rd.from_items(rows).repartition(4)  # one row per block
+    got = profile_columns(ds, ["a", "b", "c"]).set_index("column")
+    assert got.loc["a", "n_distinct"] == 3 and got.loc["a", "n_nulls"] == 0
+    assert got.loc["b", "n_distinct"] == 2 and got.loc["b", "n_nulls"] == 2
+    assert got.loc["c", "n_distinct"] == 2 and got.loc["c", "n_nulls"] == 1
+
+
+def test_span_corrupt_reconstructs(ray_session):
+    """Masked + kept tokens reconstruct the original token stream, and
+    the mask rule hits exactly the phase-1 positions."""
+    from pystreamfs_ray.sources import read_parquet
+    from pystreamfs_ray.stages.textstats import span_corrupt
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_parquet(sf + "/documents.parquet",
+                        columns=["doc_id", "text"])
+    got = span_corrupt(docs, every=4, phase=1).to_pandas()
+    raw = docs.to_pandas().set_index("doc_id")["text"]
+    assert len(got) > 0
+    for _, r in got.head(50).iterrows():
+        toks = raw.loc[r["doc_id"]].split()
+        inp = r["input_text"].split()
+        tgt = r["target_text"].split()
+        assert len(inp) == len(toks)
+        ti = 0
+        for i, (a, b) in enumerate(zip(inp, toks)):
+            if i % 4 == 1:
+                assert a == "<mask>" and tgt[ti] == b
+                ti += 1
+            else:
+                assert a == b
+        assert ti == len(tgt) == r["n_masked"]
