@@ -303,6 +303,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ewma_value": q.q_ewma_value,
         "q_feature_cross": q.q_feature_cross,
         "q_span_corrupt": q.q_span_corrupt,
+        "q_audience_overlap": q.q_audience_overlap,
+        "q_activity_streak": q.q_activity_streak,
+        "q_embedding_diversity": q.q_embedding_diversity,
+        "q_pareto_share": q.q_pareto_share,
     }
 
 
@@ -3233,5 +3237,115 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             )
             SELECT doc_id, input_text, target_text, n_masked
             FROM m WHERE n_masked > 0
+        """,
+        # audience Jaccard between event types from exact BIGINT
+        # intersection/union counts
+        "q_audience_overlap": """
+            WITH d AS (
+              SELECT DISTINCT user_id, event_type FROM events
+            ),
+            i AS (
+              SELECT a.event_type AS event_type_a,
+                     b.event_type AS event_type_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_both
+              FROM d a JOIN d b
+                ON a.user_id = b.user_id
+               AND a.event_type < b.event_type
+              GROUP BY a.event_type, b.event_type
+            ),
+            m AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+              FROM d GROUP BY event_type
+            )
+            SELECT i.event_type_a, i.event_type_b, i.n_both,
+                   ma.n_users + mb.n_users - i.n_both AS n_union,
+                   ROUND(CAST(i.n_both AS DOUBLE)
+                         / CAST(ma.n_users + mb.n_users - i.n_both
+                                AS DOUBLE), 6) AS jaccard
+            FROM i
+            JOIN m ma ON ma.event_type = i.event_type_a
+            JOIN m mb ON mb.event_type = i.event_type_b
+        """,
+        # longest consecutive-day streak per user (gaps-and-islands)
+        "q_activity_streak": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ),
+            r AS (
+              SELECT user_id, day,
+                     day - row_number() OVER (PARTITION BY user_id
+                                              ORDER BY day) AS island
+              FROM d
+            ),
+            runs AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+              FROM r GROUP BY user_id, island
+            )
+            SELECT user_id,
+                   CAST(MAX(len) AS BIGINT) AS best_streak,
+                   CAST(SUM(len) AS BIGINT) AS n_active_days
+            FROM runs GROUP BY user_id
+        """,
+        # per-label mean pairwise cosine via the sum-vector identity
+        "q_embedding_diversity": """
+            WITH v AS (
+              SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings
+            ),
+            nv AS (
+              SELECT label,
+                     list_transform(emb, x -> x /
+                       sqrt(list_sum(list_transform(emb, y -> y * y))))
+                       AS ne
+              FROM v
+            ),
+            e AS (
+              SELECT label, unnest(ne) AS x,
+                     generate_subscripts(ne, 1) AS dim
+              FROM nv
+            ),
+            s AS (SELECT label, dim, SUM(x) AS s FROM e
+                  GROUP BY label, dim),
+            g AS (SELECT label, SUM(s * s) AS s2 FROM s GROUP BY label),
+            c AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM embeddings GROUP BY label)
+            SELECT c.label, c.n AS n_vecs,
+                   ROUND((g.s2 - c.n) / (c.n * (c.n - 1.0)), 6)
+                     AS diversity
+            FROM g JOIN c USING (label)
+        """,
+        # 80/20 revenue concentration in exact integer cents; the
+        # crossing row is included (exclusive-prefix test)
+        "q_pareto_share": """
+            WITH u AS (
+              SELECT user_id,
+                     CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM events GROUP BY user_id
+            ),
+            o AS (
+              SELECT user_id, cents,
+                     COALESCE(SUM(cents) OVER (
+                       ORDER BY cents DESC, user_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS pfx
+              FROM u
+            ),
+            t AS (
+              SELECT CAST(SUM(cents) AS BIGINT) AS total,
+                     CAST(COUNT(*) AS BIGINT) AS n_users
+              FROM u
+            )
+            SELECT t.n_users,
+                   CAST(COUNT(*) AS BIGINT) AS n_top_users,
+                   CAST(SUM(o.cents) AS BIGINT) AS top_cents,
+                   t.total AS total_cents,
+                   ROUND(CAST(SUM(o.cents) AS DOUBLE)
+                         / CAST(t.total AS DOUBLE), 6) AS top_share
+            FROM o, t
+            WHERE 5 * o.pfx < 4 * t.total
+            GROUP BY t.n_users, t.total
         """,
     }

@@ -3924,3 +3924,232 @@ def q_span_corrupt(sf_dir: str):
     docs = read_parquet(_p(sf_dir, "documents"),
                         columns=["doc_id", "text"])
     return span_corrupt(docs, every=4, phase=1)
+
+
+def q_audience_overlap(sf_dir: str):
+    """Audience Jaccard between event types: for each unordered pair of
+    event types, |users(a) ∩ users(b)| / |users(a) ∪ users(b)| — the
+    segment-overlap report behind feature-bundle decisions. Shape:
+    batch-deduped (type, user) identity rows → one distinct groupby;
+    each user's type set (≤|types|) expands to pairs inside a user
+    bucket; intersections Sum-merge and unions come from marginals —
+    the float division happens once per pair on exact int64 counts.
+    Output is |types|² rows; raw events shuffle once as deduped pairs."""
+    from pystreamfs_ray.util import arrow_combiner
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["user_id", "event_type"])
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(ignore_index=True)
+
+    pairs_ds = (ev.map_batches(arrow_combiner(dedup),
+                               batch_format="pyarrow")
+                .groupby(["user_id", "event_type"])
+                .aggregate(Count(alias_name="_c")))
+
+    def per_user_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["user_id", "event_type"]]
+        m = d.merge(d, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        out = (m.groupby(["event_type_a", "event_type_b"], sort=False)
+               .size().rename("n_both").reset_index())
+        out["n_both"] = out["n_both"].astype(np.int64)
+        return out
+
+    inter = (W.per_bucket(pairs_ds, per_user_pairs, entity_col="user_id",
+                          num_buckets=_BUCKETS)
+             .groupby(["event_type_a", "event_type_b"])
+             .aggregate(Sum("n_both", alias_name="n_both"))
+             .to_pandas())
+
+    def marg(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("event_type", sort=False)
+               .size().rename("n_users").reset_index())
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    marginals = (pairs_ds.map_batches(arrow_combiner(marg),
+                                      batch_format="pyarrow")
+                 .groupby("event_type")
+                 .aggregate(Sum("n_users", alias_name="n_users"))
+                 .to_pandas().set_index("event_type")["n_users"])
+    na = inter["event_type_a"].map(marginals).to_numpy(np.int64)
+    nb = inter["event_type_b"].map(marginals).to_numpy(np.int64)
+    both = inter["n_both"].to_numpy(np.int64)
+    union = na + nb - both
+    inter["n_union"] = union
+    inter["jaccard"] = np.round(both.astype(np.float64) /
+                                union.astype(np.float64), 6)
+    return inter
+
+
+def q_activity_streak(sf_dir: str):
+    """Longest consecutive-day activity streak per user (the
+    engagement feature): distinct (user, day) via batch dedup + one
+    groupby, then a gaps-and-islands scan inside the user bucket —
+    vectorized diff over the sorted day integers. Exact integer
+    output; one deduped-pair shuffle."""
+    from pystreamfs_ray.util import arrow_combiner
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def days(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["ts"].astype("int64").to_numpy() // 86_400_000_000
+        return (pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                              "day": d})
+                .drop_duplicates(ignore_index=True))
+
+    per_day = (ev.map_batches(arrow_combiner(days),
+                              batch_format="pyarrow")
+               .groupby(["user_id", "day"])
+               .aggregate(Count(alias_name="_c")))
+
+    def streak(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day"], kind="mergesort",
+                          ignore_index=True)
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy(np.int64)
+        brk = np.ones(len(g), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        run_id = np.cumsum(brk)
+        t = pd.DataFrame({"user_id": u, "run": run_id})
+        runs = (t.groupby(["user_id", "run"], sort=False)
+                .size().rename("len").reset_index())
+        out = (runs.groupby("user_id", sort=False, as_index=False)
+               .agg(best_streak=("len", "max"),
+                    n_active_days=("len", "sum")))
+        out["best_streak"] = out["best_streak"].astype(np.int64)
+        out["n_active_days"] = out["n_active_days"].astype(np.int64)
+        return out
+
+    return W.per_bucket(per_day, streak, entity_col="user_id",
+                        num_buckets=_BUCKETS)
+
+
+def q_embedding_diversity(sf_dir: str):
+    """Per-label embedding diversity: the MEAN PAIRWISE COSINE among
+    L2-normalized member vectors, computed WITHOUT materializing pairs
+    via the sum-vector identity mean = (||Σv̂||² − n) / (n(n−1)) — the
+    intra-class-compactness audit that tells you which label's corpus
+    has collapsed to near-duplicates. Shape: per-batch normalized sum
+    partials flattened to (label, dim) rows → one tiny mergeable Sum →
+    driver finish on the |labels|×d table. O(n·d) work for an O(n²)
+    statistic; embeddings shuffle never."""
+    from pystreamfs_ray.util import arrow_combiner
+
+    emb = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in df["embedding"]])
+        mat = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        lab = df["label"].to_numpy(np.int64)
+        frames = []
+        for b in np.unique(lab):
+            m = lab == b
+            s = mat[m].sum(axis=0)
+            frames.append(pd.DataFrame({
+                "label": np.int64(b),
+                "dim": np.arange(len(s), dtype=np.int64),
+                "s": s,
+                "n": np.int64(m.sum()),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    agg = (emb.map_batches(arrow_combiner(partial),
+                           batch_format="pyarrow")
+           .groupby(["label", "dim"])
+           .aggregate(Sum("s", alias_name="s"),
+                      Sum("n", alias_name="n"))
+           .to_pandas())
+    out_rows = []
+    for b, g in agg.groupby("label"):
+        s2 = float((g["s"].to_numpy(np.float64) ** 2).sum())
+        n = float(g["n"].max())  # every dim row carries the label count
+        out_rows.append({
+            "label": np.int64(b),
+            "n_vecs": np.int64(n),
+            "diversity": round((s2 - n) / (n * (n - 1.0)), 6),
+        })
+    return pd.DataFrame(out_rows)
+
+
+def q_pareto_share(sf_dir: str):
+    """Revenue concentration (the 80/20 report): how many top users —
+    by cent-quantized total value, descending — does it take to cover
+    80% of all value, and what exact share do they hold. Per-user cents
+    via combiner + one keyed Sum; the global descending order is a
+    composite int64 key fed to the two-phase distributed prefix sum
+    (``stages/packing.distributed_prefix_sum`` — per-partition totals,
+    driver scan of P integers, per-partition offset cumsum), so the
+    cutoff test ``5·prefix < 4·total`` is evaluated row-locally in
+    exact integer arithmetic and the full ranking never lands on the
+    driver. Key-packing bound: cents·2²¹ needs cents < 2⁴², i.e. per-
+    user totals under ~$44B with user_id < 2²¹ per key block — re-shard
+    the key at larger id spaces."""
+    from pystreamfs_ray.stages.packing import distributed_prefix_sum
+    from pystreamfs_ray.util import arrow_combiner
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["user_id", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "cents": np.floor(df["value"].to_numpy(np.float64)
+                              * 100.0 + 0.5).astype(np.int64),
+        })
+        return out.groupby("user_id", sort=False, as_index=False).sum()
+
+    per_user = (ev.map_batches(arrow_combiner(cents),
+                               batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Sum("cents", alias_name="cents")))
+
+    def ordkey(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # descending by cents, ascending user_id tiebreak, one int64
+        key = (-c) * (1 << 21) + u
+        return t.append_column("ordkey", pa.array(key))
+
+    keyed = per_user.map_batches(ordkey, batch_format="pyarrow")
+    with_pfx = distributed_prefix_sum(keyed, order_col="ordkey",
+                                      value_col="cents")
+
+    def mark(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cents": t["cents"],
+            "pfx": t["prefix_excl"],
+            "one": pa.array(np.ones(len(t), dtype=np.int64)),
+        })
+
+    # consumed twice (global totals, then the cutoff pass) and already
+    # reduced to one row per user — materialize instead of re-running
+    # the prefix-sum pipeline
+    flat = with_pfx.map_batches(mark, batch_format="pyarrow").materialize()
+    total = flat.aggregate(Sum("cents", alias_name="s"),
+                           Sum("one", alias_name="n"))
+    total_cents, n_users = int(total["s"]), int(total["n"])
+
+    def in_top(t: pa.Table) -> pa.Table:
+        pfx = t["pfx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = 5 * pfx < 4 * total_cents
+        c = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "top_cents": pa.array([np.int64(c[keep].sum())]),
+            "n_top": pa.array([np.int64(keep.sum())]),
+        })
+
+    top = (flat.map_batches(in_top, batch_format="pyarrow")
+           .aggregate(Sum("top_cents", alias_name="tc"),
+                      Sum("n_top", alias_name="nt")))
+    tc, nt = int(top["tc"]), int(top["nt"])
+    return pd.DataFrame([{
+        "n_users": np.int64(n_users),
+        "n_top_users": np.int64(nt),
+        "top_cents": np.int64(tc),
+        "total_cents": np.int64(total_cents),
+        "top_share": round(float(np.float64(tc) / np.float64(total_cents)), 6),
+    }])

@@ -2396,3 +2396,89 @@ def test_span_corrupt_reconstructs(ray_session):
             else:
                 assert a == b
         assert ti == len(tgt) == r["n_masked"]
+
+
+def test_audience_overlap_replay(ray_session):
+    from pystreamfs_ray.pipelines.queries import q_audience_overlap
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_audience_overlap(sf)
+           .set_index(["event_type_a", "event_type_b"]))
+    ev = read_parquet(sf + "/events.parquet",
+                      columns=["user_id", "event_type"]).to_pandas()
+    sets = {t: set(g["user_id"]) for t, g in ev.groupby("event_type")}
+    for (a, b), row in got.iterrows():
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert row["n_both"] == inter and row["n_union"] == union
+        assert abs(row["jaccard"] - round(inter / union, 6)) < 1e-9
+    # every overlapping pair present
+    from itertools import combinations
+    for a, b in combinations(sorted(sets), 2):
+        if sets[a] & sets[b]:
+            assert (a, b) in got.index
+
+
+def test_activity_streak_replay(ray_session):
+    from pystreamfs_ray.pipelines.queries import q_activity_streak
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_activity_streak(sf).to_pandas().set_index("user_id")
+    ev = read_parquet(sf + "/events.parquet",
+                      columns=["user_id", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    for uid, g in ev.groupby("user_id"):
+        days = sorted(g["day"].unique())
+        best = cur = 1
+        for p, n in zip(days[:-1], days[1:]):
+            cur = cur + 1 if n == p + 1 else 1
+            best = max(best, cur)
+        assert got.loc[uid, "best_streak"] == best
+        assert got.loc[uid, "n_active_days"] == len(days)
+
+
+def test_embedding_diversity_matches_bruteforce(ray_session):
+    """Sum-vector identity equals the O(n²) mean pairwise cosine."""
+    from pystreamfs_ray.pipelines.queries import q_embedding_diversity
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_embedding_diversity(sf).set_index("label")
+    emb = read_parquet(sf + "/embeddings.parquet",
+                       columns=["label", "embedding"]).to_pandas()
+    for lab, g in emb.groupby("label"):
+        mat = np.stack([np.asarray(v, np.float64) for v in g["embedding"]])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        n = len(mat)
+        want = (sims.sum() - n) / (n * (n - 1))
+        assert got.loc[lab, "n_vecs"] == n
+        assert abs(got.loc[lab, "diversity"] - want) < 1e-6, lab
+
+
+def test_pareto_share_replay(ray_session):
+    """Distributed two-phase cutoff equals the sorted-cumsum replay."""
+    from pystreamfs_ray.pipelines.queries import q_pareto_share
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_pareto_share(sf).iloc[0]
+    ev = read_parquet(sf + "/events.parquet",
+                      columns=["user_id", "value"]).to_pandas()
+    ev["cents"] = np.floor(ev["value"].to_numpy() * 100.0
+                           + 0.5).astype(np.int64)
+    u = (ev.groupby("user_id")["cents"].sum()
+         .reset_index()
+         .sort_values(["cents", "user_id"], ascending=[False, True],
+                      ignore_index=True))
+    total = int(u["cents"].sum())
+    pfx = u["cents"].cumsum().shift(1, fill_value=0).to_numpy()
+    keep = 5 * pfx < 4 * total
+    assert got["n_users"] == len(u)
+    assert got["n_top_users"] == int(keep.sum())
+    assert got["top_cents"] == int(u["cents"][keep].sum())
+    assert got["total_cents"] == total
+    # the crossing row is included: kept cents reach >= 80%
+    assert 5 * got["top_cents"] >= 4 * total
