@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_activity_streak": q.q_activity_streak,
         "q_embedding_diversity": q.q_embedding_diversity,
         "q_pareto_share": q.q_pareto_share,
+        "q_user_features": q.q_user_features,
     }
 
 
@@ -3347,5 +3348,57 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM o, t
             WHERE 5 * o.pfx < 4 * t.total
             GROUP BY t.n_users, t.total
+        """,
+        # one-row-per-user feature-store table (engine: single bucket
+        # pass; oracle: three-CTE join)
+        "q_user_features": """
+            WITH h AS (
+              SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY user_id, hr
+            ),
+            mom AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_hours,
+                     CAST(SUM(c) AS BIGINT) AS n_events,
+                     CAST(SUM(c * c) AS BIGINT) AS q
+              FROM h GROUP BY user_id
+            ),
+            d AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ),
+            r AS (
+              SELECT user_id, day,
+                     day - row_number() OVER (PARTITION BY user_id
+                                              ORDER BY day) AS island
+              FROM d
+            ),
+            runs AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+              FROM r GROUP BY user_id, island
+            ),
+            st AS (
+              SELECT user_id, CAST(MAX(len) AS BIGINT) AS best_streak,
+                     CAST(SUM(len) AS BIGINT) AS n_active_days
+              FROM runs GROUP BY user_id
+            ),
+            tot AS (
+              SELECT user_id,
+                     CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                          AS BIGINT) AS total_cents,
+                     CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+              FROM events GROUP BY user_id
+            )
+            SELECT m.user_id, m.n_events, m.n_hours,
+                   ROUND(CAST(m.n_hours * m.q
+                              - m.n_events * m.n_events AS DOUBLE)
+                         / CAST(m.n_hours * m.n_events AS DOUBLE), 6)
+                     AS fano,
+                   st.best_streak, st.n_active_days,
+                   tot.total_cents, tot.n_types
+            FROM mom m
+            JOIN st USING (user_id)
+            JOIN tot USING (user_id)
         """,
     }

@@ -4153,3 +4153,70 @@ def q_pareto_share(sf_dir: str):
         "total_cents": np.int64(total_cents),
         "top_share": round(float(np.float64(tc) / np.float64(total_cents)), 6),
     }])
+
+
+def q_user_features(sf_dir: str):
+    """Feature-store materialization: the full per-user feature vector
+    (event count, active hours, hourly-burstiness Fano, longest daily
+    streak, active days, cent-exact total value, distinct event types)
+    computed in ONE user-bucket pass — each user's whole history is
+    co-located by the single entity shuffle, so every feature is a
+    vectorized in-bucket aggregate and no second exchange or join
+    exists. This is the one-row-per-entity serving table the north-star
+    pipeline ships to the online store; the oracle rebuilds it as a
+    three-CTE join."""
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["user_id", "ts", "value", "event_type"])
+
+    def feats(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["ts"].astype("int64").to_numpy()
+        base = pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "hr": t // 3_600_000_000,
+            "day": t // 86_400_000_000,
+            "cents": np.floor(g["value"].to_numpy(np.float64)
+                              * 100.0 + 0.5).astype(np.int64),
+            "event_type": g["event_type"].to_numpy(),
+        })
+        per_hr = (base.groupby(["user_id", "hr"], sort=False)
+                  .size().rename("c").reset_index())
+        c = per_hr["c"].to_numpy(np.int64)
+        per_hr["q"] = c * c
+        mom = (per_hr.groupby("user_id", sort=False)
+               .agg(n_hours=("c", "size"), s=("c", "sum"),
+                    q=("q", "sum")))
+        n, s, q = (mom["n_hours"].to_numpy(np.int64),
+                   mom["s"].to_numpy(np.int64),
+                   mom["q"].to_numpy(np.int64))
+        mom["fano"] = np.round((n * q - s * s).astype(np.float64) /
+                               (n * s).astype(np.float64), 6)
+
+        days = (base[["user_id", "day"]].drop_duplicates()
+                .sort_values(["user_id", "day"], kind="mergesort",
+                             ignore_index=True))
+        u = days["user_id"].to_numpy()
+        d = days["day"].to_numpy(np.int64)
+        brk = np.ones(len(days), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        days["run"] = np.cumsum(brk)
+        runs = (days.groupby(["user_id", "run"], sort=False)
+                .size().rename("len").reset_index())
+        streak = (runs.groupby("user_id", sort=False)
+                  .agg(best_streak=("len", "max"),
+                       n_active_days=("len", "sum")))
+
+        tot = (base.groupby("user_id", sort=False)
+               .agg(total_cents=("cents", "sum"),
+                    n_types=("event_type", "nunique")))
+
+        out = mom.join(streak).join(tot).reset_index()
+        out = out.rename(columns={"s": "n_events"}).drop(columns=["q"])
+        for col in ("n_events", "n_hours", "best_streak",
+                    "n_active_days", "total_cents", "n_types"):
+            out[col] = out[col].astype(np.int64)
+        return out[["user_id", "n_events", "n_hours", "fano",
+                    "best_streak", "n_active_days", "total_cents",
+                    "n_types"]]
+
+    return W.per_bucket(ev, feats, entity_col="user_id",
+                        num_buckets=_BUCKETS)

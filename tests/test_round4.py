@@ -2482,3 +2482,25 @@ def test_pareto_share_replay(ray_session):
     assert got["total_cents"] == total
     # the crossing row is included: kept cents reach >= 80%
     assert 5 * got["top_cents"] >= 4 * total
+
+
+def test_user_features_consistency(ray_session):
+    """The one-pass feature table agrees column-for-column with the
+    standalone burstiness and streak operators."""
+    from pystreamfs_ray.pipelines.queries import (
+        q_activity_streak, q_burstiness, q_user_features)
+
+    sf = "/root/testdata/sf0.001"
+    feat = q_user_features(sf).to_pandas().set_index("user_id")
+    b = q_burstiness(sf).to_pandas().set_index("user_id")
+    s = q_activity_streak(sf).to_pandas().set_index("user_id")
+    assert len(feat) == len(b) == len(s)
+    pd.testing.assert_series_equal(
+        feat["fano"].sort_index(), b["fano"].sort_index())
+    pd.testing.assert_series_equal(
+        feat["n_hours"].sort_index(), b["n_hours"].sort_index())
+    pd.testing.assert_series_equal(
+        feat["best_streak"].sort_index(), s["best_streak"].sort_index())
+    pd.testing.assert_series_equal(
+        feat["n_active_days"].sort_index(),
+        s["n_active_days"].sort_index())
