@@ -81,3 +81,13 @@ def test_example_data_health():
     assert r.returncode == 0, r.stderr[-2000:]
     assert "language consistency:" in r.stdout
     assert "PSI:" in r.stdout
+
+
+def test_example_feature_store(tmp_path):
+    out = subprocess.run(
+        [sys.executable, f"{EX}/example_feature_store.py",
+         "/root/testdata/sf0.001", str(tmp_path / "store")],
+        capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "feature table:" in out.stdout
+    assert "wrote" in out.stdout and "shards" in out.stdout
