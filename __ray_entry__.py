@@ -308,6 +308,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_diversity": q.q_embedding_diversity,
         "q_pareto_share": q.q_pareto_share,
         "q_user_features": q.q_user_features,
+        # rows-only: zlib is not expressible in SQL (pytest-gated)
+        "q_compression": q.q_compression,
+        # rows-only: iterative IVF training (pytest bounds the score)
+        "q_ann_ndcg": q.q_ann_ndcg,
     }
 
 

@@ -4220,3 +4220,56 @@ def q_user_features(sf_dir: str):
 
     return W.per_bucket(ev, feats, entity_col="user_id",
                         num_buckets=_BUCKETS)
+
+
+def q_compression(sf_dir: str):
+    """Per-document zlib compressibility (the Gopher quality signal) —
+    non-SQL, rows-only for the driver; pytest pins it to an exact
+    driver-side replay plus planted repetitive vs random fixtures."""
+    from pystreamfs_ray.stages.textstats import compression_ratio
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "text"])
+    return compression_ratio(docs)
+
+
+def _ndcg_frame(exact: pd.DataFrame, approx: pd.DataFrame,
+                id_col: str = "vec_id") -> pd.DataFrame:
+    """nDCG@k of an approximate ranking against the exact top-k:
+    graded relevance = k − true_rank (the exact list's order is the
+    ground truth), DCG discount log2(position + 1). Complements
+    recall@k (set overlap) by ALSO scoring the order the ANN returned."""
+    rows = []
+    for qid, grp in exact.groupby("query_id"):
+        ranked = grp.sort_values("cosine", ascending=False,
+                                 kind="mergesort")
+        k = len(ranked)
+        rel = {v: k - i for i, v in enumerate(ranked[id_col])}
+        ap = (approx[approx["query_id"] == qid]
+              .sort_values("cosine", ascending=False, kind="mergesort"))
+        dcg = sum(rel.get(v, 0) / np.log2(i + 2.0)
+                  for i, v in enumerate(ap[id_col]))
+        idcg = sum((k - i) / np.log2(i + 2.0) for i in range(k))
+        rows.append((int(qid), round(float(dcg / idcg), 6)))
+    return pd.DataFrame(rows, columns=["query_id", "ndcg"])
+
+
+def q_ann_ndcg(sf_dir: str):
+    """nDCG@10 of partial-probe IVF against brute-force exact — the
+    rank-aware ANN quality gate (recall@k treats a shuffled top-k as
+    perfect; nDCG does not). Non-SQL (iterative IVF training); driver
+    checks rows-only, pytest bounds the score on both an identity
+    ranking (=1) and a planted reversal."""
+    from pystreamfs_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    emb = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 10").to_pandas()
+    qmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy()
+    exact = brute_force_topk(emb, qids, qmat, k=10,
+                             concurrency=2).to_pandas()
+    approx = ivf_topk(emb, qids, qmat, k=10, n_cells=16, nprobe=4,
+                      concurrency=2).to_pandas()
+    return _ndcg_frame(exact, approx)

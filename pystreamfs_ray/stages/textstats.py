@@ -1344,3 +1344,32 @@ def span_corrupt(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         corrupt, batch_format="pandas")
+
+
+def compression_ratio(ds, *, id_col: str = "doc_id",
+                      text_col: str = "text", level: int = 6):
+    """Gopher-style compressibility quality signal: per document, the
+    zlib-compressed size over the raw UTF-8 size. Highly repetitive or
+    templated text compresses far below ~0.4 and is a standard
+    low-quality flag; near-random text sits close to (or above) 1.
+    Doc-local and shuffle-free; zlib level fixed so the ratio is
+    deterministic across workers and runs. Non-SQL (DuckDB ships no
+    zlib) — correctness is pytest-gated by an exact driver-side replay
+    and a planted repetitive/random fixture."""
+    import zlib
+
+    def ratio(df: pd.DataFrame) -> pd.DataFrame:
+        raw = [t.encode("utf-8") for t in df[text_col].astype(str)]
+        n_raw = np.array([len(b) for b in raw], dtype=np.int64)
+        n_zip = np.array([len(zlib.compress(b, level)) for b in raw],
+                         dtype=np.int64)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_bytes": n_raw,
+            "n_zip": n_zip,
+            "ratio": np.round(n_zip.astype(np.float64)
+                              / np.maximum(n_raw, 1), 6),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        ratio, batch_format="pandas")

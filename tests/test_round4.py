@@ -2504,3 +2504,51 @@ def test_user_features_consistency(ray_session):
     pd.testing.assert_series_equal(
         feat["n_active_days"].sort_index(),
         s["n_active_days"].sort_index())
+
+
+def test_compression_ratio_signal(ray_session):
+    """Exact zlib replay per doc; planted repetitive text compresses
+    far below planted high-entropy text."""
+    import zlib
+
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.textstats import compression_ratio
+
+    rep = "spam ham " * 200
+    rng = np.random.default_rng(7)
+    rnd = "".join(chr(33 + int(x)) for x in rng.integers(0, 90, 1600))
+    ds = rd.from_items([{"doc_id": 1, "text": rep},
+                        {"doc_id": 2, "text": rnd}])
+    got = compression_ratio(ds).to_pandas().set_index("doc_id")
+    for did, text in [(1, rep), (2, rnd)]:
+        b = text.encode()
+        assert got.loc[did, "n_bytes"] == len(b)
+        assert got.loc[did, "n_zip"] == len(zlib.compress(b, 6))
+    assert got.loc[1, "ratio"] < 0.05 < 0.8 < got.loc[2, "ratio"]
+
+
+def test_ndcg_frame_properties(ray_session):
+    """Identity ranking scores 1; a reversed ranking scores < 1; a
+    disjoint ranking scores 0."""
+    from pystreamfs_ray.pipelines.queries import _ndcg_frame
+
+    exact = pd.DataFrame({
+        "query_id": [0] * 3, "vec_id": [10, 11, 12],
+        "cosine": [0.9, 0.8, 0.7]})
+    same = _ndcg_frame(exact, exact)
+    assert same["ndcg"].iloc[0] == 1.0
+    rev = exact.assign(cosine=[0.1, 0.2, 0.3])
+    r = _ndcg_frame(exact, rev)["ndcg"].iloc[0]
+    assert 0 < r < 1
+    other = exact.assign(vec_id=[99, 98, 97])
+    assert _ndcg_frame(exact, other)["ndcg"].iloc[0] == 0.0
+
+
+def test_ann_ndcg_bounds(ray_session):
+    from pystreamfs_ray.pipelines.queries import q_ann_ndcg
+
+    got = q_ann_ndcg("/root/testdata/sf0.001")
+    assert len(got) == 10
+    assert ((got["ndcg"] >= 0) & (got["ndcg"] <= 1)).all()
+    assert got["ndcg"].mean() > 0.5  # partial probe stays rank-faithful
