@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_compression": q.q_compression,
         # rows-only: iterative IVF training (pytest bounds the score)
         "q_ann_ndcg": q.q_ann_ndcg,
+        "q_k_anonymity": q.q_k_anonymity,
     }
 
 
@@ -3404,5 +3405,20 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM mom m
             JOIN st USING (user_id)
             JOIN tot USING (user_id)
+        """,
+        # k-anonymity audit of the (lang, source) quasi-identifier
+        "q_k_anonymity": """
+            WITH c AS (
+              SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY lang, source
+            ),
+            ks AS (SELECT unnest([2, 5, 10]) AS k)
+            SELECT CAST(ks.k AS BIGINT) AS k,
+                   CAST(COALESCE(SUM(c.n) FILTER (c.n < ks.k), 0)
+                        AS BIGINT) AS n_at_risk,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(MIN(c.n) AS BIGINT) AS min_class
+            FROM ks, c
+            GROUP BY ks.k
         """,
     }

@@ -4273,3 +4273,36 @@ def q_ann_ndcg(sf_dir: str):
     approx = ivf_topk(emb, qids, qmat, k=10, n_cells=16, nprobe=4,
                       concurrency=2).to_pandas()
     return _ndcg_frame(exact, approx)
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit over the (lang, source) quasi-identifier of
+    documents: for each k in {2, 5, 10}, how many documents sit in an
+    equivalence class smaller than k (re-identification risk before a
+    corpus release), plus the class count and the minimum class size.
+    One combiner-count groupby over the tiny quasi-id domain; the
+    threshold sweep is a driver finish on the class-size table."""
+    from pystreamfs_ray.util import arrow_combiner
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["lang", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["lang", "source"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    classes = (docs.map_batches(arrow_combiner(partial),
+                                batch_format="pyarrow")
+               .groupby(["lang", "source"])
+               .aggregate(Sum("n", alias_name="n"))
+               .to_pandas())
+    sizes = classes["n"].to_numpy(np.int64)
+    rows = [{
+        "k": np.int64(k),
+        "n_at_risk": np.int64(sizes[sizes < k].sum()),
+        "n_classes": np.int64(len(sizes)),
+        "min_class": np.int64(sizes.min()),
+    } for k in (2, 5, 10)]
+    return pd.DataFrame(rows)

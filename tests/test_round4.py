@@ -2552,3 +2552,18 @@ def test_ann_ndcg_bounds(ray_session):
     assert len(got) == 10
     assert ((got["ndcg"] >= 0) & (got["ndcg"] <= 1)).all()
     assert got["ndcg"].mean() > 0.5  # partial probe stays rank-faithful
+
+
+def test_k_anonymity_replay(ray_session):
+    from pystreamfs_ray.pipelines.queries import q_k_anonymity
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_k_anonymity(sf).set_index("k")
+    d = read_parquet(sf + "/documents.parquet",
+                     columns=["lang", "source"]).to_pandas()
+    sizes = d.groupby(["lang", "source"]).size()
+    for k in (2, 5, 10):
+        assert got.loc[k, "n_at_risk"] == int(sizes[sizes < k].sum())
+        assert got.loc[k, "n_classes"] == len(sizes)
+        assert got.loc[k, "min_class"] == int(sizes.min())
