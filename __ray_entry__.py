@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: iterative IVF training (pytest bounds the score)
         "q_ann_ndcg": q.q_ann_ndcg,
         "q_k_anonymity": q.q_k_anonymity,
+        "q_gini": q.q_gini,
     }
 
 
@@ -3420,5 +3421,29 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(MIN(c.n) AS BIGINT) AS min_class
             FROM ks, c
             GROUP BY ks.k
+        """,
+        # exact Gini of per-user cents via the rank formula
+        "q_gini": """
+            WITH u AS (
+              SELECT user_id,
+                     CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM events GROUP BY user_id
+            ),
+            r AS (
+              SELECT cents,
+                     row_number() OVER (ORDER BY cents, user_id) AS rk
+              FROM u
+            ),
+            a AS (
+              SELECT CAST(SUM(cents) AS BIGINT) AS s1,
+                     CAST(SUM(rk * cents) AS BIGINT) AS srk,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM r
+            )
+            SELECT n AS n_users, s1 AS total_cents,
+                   ROUND(CAST(2 * srk - (n + 1) * s1 AS DOUBLE)
+                         / CAST(n * s1 AS DOUBLE), 6) AS gini
+            FROM a
         """,
     }

@@ -4306,3 +4306,66 @@ def q_k_anonymity(sf_dir: str):
         "min_class": np.int64(sizes.min()),
     } for k in (2, 5, 10)]
     return pd.DataFrame(rows)
+
+
+def q_gini(sf_dir: str):
+    """Exact Gini coefficient of per-user total value — the inequality
+    metric next to q_pareto_share's 80/20 cut, via the rank formula
+    G = (2·Σ rank·c − (n+1)·Σc) / (n·Σc) on cent-exact integers. The
+    global ascending rank comes from the two-phase distributed prefix
+    sum COUNTING ones (rank = prefix_excl + 1), so no sorted ranking
+    ever lands on the driver; the one float division runs on two exact
+    int64 moments, identical to the oracle's. Bounds: Σ rank·cents
+    needs n·max_cents < 2⁶³ — switch the moment to float128/HUGEINT
+    partials beyond ~10⁹ users × $10⁷ cents."""
+    from pystreamfs_ray.stages.packing import distributed_prefix_sum
+    from pystreamfs_ray.util import arrow_combiner
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["user_id", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "cents": np.floor(df["value"].to_numpy(np.float64)
+                              * 100.0 + 0.5).astype(np.int64),
+        })
+        return out.groupby("user_id", sort=False, as_index=False).sum()
+
+    per_user = (ev.map_batches(arrow_combiner(cents),
+                               batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Sum("cents", alias_name="cents")))
+
+    def ordkey(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = c * (1 << 21) + u  # ascending cents, user_id tiebreak
+        one = np.ones(len(t), dtype=np.int64)
+        return (t.append_column("ordkey", pa.array(key))
+                .append_column("one", pa.array(one)))
+
+    keyed = per_user.map_batches(ordkey, batch_format="pyarrow")
+    ranked = distributed_prefix_sum(keyed, order_col="ordkey",
+                                    value_col="one")
+
+    def moments(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rk = t["prefix_excl"].to_numpy(
+            zero_copy_only=False).astype(np.int64) + 1
+        return pa.table({
+            "s1": pa.array([np.int64(c.sum())]),
+            "srk": pa.array([np.int64((rk * c).sum())]),
+            "n": pa.array([np.int64(len(c))]),
+        })
+
+    agg = (ranked.map_batches(moments, batch_format="pyarrow")
+           .aggregate(Sum("s1", alias_name="s1"),
+                      Sum("srk", alias_name="srk"),
+                      Sum("n", alias_name="n")))
+    s1, srk, n = int(agg["s1"]), int(agg["srk"]), int(agg["n"])
+    return pd.DataFrame([{
+        "n_users": np.int64(n),
+        "total_cents": np.int64(s1),
+        "gini": round(float(np.float64(2 * srk - (n + 1) * s1)
+                            / np.float64(n * s1)), 6),
+    }])

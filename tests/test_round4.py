@@ -2567,3 +2567,26 @@ def test_k_anonymity_replay(ray_session):
         assert got.loc[k, "n_at_risk"] == int(sizes[sizes < k].sum())
         assert got.loc[k, "n_classes"] == len(sizes)
         assert got.loc[k, "min_class"] == int(sizes.min())
+
+
+def test_gini_replay_and_bounds(ray_session):
+    """Distributed rank-formula Gini equals the sorted replay and sits
+    in [0, 1); a uniform distribution would score ~0."""
+    from pystreamfs_ray.pipelines.queries import q_gini
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_gini(sf).iloc[0]
+    ev = read_parquet(sf + "/events.parquet",
+                      columns=["user_id", "value"]).to_pandas()
+    ev["cents"] = np.floor(ev["value"].to_numpy() * 100.0
+                           + 0.5).astype(np.int64)
+    u = (ev.groupby("user_id")["cents"].sum().reset_index()
+         .sort_values(["cents", "user_id"], ignore_index=True))
+    n, s1 = len(u), int(u["cents"].sum())
+    srk = int((np.arange(1, n + 1, dtype=np.int64)
+               * u["cents"].to_numpy(np.int64)).sum())
+    want = round((2 * srk - (n + 1) * s1) / (n * s1), 6)
+    assert got["n_users"] == n and got["total_cents"] == s1
+    assert got["gini"] == want
+    assert 0 <= got["gini"] < 1
