@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_ndcg": q.q_ann_ndcg,
         "q_k_anonymity": q.q_k_anonymity,
         "q_gini": q.q_gini,
+        "q_window_heavy": q.q_window_heavy,
     }
 
 
@@ -3445,5 +3446,22 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    ROUND(CAST(2 * srk - (n + 1) * s1 AS DOUBLE)
                          / CAST(n * s1 AS DOUBLE), 6) AS gini
             FROM a
+        """,
+        # per-day top-3 users by events, user_id tiebreak
+        "q_window_heavy": """
+            WITH c AS (
+              SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY day, user_id
+            ),
+            r AS (
+              SELECT day, user_id, n,
+                     row_number() OVER (PARTITION BY day
+                                        ORDER BY n DESC, user_id) AS rk
+              FROM c
+            )
+            SELECT CAST(day AS BIGINT) AS day, CAST(rk AS BIGINT) AS rk,
+                   user_id, n
+            FROM r WHERE rk <= 3
         """,
     }

@@ -4369,3 +4369,40 @@ def q_gini(sf_dir: str):
         "gini": round(float(np.float64(2 * srk - (n + 1) * s1)
                             / np.float64(n * s1)), 6),
     }])
+
+
+def q_window_heavy(sf_dir: str):
+    """Per-day top-3 users by event count (deterministic user_id
+    tiebreak) — the windowed heavy-hitter dashboard. Exact (day, user)
+    combiner counts → one mergeable Sum → per-day top-k inside day
+    groups (each day's count table is user-bounded). 100-TB path: the
+    capacity-bounded candidate pass of `sketch.heavy_hitters` slots in
+    per window before the exact recount, same as the global query."""
+    from pystreamfs_ray.util import arrow_combiner
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].astype("int64").to_numpy() // 86_400_000_000
+        out = (pd.DataFrame({"day": day,
+                             "user_id": df["user_id"].to_numpy()})
+               .groupby(["day", "user_id"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    per_day = (ev.map_batches(arrow_combiner(counts),
+                              batch_format="pyarrow")
+               .groupby(["day", "user_id"])
+               .aggregate(Sum("n", alias_name="n")))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "user_id"], ascending=[False, True],
+                          kind="mergesort", ignore_index=True).head(3)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["day"] = g["day"].astype(np.int64)
+        g["user_id"] = g["user_id"].astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return g[["day", "rk", "user_id", "n"]]
+
+    return per_day.groupby("day").map_groups(topk, batch_format="pandas")

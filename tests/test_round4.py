@@ -2590,3 +2590,23 @@ def test_gini_replay_and_bounds(ray_session):
     assert got["n_users"] == n and got["total_cents"] == s1
     assert got["gini"] == want
     assert 0 <= got["gini"] < 1
+
+
+def test_window_heavy_replay(ray_session):
+    from pystreamfs_ray.pipelines.queries import q_window_heavy
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_window_heavy(sf).to_pandas()
+           .sort_values(["day", "rk"], ignore_index=True))
+    ev = read_parquet(sf + "/events.parquet",
+                      columns=["user_id", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    for day, g in ev.groupby("day"):
+        c = (g.groupby("user_id").size().reset_index(name="n")
+             .sort_values(["n", "user_id"], ascending=[False, True],
+                          ignore_index=True).head(3))
+        mine = got[got["day"] == day].reset_index(drop=True)
+        assert list(mine["user_id"]) == list(c["user_id"]), day
+        assert list(mine["n"]) == list(c["n"]), day
+        assert list(mine["rk"]) == list(range(1, len(c) + 1))
