@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_k_anonymity": q.q_k_anonymity,
         "q_gini": q.q_gini,
         "q_window_heavy": q.q_window_heavy,
+        "q_asof_nearest": q.q_asof_nearest,
     }
 
 
@@ -3463,5 +3464,39 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT CAST(day AS BIGINT) AS day, CAST(rk AS BIGINT) AS rk,
                    user_id, n
             FROM r WHERE rk <= 3
+        """,
+        # nearest as-of: closest non-purchase per purchase, past wins ties
+        "q_asof_nearest": """
+            WITH l AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase'
+            ),
+            r AS (
+              SELECT user_id, ts, value FROM events
+              WHERE event_type <> 'purchase'
+            ),
+            b AS (
+              SELECT l.event_id, r.ts AS bts, r.value AS bval
+              FROM l ASOF LEFT JOIN r
+                ON l.user_id = r.user_id AND l.ts >= r.ts
+            ),
+            f AS (
+              SELECT l.event_id, r.ts AS fts, r.value AS fval
+              FROM l ASOF LEFT JOIN r
+                ON l.user_id = r.user_id AND l.ts <= r.ts
+            )
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   CASE WHEN bts IS NULL THEN fts
+                        WHEN fts IS NULL THEN bts
+                        WHEN (l.ts - bts) <= (fts - l.ts) THEN bts
+                        ELSE fts END AS ts_matched,
+                   CASE WHEN bts IS NULL THEN fval
+                        WHEN fts IS NULL THEN bval
+                        WHEN (l.ts - bts) <= (fts - l.ts) THEN bval
+                        ELSE fval END AS value_r
+            FROM l
+            JOIN b USING (event_id)
+            JOIN f USING (event_id)
+            WHERE bts IS NOT NULL OR fts IS NOT NULL
         """,
     }

@@ -4406,3 +4406,26 @@ def q_window_heavy(sf_dir: str):
         return g[["day", "rk", "user_id", "n"]]
 
     return per_day.groupby("day").map_groups(topk, batch_format="pandas")
+
+
+def q_asof_nearest(sf_dir: str):
+    """NEAREST as-of join — the missing direction next to backward /
+    forward / tolerance: each purchase matches its temporally CLOSEST
+    non-purchase event of the same user, ties broken toward the past
+    (pandas merge_asof semantics, mirrored by the oracle's
+    ``(l.ts − b.ts) <= (f.ts − l.ts)`` chooser over two DuckDB ASOF
+    joins). Same single bucketed shuffle as every as-of variant."""
+    ev = read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"])
+    left = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts", "value"])
+    right = ev.filter(expr="event_type != 'purchase'").select_columns(
+        ["user_id", "ts", "value"])
+    out = asof_join(
+        left, right, by="user_id", left_on="ts", right_on="ts",
+        how="inner", direction="nearest", allow_exact_matches=True,
+        num_buckets=_BUCKETS,
+    )
+    return out.select_columns(
+        ["event_id", "user_id", "ts", "value", "ts_matched", "value_r"])
