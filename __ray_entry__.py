@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gini": q.q_gini,
         "q_window_heavy": q.q_window_heavy,
         "q_asof_nearest": q.q_asof_nearest,
+        "q_tool_sequences": q.q_tool_sequences,
     }
 
 
@@ -3498,5 +3499,26 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             JOIN b USING (event_id)
             JOIN f USING (event_id)
             WHERE bts IS NOT NULL OR fts IS NOT NULL
+        """,
+        # top-10 ordered tool-sequence motifs, sequence tiebreak
+        "q_tool_sequences": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            s AS (
+              SELECT conv_id,
+                     STRING_AGG(tool, '->' ORDER BY turn_idx) AS seq
+              FROM transcripts WHERE tool <> ''
+              GROUP BY conv_id
+            ),
+            c AS (
+              SELECT seq, CAST(COUNT(*) AS BIGINT) AS n
+              FROM s GROUP BY seq
+            ),
+            r AS (
+              SELECT seq, n,
+                     row_number() OVER (ORDER BY n DESC, seq) AS rk
+              FROM c
+            )
+            SELECT CAST(rk AS BIGINT) AS rk, seq, n
+            FROM r WHERE rk <= 10
         """,
     }

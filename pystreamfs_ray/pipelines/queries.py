@@ -4429,3 +4429,37 @@ def q_asof_nearest(sf_dir: str):
     )
     return out.select_columns(
         ["event_id", "user_id", "ts", "value", "ts_matched", "value_r"])
+
+
+def q_tool_sequences(sf_dir: str):
+    """Top-10 agent tool-sequence motifs: each conversation's ordered
+    tool-call sequence rendered to one arrow-joined string (conv
+    complete inside its entity bucket), counted across the corpus, top
+    10 by count with a deterministic sequence tiebreak — the behavior
+    motif table an agent-analytics pipeline reports. Shuffle: one
+    entity exchange + one sequence-keyed Sum; the top-k finish runs on
+    the bounded motif table."""
+    ts_ds = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+
+    def seq(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["tool"] != ""].sort_values(
+            ["conv_id", "turn_idx"], kind="mergesort", ignore_index=True)
+        if len(g) == 0:
+            return pd.DataFrame({"seq": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        s = (g.groupby("conv_id", sort=False)["tool"]
+             .agg("->".join).rename("seq").reset_index())
+        out = s.groupby("seq", sort=False).size().rename("n").reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    motifs = (W.per_bucket(ts_ds, seq, entity_col="conv_id",
+                           num_buckets=_BUCKETS)
+              .groupby("seq")
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    motifs = motifs.sort_values(["n", "seq"], ascending=[False, True],
+                                ignore_index=True).head(10)
+    motifs["rk"] = np.arange(1, len(motifs) + 1, dtype=np.int64)
+    motifs["n"] = motifs["n"].astype(np.int64)
+    return motifs[["rk", "seq", "n"]]

@@ -2633,3 +2633,21 @@ def test_asof_nearest_semantics(ray_session):
         assert chosen == best, r["event_id"]
         if (dt == best).sum() > 1:  # tie -> past side
             assert np.datetime64(r["ts_matched"]) <= np.datetime64(r["ts"])
+
+
+def test_tool_sequences_replay(ray_session):
+    from pystreamfs_ray.pipelines.queries import q_tool_sequences
+    from pystreamfs_ray.pipelines.transcripts import transcripts_from_events
+
+    sf = "/root/testdata/sf0.001"
+    got = q_tool_sequences(sf)
+    t = transcripts_from_events(sf).to_pandas()
+    t = t[t["tool"] != ""].sort_values(["conv_id", "turn_idx"])
+    seqs = t.groupby("conv_id")["tool"].agg("->".join)
+    want = (seqs.value_counts().rename("n").reset_index()
+            .rename(columns={"index": "seq", "tool": "seq"}))
+    want = want.sort_values(["n", "seq"], ascending=[False, True],
+                            ignore_index=True).head(10)
+    assert list(got["seq"]) == list(want["seq"])
+    assert list(got["n"]) == list(want["n"])
+    assert list(got["rk"]) == list(range(1, len(got) + 1))
