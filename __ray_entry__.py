@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_window_heavy": q.q_window_heavy,
         "q_asof_nearest": q.q_asof_nearest,
         "q_tool_sequences": q.q_tool_sequences,
+        "q_charset_profile": q.q_charset_profile,
+        "q_dedup_savings": q.q_dedup_savings,
     }
 
 
@@ -3520,5 +3522,50 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             )
             SELECT CAST(rk AS BIGINT) AS rk, seq, n
             FROM r WHERE rk <= 10
+        """,
+        # per-doc charset/script-mix profile from exact regex counts
+        "q_charset_profile": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(length(text)
+                          - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                          AS BIGINT) AS n_alpha,
+                     CAST(length(text)
+                          - length(regexp_replace(text, '[0-9]', '', 'g'))
+                          AS BIGINT) AS n_digit,
+                     CAST(length(text)
+                          - length(regexp_replace(text, '\s', '', 'g'))
+                          AS BIGINT) AS n_space,
+                     CAST(length(text)
+                          - length(regexp_replace(text, '[一-鿿]', '', 'g'))
+                          AS BIGINT) AS n_cjk
+              FROM documents
+            )
+            SELECT doc_id, n_chars, n_alpha, n_digit, n_space, n_cjk,
+                   CAST(FLOOR(CAST(n_alpha AS DOUBLE)
+                              / CAST(GREATEST(n_chars, 1) AS DOUBLE)
+                              * 1000000.0 + 0.5) AS BIGINT) AS alpha_ppm,
+                   CAST(FLOOR(CAST(n_cjk AS DOUBLE)
+                              / CAST(GREATEST(n_chars, 1) AS DOUBLE)
+                              * 1000000.0 + 0.5) AS BIGINT) AS cjk_ppm
+            FROM c
+        """,
+        # per-source dedup savings measured in whitespace tokens
+        "q_dedup_savings": r"""
+            WITH f AS (
+              SELECT source, md5(text) AS fp,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(MAX(len(regexp_extract_all(text, '\S+')))
+                          AS BIGINT) AS tok
+              FROM documents GROUP BY source, md5(text)
+            )
+            SELECT source,
+                   CAST(SUM(n * tok) AS BIGINT) AS total_tokens,
+                   CAST(SUM((n - 1) * tok) AS BIGINT) AS saved_tokens,
+                   ROUND(CAST(SUM((n - 1) * tok) AS DOUBLE)
+                         / CAST(GREATEST(SUM(n * tok), 1) AS DOUBLE), 6)
+                     AS saved_frac
+            FROM f GROUP BY source
         """,
     }

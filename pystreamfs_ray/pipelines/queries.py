@@ -4463,3 +4463,97 @@ def q_tool_sequences(sf_dir: str):
     motifs["rk"] = np.arange(1, len(motifs) + 1, dtype=np.int64)
     motifs["n"] = motifs["n"].astype(np.int64)
     return motifs[["rk", "seq", "n"]]
+
+
+def q_charset_profile(sf_dir: str):
+    """Per-document script-mix profile: counts of ASCII letters,
+    digits, whitespace, and CJK codepoints plus their parts-per-million
+    fractions of the total character count — the charset sanity check
+    that catches mojibake and wrong-script contamination before lang-ID
+    trusts the text. Fractions ship as half-up-rounded integer ppm
+    (FLOOR(x·10⁶+0.5)) because a ratio with a power-of-two denominator
+    lands EXACTLY on the 6-digit rounding boundary, where numpy
+    (half-even) and SQL ROUND (half-away) disagree — the one rounding
+    mode both engines compute identically is floor of the same double.
+    Doc-local vectorized regex counts; zero shuffles."""
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "text"])
+
+    def prof(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].astype(str)
+        n = s.str.len().to_numpy(np.int64)
+        alpha = s.str.count(r"[A-Za-z]").to_numpy(np.int64)
+        digit = s.str.count(r"[0-9]").to_numpy(np.int64)
+        space = s.str.count(r"\s").to_numpy(np.int64)
+        cjk = s.str.count(r"[一-鿿]").to_numpy(np.int64)
+        nz = np.maximum(n, 1).astype(np.float64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_chars": n,
+            "n_alpha": alpha,
+            "n_digit": digit,
+            "n_space": space,
+            "n_cjk": cjk,
+            "alpha_ppm": np.floor(alpha.astype(np.float64) / nz
+                                  * 1e6 + 0.5).astype(np.int64),
+            "cjk_ppm": np.floor(cjk.astype(np.float64) / nz
+                                * 1e6 + 0.5).astype(np.int64),
+        })
+
+    return docs.map_batches(prof, batch_format="pandas")
+
+
+def q_dedup_savings(sf_dir: str):
+    """Dedup impact in TOKEN mass, per source: if exact dedup kept one
+    copy per distinct text, how many whitespace tokens disappear — the
+    metric that decides whether a feed's duplication is worth a dedup
+    pass at all (doc counts under-weight long duplicated documents).
+    One (source, md5) content-hash shuffle carrying (copies, tokens)
+    pairs — text itself never moves; per-source rollup computes
+    saved = Σ (copies−1)·tok and the exact savings fraction."""
+    from pystreamfs_ray.stages.dedup import _md5_hex
+    from pystreamfs_ray.util import arrow_combiner
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tok = df["text"].str.count(r"\S+").to_numpy(np.int64)
+        out = pd.DataFrame({
+            "source": df["source"].to_numpy(),
+            "fp": _md5_hex(df["text"].to_numpy()),
+            "n": np.ones(len(df), dtype=np.int64),
+            "tok": tok,
+        })
+        return (out.groupby(["source", "fp"], sort=False, as_index=False)
+                .agg(n=("n", "sum"), tok=("tok", "max")))
+
+    per_fp = (docs.map_batches(arrow_combiner(partial),
+                               batch_format="pyarrow")
+              .groupby(["source", "fp"])
+              .aggregate(Sum("n", alias_name="n"),
+                         Max("tok", alias_name="tok")))
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        tok = df["tok"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "source": df["source"].to_numpy(),
+            "total_tokens": n * tok,
+            "saved_tokens": (n - 1) * tok,
+        })
+        return out.groupby("source", sort=False, as_index=False).sum()
+
+    agg = (per_fp.map_batches(arrow_combiner(rollup),
+                              batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("total_tokens", alias_name="total_tokens"),
+                      Sum("saved_tokens", alias_name="saved_tokens"))
+           .to_pandas())
+    agg["total_tokens"] = agg["total_tokens"].astype(np.int64)
+    agg["saved_tokens"] = agg["saved_tokens"].astype(np.int64)
+    agg["saved_frac"] = np.round(
+        agg["saved_tokens"].to_numpy(np.float64)
+        / np.maximum(agg["total_tokens"].to_numpy(np.int64), 1)
+        .astype(np.float64), 6)
+    return agg

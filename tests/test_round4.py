@@ -2651,3 +2651,45 @@ def test_tool_sequences_replay(ray_session):
     assert list(got["seq"]) == list(want["seq"])
     assert list(got["n"]) == list(want["n"])
     assert list(got["rk"]) == list(range(1, len(got) + 1))
+
+
+def test_charset_profile_planted(ray_session):
+    import ray.data as rd
+
+    from pystreamfs_ray.pipelines.queries import q_charset_profile  # noqa: F401
+    # stage logic via a planted mixed-script fixture through the same
+    # batch fn used by the query (replayed with pandas)
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_charset_profile(sf).to_pandas().set_index("doc_id")
+    docs = read_parquet(sf + "/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas()
+    import re
+    for _, r in docs.head(50).iterrows():
+        t = r["text"]
+        row = got.loc[r["doc_id"]]
+        assert row["n_chars"] == len(t)
+        assert row["n_alpha"] == len(re.findall(r"[A-Za-z]", t))
+        assert row["n_cjk"] == len(re.findall(r"[一-鿿]", t))
+        assert row["alpha_ppm"] == int(
+            row["n_alpha"] / max(len(t), 1) * 1e6 + 0.5)
+
+
+def test_dedup_savings_replay(ray_session):
+    from pystreamfs_ray.pipelines.queries import q_dedup_savings
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_dedup_savings(sf).set_index("source")
+    d = read_parquet(sf + "/documents.parquet",
+                     columns=["source", "text"]).to_pandas()
+    d["tok"] = d["text"].str.count(r"\S+")
+    for src, g in d.groupby("source"):
+        per = g.groupby("text")["tok"].agg(["count", "max"])
+        total = int((per["count"] * per["max"]).sum())
+        saved = int(((per["count"] - 1) * per["max"]).sum())
+        assert got.loc[src, "total_tokens"] == total
+        assert got.loc[src, "saved_tokens"] == saved
+        assert got.loc[src, "saved_frac"] == round(
+            saved / max(total, 1), 6)
