@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tool_sequences": q.q_tool_sequences,
         "q_charset_profile": q.q_charset_profile,
         "q_dedup_savings": q.q_dedup_savings,
+        "q_value_autocorr": q.q_value_autocorr,
     }
 
 
@@ -3567,5 +3568,37 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                          / CAST(GREATEST(SUM(n * tok), 1) AS DOUBLE), 6)
                      AS saved_frac
             FROM f GROUP BY source
+        """,
+        # lag-1 Pearson autocorrelation of cent-quantized value per user
+        "q_value_autocorr": """
+            WITH o AS (
+              SELECT user_id,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c,
+                     LAG(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS px
+              FROM events
+            ),
+            p AS (
+              SELECT user_id, px AS x, c AS y FROM o WHERE px IS NOT NULL
+            ),
+            m AS (
+              SELECT user_id,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(SUM(y * y) AS BIGINT) AS syy
+              FROM p GROUP BY user_id
+            )
+            SELECT user_id, n AS n_pairs,
+                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+                         6) AS autocorr
+            FROM m
+            WHERE n >= 2 AND n * sxx - sx * sx > 0
+              AND n * syy - sy * sy > 0
         """,
     }

@@ -2693,3 +2693,29 @@ def test_dedup_savings_replay(ray_session):
         assert got.loc[src, "saved_tokens"] == saved
         assert got.loc[src, "saved_frac"] == round(
             saved / max(total, 1), 6)
+
+
+def test_value_autocorr_replay(ray_session):
+    from pystreamfs_ray.pipelines.queries import q_value_autocorr
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_value_autocorr(sf).to_pandas().set_index("user_id")
+    ev = (read_parquet(sf + "/events.parquet",
+                       columns=["event_id", "user_id", "ts", "value"])
+          .to_pandas()
+          .sort_values(["user_id", "ts", "event_id"], ignore_index=True))
+    ev["c"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    for uid, g in ev.groupby("user_id"):
+        c = g["c"].to_numpy(np.float64)
+        if len(c) < 3:
+            continue
+        x, y = c[:-1], c[1:]
+        if x.std() == 0 or y.std() == 0:
+            assert uid not in got.index
+            continue
+        want = np.corrcoef(x, y)[0, 1]
+        assert uid in got.index
+        assert abs(got.loc[uid, "autocorr"] - want) < 1e-6, uid
+        assert got.loc[uid, "n_pairs"] == len(x)
+    assert ((got["autocorr"] >= -1) & (got["autocorr"] <= 1)).all()
