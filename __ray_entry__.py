@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_charset_profile": q.q_charset_profile,
         "q_dedup_savings": q.q_dedup_savings,
         "q_value_autocorr": q.q_value_autocorr,
+        "q_churn_dataset": q.q_churn_dataset,
     }
 
 
@@ -3600,5 +3601,36 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM m
             WHERE n >= 2 AND n * sxx - sx * sx > 0
               AND n * syy - sy * sy > 0
+        """,
+        # leakage-safe churn training set: features strictly pre-cutoff,
+        # label from at-or-after cutoff (corpus max ts - 7 days)
+        "q_churn_dataset": """
+            WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+            cut AS (SELECT m - 7 * 86400000000 AS c FROM mx),
+            pre AS (
+              SELECT user_id, epoch_us(ts) AS t,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+              FROM events, cut WHERE epoch_us(ts) < cut.c
+            ),
+            post AS (
+              SELECT DISTINCT user_id FROM events, cut
+              WHERE epoch_us(ts) >= cut.c
+            ),
+            f AS (
+              SELECT user_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(SUM(cents) AS BIGINT) AS total_cents,
+                     CAST(COUNT(DISTINCT t // 86400000000) AS BIGINT)
+                       AS n_active_days,
+                     CAST(MAX(t) AS BIGINT) AS last_ts
+              FROM pre GROUP BY user_id
+            )
+            SELECT f.user_id, f.n_events, f.total_cents, f.n_active_days,
+                   CAST((cut.c - f.last_ts) // 86400000000 AS BIGINT)
+                     AS recency_days,
+                   CAST(CASE WHEN p.user_id IS NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS churned
+            FROM f CROSS JOIN cut
+            LEFT JOIN post p ON p.user_id = f.user_id
         """,
     }

@@ -4604,3 +4604,63 @@ def q_value_autocorr(sf_dir: str):
 
     return W.per_bucket(ev, part, entity_col="user_id",
                         num_buckets=_BUCKETS)
+
+
+def q_churn_dataset(sf_dir: str):
+    """Leakage-safe churn training set: features from events STRICTLY
+    BEFORE the cutoff (corpus max ts − 7 days), the label (churned = no
+    activity at-or-after cutoff) from the other side — the point-in-
+    time dataset-assembly discipline of the north-star pipeline applied
+    to a supervised table. One metadata-sized Max aggregate fixes the
+    integer-µs cutoff; one user-bucket pass computes pre-cutoff
+    features (count, cent total, active days, recency at cutoff) AND
+    the post-cutoff presence bit together, so no row is read twice and
+    nothing can leak: the feature arrays are masked to ts < cutoff by
+    construction. Cold-start users (no pre-cutoff events) are excluded."""
+    from ray.data.aggregate import Max as _Max
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["user_id", "ts", "value"])
+    max_us = int(pd.Timestamp(
+        ev.aggregate(_Max("ts", alias_name="m"))["m"]).value // 1000)
+    cutoff_us = max_us - 7 * 86_400_000_000
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["ts"].astype("int64").to_numpy()
+        u = g["user_id"].to_numpy(np.int64)
+        cents = np.floor(g["value"].to_numpy(np.float64)
+                         * 100.0 + 0.5).astype(np.int64)
+        pre = t < cutoff_us
+        d = pd.DataFrame({
+            "user_id": u,
+            "pre": pre.astype(np.int64),
+            "post": (~pre).astype(np.int64),
+            "cents": np.where(pre, cents, 0),
+            "pre_ts": np.where(pre, t, np.int64(-1)),
+            "day": np.where(pre, t // 86_400_000_000, np.int64(-1)),
+        })
+        days = (d[d["pre"] == 1][["user_id", "day"]]
+                .drop_duplicates()
+                .groupby("user_id", sort=False).size()
+                .rename("n_active_days"))
+        agg = (d.groupby("user_id", sort=False)
+               .agg(n_events=("pre", "sum"),
+                    n_post=("post", "sum"),
+                    total_cents=("cents", "sum"),
+                    last_ts=("pre_ts", "max")))
+        agg = agg.join(days)
+        agg = agg[agg["n_events"] > 0].reset_index()
+        rec = (cutoff_us - agg["last_ts"].to_numpy(np.int64)) \
+            // 86_400_000_000
+        return pd.DataFrame({
+            "user_id": agg["user_id"].astype(np.int64),
+            "n_events": agg["n_events"].astype(np.int64),
+            "total_cents": agg["total_cents"].astype(np.int64),
+            "n_active_days": agg["n_active_days"].astype(np.int64),
+            "recency_days": rec.astype(np.int64),
+            "churned": (agg["n_post"].to_numpy(np.int64) == 0)
+            .astype(np.int64),
+        })
+
+    return W.per_bucket(ev, part, entity_col="user_id",
+                        num_buckets=_BUCKETS)
