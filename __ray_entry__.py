@@ -321,6 +321,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_savings": q.q_dedup_savings,
         "q_value_autocorr": q.q_value_autocorr,
         "q_churn_dataset": q.q_churn_dataset,
+        "q_scd2": q.q_scd2,
+        "q_resample_daily": q.q_resample_daily,
+        "q_multi_horizon": q.q_multi_horizon,
     }
 
 
@@ -3632,5 +3635,91 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         AS BIGINT) AS churned
             FROM f CROSS JOIN cut
             LEFT JOIN post p ON p.user_id = f.user_id
+        """,
+        # SCD2 run compression: gaps-and-islands over the per-user
+        # ordered state stream; open intervals end at the 9999-12-31
+        # high date (253402300799000000 µs) so the column is plain int64
+        "q_scd2": """
+            WITH e AS (
+              SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+                     CASE WHEN LAG(event_type) OVER (
+                              PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id)
+                          IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events
+            ),
+            i AS (
+              SELECT *, SUM(chg) OVER (PARTITION BY user_id
+                                       ORDER BY t, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS isl
+              FROM e
+            ),
+            r AS (
+              SELECT user_id, isl, ANY_VALUE(event_type) AS event_type,
+                     CAST(MIN(t) AS BIGINT) AS valid_from_us,
+                     CAST(COUNT(*) AS BIGINT) AS run_len
+              FROM i GROUP BY user_id, isl
+            )
+            SELECT user_id, event_type, valid_from_us,
+                   CAST(COALESCE(
+                     LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                               ORDER BY isl),
+                     253402300799000000) AS BIGINT) AS valid_to_us,
+                   run_len
+            FROM r
+        """,
+        # daily grid + forward-fill: per-day last value (ties broken by
+        # event_id) joined onto a generate_series grid, filled with
+        # LAST_VALUE IGNORE NULLS — values pass through bit-exact
+        "q_resample_daily": """
+            WITH b AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS day, value,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id, epoch_us(ts) // 86400000000
+                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+              FROM events
+            ),
+            d AS (SELECT user_id, day, value FROM b WHERE rn = 1),
+            s AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+                  FROM d GROUP BY user_id),
+            g AS (SELECT user_id, UNNEST(generate_series(d0, d1)) AS day
+                  FROM s)
+            SELECT g.user_id, CAST(g.day AS BIGINT) AS day,
+                   LAST_VALUE(d.value IGNORE NULLS) OVER (
+                     PARTITION BY g.user_id ORDER BY g.day) AS value
+            FROM g LEFT JOIN d USING (user_id, day)
+        """,
+        # trailing 1/7/30-day lookback features at the corpus-max-ts
+        # cutoff; velocity float division mirrored op-for-op
+        "q_multi_horizon": """
+            WITH mx AS (SELECT MAX(epoch_us(ts)) AS c FROM events),
+            e AS (
+              SELECT user_id, event_type, epoch_us(ts) AS t,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents,
+                     mx.c AS c
+              FROM events, mx
+            ),
+            f AS (
+              SELECT user_id,
+                CAST(SUM(CASE WHEN t > c - 86400000000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_1d,
+                CAST(SUM(CASE WHEN t > c - 7 * 86400000000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_7d,
+                CAST(SUM(CASE WHEN t > c - 30 * 86400000000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_30d,
+                CAST(COUNT(DISTINCT CASE WHEN t > c - 7 * 86400000000
+                                         THEN event_type END)
+                     AS BIGINT) AS d_types_7d,
+                CAST(SUM(CASE WHEN t > c - 30 * 86400000000
+                              THEN cents ELSE 0 END) AS BIGINT)
+                  AS cents_30d
+              FROM e GROUP BY user_id
+            )
+            SELECT user_id, n_1d, n_7d, n_30d, d_types_7d, cents_30d,
+                   CASE WHEN n_7d = 0 THEN 0.0
+                        ELSE ROUND(CAST(n_1d AS DOUBLE) / n_7d, 6)
+                   END AS velocity_ratio
+            FROM f WHERE n_30d > 0
         """,
     }

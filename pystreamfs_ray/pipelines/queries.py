@@ -4664,3 +4664,97 @@ def q_churn_dataset(sf_dir: str):
 
     return W.per_bucket(ev, part, entity_col="user_id",
                         num_buckets=_BUCKETS)
+
+
+def q_scd2(sf_dir: str):
+    """SCD2 validity intervals from the event stream: each user's
+    time-ordered event_type sequence compressed into [valid_from_us,
+    valid_to_us) runs with run lengths — the warehouse history-table
+    build. One entity shuffle, vectorized change-point scan; the open
+    interval carries the conventional 9999-12-31 high date so the
+    column stays plain int64 (no nullable ints in the hash compare)."""
+    from pystreamfs_ray.stages.temporal import scd2_intervals
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["user_id", "event_type", "ts", "event_id"])
+    return scd2_intervals(ev, entity_col="user_id",
+                          state_col="event_type", ts_col="ts",
+                          tiebreak_col="event_id", num_buckets=_BUCKETS)
+
+
+def q_resample_daily(sf_dir: str):
+    """Daily feature-snapshot grid: per user one row per calendar day
+    from first to last activity, forward-filling the last observed
+    value — the fixed-cadence materialization a feature store serves
+    from. Values pass through untouched (bit-exact vs the oracle's
+    LAST_VALUE IGNORE NULLS); day is the µs-epoch floor-div day
+    index."""
+    from pystreamfs_ray.stages.temporal import resample_ffill
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["user_id", "ts", "value", "event_id"])
+    return resample_ffill(ev, entity_col="user_id", ts_col="ts",
+                          value_col="value", tiebreak_col="event_id",
+                          num_buckets=_BUCKETS)
+
+
+def q_multi_horizon(sf_dir: str):
+    """Multi-horizon trailing-window features at a fixed cutoff (the
+    corpus max ts): per user, event counts in the trailing 1/7/30-day
+    windows ending at the cutoff (inclusive), distinct event types and
+    integer-cent spend in the 7/30-day windows, and the 1d:7d velocity
+    ratio — the classic point-in-time lookback feature vector. One
+    metadata-sized Max fixes the cutoff; one entity-bucket pass
+    computes every horizon from the same masked arrays (no row is read
+    twice, no window leaks past the cutoff by construction). Users with
+    no event in the 30-day window are dropped."""
+    from ray.data.aggregate import Max as _Max
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["user_id", "ts", "event_type", "value"])
+    cutoff_us = int(pd.Timestamp(
+        ev.aggregate(_Max("ts", alias_name="m"))["m"]).value // 1000)
+    day_us = 86_400_000_000
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["ts"].astype("int64").to_numpy()
+        u = g["user_id"].to_numpy(np.int64)
+        cents = np.floor(g["value"].to_numpy(np.float64)
+                         * 100.0 + 0.5).astype(np.int64)
+        in30 = (t > cutoff_us - 30 * day_us) & (t <= cutoff_us)
+        in7 = in30 & (t > cutoff_us - 7 * day_us)
+        in1 = in7 & (t > cutoff_us - day_us)
+        d = pd.DataFrame({
+            "user_id": u,
+            "n_1d": in1.astype(np.int64),
+            "n_7d": in7.astype(np.int64),
+            "n_30d": in30.astype(np.int64),
+            "cents_30d": np.where(in30, cents, 0),
+            "t7": np.where(in7, g["event_type"].to_numpy(object), None),
+        })
+        types7 = (d[d["n_7d"] == 1][["user_id", "t7"]]
+                  .drop_duplicates()
+                  .groupby("user_id", sort=False).size()
+                  .rename("d_types_7d"))
+        agg = (d.groupby("user_id", sort=False)
+               .agg(n_1d=("n_1d", "sum"), n_7d=("n_7d", "sum"),
+                    n_30d=("n_30d", "sum"), cents_30d=("cents_30d", "sum")))
+        agg = agg.join(types7)
+        agg = agg[agg["n_30d"] > 0].reset_index()
+        n7 = agg["n_7d"].to_numpy(np.int64)
+        n1 = agg["n_1d"].to_numpy(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vel = np.where(n7 == 0, 0.0,
+                           np.round(n1 / np.maximum(n7, 1), 6))
+        return pd.DataFrame({
+            "user_id": agg["user_id"].astype(np.int64),
+            "n_1d": agg["n_1d"].astype(np.int64),
+            "n_7d": agg["n_7d"].astype(np.int64),
+            "n_30d": agg["n_30d"].astype(np.int64),
+            "d_types_7d": agg["d_types_7d"].fillna(0).astype(np.int64),
+            "cents_30d": agg["cents_30d"].astype(np.int64),
+            "velocity_ratio": vel,
+        })
+
+    return W.per_bucket(ev, part, entity_col="user_id",
+                        num_buckets=_BUCKETS)

@@ -2719,3 +2719,75 @@ def test_value_autocorr_replay(ray_session):
         assert abs(got.loc[uid, "autocorr"] - want) < 1e-6, uid
         assert got.loc[uid, "n_pairs"] == len(x)
     assert ((got["autocorr"] >= -1) & (got["autocorr"] <= 1)).all()
+
+
+def test_scd2_intervals_semantics(ray_session):
+    """Run compression on a hand-built stream: interval boundaries,
+    run lengths, the open-interval high date, and the guarantee that
+    reassembling the runs reproduces the original per-user state
+    sequence length."""
+    import ray
+
+    from pystreamfs_ray.stages.temporal import (SCD2_OPEN_END_US,
+                                                scd2_intervals)
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2],
+        "event_type": ["a", "a", "b", "a", "x", "x"],
+        "ts": pd.to_datetime([10, 20, 30, 40, 15, 25], unit="s"),
+        "event_id": [1, 2, 3, 4, 5, 6],
+    })
+    out = (scd2_intervals(ray.data.from_pandas(df), num_buckets=4)
+           .to_pandas().sort_values(["user_id", "valid_from_us"],
+                                    ignore_index=True))
+    s = 1_000_000
+    assert out["run_len"].tolist() == [2, 1, 1, 2]
+    assert out["event_type"].tolist() == ["a", "b", "a", "x"]
+    assert out["valid_from_us"].tolist() == [10 * s, 30 * s, 40 * s, 15 * s]
+    assert out["valid_to_us"].tolist() == [
+        30 * s, 40 * s, SCD2_OPEN_END_US, SCD2_OPEN_END_US]
+    # runs cover every source row exactly once
+    assert int(out["run_len"].sum()) == len(df)
+
+
+def test_resample_ffill_gaps_and_spans(ray_session):
+    """Grid rows span first..last active day per user; gap days carry
+    the forward-filled value; the last event of a day (event_id
+    tiebreak) wins."""
+    import ray
+
+    from pystreamfs_ray.stages.temporal import resample_ffill
+
+    day = 86_400_000_000
+    df = pd.DataFrame({
+        "user_id": [7, 7, 7, 9],
+        "ts": pd.to_datetime([0 * day, 0 * day, 3 * day, 5 * day],
+                             unit="us"),
+        "value": [1.0, 2.0, 9.0, 4.0],
+        "event_id": [2, 1, 3, 4],
+    })
+    # day-0 ts tie: (ts, event_id) order puts event_id 2 last, so its
+    # value 1.0 is the day's snapshot
+    out = (resample_ffill(ray.data.from_pandas(df), num_buckets=4)
+           .to_pandas().sort_values(["user_id", "day"],
+                                    ignore_index=True))
+    u7 = out[out["user_id"] == 7]
+    assert u7["day"].tolist() == [0, 1, 2, 3]
+    assert u7["value"].tolist() == [1.0, 1.0, 1.0, 9.0]
+    u9 = out[out["user_id"] == 9]
+    assert u9["day"].tolist() == [5]
+    assert u9["value"].tolist() == [4.0]
+
+
+def test_multi_horizon_window_nesting(ray_session):
+    """The trailing windows nest (n_1d <= n_7d <= n_30d) and exclude
+    anything before the 30-day cutoff; a user active only outside the
+    30-day window is dropped."""
+    from pystreamfs_ray.pipelines.queries import q_multi_horizon
+
+    out = q_multi_horizon("/root/testdata/sf0.001")
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert (out["n_1d"] <= out["n_7d"]).all()
+    assert (out["n_7d"] <= out["n_30d"]).all()
+    assert (out["n_30d"] > 0).all()
+    assert (out["d_types_7d"] <= out["n_7d"]).all()
