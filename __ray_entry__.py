@@ -324,6 +324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_scd2": q.q_scd2,
         "q_resample_daily": q.q_resample_daily,
         "q_multi_horizon": q.q_multi_horizon,
+        "q_event_transitions": q.q_event_transitions,
+        "q_target_encode": q.q_target_encode,
     }
 
 
@@ -3721,5 +3723,54 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         ELSE ROUND(CAST(n_1d AS DOUBLE) / n_7d, 6)
                    END AS velocity_ratio
             FROM f WHERE n_30d > 0
+        """,
+        # first-order Markov transitions over per-user event-type
+        # sequences, with the row-conditional probability
+        "q_event_transitions": """
+            WITH o AS (
+              SELECT event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                       AS prev_type
+              FROM events
+            ),
+            c AS (
+              SELECT prev_type, event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n_trans
+              FROM o WHERE prev_type IS NOT NULL
+              GROUP BY prev_type, event_type
+            )
+            SELECT prev_type, event_type, n_trans,
+                   ROUND(CAST(n_trans AS DOUBLE)
+                         / CAST(SUM(n_trans)
+                                OVER (PARTITION BY prev_type) AS DOUBLE),
+                         6) AS prob
+            FROM c
+        """,
+        # m-estimate (m=20) target encoding of event_type by mean value
+        "q_target_encode": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+              FROM events
+            ),
+            g AS (
+              SELECT event_type,
+                     CAST(SUM(c) AS BIGINT) AS sc,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM c GROUP BY event_type
+            ),
+            t AS (
+              SELECT CAST(SUM(c) AS BIGINT) AS gs,
+                     CAST(COUNT(*) AS BIGINT) AS gn
+              FROM c
+            )
+            SELECT event_type, n_events,
+                   ROUND((CAST(sc AS DOUBLE)
+                          + 20.0 * (CAST(gs AS DOUBLE)
+                                    / CAST(gn AS DOUBLE)))
+                         / (CAST(n_events AS DOUBLE) + 20.0) / 100.0,
+                         6) AS target_enc
+            FROM g, t
         """,
     }

@@ -4758,3 +4758,84 @@ def q_multi_horizon(sf_dir: str):
 
     return W.per_bucket(ev, part, entity_col="user_id",
                         num_buckets=_BUCKETS)
+
+
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition table over per-user event-type
+    sequences — the behavioral-grammar feature (what follows what)
+    used for next-action models and anomaly scoring. Consecutive
+    pairs form inside the user bucket (vectorized shift under the
+    (ts, event_id) total order); each bucket pre-aggregates to local
+    (prev, cur) counts so the global reduce is |types|²-bounded; the
+    row-conditional probability is one mirrored float division over
+    exact int64 counts. Shuffle: one user-bucket exchange + one
+    bounded pair reduce."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "user_id", "ts", "event_type"])
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort",
+                          ignore_index=True)
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["event_type"].to_numpy(object)
+        same = u[1:] == u[:-1]
+        d = pd.DataFrame({"prev_type": t[:-1][same],
+                          "event_type": t[1:][same]})
+        out = (d.groupby(["prev_type", "event_type"], sort=False)
+               .size().reset_index(name="n_trans"))
+        out["n_trans"] = out["n_trans"].astype(np.int64)
+        return out
+
+    agg = (W.per_bucket(ev, part, entity_col="user_id",
+                        num_buckets=_BUCKETS)
+           .groupby(["prev_type", "event_type"])
+           .aggregate(_Sum("n_trans", alias_name="n_trans"))
+           .to_pandas())  # |types|²-bounded
+    n = agg["n_trans"].to_numpy(np.int64)
+    tot = (agg.groupby("prev_type")["n_trans"].transform("sum")
+           .to_numpy(np.int64))
+    agg["prob"] = np.round(n.astype(np.float64) / tot.astype(np.float64), 6)
+    return agg.sort_values(["prev_type", "event_type"], ignore_index=True)
+
+
+def q_target_encode(sf_dir: str):
+    """m-estimate target encoding of event_type by mean event value —
+    the smoothed categorical encoder (enc = (Σy + m·prior)/(n + m),
+    m=20) that backs high-cardinality features without per-row
+    leakage of rare-category noise. Per-type (count, cent-sum)
+    partials combine per batch, so the exchange is |types|-bounded;
+    the prior and the encoding are each ONE float expression written
+    in the oracle's operation order over exact int64 moments."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from pystreamfs_ray.util import arrow_combiner
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(object),
+            "sc": np.floor(df["value"].to_numpy(np.float64)
+                           * 100.0 + 0.5).astype(np.int64),
+            "n_events": np.ones(len(df), dtype=np.int64),
+        })
+        return d.groupby("event_type", sort=False, as_index=False).sum()
+
+    agg = (ev.map_batches(arrow_combiner(partial), batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(_Sum("sc", alias_name="sc"),
+                      _Sum("n_events", alias_name="n_events"))
+           .to_pandas())  # |types|-bounded
+    gs = int(agg["sc"].sum())
+    gn = int(agg["n_events"].sum())
+    prior = float(gs) / float(gn)
+    sc = agg["sc"].to_numpy(np.int64).astype(np.float64)
+    n = agg["n_events"].to_numpy(np.int64).astype(np.float64)
+    return pd.DataFrame({
+        "event_type": agg["event_type"].to_numpy(object),
+        "n_events": agg["n_events"].to_numpy(np.int64),
+        "target_enc": np.round((sc + 20.0 * prior) / (n + 20.0) / 100.0, 6),
+    }).sort_values("event_type", ignore_index=True)

@@ -2791,3 +2791,53 @@ def test_multi_horizon_window_nesting(ray_session):
     assert (out["n_7d"] <= out["n_30d"]).all()
     assert (out["n_30d"] > 0).all()
     assert (out["d_types_7d"] <= out["n_7d"]).all()
+
+
+def test_event_transitions_replay(ray_session):
+    """Engine transition table equals a pandas LAG replay at sf0.001,
+    and per-prev probabilities sum to 1."""
+    from pystreamfs_ray.pipelines.queries import q_event_transitions
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_event_transitions(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    ev = (read_parquet(sf + "/events.parquet",
+                       columns=["event_id", "user_id", "ts", "event_type"])
+          .to_pandas()
+          .sort_values(["user_id", "ts", "event_id"], ignore_index=True))
+    prev = ev.groupby("user_id")["event_type"].shift(1)
+    pairs = pd.DataFrame({"prev_type": prev, "event_type": ev["event_type"]})
+    want = (pairs.dropna().groupby(["prev_type", "event_type"])
+            .size().rename("n_trans").reset_index()
+            .sort_values(["prev_type", "event_type"], ignore_index=True))
+    assert got[["prev_type", "event_type"]].values.tolist() == \
+        want[["prev_type", "event_type"]].values.tolist()
+    assert got["n_trans"].tolist() == want["n_trans"].tolist()
+    sums = got.groupby("prev_type")["prob"].sum()
+    assert np.allclose(sums.to_numpy(), 1.0, atol=1e-4)
+
+
+def test_target_encode_shrinks_toward_prior(ray_session):
+    """Encoding lies between the raw category mean and the global
+    prior, and matches the m-estimate formula exactly at sf0.001."""
+    from pystreamfs_ray.pipelines.queries import q_target_encode
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_target_encode(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    ev = read_parquet(sf + "/events.parquet",
+                      columns=["event_type", "value"]).to_pandas()
+    ev["c"] = np.floor(ev["value"].to_numpy(np.float64)
+                       * 100.0 + 0.5).astype(np.int64)
+    prior = float(ev["c"].sum()) / float(len(ev))
+    for _, row in got.iterrows():
+        g = ev[ev["event_type"] == row["event_type"]]
+        assert row["n_events"] == len(g)
+        want = (float(g["c"].sum()) + 20.0 * prior) \
+            / (float(len(g)) + 20.0) / 100.0
+        assert abs(row["target_enc"] - round(want, 6)) < 1e-9
+        raw_mean, p = float(g["c"].mean()) / 100.0, prior / 100.0
+        lo, hi = min(raw_mean, p) - 1e-9, max(raw_mean, p) + 1e-9
+        assert lo <= row["target_enc"] <= hi
