@@ -325,7 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_resample_daily": q.q_resample_daily,
         "q_multi_horizon": q.q_multi_horizon,
         "q_event_transitions": q.q_event_transitions,
-        "q_target_encode": q.q_target_encode,
+        "q_target_encode_m": q.q_target_encode_m,
     }
 
 
@@ -3748,7 +3748,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM c
         """,
         # m-estimate (m=20) target encoding of event_type by mean value
-        "q_target_encode": """
+        "q_target_encode_m": """
             WITH c AS (
               SELECT event_type,
                      CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c

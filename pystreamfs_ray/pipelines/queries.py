@@ -4800,7 +4800,7 @@ def q_event_transitions(sf_dir: str):
     return agg.sort_values(["prev_type", "event_type"], ignore_index=True)
 
 
-def q_target_encode(sf_dir: str):
+def q_target_encode_m(sf_dir: str):
     """m-estimate target encoding of event_type by mean event value —
     the smoothed categorical encoder (enc = (Σy + m·prior)/(n + m),
     m=20) that backs high-cardinality features without per-row

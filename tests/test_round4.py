@@ -2821,11 +2821,11 @@ def test_event_transitions_replay(ray_session):
 def test_target_encode_shrinks_toward_prior(ray_session):
     """Encoding lies between the raw category mean and the global
     prior, and matches the m-estimate formula exactly at sf0.001."""
-    from pystreamfs_ray.pipelines.queries import q_target_encode
+    from pystreamfs_ray.pipelines.queries import q_target_encode_m
     from pystreamfs_ray.sources import read_parquet
 
     sf = "/root/testdata/sf0.001"
-    got = q_target_encode(sf)
+    got = q_target_encode_m(sf)
     got = got.to_pandas() if hasattr(got, "to_pandas") else got
     ev = read_parquet(sf + "/events.parquet",
                       columns=["event_type", "value"]).to_pandas()
