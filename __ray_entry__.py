@@ -326,6 +326,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_multi_horizon": q.q_multi_horizon,
         "q_event_transitions": q.q_event_transitions,
         "q_target_encode_m": q.q_target_encode_m,
+        "q_ab_lift": q.q_ab_lift,
+        "q_survival": q.q_survival,
+        "q_rfm": q.q_rfm,
     }
 
 
@@ -3772,5 +3775,103 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                          / (CAST(n_events AS DOUBLE) + 20.0) / 100.0,
                          6) AS target_enc
             FROM g, t
+        """,
+        # one-vs-rest two-proportion z per event type (success =
+        # value cents > 5000); float math in exact oracle op order
+        "q_ab_lift": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN CAST(FLOOR(value * 100.0 + 0.5)
+                                             AS BIGINT) > 5000
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_succ
+              FROM events GROUP BY event_type
+            ),
+            t AS (
+              SELECT CAST(SUM(n) AS BIGINT) AS tn,
+                     CAST(SUM(n_succ) AS BIGINT) AS ts
+              FROM c
+            )
+            SELECT event_type, n, n_succ,
+                   ROUND(CAST(n_succ AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                     AS rate,
+                   ROUND(CAST(n_succ AS DOUBLE) / CAST(n AS DOUBLE)
+                         - CAST(ts - n_succ AS DOUBLE)
+                           / CAST(tn - n AS DOUBLE), 6) AS lift,
+                   ROUND((CAST(n_succ AS DOUBLE) / CAST(n AS DOUBLE)
+                          - CAST(ts - n_succ AS DOUBLE)
+                            / CAST(tn - n AS DOUBLE))
+                         / SQRT((CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+                                * (1.0 - CAST(ts AS DOUBLE)
+                                         / CAST(tn AS DOUBLE))
+                                * (1.0 / CAST(n AS DOUBLE)
+                                   + 1.0 / CAST(tn - n AS DOUBLE))),
+                         6) AS z
+            FROM c, t
+        """,
+        # Kaplan-Meier risk table: duration days first→last event,
+        # churned if last event >30 days before corpus max ts;
+        # n_risk is an exact-integer reverse cumulative
+        "q_survival": """
+            WITH u AS (
+              SELECT user_id, MIN(ts) AS f, MAX(ts) AS l
+              FROM events GROUP BY user_id
+            ),
+            g AS (SELECT MAX(l) AS gmax FROM u),
+            p AS (
+              SELECT (epoch_us(l) - epoch_us(f)) // 86400000000
+                       AS dur_days,
+                     CASE WHEN epoch_us(l) <= epoch_us(gmax)
+                                              - 2592000000000
+                          THEN 1 ELSE 0 END AS ch
+              FROM u, g
+            ),
+            a AS (
+              SELECT dur_days,
+                     CAST(SUM(ch) AS BIGINT) AS n_churned,
+                     CAST(SUM(1 - ch) AS BIGINT) AS n_censored
+              FROM p GROUP BY dur_days
+            ),
+            r AS (
+              SELECT dur_days, n_churned, n_censored,
+                     CAST((SELECT COUNT(*) FROM u) AS BIGINT)
+                       - CAST(COALESCE(SUM(n_churned + n_censored)
+                                       OVER (ORDER BY dur_days
+                                             ROWS BETWEEN UNBOUNDED
+                                             PRECEDING AND 1 PRECEDING),
+                                       0) AS BIGINT) AS n_risk
+              FROM a
+            )
+            SELECT dur_days, n_risk, n_churned, n_censored,
+                   ROUND(CAST(n_churned AS DOUBLE)
+                         / CAST(n_risk AS DOUBLE), 6) AS hazard
+            FROM r
+        """,
+        # RFM quintiles with exact NTILE(5) (metric, user_id) order;
+        # recency in whole days at corpus max ts, monetary in cents
+        "q_rfm": """
+            WITH u AS (
+              SELECT user_id,
+                     CAST(COUNT(*) AS BIGINT) AS freq,
+                     CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS m_cents,
+                     MAX(ts) AS l
+              FROM events GROUP BY user_id
+            ),
+            g AS (SELECT MAX(l) AS gmax FROM u),
+            f AS (
+              SELECT user_id, freq, m_cents,
+                     (epoch_us(gmax) - epoch_us(l)) // 86400000000
+                       AS r_days
+              FROM u, g
+            )
+            SELECT user_id,
+                   CAST(NTILE(5) OVER (ORDER BY r_days, user_id)
+                        AS BIGINT) AS r_score,
+                   CAST(NTILE(5) OVER (ORDER BY freq, user_id)
+                        AS BIGINT) AS f_score,
+                   CAST(NTILE(5) OVER (ORDER BY m_cents, user_id)
+                        AS BIGINT) AS m_score
+            FROM f
         """,
     }

@@ -4839,3 +4839,155 @@ def q_target_encode_m(sf_dir: str):
         "n_events": agg["n_events"].to_numpy(np.int64),
         "target_enc": np.round((sc + 20.0 * prior) / (n + 20.0) / 100.0, 6),
     }).sort_values("event_type", ignore_index=True)
+
+
+def q_ab_lift(sf_dir: str):
+    """One-vs-rest A/B lift per event type: success := event value
+    above 50.00 (an exact integer compare on cents), each arm compared
+    against the pooled rest with the two-proportion z statistic — the
+    experiment-readout primitive. Per-type (n, n_success) int64
+    partials combine per batch so the exchange is |types|-bounded;
+    rate/lift/z are float expressions written in the oracle's
+    operation order over exact counts."""
+    from pystreamfs_ray.util import arrow_combiner
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy(np.float64)
+                         * 100.0 + 0.5).astype(np.int64)
+        d = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(object),
+            "n": np.ones(len(df), dtype=np.int64),
+            "n_succ": (cents > 5000).astype(np.int64),
+        })
+        return d.groupby("event_type", sort=False, as_index=False).sum()
+
+    agg = (ev.map_batches(arrow_combiner(partial), batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_succ", alias_name="n_succ"))
+           .to_pandas())  # |types|-bounded
+    n = agg["n"].to_numpy(np.int64).astype(np.float64)
+    s = agg["n_succ"].to_numpy(np.int64).astype(np.float64)
+    tn = float(int(agg["n"].sum()))
+    ts = float(int(agg["n_succ"].sum()))
+    rate = s / n
+    rest = (ts - s) / (tn - n)
+    p = ts / tn
+    z = (rate - rest) / np.sqrt(p * (1.0 - p) * (1.0 / n + 1.0 / (tn - n)))
+    return pd.DataFrame({
+        "event_type": agg["event_type"].to_numpy(object),
+        "n": agg["n"].to_numpy(np.int64),
+        "n_succ": agg["n_succ"].to_numpy(np.int64),
+        "rate": np.round(rate, 6),
+        "lift": np.round(rate - rest, 6),
+        "z": np.round(z, 6),
+    }).sort_values("event_type", ignore_index=True)
+
+
+def q_survival(sf_dir: str):
+    """Kaplan-Meier risk table over user lifetimes: duration = whole
+    days between a user's first and last event; churned if the last
+    event precedes corpus max ts by >30 days, else right-censored.
+    Emits per distinct duration the at-risk count (reverse cumulative
+    of exact int64 tallies), churn/censor counts, and the KM hazard
+    d/n_risk as ONE float division — the survival building block
+    without the cumulative-product float hazard. One metadata-sized
+    Max fixes the censoring horizon; one user-bucket pass co-locates
+    each user's history so the bucket emits day-level tallies and the
+    global exchange is day-bounded."""
+    from ray.data.aggregate import Max as _Max
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    max_us = int(pd.Timestamp(
+        ev.aggregate(_Max("ts", alias_name="m"))["m"]).value // 1000)
+    horizon_us = max_us - 30 * 86_400_000_000
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["ts"].astype("int64").to_numpy()
+        u = g["user_id"].to_numpy(np.int64)
+        d = pd.DataFrame({"u": u, "t": t})
+        mm = d.groupby("u", sort=False).agg(f=("t", "min"), l=("t", "max"))
+        dur = (mm["l"].to_numpy(np.int64)
+               - mm["f"].to_numpy(np.int64)) // 86_400_000_000
+        ch = (mm["l"].to_numpy(np.int64) <= horizon_us).astype(np.int64)
+        out = pd.DataFrame({"dur_days": dur, "n_churned": ch,
+                            "n_censored": 1 - ch})
+        return (out.groupby("dur_days", sort=False, as_index=False).sum())
+
+    tbl = (W.per_bucket(ev, part, entity_col="user_id",
+                        num_buckets=_BUCKETS)
+           .groupby("dur_days")
+           .aggregate(Sum("n_churned", alias_name="n_churned"),
+                      Sum("n_censored", alias_name="n_censored"))
+           .to_pandas()
+           .sort_values("dur_days", ignore_index=True))  # day-bounded
+    dd = tbl["n_churned"].to_numpy(np.int64) + tbl["n_censored"].to_numpy(np.int64)
+    total = int(dd.sum())
+    n_risk = total - (np.cumsum(dd) - dd)  # exact ints
+    tbl["dur_days"] = tbl["dur_days"].astype(np.int64)
+    tbl["n_risk"] = n_risk.astype(np.int64)
+    tbl["hazard"] = np.round(
+        tbl["n_churned"].to_numpy(np.int64).astype(np.float64)
+        / n_risk.astype(np.float64), 6)
+    return tbl[["dur_days", "n_risk", "n_churned", "n_censored", "hazard"]]
+
+
+def q_rfm(sf_dir: str):
+    """RFM segmentation: per-user recency (whole days since last
+    event at corpus max ts), frequency (event count) and monetary
+    (exact cent total) each bucketed into quintiles with exact SQL
+    NTILE(5) semantics under the (metric, user_id) total order — the
+    classic customer-value grid (score 1 = most recent / least
+    frequent / lowest spend). One user-bucket pass builds the feature
+    table (materialized once, |users| rows); three two-phase
+    range-partition NTILEs rank it without a global sort; two keyed
+    hash joins assemble the final grid."""
+    from ray.data.aggregate import Max as _Max
+
+    from pystreamfs_ray.stages.rank import global_ntile
+    from pystreamfs_ray.util import drop_empty_blocks
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["user_id", "ts", "value"])
+    max_us = int(pd.Timestamp(
+        ev.aggregate(_Max("ts", alias_name="m"))["m"]).value // 1000)
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["ts"].astype("int64").to_numpy()
+        d = pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "t": t,
+            "cents": np.floor(g["value"].to_numpy(np.float64)
+                              * 100.0 + 0.5).astype(np.int64),
+        })
+        agg = (d.groupby("user_id", sort=False)
+               .agg(freq=("t", "size"), l=("t", "max"),
+                    m_cents=("cents", "sum")).reset_index())
+        agg["r_days"] = (max_us - agg["l"].to_numpy(np.int64)) \
+            // 86_400_000_000
+        agg["freq"] = agg["freq"].astype(np.int64)
+        return agg[["user_id", "r_days", "freq", "m_cents"]]
+
+    feats = W.per_bucket(ev, part, entity_col="user_id",
+                         num_buckets=_BUCKETS).materialize()
+    r = global_ntile(feats, 5, value_col="r_days", id_col="user_id",
+                     out_col="r_score")
+    f = global_ntile(feats, 5, value_col="freq", id_col="user_id",
+                     out_col="f_score")
+    m = global_ntile(feats, 5, value_col="m_cents", id_col="user_id",
+                     out_col="m_score")
+    # each hash-join partition is an actor: size the pool to the DATA
+    # (feats is materialized so size_bytes is exact), never the CPU
+    # count, or two chained joins over-provision small clusters
+    np_join = _join_partitions(feats)
+    # map_groups outputs can hold schema-less empty blocks → guard joins
+    out = drop_empty_blocks(r, np_join).join(
+        drop_empty_blocks(f, np_join), join_type="inner",
+        num_partitions=np_join, on=("user_id",))
+    out = drop_empty_blocks(out, np_join).join(
+        drop_empty_blocks(m, np_join), join_type="inner",
+        num_partitions=np_join, on=("user_id",))
+    return out

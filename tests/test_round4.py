@@ -2841,3 +2841,102 @@ def test_target_encode_shrinks_toward_prior(ray_session):
         raw_mean, p = float(g["c"].mean()) / 100.0, prior / 100.0
         lo, hi = min(raw_mean, p) - 1e-9, max(raw_mean, p) + 1e-9
         assert lo <= row["target_enc"] <= hi
+
+
+def test_ab_lift_replay(ray_session):
+    """A/B lift table equals a pandas replay of the two-proportion
+    formula at sf0.001; per-arm counts reconcile with the corpus."""
+    from pystreamfs_ray.pipelines.queries import q_ab_lift
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_ab_lift(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    ev = read_parquet(sf + "/events.parquet",
+                      columns=["event_type", "value"]).to_pandas()
+    cents = np.floor(ev["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5).astype(np.int64)
+    ev["succ"] = (cents > 5000).astype(np.int64)
+    grp = ev.groupby("event_type").agg(n=("succ", "size"),
+                                       s=("succ", "sum"))
+    tn, ts = float(len(ev)), float(ev["succ"].sum())
+    assert int(got["n"].sum()) == len(ev)
+    for _, row in got.iterrows():
+        n = float(grp.loc[row["event_type"], "n"])
+        s = float(grp.loc[row["event_type"], "s"])
+        rate, rest, p = s / n, (ts - s) / (tn - n), ts / tn
+        z = (rate - rest) / np.sqrt(
+            p * (1.0 - p) * (1.0 / n + 1.0 / (tn - n)))
+        assert abs(row["rate"] - round(rate, 6)) < 1e-9
+        assert abs(row["lift"] - round(rate - rest, 6)) < 1e-9
+        assert abs(row["z"] - round(z, 6)) < 1e-9
+
+
+def test_survival_risk_table(ray_session):
+    """KM risk table: n_risk starts at the user total, decreases by
+    exactly the prior day's exits, and hazards replay d/n_risk."""
+    from pystreamfs_ray.pipelines.queries import q_survival
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_survival(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    ev = read_parquet(sf + "/events.parquet",
+                      columns=["user_id", "ts"]).to_pandas()
+    n_users = ev["user_id"].nunique()
+    got = got.sort_values("dur_days", ignore_index=True)
+    assert int(got["n_risk"].iloc[0]) == n_users
+    exits = (got["n_churned"] + got["n_censored"]).to_numpy(np.int64)
+    nr = got["n_risk"].to_numpy(np.int64)
+    assert (nr[1:] == nr[:-1] - exits[:-1]).all()
+    assert int(exits.sum()) == n_users
+    want_h = np.round(got["n_churned"].to_numpy(np.int64).astype(float)
+                      / nr.astype(float), 6)
+    assert np.allclose(got["hazard"].to_numpy(float), want_h, atol=1e-12)
+
+
+def test_rfm_quintiles(ray_session):
+    """RFM scores are 1..5, each dimension's quintiles are balanced
+    to within one user, and the full grid replays pandas qcut-free
+    NTILE semantics at sf0.001."""
+    from pystreamfs_ray.pipelines.queries import q_rfm
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_rfm(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    ev = read_parquet(sf + "/events.parquet",
+                      columns=["user_id", "ts", "value"]).to_pandas()
+    t = ev["ts"].astype("int64")
+    cents = np.floor(ev["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5).astype(np.int64)
+    ev = ev.assign(t=t, cents=cents)
+    u = (ev.groupby("user_id")
+         .agg(freq=("t", "size"), l=("t", "max"), m_cents=("cents", "sum"))
+         .reset_index())
+    u["r_days"] = (int(u["l"].max()) - u["l"].to_numpy(np.int64)) \
+        // 86_400_000_000
+
+    def ntile(df, col):
+        order = np.lexsort((df["user_id"].to_numpy(),
+                            df[col].to_numpy()))
+        total = len(df)
+        q, r = divmod(total, 5)
+        rownum = np.empty(total, dtype=np.int64)
+        rownum[order] = np.arange(total)
+        big = r * (q + 1)
+        return np.where(rownum < big, rownum // (q + 1) + 1,
+                        r + (rownum - big) // max(q, 1) + 1)
+
+    u["r_score"], u["f_score"], u["m_score"] = \
+        ntile(u, "r_days"), ntile(u, "freq"), ntile(u, "m_cents")
+    merged = got.sort_values("user_id", ignore_index=True).merge(
+        u[["user_id", "r_score", "f_score", "m_score"]],
+        on="user_id", suffixes=("", "_want"))
+    assert len(merged) == len(u)
+    for c in ["r_score", "f_score", "m_score"]:
+        assert merged[c].between(1, 5).all()
+        assert (merged[c].to_numpy(np.int64)
+                == merged[c + "_want"].to_numpy(np.int64)).all()
+        counts = merged[c].value_counts()
+        assert counts.max() - counts.min() <= 1
