@@ -329,6 +329,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ab_lift": q.q_ab_lift,
         "q_survival": q.q_survival,
         "q_rfm": q.q_rfm,
+        "q_benford": q.q_benford,
+        "q_dow_profile": q.q_dow_profile,
+        "q_prefix_cache": q.q_prefix_cache,
     }
 
 
@@ -3873,5 +3876,57 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(NTILE(5) OVER (ORDER BY m_cents, user_id)
                         AS BIGINT) AS m_score
             FROM f
+        """,
+        # Benford first-digit audit of cent amounts; digit via the
+        # decimal string on both engines, no float-log edge case
+        "q_benford": """
+            WITH c AS (
+              SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+              FROM events
+            ),
+            d AS (
+              SELECT CAST(SUBSTRING(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM c WHERE c > 0 GROUP BY 1
+            ),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM d)
+            SELECT digit, n,
+                   ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                     AS share,
+                   ROUND(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+                     AS expected,
+                   ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                         - LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+                     AS dev
+            FROM d, t
+        """,
+        # weekly seasonality: (type, dow) counts + within-type share;
+        # dayofweek() is 0=Sunday, matching the engine's epoch-day math
+        "q_dow_profile": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(dayofweek(ts) AS BIGINT) AS dow,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY event_type, dayofweek(ts)
+            )
+            SELECT event_type, dow, n,
+                   ROUND(CAST(n AS DOUBLE)
+                         / CAST(SUM(n) OVER (PARTITION BY event_type)
+                                AS DOUBLE), 6) AS share
+            FROM c
+        """,
+        # conversation-opener prefix sharing (first 8 whitespace
+        # tokens of turn 0), prefixes reused by >= 2 conversations
+        "q_prefix_cache": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            p AS (
+              SELECT array_to_string(
+                       list_slice(regexp_split_to_array(text, '\\s+'),
+                                  1, 8), ' ') AS prefix
+              FROM transcripts WHERE turn_idx = 0
+            )
+            SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_convs
+            FROM p GROUP BY prefix HAVING COUNT(*) >= 2
         """,
     }

@@ -4991,3 +4991,103 @@ def q_rfm(sf_dir: str):
         drop_empty_blocks(m, np_join), join_type="inner",
         num_partitions=np_join, on=("user_id",))
     return out
+
+
+def q_benford(sf_dir: str):
+    """Benford's-law first-digit audit of event values (the classic
+    fabricated-data / instrumentation-bug detector): leading digit of
+    the exact cent amount tallied per batch (9-row partials), share
+    and deviation from log10(1+1/d) as float expressions in the
+    oracle's operation order. The digit is extracted via the decimal
+    string on BOTH engines so there is no float-log edge case."""
+    from pystreamfs_ray.util import arrow_combiner
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy(np.float64)
+                         * 100.0 + 0.5).astype(np.int64)
+        cents = cents[cents > 0]
+        first = pd.Series(cents).astype(str).str[0].astype(np.int64)
+        d = pd.DataFrame({"digit": first,
+                          "n": np.ones(len(first), dtype=np.int64)})
+        return d.groupby("digit", sort=False, as_index=False).sum()
+
+    agg = (ev.map_batches(arrow_combiner(partial), batch_format="pyarrow")
+           .groupby("digit")
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())  # ≤9 rows
+    total = float(int(agg["n"].sum()))
+    n = agg["n"].to_numpy(np.int64).astype(np.float64)
+    d = agg["digit"].to_numpy(np.int64).astype(np.float64)
+    share = n / total
+    expected = np.log10(1.0 + 1.0 / d)
+    return pd.DataFrame({
+        "digit": agg["digit"].to_numpy(np.int64),
+        "n": agg["n"].to_numpy(np.int64),
+        "share": np.round(share, 6),
+        "expected": np.round(expected, 6),
+        "dev": np.round(share - expected, 6),
+    }).sort_values("digit", ignore_index=True)
+
+
+def q_dow_profile(sf_dir: str):
+    """Day-of-week seasonality profile per event type (the weekly
+    traffic shape features a scheduler or forecaster consumes):
+    (type, dow) int64 tallies combine per batch so the exchange is
+    |types|×7-bounded; the within-type share is one mirrored float
+    division. dow is 0=Sunday, computed from epoch days on the
+    engine and dayofweek(ts) in the oracle."""
+    from pystreamfs_ray.util import arrow_combiner
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        days = df["ts"].astype("int64").to_numpy() // 86_400_000_000
+        d = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(object),
+            "dow": (days + 4) % 7,  # 1970-01-01 is a Thursday
+            "n": np.ones(len(df), dtype=np.int64),
+        })
+        return d.groupby(["event_type", "dow"], sort=False,
+                         as_index=False).sum()
+
+    agg = (ev.map_batches(arrow_combiner(partial), batch_format="pyarrow")
+           .groupby(["event_type", "dow"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())  # |types|×7-bounded
+    tot = (agg.groupby("event_type")["n"].transform("sum")
+           .to_numpy(np.int64))
+    agg["dow"] = agg["dow"].astype(np.int64)
+    agg["n"] = agg["n"].astype(np.int64)
+    agg["share"] = np.round(
+        agg["n"].to_numpy(np.int64).astype(np.float64)
+        / tot.astype(np.float64), 6)
+    return agg.sort_values(["event_type", "dow"], ignore_index=True)
+
+
+def q_prefix_cache(sf_dir: str):
+    """Prompt-prefix sharing analysis over conversation openers (the
+    serving-side prefix-cache / template-reuse signal): the first 8
+    whitespace tokens of each conversation's turn 0, counted, keeping
+    prefixes shared by ≥2 conversations. Only turn-0 rows leave the
+    transcript pass; the prefix tally combines per batch so the final
+    exchange is |distinct shared prefixes|-bounded. Tokenization
+    mirrors regexp_split_to_array(text, '\\s+') exactly (a leading
+    empty token survives) so the oracle splits identically."""
+    from pystreamfs_ray.util import arrow_combiner
+
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["turn_idx"] == 0]
+        toks = df["text"].astype(str).str.split(r"\s+", regex=True)
+        prefix = toks.map(lambda ws: " ".join(ws[:8]))
+        d = pd.DataFrame({"prefix": prefix.to_numpy(object),
+                          "n_convs": np.ones(len(df), dtype=np.int64)})
+        return d.groupby("prefix", sort=False, as_index=False).sum()
+
+    agg = (t.map_batches(arrow_combiner(partial), batch_format="pyarrow")
+           .groupby("prefix")
+           .aggregate(Sum("n_convs", alias_name="n_convs")))
+    return agg.filter(expr="n_convs >= 2")

@@ -2940,3 +2940,72 @@ def test_rfm_quintiles(ray_session):
                 == merged[c + "_want"].to_numpy(np.int64)).all()
         counts = merged[c].value_counts()
         assert counts.max() - counts.min() <= 1
+
+
+def test_benford_shares(ray_session):
+    """Benford table: digits 1-9 only, counts reconcile with the
+    positive-cent corpus, shares sum to 1, expected follows log10."""
+    from pystreamfs_ray.pipelines.queries import q_benford
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_benford(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    ev = read_parquet(sf + "/events.parquet", columns=["value"]).to_pandas()
+    cents = np.floor(ev["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5).astype(np.int64)
+    cents = cents[cents > 0]
+    assert got["digit"].between(1, 9).all()
+    assert int(got["n"].sum()) == len(cents)
+    assert abs(got["share"].sum() - 1.0) < 1e-4
+    for _, row in got.iterrows():
+        assert abs(row["expected"]
+                   - round(np.log10(1 + 1 / row["digit"]), 6)) < 1e-9
+    want = pd.Series(cents).astype(str).str[0].astype(int).value_counts()
+    for _, row in got.iterrows():
+        assert row["n"] == int(want[row["digit"]])
+
+
+def test_dow_profile_replay(ray_session):
+    """(type, dow) counts equal a pandas dayofweek replay; within-type
+    shares sum to 1."""
+    from pystreamfs_ray.pipelines.queries import q_dow_profile
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_dow_profile(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    ev = read_parquet(sf + "/events.parquet",
+                      columns=["event_type", "ts"]).to_pandas()
+    # pandas dayofweek: 0=Monday → convert to 0=Sunday
+    dow = (ev["ts"].dt.dayofweek.to_numpy() + 1) % 7
+    want = (pd.DataFrame({"event_type": ev["event_type"], "dow": dow})
+            .groupby(["event_type", "dow"]).size().rename("n")
+            .reset_index()
+            .sort_values(["event_type", "dow"], ignore_index=True))
+    assert got[["event_type", "dow"]].values.tolist() == \
+        want[["event_type", "dow"]].values.tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    assert np.allclose(got.groupby("event_type")["share"].sum().to_numpy(),
+                       1.0, atol=1e-4)
+
+
+def test_prefix_cache_planted(ray_session):
+    """Every reported prefix is genuinely shared: re-derive opener
+    prefixes from the transcript stream and compare counts."""
+    from pystreamfs_ray.pipelines.queries import q_prefix_cache
+    from pystreamfs_ray.pipelines.transcripts import transcripts_from_events
+
+    sf = "/root/testdata/sf0.001"
+    got = q_prefix_cache(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    t = transcripts_from_events(sf).to_pandas()
+    t0 = t[t["turn_idx"] == 0]
+    import re
+    prefixes = t0["text"].astype(str).map(
+        lambda s: " ".join(re.split(r"\s+", s)[:8]))
+    want = prefixes.value_counts()
+    want = want[want >= 2]
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        assert int(want[row["prefix"]]) == int(row["n_convs"])
