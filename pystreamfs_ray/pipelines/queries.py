@@ -4973,16 +4973,18 @@ def q_rfm(sf_dir: str):
 
     feats = W.per_bucket(ev, part, entity_col="user_id",
                          num_buckets=_BUCKETS).materialize()
-    r = global_ntile(feats, 5, value_col="r_days", id_col="user_id",
-                     out_col="r_score")
-    f = global_ntile(feats, 5, value_col="freq", id_col="user_id",
-                     out_col="f_score")
-    m = global_ntile(feats, 5, value_col="m_cents", id_col="user_id",
-                     out_col="m_score")
-    # each hash-join partition is an actor: size the pool to the DATA
-    # (feats is materialized so size_bytes is exact), never the CPU
-    # count, or two chained joins over-provision small clusters
+    # size BOTH the ntile range partitions and the join pools to the
+    # DATA (feats is materialized so size_bytes is exact), never the
+    # CPU count: 64 range partitions × 3 ntiles over a thousand-row
+    # feature table is pure task overhead, and chained hash joins
+    # over-provision small clusters
     np_join = _join_partitions(feats)
+    r = global_ntile(feats, 5, value_col="r_days", id_col="user_id",
+                     out_col="r_score", num_partitions=np_join * 2)
+    f = global_ntile(feats, 5, value_col="freq", id_col="user_id",
+                     out_col="f_score", num_partitions=np_join * 2)
+    m = global_ntile(feats, 5, value_col="m_cents", id_col="user_id",
+                     out_col="m_score", num_partitions=np_join * 2)
     # map_groups outputs can hold schema-less empty blocks → guard joins
     out = drop_empty_blocks(r, np_join).join(
         drop_empty_blocks(f, np_join), join_type="inner",
