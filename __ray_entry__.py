@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_benford": q.q_benford,
         "q_dow_profile": q.q_dow_profile,
         "q_prefix_cache": q.q_prefix_cache,
+        "q_containment": q.q_containment,
     }
 
 
@@ -3928,5 +3929,44 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             )
             SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_convs
             FROM p GROUP BY prefix HAVING COUNT(*) >= 2
+        """,
+        # asymmetric char-trigram containment on the consecutive-id
+        # candidate pairs (|A∩B|/|A| and /|B|, exact integer counts)
+        "q_containment": """
+            WITH docs AS (
+              SELECT doc_id, lower(text) AS s FROM documents
+              WHERE doc_id < 100 AND length(text) >= 3
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, substr(s, i, 3) AS g
+              FROM (SELECT doc_id, s,
+                           unnest(generate_series(1, length(s) - 2)) AS i
+                    FROM docs)
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1
+              WHERE a.doc_id % 2 = 0
+            ),
+            inter AS (
+              SELECT p.id_a, p.id_b, count(*) AS n_inter
+              FROM pairs p
+              JOIN grams ga ON ga.doc_id = p.id_a
+              JOIN grams gb ON gb.doc_id = p.id_b AND gb.g = ga.g
+              GROUP BY p.id_a, p.id_b
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id)
+            SELECT p.id_a, p.id_b,
+                   CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+                   CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b,
+                   CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                     / CAST(sa.n AS DOUBLE) AS containment_a,
+                   CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                     / CAST(sb.n AS DOUBLE) AS containment_b
+            FROM pairs p
+            LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+            JOIN sizes sa ON sa.doc_id = p.id_a
+            JOIN sizes sb ON sb.doc_id = p.id_b
         """,
     }

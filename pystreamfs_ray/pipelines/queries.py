@@ -5093,3 +5093,24 @@ def q_prefix_cache(sf_dir: str):
            .groupby("prefix")
            .aggregate(Sum("n_convs", alias_name="n_convs")))
     return agg.filter(expr="n_convs >= 2")
+
+
+def q_containment(sf_dir: str):
+    """Asymmetric char-trigram containment over the deterministic
+    consecutive-id candidate pairs — the quote/subset near-dup metric
+    Jaccard misses (a contained short doc union-normalizes to a low
+    Jaccard but containment_a ≈ 1). Candidate-only verification; both
+    directions as single divisions over exact gram counts."""
+    from pystreamfs_ray.stages.dedup import ngram_containment_pairs
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = docs.filter(expr="doc_id < 100")
+
+    def mk_pairs(t: pa.Table) -> pa.Table:
+        ids = t.filter(
+            pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+        )["doc_id"]
+        return pa.table({"id_a": ids, "id_b": pc.add(ids, 1)})
+
+    pairs = docs.map_batches(mk_pairs, batch_format="pyarrow")
+    return ngram_containment_pairs(pairs, docs, k=3, num_partitions=4)

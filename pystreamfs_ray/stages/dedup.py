@@ -1595,3 +1595,56 @@ def incremental_minhash_pairs(new_ds, index_sigs, *, id_col="doc_id",
         return out[out["jaccard_est"] >= threshold]
 
     return joined.map_batches(estimate, batch_format="pandas")
+
+
+def ngram_containment_pairs(pairs_ds, docs_ds, *, k=3, id_a="id_a",
+                            id_b="id_b", id_col="doc_id",
+                            text_col="text", num_partitions=8):
+    """Asymmetric char-k-gram containment for candidate pairs — the
+    quote/subset detector (a short doc wholly contained in a long one
+    scores ~1.0 here but low on Jaccard, which union-normalizes away
+    the asymmetry; RefinedWeb-style pipelines gate on containment for
+    exactly that case). Same two-hash-join shape as
+    :func:`ngram_jaccard_pairs` — texts attach only to CANDIDATE
+    pairs, never all-pairs. Returns both directions
+    (containment_a = |A∩B|/|A|, containment_b = |A∩B|/|B|) as single
+    divisions over exact integer gram counts."""
+    docs = docs_ds.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(pc.utf8_length(t[text_col]), k)
+        ).select([id_col, text_col]),
+        batch_format="pyarrow",
+    )
+
+    def side(name_id, name_text):
+        return docs.map_batches(
+            lambda t, ni=name_id, nt=name_text: t.rename_columns([ni, nt]),
+            batch_format="pyarrow",
+        )
+
+    from pystreamfs_ray.util import drop_empty_blocks
+
+    j = drop_empty_blocks(pairs_ds, num_partitions).join(
+        side(id_a, "__ta"), join_type="inner",
+        num_partitions=num_partitions, on=(id_a,))
+    j = drop_empty_blocks(j, num_partitions).join(
+        side(id_b, "__tb"), join_type="inner",
+        num_partitions=num_partitions, on=(id_b,))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        n_i = np.zeros(len(df), dtype=np.int64)
+        n_a = np.zeros(len(df), dtype=np.int64)
+        n_b = np.zeros(len(df), dtype=np.int64)
+        for r, (a, b) in enumerate(zip(df["__ta"], df["__tb"])):
+            ga, gb = _char_grams(a, k), _char_grams(b, k)
+            n_i[r] = len(ga & gb)
+            n_a[r] = len(ga)
+            n_b[r] = len(gb)
+        return pd.DataFrame({
+            id_a: df[id_a].to_numpy(), id_b: df[id_b].to_numpy(),
+            "n_inter": n_i, "n_a": n_a, "n_b": n_b,
+            "containment_a": n_i / np.maximum(n_a, 1),
+            "containment_b": n_i / np.maximum(n_b, 1),
+        })
+
+    return j.map_batches(verify, batch_format="pandas")

@@ -3009,3 +3009,47 @@ def test_prefix_cache_planted(ray_session):
     assert len(got) == len(want)
     for _, row in got.iterrows():
         assert int(want[row["prefix"]]) == int(row["n_convs"])
+
+
+def test_containment_asymmetry(ray_session):
+    """Containment replays the exact gram-set math per candidate pair,
+    and a planted subset doc scores containment_a = 1.0 while its
+    Jaccard is well below 1 (the asymmetry Jaccard misses)."""
+    import ray.data as rd
+
+    from pystreamfs_ray.pipelines.queries import q_containment
+    from pystreamfs_ray.stages.dedup import (_char_grams,
+                                             ngram_containment_pairs)
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_containment(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    docs = read_parquet(sf + "/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas()
+    docs = docs[docs["doc_id"] < 100].set_index("doc_id")
+    assert len(got) > 0
+    for _, row in got.iterrows():
+        ga = _char_grams(docs.loc[row["id_a"], "text"], 3)
+        gb = _char_grams(docs.loc[row["id_b"], "text"], 3)
+        assert row["n_inter"] == len(ga & gb)
+        assert row["n_a"] == len(ga) and row["n_b"] == len(gb)
+        assert abs(row["containment_a"] - len(ga & gb) / len(ga)) < 1e-12
+        assert abs(row["containment_b"] - len(ga & gb) / len(gb)) < 1e-12
+
+    sub = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([0, 1], dtype=np.int64),
+        "text": ["the quick brown fox",
+                 "the quick brown fox jumps over the lazy dog tonight"],
+    }))
+    pairs = rd.from_pandas(pd.DataFrame({
+        "id_a": np.array([0], dtype=np.int64),
+        "id_b": np.array([1], dtype=np.int64)}))
+    out = ngram_containment_pairs(pairs, sub, k=3,
+                                  num_partitions=2).to_pandas()
+    assert len(out) == 1
+    assert out["containment_a"].iloc[0] == 1.0
+    jac = out["n_inter"].iloc[0] / (out["n_a"].iloc[0]
+                                    + out["n_b"].iloc[0]
+                                    - out["n_inter"].iloc[0])
+    assert jac < 0.75
