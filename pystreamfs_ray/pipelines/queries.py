@@ -798,9 +798,13 @@ def q_chunk_docs(sf_dir: str):
     row-expanding vectorized stage."""
     from pystreamfs_ray.stages.textstats import chunk_documents
 
-    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    return chunk_documents(docs.filter(expr="doc_id < 200"),
-                           chunk_tokens=64, overlap=16)
+    import pyarrow.dataset as pds
+
+    # predicate pushed INTO the read: the table is id-sorted, so
+    # row-group stats prune everything past doc_id 200 at the scan
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"],
+                        filter=(pds.field("doc_id") < 200))
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
 
 
 def q_word_topk(sf_dir: str):
@@ -898,8 +902,13 @@ def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 for the first 10 vectors as queries."""
     from pystreamfs_ray.stages.similarity import brute_force_topk
 
+    import pyarrow.dataset as pds
+
     emb = read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    qdf = emb.filter(expr="vec_id < 10").to_pandas()  # tiny query side
+    # query side: row-group-pruned read of 10 vectors, never a corpus scan
+    qdf = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"],
+                       filter=(pds.field("vec_id") < 10)).to_pandas()
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
     out = brute_force_topk(emb, qdf["vec_id"].to_numpy(), qmat, k=10, concurrency=2)
 
@@ -918,8 +927,12 @@ def q_ivf_topk(sf_dir: str):
     (`test_embedding_neardup_and_ann`)."""
     from pystreamfs_ray.stages.similarity import ivf_topk
 
+    import pyarrow.dataset as pds
+
     emb = read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    qdf = emb.filter(expr="vec_id < 10").to_pandas()
+    qdf = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"],
+                       filter=(pds.field("vec_id") < 10)).to_pandas()
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
     out = ivf_topk(emb, qdf["vec_id"].to_numpy(), qmat, k=10, n_cells=16,
                    nprobe=16, concurrency=2)
@@ -1046,8 +1059,10 @@ def q_ngram_jaccard(sf_dir: str):
     standalone so it gets a full SQL oracle."""
     from pystreamfs_ray.stages.dedup import ngram_jaccard_pairs
 
-    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    docs = docs.filter(expr="doc_id < 100")
+    import pyarrow.dataset as pds
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"],
+                        filter=(pds.field("doc_id") < 100))
 
     def mk_pairs(t: pa.Table) -> pa.Table:
         ids = t.filter(
@@ -5103,8 +5118,10 @@ def q_containment(sf_dir: str):
     directions as single divisions over exact gram counts."""
     from pystreamfs_ray.stages.dedup import ngram_containment_pairs
 
-    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    docs = docs.filter(expr="doc_id < 100")
+    import pyarrow.dataset as pds
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"],
+                        filter=(pds.field("doc_id") < 100))
 
     def mk_pairs(t: pa.Table) -> pa.Table:
         ids = t.filter(

@@ -60,7 +60,10 @@ def _clean_schema(paths, columns):
 
 def read_parquet(paths, **kwargs):
     """``ray.data.read_parquet`` with hashable (metadata-free) block
-    schemas. Pass ``columns=[...]`` so only needed columns leave storage."""
+    schemas. Pass ``columns=[...]`` so only needed columns leave
+    storage, and ``filter=pyarrow.dataset.Expression`` to push row
+    predicates into the scan (row-group stats prune whole groups when
+    the predicate hits the table's sort column)."""
     if "schema" not in kwargs:
         schema = _clean_schema(paths, kwargs.get("columns"))
         if schema is not None:
