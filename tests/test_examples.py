@@ -91,3 +91,16 @@ def test_example_feature_store(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "feature table:" in out.stdout
     assert "wrote" in out.stdout and "shards" in out.stdout
+
+
+def test_example_experiment_readout():
+    """A/B lift + survival + RFM readout trio — subprocess so it owns
+    its own Ray session."""
+    out = subprocess.run(
+        [sys.executable, f"{EX}/example_experiment_readout.py"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ab lift:" in out.stdout
+    assert "day-0 hazard=" in out.stdout
+    assert "users segmented" in out.stdout
