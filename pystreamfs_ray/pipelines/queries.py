@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.dataset as _pds
 
 import ray
 import ray.data as rd
@@ -1820,7 +1821,9 @@ def q_rrf(sf_dir: str):
                          score_col="score", id_col="doc_id", n=50)
 
     emb = read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    qdf = emb.filter(expr="vec_id == 0").to_pandas()
+    qdf = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"],
+                       filter=(_pds.field("vec_id") == 0)).to_pandas()
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
     ann = (brute_force_topk(emb, qdf["vec_id"].to_numpy(), qmat, k=50,
                             concurrency=2)
@@ -2419,7 +2422,9 @@ def q_ann_recall(sf_dir: str):
 
     emb = read_parquet(_p(sf_dir, "embeddings"),
                        columns=["vec_id", "embedding"])
-    qdf = emb.filter(expr="vec_id < 10").to_pandas()
+    qdf = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"],
+                       filter=(_pds.field("vec_id") < 10)).to_pandas()
     qmat = np.stack([np.asarray(v, dtype=np.float64)
                      for v in qdf["embedding"]])
     qids = qdf["vec_id"].to_numpy()
@@ -2682,7 +2687,9 @@ def q_ann_int8(sf_dir: str):
 
     emb = read_parquet(_p(sf_dir, "embeddings"),
                        columns=["vec_id", "embedding"])
-    qdf = emb.filter(expr="vec_id < 10").to_pandas()
+    qdf = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"],
+                       filter=(_pds.field("vec_id") < 10)).to_pandas()
     qmat = np.stack([np.asarray(v, dtype=np.float64)
                      for v in qdf["embedding"]])
     qids = qdf["vec_id"].to_numpy()
@@ -2706,7 +2713,9 @@ def q_ann_ivf_int8(sf_dir: str):
 
     emb = read_parquet(_p(sf_dir, "embeddings"),
                        columns=["vec_id", "embedding"])
-    qdf = emb.filter(expr="vec_id < 10").to_pandas()
+    qdf = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"],
+                       filter=(_pds.field("vec_id") < 10)).to_pandas()
     qmat = np.stack([np.asarray(v, dtype=np.float64)
                      for v in qdf["embedding"]])
     qids = qdf["vec_id"].to_numpy()
@@ -2889,7 +2898,9 @@ def q_ann_pq(sf_dir: str):
 
     emb = read_parquet(_p(sf_dir, "embeddings"),
                        columns=["vec_id", "embedding"])
-    qdf = emb.filter(expr="vec_id < 10").to_pandas()
+    qdf = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"],
+                       filter=(_pds.field("vec_id") < 10)).to_pandas()
     qmat = np.stack([np.asarray(v, dtype=np.float64)
                      for v in qdf["embedding"]])
     qids = qdf["vec_id"].to_numpy()
@@ -2957,7 +2968,9 @@ def q_ann_matryoshka(sf_dir: str):
     trunc_d = 16
     emb = read_parquet(_p(sf_dir, "embeddings"),
                        columns=["vec_id", "embedding"])
-    qdf = emb.filter(expr="vec_id < 10").to_pandas()
+    qdf = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"],
+                       filter=(_pds.field("vec_id") < 10)).to_pandas()
     qmat = np.stack([np.asarray(v, dtype=np.float64)
                      for v in qdf["embedding"]])
     qids = qdf["vec_id"].to_numpy()
@@ -3228,7 +3241,9 @@ def q_range_search(sf_dir: str):
 
     emb = read_parquet(_p(sf_dir, "embeddings"),
                        columns=["vec_id", "embedding"])
-    qdf = emb.filter(expr="vec_id < 10").to_pandas()
+    qdf = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"],
+                       filter=(_pds.field("vec_id") < 10)).to_pandas()
     qmat = np.stack([np.asarray(v, dtype=np.float64)
                      for v in qdf["embedding"]])
     return range_search(emb, qdf["vec_id"].to_numpy(), qmat,
@@ -4279,7 +4294,9 @@ def q_ann_ndcg(sf_dir: str):
 
     emb = read_parquet(_p(sf_dir, "embeddings"),
                        columns=["vec_id", "embedding"])
-    qdf = emb.filter(expr="vec_id < 10").to_pandas()
+    qdf = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"],
+                       filter=(_pds.field("vec_id") < 10)).to_pandas()
     qmat = np.stack([np.asarray(v, dtype=np.float64)
                      for v in qdf["embedding"]])
     qids = qdf["vec_id"].to_numpy()
