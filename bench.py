@@ -119,6 +119,11 @@ BENCH_QUERIES = [
     "q_ewma_value",
     "q_burstiness",
     "q_profile_events",
+    # session-5 families: sequence transitions (entity shuffle +
+    # bounded pair reduce), survival lifetimes (entity shuffle +
+    # day-bounded reduce)
+    "q_event_transitions",
+    "q_survival",
 ]
 
 
