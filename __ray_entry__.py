@@ -333,6 +333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dow_profile": q.q_dow_profile,
         "q_prefix_cache": q.q_prefix_cache,
         "q_containment": q.q_containment,
+        "q_group_kfold": q.q_group_kfold,
+        "q_time_split": q.q_time_split,
     }
 
 
@@ -3968,5 +3970,50 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
             JOIN sizes sa ON sa.doc_id = p.id_a
             JOIN sizes sb ON sb.doc_id = p.id_b
+        """,
+        # group-aware 5-fold: fold = md5(user) % 5, whole users only
+        "q_group_kfold": """
+            WITH u AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY user_id
+            ),
+            f AS (
+              SELECT CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 5
+                          AS BIGINT) AS fold, n
+              FROM u
+            ),
+            a AS (
+              SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_users,
+                     CAST(SUM(n) AS BIGINT) AS n_events
+              FROM f GROUP BY fold
+            ),
+            t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tot FROM a)
+            SELECT fold, n_users, n_events,
+                   ROUND(CAST(n_events AS DOUBLE) / CAST(tot AS DOUBLE),
+                         6) AS pct_events
+            FROM a, t
+        """,
+        # temporal 80/20 split: cutoff day via the exact integer test
+        # 5*cum >= 4*total over day-level counts
+        "q_time_split": """
+            WITH d AS (
+              SELECT epoch_us(ts) // 86400000000 AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ),
+            c AS (
+              SELECT day, n,
+                     CAST(SUM(n) OVER (ORDER BY day) AS BIGINT) AS cum,
+                     CAST((SELECT SUM(n) FROM d) AS BIGINT) AS tot
+              FROM d
+            ),
+            k AS (SELECT MIN(day) AS cutoff FROM c
+                  WHERE 5 * cum >= 4 * tot)
+            SELECT CASE WHEN c.day <= k.cutoff THEN 'train'
+                        ELSE 'val' END AS split,
+                   CAST(SUM(c.n) AS BIGINT) AS n_events,
+                   CAST(MIN(c.day) AS BIGINT) AS min_day,
+                   CAST(MAX(c.day) AS BIGINT) AS max_day
+            FROM c, k GROUP BY 1
         """,
     }

@@ -5148,3 +5148,91 @@ def q_containment(sf_dir: str):
 
     pairs = docs.map_batches(mk_pairs, batch_format="pyarrow")
     return ngram_containment_pairs(pairs, docs, k=3, num_partitions=4)
+
+
+def q_group_kfold(sf_dir: str):
+    """GROUP-aware 5-fold CV assignment: the fold is a function of
+    user_id (md5-of-key), so ALL of a user's events land in one fold
+    by construction — the split that prevents same-user leakage
+    across CV folds (a random row split puts one user's history on
+    both sides). Per-user partial counts collapse per batch, one user
+    exchange, then a 5-row fold report with the event share as one
+    mirrored division."""
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+    from pystreamfs_ray.util import arrow_combiner
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                          "n": np.ones(len(df), dtype=np.int64)})
+        return d.groupby("user_id", sort=False, as_index=False).sum()
+
+    per_user = (ev.map_batches(arrow_combiner(partial),
+                               batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Sum("n", alias_name="n")))
+
+    def to_fold(df: pd.DataFrame) -> pd.DataFrame:
+        fold = (_md5_lower64([str(v) for v in df["user_id"]])
+                % np.uint64(5)).astype(np.int64)
+        d = pd.DataFrame({"fold": fold,
+                          "n_users": np.ones(len(df), dtype=np.int64),
+                          "n_events": df["n"].to_numpy(np.int64)})
+        return d.groupby("fold", sort=False, as_index=False).sum()
+
+    agg = (per_user.map_batches(arrow_combiner(to_fold),
+                                batch_format="pyarrow")
+           .groupby("fold")
+           .aggregate(Sum("n_users", alias_name="n_users"),
+                      Sum("n_events", alias_name="n_events"))
+           .to_pandas())  # 5 rows
+    tot = float(int(agg["n_events"].sum()))
+    agg["fold"] = agg["fold"].astype(np.int64)
+    agg["n_users"] = agg["n_users"].astype(np.int64)
+    agg["n_events"] = agg["n_events"].astype(np.int64)
+    agg["pct_events"] = np.round(
+        agg["n_events"].to_numpy(np.int64).astype(np.float64) / tot, 6)
+    return agg.sort_values("fold", ignore_index=True)
+
+
+def q_time_split(sf_dir: str):
+    """Temporal 80/20 train/val split at the first day whose cumulative
+    event count reaches 80% (exact integer test 5·cum ≥ 4·total — no
+    float quantile) — the leakage-safe alternative to hash/random
+    splits when the model predicts the future. Day-level tallies
+    combine per batch so the exchange is day-bounded; the cutoff and
+    the per-split report are exact-integer driver math on that
+    bounded table."""
+    from pystreamfs_ray.util import arrow_combiner
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        days = df["ts"].astype("int64").to_numpy() // 86_400_000_000
+        d = pd.DataFrame({"day": days,
+                          "n": np.ones(len(df), dtype=np.int64)})
+        return d.groupby("day", sort=False, as_index=False).sum()
+
+    tbl = (ev.map_batches(arrow_combiner(partial), batch_format="pyarrow")
+           .groupby("day")
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas()
+           .sort_values("day", ignore_index=True))  # day-bounded
+    n = tbl["n"].to_numpy(np.int64)
+    cum = np.cumsum(n)
+    tot = int(cum[-1])
+    cutoff = int(tbl["day"][5 * cum >= 4 * tot].iloc[0])
+    day = tbl["day"].to_numpy(np.int64)
+    out = []
+    for split, mask in (("train", day <= cutoff), ("val", day > cutoff)):
+        if mask.any():
+            out.append({"split": split,
+                        "n_events": int(n[mask].sum()),
+                        "min_day": int(day[mask].min()),
+                        "max_day": int(day[mask].max())})
+    res = pd.DataFrame(out)
+    res["n_events"] = res["n_events"].astype(np.int64)
+    res["min_day"] = res["min_day"].astype(np.int64)
+    res["max_day"] = res["max_day"].astype(np.int64)
+    return res.sort_values("split", ignore_index=True)

@@ -3053,3 +3053,54 @@ def test_containment_asymmetry(ray_session):
                                     + out["n_b"].iloc[0]
                                     - out["n_inter"].iloc[0])
     assert jac < 0.75
+
+
+def test_group_kfold_no_user_straddles(ray_session):
+    """Every user's events land in exactly one fold (the structural
+    no-leakage guarantee), fold shares sum to 1, all 5 folds nonempty
+    at sf0.001."""
+    from pystreamfs_ray.pipelines.queries import q_group_kfold
+    from pystreamfs_ray.sources import read_parquet
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+
+    sf = "/root/testdata/sf0.001"
+    got = q_group_kfold(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    ev = read_parquet(sf + "/events.parquet",
+                      columns=["user_id"]).to_pandas()
+    fold = (_md5_lower64([str(v) for v in ev["user_id"]])
+            % np.uint64(5)).astype(np.int64)
+    per_user = pd.DataFrame({"u": ev["user_id"], "f": fold}) \
+        .groupby("u")["f"].nunique()
+    assert (per_user == 1).all()
+    want = (pd.DataFrame({"fold": fold})
+            .groupby("fold").size().rename("n_events").reset_index())
+    assert got["fold"].tolist() == want["fold"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert int(got["n_users"].sum()) == ev["user_id"].nunique()
+    assert abs(got["pct_events"].sum() - 1.0) < 1e-4
+
+
+def test_time_split_cutoff(ray_session):
+    """The temporal split is exactly the 5*cum >= 4*total day cutoff:
+    train ends before val starts, the train share first reaches 80%
+    at the cutoff day, and counts reconcile."""
+    from pystreamfs_ray.pipelines.queries import q_time_split
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_time_split(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    ev = read_parquet(sf + "/events.parquet", columns=["ts"]).to_pandas()
+    days = ev["ts"].astype("int64").to_numpy() // 86_400_000_000
+    tot = len(days)
+    tr = got[got["split"] == "train"].iloc[0]
+    va = got[got["split"] == "val"].iloc[0]
+    assert int(tr["n_events"]) + int(va["n_events"]) == tot
+    assert tr["max_day"] < va["min_day"]
+    cutoff = int(tr["max_day"])
+    n_tr = int((days <= cutoff).sum())
+    assert 5 * n_tr >= 4 * tot
+    prev = int((days <= cutoff - 1).sum())
+    assert 5 * prev < 4 * tot
+    assert n_tr == int(tr["n_events"])
