@@ -335,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_containment": q.q_containment,
         "q_group_kfold": q.q_group_kfold,
         "q_time_split": q.q_time_split,
+        "q_dup_cluster_hist": q.q_dup_cluster_hist,
+        "q_pack_efficiency": q.q_pack_efficiency,
     }
 
 
@@ -4015,5 +4017,61 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(MIN(c.day) AS BIGINT) AS min_day,
                    CAST(MAX(c.day) AS BIGINT) AS max_day
             FROM c, k GROUP BY 1
+        """,
+        # exact-duplicate group-size histogram (groups of >= 2 docs);
+        # probes plant dups: docs 0-9 get +1 copy (even) / +2 (odd)
+        "q_dup_cluster_hist": """
+            WITH aug AS (
+              SELECT text FROM documents
+              UNION ALL SELECT text FROM documents WHERE doc_id < 10
+              UNION ALL SELECT text FROM documents
+                        WHERE doc_id < 10 AND doc_id % 2 = 1
+            ),
+            g AS (
+              SELECT text, CAST(COUNT(*) AS BIGINT) AS n
+              FROM aug GROUP BY text HAVING COUNT(*) >= 2
+            )
+            SELECT n AS group_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups
+            FROM g GROUP BY n
+        """,
+        # packing-efficiency rollup over the 512-token concat-and-chunk
+        # layout (docs, tokens, exact pack count, boundary straddlers)
+        "q_pack_efficiency": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\S+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS tok_start
+              FROM t
+            ),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     CAST(CASE WHEN n_tokens > 0
+                          THEN (tok_start + n_tokens - 1) // 512
+                               - tok_start // 512 + 1
+                          ELSE 0 END AS BIGINT) AS n_packs
+              FROM p
+            ),
+            a AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                     CAST(SUM(CASE WHEN n_packs > 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_boundary_docs
+              FROM s
+            )
+            SELECT n_docs, n_tokens,
+                   CAST((n_tokens + 511) // 512 AS BIGINT) AS n_packs,
+                   n_boundary_docs,
+                   ROUND(CAST(n_docs AS DOUBLE)
+                         / CAST((n_tokens + 511) // 512 AS DOUBLE), 6)
+                     AS docs_per_pack
+            FROM a
         """,
     }

@@ -5236,3 +5236,92 @@ def q_time_split(sf_dir: str):
     res["min_day"] = res["min_day"].astype(np.int64)
     res["max_day"] = res["max_day"].astype(np.int64)
     return res.sort_values("split", ignore_index=True)
+
+
+def q_dup_cluster_hist(sf_dir: str):
+    """Duplicate-cluster size histogram (how big are the exact-dup
+    groups — the observability readout that tunes dedup keep rules):
+    per-batch content-md5 partial counts → one hash-keyed reduce
+    (text never shuffles) → bounded (size, n_groups) finish. Groups
+    of size 1 (unique docs) are excluded. The sf* corpus has no raw
+    exact dups, so probes plant them: docs 0-9 gain one extra copy
+    (even ids) or two (odd ids) → sizes 2 and 3 by construction."""
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+    from pystreamfs_ray.util import arrow_combiner
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "text"])
+    base10 = read_parquet(_p(sf_dir, "documents"),
+                          columns=["doc_id", "text"],
+                          filter=(_pds.field("doc_id") < 10))
+
+    def replicate(t: pa.Table) -> pa.Table:
+        odd = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1))
+        return pa.concat_tables([t, odd])
+
+    docs = docs.union(base10.map_batches(replicate, batch_format="pyarrow"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # reinterpret the unsigned hash as int64: arrow-safe key, same
+        # injectivity (pure bit pattern, wraparound irrelevant)
+        h = _md5_lower64([str(t) for t in df["text"]]).view(np.int64)
+        d = pd.DataFrame({"h": h, "n": np.ones(len(df), dtype=np.int64)})
+        return d.groupby("h", sort=False, as_index=False).sum()
+
+    sizes = (docs.map_batches(arrow_combiner(partial),
+                              batch_format="pyarrow")
+             .groupby("h")
+             .aggregate(Sum("n", alias_name="n")))
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["n"] >= 2]
+        out = (pd.DataFrame({"group_size": d["n"].to_numpy(np.int64),
+                             "n_groups": np.ones(len(d), dtype=np.int64)})
+               .groupby("group_size", sort=False, as_index=False).sum())
+        return out
+
+    agg = (sizes.map_batches(arrow_combiner(hist), batch_format="pyarrow")
+           .groupby("group_size")
+           .aggregate(Sum("n_groups", alias_name="n_groups"))
+           .to_pandas())  # |distinct sizes|-bounded
+    agg["group_size"] = agg["group_size"].astype(np.int64)
+    agg["n_groups"] = agg["n_groups"].astype(np.int64)
+    return agg.sort_values("group_size", ignore_index=True)
+
+
+def q_pack_efficiency(sf_dir: str):
+    """Packing-efficiency report over the concat-and-chunk layout:
+    total docs/tokens, the exact pack count ceil(total/512), how many
+    docs straddle a pack boundary (each costs an attention-mask reset
+    or a truncation), and mean docs per pack — the readout that tunes
+    seq_len against the document length distribution. One combiner
+    pass over the pack layout; every stat is exact-integer except the
+    one mirrored division."""
+    from pystreamfs_ray.stages.packing import pack_sequences
+    from pystreamfs_ray.util import arrow_combiner
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    packed = pack_sequences(docs, seq_len=512)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_docs": [np.int64(len(df))],
+            "n_tokens": [np.int64(df["n_tokens"].sum())],
+            "n_boundary_docs": [np.int64((df["n_packs"] > 1).sum())],
+        })
+
+    agg = (packed.map_batches(arrow_combiner(partial),
+                              batch_format="pyarrow")
+           .sum(["n_docs", "n_tokens", "n_boundary_docs"]))
+    n_docs = int(agg["sum(n_docs)"])
+    n_tokens = int(agg["sum(n_tokens)"])
+    n_boundary = int(agg["sum(n_boundary_docs)"])
+    n_packs = (n_tokens + 511) // 512
+    return pd.DataFrame({
+        "n_docs": np.array([n_docs], dtype=np.int64),
+        "n_tokens": np.array([n_tokens], dtype=np.int64),
+        "n_packs": np.array([n_packs], dtype=np.int64),
+        "n_boundary_docs": np.array([n_boundary], dtype=np.int64),
+        "docs_per_pack": np.round(
+            np.array([float(n_docs) / float(n_packs)]), 6),
+    })

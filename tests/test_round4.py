@@ -3104,3 +3104,48 @@ def test_time_split_cutoff(ray_session):
     prev = int((days <= cutoff - 1).sum())
     assert 5 * prev < 4 * tot
     assert n_tr == int(tr["n_events"])
+
+
+def test_dup_cluster_hist_planted(ray_session):
+    """The planted probes produce exactly the expected group sizes at
+    sf0.001: 5 even-id docs → size-2 groups, 5 odd-id docs → size-3."""
+    from pystreamfs_ray.pipelines.queries import q_dup_cluster_hist
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_dup_cluster_hist(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    docs = read_parquet(sf + "/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas()
+    # base corpus must be exact-dup-free for the planted counts to hold
+    assert docs["text"].duplicated().sum() == 0
+    got = got.set_index("group_size")["n_groups"]
+    assert int(got.loc[2]) == 5
+    assert int(got.loc[3]) == 5
+    assert set(got.index) == {2, 3}
+
+
+def test_pack_efficiency_report(ray_session):
+    """The efficiency report reconciles with a pandas replay of the
+    concat-and-chunk layout at sf0.001."""
+    from pystreamfs_ray.pipelines.queries import q_pack_efficiency
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_pack_efficiency(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    docs = read_parquet(sf + "/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    n_tok = docs["text"].str.split().str.len().to_numpy(np.int64)
+    start = np.cumsum(n_tok) - n_tok
+    end = start + n_tok
+    n_packs_doc = np.where(n_tok > 0, (end - 1) // 512 - start // 512 + 1, 0)
+    total = int(n_tok.sum())
+    row = got.iloc[0]
+    assert int(row["n_docs"]) == len(docs)
+    assert int(row["n_tokens"]) == total
+    assert int(row["n_packs"]) == (total + 511) // 512
+    assert int(row["n_boundary_docs"]) == int((n_packs_doc > 1).sum())
+    assert abs(row["docs_per_pack"]
+               - round(len(docs) / ((total + 511) // 512), 6)) < 1e-9
