@@ -337,6 +337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_time_split": q.q_time_split,
         "q_dup_cluster_hist": q.q_dup_cluster_hist,
         "q_pack_efficiency": q.q_pack_efficiency,
+        "q_role_transitions": q.q_role_transitions,
+        "q_tool_latency": q.q_tool_latency,
     }
 
 
@@ -4073,5 +4075,52 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                          / CAST((n_tokens + 511) // 512 AS DOUBLE), 6)
                      AS docs_per_pack
             FROM a
+        """,
+        # dialog-grammar Markov table over consecutive roles per conv
+        "q_role_transitions": f"""
+            WITH {_TRANSCRIPTS_CTE}, l AS (
+              SELECT conv_id, role,
+                     lag(role) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS prev_role
+              FROM transcripts
+            ),
+            c AS (
+              SELECT prev_role, role,
+                     CAST(COUNT(*) AS BIGINT) AS n_trans
+              FROM l WHERE prev_role IS NOT NULL
+              GROUP BY prev_role, role
+            )
+            SELECT prev_role, role, n_trans,
+                   ROUND(CAST(n_trans AS DOUBLE)
+                         / CAST(SUM(n_trans)
+                                OVER (PARTITION BY prev_role) AS DOUBLE),
+                         6) AS prob
+            FROM c
+        """,
+        # per-tool latency order stats (exact integer µs; 2×median =
+        # sum of the two central order stats, no interpolation)
+        "q_tool_latency": f"""
+            WITH {_TRANSCRIPTS_CTE}, l AS (
+              SELECT conv_id, tool, ts,
+                     lead(ts) OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS nts
+              FROM transcripts
+            ),
+            d AS (
+              SELECT tool,
+                     date_diff('microsecond', ts, nts) AS gap_us
+              FROM l WHERE tool <> '' AND nts IS NOT NULL
+            ),
+            s AS (
+              SELECT tool, list_sort(list(gap_us)) AS v,
+                     COUNT(*) AS n
+              FROM d GROUP BY tool
+            )
+            SELECT tool, CAST(n AS BIGINT) AS n_calls,
+                   CAST(v[CAST((n - 1) // 2 AS BIGINT) + 1]
+                        + v[CAST(n // 2 AS BIGINT) + 1] AS BIGINT)
+                     AS median2_us,
+                   CAST(v[n] AS BIGINT) AS max_us
+            FROM s
         """,
     }

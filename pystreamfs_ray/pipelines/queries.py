@@ -5325,3 +5325,84 @@ def q_pack_efficiency(sf_dir: str):
         "docs_per_pack": np.round(
             np.array([float(n_docs) / float(n_packs)]), 6),
     })
+
+
+def q_role_transitions(sf_dir: str):
+    """Dialog-grammar Markov table: (previous role → role) counts over
+    consecutive turns within each conversation, with the
+    row-conditional probability — the structural readout that catches
+    malformed transcripts (assistant→assistant runs, orphan tool
+    turns) before they reach SFT. Pairs form in the conv bucket via
+    the vectorized shift; per-bucket partials bound the exchange at
+    |roles|² rows."""
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort",
+                          ignore_index=True)
+        conv = g["conv_id"].to_numpy()
+        role = g["role"].to_numpy(object)
+        same = conv[1:] == conv[:-1]
+        d = pd.DataFrame({"prev_role": role[:-1][same],
+                          "role": role[1:][same]})
+        out = (d.groupby(["prev_role", "role"], sort=False)
+               .size().reset_index(name="n_trans"))
+        out["n_trans"] = out["n_trans"].astype(np.int64)
+        return out
+
+    agg = (W.per_bucket(t, part, entity_col="conv_id",
+                        num_buckets=_BUCKETS)
+           .groupby(["prev_role", "role"])
+           .aggregate(Sum("n_trans", alias_name="n_trans"))
+           .to_pandas())  # |roles|²-bounded
+    n = agg["n_trans"].to_numpy(np.int64)
+    tot = (agg.groupby("prev_role")["n_trans"].transform("sum")
+           .to_numpy(np.int64))
+    agg["prob"] = np.round(n.astype(np.float64) / tot.astype(np.float64), 6)
+    return agg.sort_values(["prev_role", "role"], ignore_index=True)
+
+
+def q_tool_latency(sf_dir: str):
+    """Per-tool latency order statistics: for every tool turn with a
+    successor in the same conversation, gap = next turn ts − tool ts
+    in EXACT integer µs; per tool the call count, 2×median (sum of the
+    two central order stats — no float interpolation) and the max —
+    the ops readout that names the slow tool. One conv bucket shuffle;
+    each bucket resolves all its tools with one vectorized sorted
+    pass."""
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort",
+                          ignore_index=True)
+        conv = g["conv_id"].to_numpy()
+        tool = g["tool"].to_numpy(object)
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        m = (conv[1:] == conv[:-1]) & (tool[:-1] != "")
+        return pd.DataFrame({"tool": tool[:-1][m],
+                             "gap": ts[1:][m] - ts[:-1][m]})
+
+    gaps = W.per_bucket(t, part, entity_col="conv_id",
+                        num_buckets=_BUCKETS)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["tool", "gap"], kind="mergesort",
+                            ignore_index=True)
+        cnt = df.groupby("tool", sort=False).size()
+        n = cnt.to_numpy(np.int64)
+        start = np.concatenate([[0], np.cumsum(n[:-1])])
+        v = df["gap"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "tool": cnt.index.to_numpy(object),
+            "n_calls": n,
+            "median2_us": v[start + (n - 1) // 2] + v[start + n // 2],
+            "max_us": v[start + n - 1],
+        })
+
+    # |tools| is bounded: collapse the gap rows per tool on the driver
+    # side of ONE |gaps|-row pull is avoided by a per-tool map_groups
+    from pystreamfs_ray.util import drop_empty_blocks
+
+    return (drop_empty_blocks(gaps, 8)
+            .groupby("tool")
+            .map_groups(finish, batch_format="pandas"))

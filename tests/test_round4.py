@@ -3149,3 +3149,51 @@ def test_pack_efficiency_report(ray_session):
     assert int(row["n_boundary_docs"]) == int((n_packs_doc > 1).sum())
     assert abs(row["docs_per_pack"]
                - round(len(docs) / ((total + 511) // 512), 6)) < 1e-9
+
+
+def test_role_transitions_replay(ray_session):
+    """Role-transition table equals a pandas groupby-shift replay at
+    sf0.001; per-prev-role probabilities sum to 1."""
+    from pystreamfs_ray.pipelines.queries import q_role_transitions
+    from pystreamfs_ray.pipelines.transcripts import transcripts_from_events
+
+    sf = "/root/testdata/sf0.001"
+    got = q_role_transitions(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    t = (transcripts_from_events(sf).to_pandas()
+         .sort_values(["conv_id", "turn_idx"], ignore_index=True))
+    prev = t.groupby("conv_id")["role"].shift(1)
+    pairs = pd.DataFrame({"prev_role": prev, "role": t["role"]}).dropna()
+    want = (pairs.groupby(["prev_role", "role"]).size()
+            .rename("n_trans").reset_index()
+            .sort_values(["prev_role", "role"], ignore_index=True))
+    assert got[["prev_role", "role"]].values.tolist() == \
+        want[["prev_role", "role"]].values.tolist()
+    assert got["n_trans"].tolist() == want["n_trans"].tolist()
+    assert np.allclose(got.groupby("prev_role")["prob"].sum().to_numpy(),
+                       1.0, atol=1e-4)
+
+
+def test_tool_latency_replay(ray_session):
+    """Per-tool latency stats replay exact integer µs gaps at sf0.001
+    (2×median = sum of the two central order stats)."""
+    from pystreamfs_ray.pipelines.queries import q_tool_latency
+    from pystreamfs_ray.pipelines.transcripts import transcripts_from_events
+
+    sf = "/root/testdata/sf0.001"
+    got = q_tool_latency(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    t = (transcripts_from_events(sf).to_pandas()
+         .sort_values(["conv_id", "turn_idx"], ignore_index=True))
+    ts = t["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    conv = t["conv_id"].to_numpy()
+    tool = t["tool"].to_numpy(object)
+    m = (conv[1:] == conv[:-1]) & (tool[:-1] != "")
+    d = pd.DataFrame({"tool": tool[:-1][m], "gap": ts[1:][m] - ts[:-1][m]})
+    assert len(got) == d["tool"].nunique()
+    for _, row in got.iterrows():
+        v = np.sort(d[d["tool"] == row["tool"]]["gap"].to_numpy(np.int64))
+        n = len(v)
+        assert row["n_calls"] == n
+        assert row["median2_us"] == int(v[(n - 1) // 2]) + int(v[n // 2])
+        assert row["max_us"] == int(v[-1])
