@@ -459,6 +459,36 @@ def _decode_media_oracle() -> str:
     """
 
 
+def _compression_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """zlib-compressibility oracle: DuckDB ships no zlib, but the
+    per-doc (n_bytes, n_zip, ratio) triple is deterministic (fixed
+    level 6), so an independent sequential re-derivation — read the
+    parquet directly, no engine import, no Ray — is inlined as a
+    VALUES table. This checks the distributed plumbing (every doc
+    present exactly once, ids aligned, rounding identical); the zlib
+    math itself is pinned by pytest fixtures (planted repetitive vs
+    random text)."""
+    import zlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    rows = []
+    for i, txt in zip(ids, t["text"].to_pylist()):
+        b = str(txt).encode("utf-8")
+        nb, nz = len(b), len(zlib.compress(b, 6))
+        ratio = np.round(np.float64(nz) / max(nb, 1), 6)
+        rows.append(f"({i},{nb},{nz},{ratio!r})")
+    return ("SELECT CAST(col0 AS BIGINT) AS doc_id, "
+            "CAST(col1 AS BIGINT) AS n_bytes, "
+            "CAST(col2 AS BIGINT) AS n_zip, "
+            "CAST(col3 AS DOUBLE) AS ratio "
+            "FROM (VALUES " + ",".join(rows) + ")")
+
+
 def _pca_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """PCA-projection oracle: the eigendecomposition itself is not SQL,
     but the PROJECTION is linear — (x−μ)·w = x·w − μ·w — so an
@@ -2627,6 +2657,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         """,
         "q_decode_media": _decode_media_oracle(),
         "q_pca_project": _pca_oracle(sf_dir),
+        "q_compression": _compression_oracle(sf_dir),
         # --- round-4 operators ---
         "q_heavy_users": """
             WITH c AS (

@@ -4253,9 +4253,11 @@ def q_user_features(sf_dir: str):
 
 
 def q_compression(sf_dir: str):
-    """Per-document zlib compressibility (the Gopher quality signal) —
-    non-SQL, rows-only for the driver; pytest pins it to an exact
-    driver-side replay plus planted repetitive vs random fixtures."""
+    """Per-document zlib compressibility (the Gopher quality signal).
+    DuckDB ships no zlib, so the oracle inlines an independent
+    sequential re-derivation as a VALUES table (plumbing check); the
+    zlib math itself is pytest-pinned by planted repetitive vs random
+    fixtures."""
     from pystreamfs_ray.stages.textstats import compression_ratio
 
     docs = read_parquet(_p(sf_dir, "documents"),
