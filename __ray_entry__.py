@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pack_efficiency": q.q_pack_efficiency,
         "q_role_transitions": q.q_role_transitions,
         "q_tool_latency": q.q_tool_latency,
+        "q_cube_counts": q.q_cube_counts,
     }
 
 
@@ -4153,5 +4154,15 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                      AS median2_us,
                    CAST(v[n] AS BIGINT) AS max_us
             FROM s
+        """,
+        # CUBE(event_type, dow) with 'ALL' subtotal labels
+        "q_cube_counts": """
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(CAST(dow AS VARCHAR), 'ALL') AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT event_type,
+                         CAST(dayofweek(ts) AS BIGINT) AS dow
+                  FROM events)
+            GROUP BY CUBE (event_type, dow)
         """,
     }

@@ -5408,3 +5408,42 @@ def q_tool_latency(sf_dir: str):
     return (drop_empty_blocks(gaps, 8)
             .groupby("tool")
             .map_groups(finish, batch_format="pandas"))
+
+
+def q_cube_counts(sf_dir: str):
+    """CUBE aggregation over (event_type, day-of-week): all four
+    grouping combinations — fine cells, both one-way margins, grand
+    total — with 'ALL' labels (completing the subtotal family next to
+    q_rollup_revenue's ROLLUP). The fine grain is one |types|×7
+    combiner exchange; every coarser level derives from that bounded
+    frame on the driver, so CUBE costs nothing extra at any scale."""
+    from pystreamfs_ray.util import arrow_combiner
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        days = df["ts"].astype("int64").to_numpy() // 86_400_000_000
+        d = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(object),
+            "dow": ((days + 4) % 7).astype(np.int64),
+            "n": np.ones(len(df), dtype=np.int64),
+        })
+        return d.groupby(["event_type", "dow"], sort=False,
+                         as_index=False).sum()
+
+    base = (ev.map_batches(arrow_combiner(partial), batch_format="pyarrow")
+            .groupby(["event_type", "dow"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())  # |types|×7-bounded
+    base["dow"] = base["dow"].astype(np.int64).astype(str)
+    base["n"] = base["n"].astype(np.int64)
+    by_type = (base.groupby("event_type", as_index=False)["n"].sum()
+               .assign(dow="ALL"))
+    by_dow = (base.groupby("dow", as_index=False)["n"].sum()
+              .assign(event_type="ALL"))
+    total = pd.DataFrame({"event_type": ["ALL"], "dow": ["ALL"],
+                          "n": [np.int64(base["n"].sum())]})
+    out = pd.concat([base, by_type, by_dow, total], ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    return (out[["event_type", "dow", "n"]]
+            .sort_values(["event_type", "dow"], ignore_index=True))

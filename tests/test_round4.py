@@ -3197,3 +3197,25 @@ def test_tool_latency_replay(ray_session):
         assert row["n_calls"] == n
         assert row["median2_us"] == int(v[(n - 1) // 2]) + int(v[n // 2])
         assert row["max_us"] == int(v[-1])
+
+
+def test_cube_counts_margins(ray_session):
+    """CUBE margins reconcile: each one-way margin equals the sum of
+    its fine cells and the grand total equals the corpus size."""
+    from pystreamfs_ray.pipelines.queries import q_cube_counts
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_cube_counts(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    ev = read_parquet(sf + "/events.parquet",
+                      columns=["event_type"]).to_pandas()
+    fine = got[(got["event_type"] != "ALL") & (got["dow"] != "ALL")]
+    for t, grp in fine.groupby("event_type"):
+        m = got[(got["event_type"] == t) & (got["dow"] == "ALL")]
+        assert int(m["n"].iloc[0]) == int(grp["n"].sum())
+    for d, grp in fine.groupby("dow"):
+        m = got[(got["event_type"] == "ALL") & (got["dow"] == d)]
+        assert int(m["n"].iloc[0]) == int(grp["n"].sum())
+    tot = got[(got["event_type"] == "ALL") & (got["dow"] == "ALL")]
+    assert int(tot["n"].iloc[0]) == len(ev) == int(fine["n"].sum())
