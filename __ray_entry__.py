@@ -340,6 +340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_role_transitions": q.q_role_transitions,
         "q_tool_latency": q.q_tool_latency,
         "q_cube_counts": q.q_cube_counts,
+        "q_woe_encode": q.q_woe_encode,
+        "q_mi_features": q.q_mi_features,
     }
 
 
@@ -4164,5 +4166,71 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                          CAST(dayofweek(ts) AS BIGINT) AS dow
                   FROM events)
             GROUP BY CUBE (event_type, dow)
+        """,
+        # weight-of-evidence encoding: woe/iv are per-row float
+        # expressions over exact int64 counts (0.5 Laplace smoothing),
+        # written in the engine's operation order — no float sums
+        "q_woe_encode": """
+            WITH c AS (
+              SELECT event_type,
+                     SUM(CASE WHEN CAST(FLOOR(value * 100.0 + 0.5)
+                              AS BIGINT) > 5000 THEN 1 ELSE 0 END) AS n_pos,
+                     SUM(CASE WHEN CAST(FLOOR(value * 100.0 + 0.5)
+                              AS BIGINT) > 5000 THEN 0 ELSE 1 END) AS n_neg
+              FROM events GROUP BY event_type
+            ),
+            t AS (SELECT CAST(SUM(n_pos) AS DOUBLE) AS tp,
+                         CAST(SUM(n_neg) AS DOUBLE) AS tn FROM c)
+            SELECT event_type,
+                   CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST(n_neg AS BIGINT) AS n_neg,
+                   ROUND(LN(((CAST(n_pos AS DOUBLE) + 0.5) / tp)
+                            / ((CAST(n_neg AS DOUBLE) + 0.5) / tn)), 6)
+                     AS woe,
+                   ROUND(((CAST(n_pos AS DOUBLE) + 0.5) / tp
+                          - (CAST(n_neg AS DOUBLE) + 0.5) / tn)
+                         * LN(((CAST(n_pos AS DOUBLE) + 0.5) / tp)
+                              / ((CAST(n_neg AS DOUBLE) + 0.5) / tn)), 6)
+                     AS iv
+            FROM c, t ORDER BY event_type
+        """,
+        # MI feature ranking: the summed per-cell terms are each the
+        # same float expression as the engine's; the ≤2·|levels|-term
+        # SUM's order-of-summation ulps vanish under ROUND(...,6).
+        # dow/hour levels only need to partition rows identically on
+        # both sides (level names never enter the MI value).
+        "q_mi_features": """
+            WITH base AS (
+              SELECT event_type,
+                     CAST(dayofweek(ts) AS VARCHAR) AS dow,
+                     CAST(hour(ts) AS VARCHAR) AS hr,
+                     CASE WHEN CAST(FLOOR(value * 100.0 + 0.5)
+                          AS BIGINT) > 5000 THEN 1 ELSE 0 END AS y
+              FROM events
+            ),
+            melt AS (
+              SELECT 'event_type' AS feature, event_type AS level, y
+                FROM base
+              UNION ALL SELECT 'dow', dow, y FROM base
+              UNION ALL SELECT 'hour', hr, y FROM base
+            ),
+            cells AS (
+              SELECT feature, level, y, COUNT(*) AS c
+              FROM melt GROUP BY feature, level, y
+            ),
+            m AS (
+              SELECT feature, level, y, CAST(c AS DOUBLE) AS c,
+                     CAST(SUM(c) OVER (PARTITION BY feature)
+                          AS DOUBLE) AS n,
+                     CAST(SUM(c) OVER (PARTITION BY feature, level)
+                          AS DOUBLE) AS cx,
+                     CAST(SUM(c) OVER (PARTITION BY feature, y)
+                          AS DOUBLE) AS cy
+              FROM cells
+            )
+            SELECT feature,
+                   CAST(COUNT(DISTINCT level) AS BIGINT) AS n_levels,
+                   ROUND(SUM((c / n) * LN((c * n) / (cx * cy))), 6) AS mi
+            FROM m GROUP BY feature ORDER BY feature
         """,
     }

@@ -5447,3 +5447,105 @@ def q_cube_counts(sf_dir: str):
     out["n"] = out["n"].astype(np.int64)
     return (out[["event_type", "dow", "n"]]
             .sort_values(["event_type", "dow"], ignore_index=True))
+
+
+def q_woe_encode(sf_dir: str):
+    """Weight-of-evidence categorical encoding of event_type against
+    the binary outcome value > 50.00 (exact integer compare on cents)
+    — the credit-scoring encoder that maps a category to the log odds
+    ratio of its outcome distribution, with the per-category
+    information-value (IV) term that ranks categories by predictive
+    power. Per-type (n_pos, n_neg) int64 partials combine per batch so
+    the exchange is |types|-bounded; woe/iv are per-row float
+    expressions over exact counts (0.5 Laplace smoothing, no float
+    sums anywhere), written in the oracle's operation order."""
+    from pystreamfs_ray.util import arrow_combiner
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy(np.float64)
+                         * 100.0 + 0.5).astype(np.int64)
+        pos = (cents > 5000).astype(np.int64)
+        d = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(object),
+            "n_pos": pos,
+            "n_neg": np.int64(1) - pos,
+        })
+        return d.groupby("event_type", sort=False, as_index=False).sum()
+
+    agg = (ev.map_batches(arrow_combiner(partial), batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n_pos", alias_name="n_pos"),
+                      Sum("n_neg", alias_name="n_neg"))
+           .to_pandas())  # |types|-bounded
+    tp = float(int(agg["n_pos"].sum()))
+    tn = float(int(agg["n_neg"].sum()))
+    dp = (agg["n_pos"].to_numpy(np.int64).astype(np.float64) + 0.5) / tp
+    dn = (agg["n_neg"].to_numpy(np.int64).astype(np.float64) + 0.5) / tn
+    woe = np.log(dp / dn)
+    return pd.DataFrame({
+        "event_type": agg["event_type"].to_numpy(object),
+        "n_pos": agg["n_pos"].to_numpy(np.int64),
+        "n_neg": agg["n_neg"].to_numpy(np.int64),
+        "woe": np.round(woe, 6),
+        "iv": np.round((dp - dn) * woe, 6),
+    }).sort_values("event_type", ignore_index=True)
+
+
+def q_mi_features(sf_dir: str):
+    """Distributed mutual-information feature ranking: MI(X; y) for
+    each candidate categorical feature of the events table
+    (event_type, day-of-week, hour-of-day) against the binary outcome
+    value > 50.00 — the corpus-scale filter-method feature selector.
+    ONE combiner pass melts each row into its three (feature, level,
+    y) cells and tallies batch-locally, so the single exchange is
+    Σ|levels|×2-bounded regardless of row count; the driver finish
+    computes each feature's MI from exact int64 margins with per-cell
+    float terms summed over a canonically sorted, bounded cell table
+    (Σ of ≤ 2·|levels| doubles — rounding to 6 digits absorbs
+    order-of-summation ulps)."""
+    from pystreamfs_ray.util import arrow_combiner
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy(np.float64)
+                         * 100.0 + 0.5).astype(np.int64)
+        y = (cents > 5000).astype(np.int64)
+        tsi = df["ts"].astype("int64").to_numpy()
+        days = tsi // 86_400_000_000
+        dow = ((days + 4) % 7).astype(np.int64)  # 0 = Sunday (SQL parity)
+        hour = (tsi % 86_400_000_000) // 3_600_000_000
+        et = df["event_type"].to_numpy(object)
+        d = pd.DataFrame({
+            "feature": np.repeat(
+                np.array(["event_type", "dow", "hour"], dtype=object),
+                len(df)),
+            "level": np.concatenate([
+                et, dow.astype(str).astype(object),
+                hour.astype(np.int64).astype(str).astype(object)]),
+            "y": np.tile(y, 3),
+            "c": np.ones(3 * len(df), dtype=np.int64),
+        })
+        return d.groupby(["feature", "level", "y"], sort=False,
+                         as_index=False).sum()
+
+    cells = (ev.map_batches(arrow_combiner(partial), batch_format="pyarrow")
+             .groupby(["feature", "level", "y"])
+             .aggregate(Sum("c", alias_name="c"))
+             .to_pandas())  # Σ|levels|×2-bounded
+    out = []
+    for feat, g in cells.groupby("feature", sort=True):
+        g = g.sort_values(["level", "y"], ignore_index=True)
+        c = g["c"].to_numpy(np.int64)
+        n = float(int(c.sum()))
+        cx = g.groupby("level")["c"].transform("sum").to_numpy(np.int64)
+        cy = g.groupby("y")["c"].transform("sum").to_numpy(np.int64)
+        cf = c.astype(np.float64)
+        mi = float(np.sum((cf / n) * np.log(
+            (cf * n) / (cx.astype(np.float64) * cy.astype(np.float64)))))
+        out.append((feat, np.int64(g["level"].nunique()), round(mi, 6)))
+    return pd.DataFrame(out, columns=["feature", "n_levels", "mi"])

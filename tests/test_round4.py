@@ -3219,3 +3219,74 @@ def test_cube_counts_margins(ray_session):
         assert int(m["n"].iloc[0]) == int(grp["n"].sum())
     tot = got[(got["event_type"] == "ALL") & (got["dow"] == "ALL")]
     assert int(tot["n"].iloc[0]) == len(ev) == int(fine["n"].sum())
+
+
+def test_woe_encode_replay(ray_session):
+    """WoE/IV table equals a pandas replay of the smoothed log-odds
+    formula at sf0.001; per-type counts reconcile with the corpus and
+    the encoding sign tracks the category's outcome rate vs global."""
+    from pystreamfs_ray.pipelines.queries import q_woe_encode
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_woe_encode(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    ev = read_parquet(sf + "/events.parquet",
+                      columns=["event_type", "value"]).to_pandas()
+    cents = np.floor(ev["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5).astype(np.int64)
+    ev["pos"] = (cents > 5000).astype(np.int64)
+    grp = ev.groupby("event_type").agg(p=("pos", "sum"),
+                                       n=("pos", "size"))
+    tp = float(ev["pos"].sum())
+    tn = float(len(ev) - ev["pos"].sum())
+    assert int(got["n_pos"].sum() + got["n_neg"].sum()) == len(ev)
+    for _, row in got.iterrows():
+        p = float(grp.loc[row["event_type"], "p"])
+        n = float(grp.loc[row["event_type"], "n"])
+        assert row["n_pos"] == int(p) and row["n_neg"] == int(n - p)
+        dp, dn = (p + 0.5) / tp, (n - p + 0.5) / tn
+        woe = np.log(dp / dn)
+        assert abs(row["woe"] - round(woe, 6)) < 1e-9
+        assert abs(row["iv"] - round((dp - dn) * woe, 6)) < 1e-9
+        # sign sanity: category rate above the smoothed-global share
+        # iff woe > 0 (both sides of the same comparison)
+        assert (dp > dn) == (row["woe"] > 0)
+
+
+def test_mi_features_replay(ray_session):
+    """MI ranking equals a brute-force sklearn-free replay (contingency
+    tables via pandas crosstab) at sf0.001, and every MI is
+    non-negative with n_levels matching the observed cardinality."""
+    from pystreamfs_ray.pipelines.queries import q_mi_features
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_mi_features(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    ev = read_parquet(sf + "/events.parquet",
+                      columns=["event_type", "ts", "value"]).to_pandas()
+    cents = np.floor(ev["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5).astype(np.int64)
+    y = (cents > 5000).astype(np.int64)
+    tsi = ev["ts"].astype("int64").to_numpy()
+    days = tsi // 86_400_000_000
+    feats = {
+        "event_type": ev["event_type"].to_numpy(object),
+        "dow": ((days + 4) % 7).astype(np.int64),
+        "hour": (tsi % 86_400_000_000) // 3_600_000_000,
+    }
+    assert list(got["feature"]) == sorted(feats)  # canonical order
+    for _, row in got.iterrows():
+        x = pd.Series(feats[row["feature"]])
+        ct = pd.crosstab(x, pd.Series(y)).to_numpy(np.float64)
+        n = ct.sum()
+        px = ct.sum(axis=1, keepdims=True) / n
+        py = ct.sum(axis=0, keepdims=True) / n
+        p = ct / n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            terms = np.where(ct > 0, p * np.log(p / (px * py)), 0.0)
+        mi = float(terms.sum())
+        assert abs(row["mi"] - round(mi, 6)) < 2e-6  # summation order
+        assert row["mi"] >= 0.0
+        assert row["n_levels"] == len(np.unique(feats[row["feature"]]))
