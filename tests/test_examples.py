@@ -104,3 +104,16 @@ def test_example_experiment_readout():
     assert "ab lift:" in out.stdout
     assert "day-0 hazard=" in out.stdout
     assert "users segmented" in out.stdout
+
+
+def test_example_feature_selection():
+    """Feature-selection readout (MI ranking, WoE/IV, leakage audit,
+    PSI drift) — subprocess so it owns its own Ray session."""
+    out = subprocess.run(
+        [sys.executable, f"{EX}/example_feature_selection.py"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "mi ranking:" in out.stdout
+    assert "woe encoding:" in out.stdout
+    assert "psi drift:" in out.stdout
