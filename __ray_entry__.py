@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cube_counts": q.q_cube_counts,
         "q_woe_encode": q.q_woe_encode,
         "q_mi_features": q.q_mi_features,
+        "q_causal_zscore": q.q_causal_zscore,
     }
 
 
@@ -4232,5 +4233,41 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(COUNT(DISTINCT level) AS BIGINT) AS n_levels,
                    ROUND(SUM((c / n) * LN((c * n) / (cx * cy))), 6) AS mi
             FROM m GROUP BY feature ORDER BY feature
+        """,
+        # causal z-score: prior moments are exact BIGINT window sums
+        # (order-independent), the z is the same float expression the
+        # engine evaluates; NULL until ≥2 priors with nonzero spread
+        "q_causal_zscore": """
+            WITH b AS (
+              SELECT event_id, user_id, ts,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+              FROM events
+            ),
+            w AS (
+              SELECT event_id, c,
+                     COUNT(c) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS n,
+                     SUM(c) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS s,
+                     SUM(c * c) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS ss
+              FROM b
+            )
+            SELECT event_id,
+                   CASE WHEN n >= 2 AND
+                        (CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * s / n) > 0
+                   THEN ROUND((c - CAST(s AS DOUBLE) / n)
+                              / SQRT((CAST(ss AS DOUBLE)
+                                      - CAST(s AS DOUBLE) * s / n)
+                                     / (n - 1)), 6)
+                   ELSE NULL END AS z_prior
+            FROM w
         """,
     }

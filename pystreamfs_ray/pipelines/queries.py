@@ -5549,3 +5549,40 @@ def q_mi_features(sf_dir: str):
             (cf * n) / (cx.astype(np.float64) * cy.astype(np.float64)))))
         out.append((feat, np.int64(g["level"].nunique()), round(mi, 6)))
     return pd.DataFrame(out, columns=["feature", "n_levels", "mi"])
+
+
+def q_causal_zscore(sf_dir: str):
+    """Leakage-safe causal z-score: each event's value standardized
+    against the mean/std of the user's STRICTLY-PRECEDING events (the
+    point-in-time normalization feature — no statistic ever sees the
+    row it scores or its future). One user-bucket pass; prior moments
+    are exact int64 cent cumsums, the z is one float expression in the
+    oracle's operation order. Null until the user has ≥2 prior events
+    with nonzero spread."""
+    events = read_parquet(_p(sf_dir, "events"),
+                          columns=["event_id", "ts", "user_id", "value"])
+
+    def _feats(g: pd.DataFrame) -> pd.DataFrame:
+        g = W.sort_entity(g, entity_col="user_id",
+                          order_cols=("ts", "event_id"))
+        c = np.floor(g["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5).astype(np.int64)
+        key = g["user_id"]
+        grp = pd.Series(c).groupby(key.to_numpy(), sort=False)
+        n = grp.cumcount().to_numpy(np.int64)
+        s = grp.cumsum().to_numpy(np.int64) - c
+        ss = pd.Series(c * c).groupby(
+            key.to_numpy(), sort=False).cumsum().to_numpy(np.int64) - c * c
+        nf = n.astype(np.float64)
+        sf_, ssf = s.astype(np.float64), ss.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            num = ssf - (sf_ * s) / nf          # CAST(ss) - CAST(s)*s/n
+            z = (c - sf_ / nf) / np.sqrt(num / (nf - 1.0))
+        ok = (n >= 2) & (num > 0)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "z_prior": np.where(ok, np.round(z, 6), np.nan),
+        })
+
+    return W.per_bucket(events, _feats, entity_col="user_id",
+                        num_buckets=_BUCKETS)
