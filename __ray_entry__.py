@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_woe_encode": q.q_woe_encode,
         "q_mi_features": q.q_mi_features,
         "q_causal_zscore": q.q_causal_zscore,
+        "q_target_encode_cv": q.q_target_encode_cv,
     }
 
 
@@ -4269,5 +4270,34 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                      / (n - 1)), 6)
                    ELSE NULL END AS z_prior
             FROM w
+        """,
+        # out-of-fold target encoding: fold stats are exact BIGINT
+        # (count, cent-sum); the encoding is ONE mirrored float
+        # division over other-fold totals, NULL for a fold that holds
+        # the type's every row
+        "q_target_encode_cv": """
+            WITH b AS (
+              SELECT event_id, event_type,
+                     CAST(md5_number_lower(CAST(event_id AS VARCHAR)) % 5
+                          AS BIGINT) AS fold,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+              FROM events
+            ),
+            f AS (
+              SELECT event_type, fold, COUNT(*) AS n, SUM(c) AS sc
+              FROM b GROUP BY event_type, fold
+            ),
+            t AS (
+              SELECT event_type, SUM(n) AS tn, SUM(sc) AS tsc
+              FROM f GROUP BY event_type
+            )
+            SELECT b.event_id,
+                   CASE WHEN (t.tn - f.n) > 0
+                   THEN ROUND(CAST(t.tsc - f.sc AS DOUBLE)
+                              / (t.tn - f.n) / 100.0, 6)
+                   ELSE NULL END AS enc_oof
+            FROM b
+            JOIN f ON b.event_type = f.event_type AND b.fold = f.fold
+            JOIN t ON b.event_type = t.event_type
         """,
     }

@@ -5586,3 +5586,66 @@ def q_causal_zscore(sf_dir: str):
 
     return W.per_bucket(events, _feats, entity_col="user_id",
                         num_buckets=_BUCKETS)
+
+
+def q_target_encode_cv(sf_dir: str):
+    """Out-of-fold (K-fold) target encoding: each event's type is
+    encoded by the mean value of the OTHER four md5-folds — the
+    leakage-robust encoder variant used for model training (the row's
+    own fold never contributes to its statistic; complements the LOO
+    and m-estimate encoders). Pass 1 is a |types|×5-bounded (count,
+    cent-sum) combiner; the finish broadcasts the tiny fold table into
+    a stateless vectorized map, so nothing data-sized ever shuffles."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+    from pystreamfs_ray.util import arrow_combiner
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        fold = (_md5_lower64([str(v) for v in df["event_id"]])
+                % np.uint64(5)).astype(np.int64)
+        d = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(object),
+            "fold": fold,
+            "n": np.ones(len(df), dtype=np.int64),
+            "sc": np.floor(df["value"].to_numpy(np.float64)
+                           * 100.0 + 0.5).astype(np.int64),
+        })
+        return d.groupby(["event_type", "fold"], sort=False,
+                         as_index=False).sum()
+
+    folds = (ev.map_batches(arrow_combiner(partial), batch_format="pyarrow")
+             .groupby(["event_type", "fold"])
+             .aggregate(_Sum("n", alias_name="n"),
+                        _Sum("sc", alias_name="sc"))
+             .to_pandas())  # |types|×5-bounded
+    tot = folds.groupby("event_type", as_index=False).agg(
+        tn=("n", "sum"), tsc=("sc", "sum"))
+    enc = folds.merge(tot, on="event_type")
+    rest_n = (enc["tn"] - enc["n"]).to_numpy(np.int64)
+    rest_sc = (enc["tsc"] - enc["sc"]).to_numpy(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        val = np.round(rest_sc.astype(np.float64)
+                       / rest_n.astype(np.float64) / 100.0, 6)
+    enc_map = {(t, f): (v if n > 0 else np.nan)
+               for t, f, n, v in zip(enc["event_type"], enc["fold"],
+                                     rest_n, val)}
+
+    small = pd.DataFrame(
+        [(t, f, v) for (t, f), v in enc_map.items()],
+        columns=["event_type", "fold", "enc_oof"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "event_type": df["event_type"].to_numpy(object),
+            "fold": (_md5_lower64([str(v) for v in df["event_id"]])
+                     % np.uint64(5)).astype(np.int64),
+        })
+        out = out.merge(small, on=["event_type", "fold"], how="left")
+        return out[["event_id", "enc_oof"]]
+
+    return ev.map_batches(finish, batch_format="pandas")

@@ -3332,3 +3332,40 @@ def test_causal_zscore_replay_and_causality(ray_session):
         # construction; equality with the full-corpus engine output IS
         # the no-future-influence property for every checked row
     assert n_checked > 50
+
+
+def test_target_encode_cv_out_of_fold(ray_session):
+    """OOF target encoding equals a pandas replay at sf0.001 (each
+    row's encoding = the mean of the OTHER md5-folds of its type) and
+    is leakage-robust: a row's own (type, fold) cell never moves its
+    encoding — perturbation check on the replay side."""
+    from pystreamfs_ray.pipelines.queries import q_target_encode_cv
+    from pystreamfs_ray.sources import read_parquet
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+
+    sf = "/root/testdata/sf0.001"
+    got = q_target_encode_cv(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    got = got.set_index("event_id")["enc_oof"]
+    ev = read_parquet(sf + "/events.parquet",
+                      columns=["event_id", "event_type", "value"]
+                      ).to_pandas()
+    ev["c"] = np.floor(ev["value"].to_numpy(np.float64)
+                       * 100.0 + 0.5).astype(np.int64)
+    ev["fold"] = (_md5_lower64([str(v) for v in ev["event_id"]])
+                  % np.uint64(5)).astype(np.int64)
+    assert ev["fold"].nunique() == 5  # all folds populated
+    cells = ev.groupby(["event_type", "fold"]).agg(
+        n=("c", "size"), sc=("c", "sum"))
+    tots = ev.groupby("event_type").agg(tn=("c", "size"), tsc=("c", "sum"))
+    for _, row in ev.sample(200, random_state=7).iterrows():
+        n, sc = cells.loc[(row["event_type"], row["fold"])]
+        tn, tsc = tots.loc[row["event_type"]]
+        want = round(float(tsc - sc) / float(tn - n) / 100.0, 6)
+        assert abs(got.loc[row["event_id"]] - want) < 1e-9
+        # leakage-robustness: remove THIS row from its own fold's cell
+        # — the encoding (built only from other folds) is unchanged
+        n2, sc2 = n - 1, sc - row["c"]
+        want2 = round(float((tsc - row["c"]) - sc2)
+                      / float((tn - 1) - n2) / 100.0, 6)
+        assert want2 == want
