@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mi_features": q.q_mi_features,
         "q_causal_zscore": q.q_causal_zscore,
         "q_target_encode_cv": q.q_target_encode_cv,
+        "q_cyclical_time": q.q_cyclical_time,
     }
 
 
@@ -4299,5 +4300,21 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM b
             JOIN f ON b.event_type = f.event_type AND b.fold = f.fold
             JOIN t ON b.event_type = t.event_type
+        """,
+        # cyclical encoding: same integer hour/dow derivations as the
+        # CUBE/MI oracles; trig expressions in the engine's op order
+        "q_cyclical_time": """
+            WITH b AS (
+              SELECT event_id,
+                     CAST(hour(ts) AS DOUBLE) AS h,
+                     CAST(dayofweek(ts) AS DOUBLE) AS d
+              FROM events
+            )
+            SELECT event_id,
+                   ROUND(SIN(2 * PI() * h / 24), 6) AS hour_sin,
+                   ROUND(COS(2 * PI() * h / 24), 6) AS hour_cos,
+                   ROUND(SIN(2 * PI() * d / 7), 6) AS dow_sin,
+                   ROUND(COS(2 * PI() * d / 7), 6) AS dow_cos
+            FROM b
         """,
     }

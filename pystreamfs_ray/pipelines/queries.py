@@ -5649,3 +5649,30 @@ def q_target_encode_cv(sf_dir: str):
         return out[["event_id", "enc_oof"]]
 
     return ev.map_batches(finish, batch_format="pandas")
+
+
+def q_cyclical_time(sf_dir: str):
+    """Cyclical calendar features: sin/cos of hour-of-day and
+    day-of-week per event — the standard periodic encoding that keeps
+    23:00 adjacent to 00:00 (a raw hour integer puts them 23 apart).
+    Shuffle-free stateless vectorized map; the trig expressions are
+    written in the oracle's operation order over the same integer
+    hour/dow derivations the CUBE/MI queries use."""
+    ev = read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts"])
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        tsi = df["ts"].astype("int64").to_numpy()
+        days = tsi // 86_400_000_000
+        dow = ((days + 4) % 7).astype(np.float64)   # 0 = Sunday
+        hour = ((tsi % 86_400_000_000)
+                // 3_600_000_000).astype(np.float64)
+        two_pi = 2.0 * np.pi
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "hour_sin": np.round(np.sin(two_pi * hour / 24.0), 6),
+            "hour_cos": np.round(np.cos(two_pi * hour / 24.0), 6),
+            "dow_sin": np.round(np.sin(two_pi * dow / 7.0), 6),
+            "dow_cos": np.round(np.cos(two_pi * dow / 7.0), 6),
+        })
+
+    return ev.map_batches(feats, batch_format="pandas")

@@ -3369,3 +3369,34 @@ def test_target_encode_cv_out_of_fold(ray_session):
         want2 = round(float((tsc - row["c"]) - sc2)
                       / float((tn - 1) - n2) / 100.0, 6)
         assert want2 == want
+
+
+def test_cyclical_time_identity(ray_session):
+    """sin²+cos² = 1 on every row, midnight/Sunday map to (0, 1), and
+    values equal a direct numpy recomputation from the raw timestamps
+    at sf0.001 (adjacency: 23:00 is closer to 00:00 than to 12:00)."""
+    from pystreamfs_ray.pipelines.queries import q_cyclical_time
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_cyclical_time(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    assert (np.abs(got["hour_sin"] ** 2 + got["hour_cos"] ** 2 - 1.0)
+            < 1e-5).all()
+    assert (np.abs(got["dow_sin"] ** 2 + got["dow_cos"] ** 2 - 1.0)
+            < 1e-5).all()
+    ev = read_parquet(sf + "/events.parquet",
+                      columns=["event_id", "ts"]).to_pandas()
+    tsi = ev["ts"].astype("int64").to_numpy()
+    hour = ((tsi % 86_400_000_000) // 3_600_000_000).astype(np.float64)
+    want = np.round(np.sin(2.0 * np.pi * hour / 24.0), 6)
+    have = got.set_index("event_id").loc[
+        ev["event_id"], "hour_sin"].to_numpy()
+    assert np.allclose(have, want, rtol=0, atol=1e-9)
+    # adjacency property that motivates the encoding
+    def pt(h):
+        a = 2.0 * np.pi * h / 24.0
+        return np.array([np.sin(a), np.cos(a)])
+    d_wrap = np.linalg.norm(pt(23) - pt(0))
+    d_noon = np.linalg.norm(pt(23) - pt(12))
+    assert d_wrap < d_noon
