@@ -345,6 +345,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_causal_zscore": q.q_causal_zscore,
         "q_target_encode_cv": q.q_target_encode_cv,
         "q_cyclical_time": q.q_cyclical_time,
+        "q_grouped_moments": q.q_grouped_moments,
+        "q_freq_encode": q.q_freq_encode,
+        "q_onehot": q.q_onehot,
+        "q_class_weights": q.q_class_weights,
+        "q_ordinal_encode": q.q_ordinal_encode,
     }
 
 
@@ -4316,5 +4321,85 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    ROUND(SIN(2 * PI() * d / 7), 6) AS dow_sin,
                    ROUND(COS(2 * PI() * d / 7), 6) AS dow_cos
             FROM b
+        """,
+        # distribution-shape moments from EXACT HUGEINT cent power
+        # sums; float chain mirrors the engine's op order exactly
+        # (+, -, *, /, sqrt only — no pow)
+        "q_grouped_moments": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS HUGEINT) AS v
+              FROM events
+            ), s AS (
+              SELECT event_type, COUNT(*) AS n, SUM(v) AS s1,
+                     SUM(v*v) AS s2, SUM(v*v*v) AS s3,
+                     SUM((v*v)*(v*v)) AS s4
+              FROM c GROUP BY event_type
+            ), f AS (
+              SELECT event_type, n,
+                     CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+                     CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                     CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                     CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+              FROM s
+            ), g AS (
+              SELECT event_type, n, m,
+                     r2 - m*m AS q2,
+                     r3 - 3.0*m*r2 + 2.0*(m*m*m) AS m3,
+                     r4 - 4.0*m*r3 + 6.0*(m*m)*r2
+                        - 3.0*((m*m)*(m*m)) AS m4
+              FROM f
+            )
+            SELECT event_type, n,
+                   ROUND(m / 100.0, 6) AS mean_value,
+                   ROUND(SQRT(q2) / 100.0, 6) AS std_value,
+                   ROUND(m3 / (q2 * SQRT(q2)), 6) AS skewness,
+                   ROUND(m4 / (q2 * q2) - 3.0, 6) AS kurtosis
+            FROM g
+        """,
+        # frequency encoding: one division of two exact counts
+        "q_freq_encode": """
+            WITH s AS (SELECT event_type, COUNT(*) AS c
+                       FROM events GROUP BY event_type),
+                 t AS (SELECT COUNT(*) AS n FROM events)
+            SELECT e.event_id, e.event_type, s.c AS type_count,
+                   CAST(s.c AS DOUBLE) / CAST(t.n AS DOUBLE) AS freq
+            FROM events e JOIN s USING (event_type) CROSS JOIN t
+        """,
+        # long-format one-hot: n x |distinct categories| indicator rows
+        "q_onehot": """
+            SELECT e.event_id, t.event_type AS category,
+                   CAST(e.event_type = t.event_type AS BIGINT) AS ind
+            FROM events e
+            CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        """,
+        # balanced class weights: w_c = n / (k * n_c) over exact counts
+        "q_class_weights": """
+            WITH s AS (SELECT label, COUNT(*) AS n_label
+                       FROM embeddings GROUP BY label),
+                 t AS (SELECT COUNT(*) AS n,
+                              COUNT(DISTINCT label) AS k FROM embeddings)
+            SELECT CAST(s.label AS BIGINT) AS label, s.n_label,
+                   CAST(t.n AS DOUBLE)
+                     / (CAST(t.k AS DOUBLE)
+                        * CAST(s.n_label AS DOUBLE)) AS weight
+            FROM s CROSS JOIN t
+        """,
+        # ordinal encoding by descending mean value (type tiebreak);
+        # the mean is ONE division of exact integer sums
+        "q_ordinal_encode": """
+            WITH s AS (
+              SELECT event_type, COUNT(*) AS n,
+                     SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS s1
+              FROM events GROUP BY event_type
+            ), r AS (
+              SELECT event_type,
+                     DENSE_RANK() OVER (
+                       ORDER BY CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                           DESC, event_type ASC) AS ord_code
+              FROM s
+            )
+            SELECT e.event_id, e.event_type, r.ord_code
+            FROM events e JOIN r USING (event_type)
         """,
     }

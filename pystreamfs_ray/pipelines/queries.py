@@ -5676,3 +5676,178 @@ def q_cyclical_time(sf_dir: str):
         })
 
     return ev.map_batches(feats, batch_format="pandas")
+
+
+def q_grouped_moments(sf_dir: str):
+    """Per-event-type distribution shape: mean, std, skewness and
+    excess kurtosis from EXACT integer cent power sums (S1..S4 as
+    arbitrary-precision Python ints shipped as decimal strings), so
+    the single int->float conversion and the fixed +,-,*,/,sqrt
+    expression chain are bit-identical to the oracle's HUGEINT sums.
+    Shuffle: groups x blocks tiny string partials only."""
+    from pystreamfs_ray.stages.grouped import grouped_moments
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_type", "value"])
+    return grouped_moments(ev, "event_type", "value", scale=100)
+
+
+def q_freq_encode(sf_dir: str):
+    """Frequency encoding of event_type: each event carries its
+    category's count and relative frequency — the cheapest categorical
+    encoder (no target, no leakage surface). Combiner counts per type
+    (|types| rows) + broadcast batch-local merge; the one float is a
+    single division of two exact int64 counts, identical in the
+    oracle. Shuffle: the |types|-row count aggregate only."""
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False).size().rename("c")
+        return pd.DataFrame({"event_type": g.index,
+                             "c": g.to_numpy(np.int64)})
+
+    stats = (ev.map_batches(arrow_combiner(partial),
+                            batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("c", alias_name="c"))
+             .to_pandas())
+    stats = ensure_cols(stats, {"event_type": object, "c": np.int64})
+    total = int(stats["c"].sum())
+    ref = ray.put((stats["event_type"].to_numpy(),
+                   stats["c"].to_numpy(np.int64), total))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        keys, cnt, tot = ray.get(ref)
+        pos = pd.Index(keys).get_indexer(df["event_type"])
+        c = cnt[pos]
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "event_type": df["event_type"].to_numpy(),
+            "type_count": c,
+            "freq": c.astype(np.float64) / float(tot),
+        })
+
+    return ev.map_batches(finish, batch_format="pandas")
+
+
+def q_onehot(sf_dir: str):
+    """Long-format one-hot encoding of event_type: one (event,
+    category, indicator) row per event x distinct category —
+    pivot-ready and schema-stable without hardcoding the category
+    list. Distinct categories come from a |types|-row combiner and are
+    broadcast; each batch emits its n x k rows with vectorized
+    repeat/tile (no per-row loop). Shuffle: none beyond the tiny
+    distinct aggregate."""
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"].unique()})
+
+    cats = (ev.map_batches(arrow_combiner(partial),
+                           batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Count(alias_name="_c"))
+            .to_pandas())
+    cats = ensure_cols(cats, {"event_type": object})
+    cat_arr = np.sort(cats["event_type"].to_numpy())
+    ref = ray.put(cat_arr)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        cats = ray.get(ref)
+        k, n = len(cats), len(df)
+        ids = np.repeat(df["event_id"].to_numpy(np.int64), k)
+        row_cat = np.repeat(df["event_type"].to_numpy(), k)
+        cat_col = np.tile(cats, n)
+        return pd.DataFrame({
+            "event_id": ids,
+            "category": cat_col,
+            "ind": (row_cat == cat_col).astype(np.int64),
+        })
+
+    return ev.map_batches(expand, batch_format="pandas")
+
+
+def q_class_weights(sf_dir: str):
+    """Inverse-frequency class weights over the embedding labels —
+    sklearn's 'balanced' heuristic w_c = n / (k * n_c) for loss
+    reweighting on imbalanced data. One |labels|-row count combiner;
+    the weight is one float expression over three exact int64 counts
+    in the oracle's operation order."""
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    emb = read_parquet(_p(sf_dir, "embeddings"), columns=["label"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("label", sort=False).size().rename("c")
+        return pd.DataFrame({"label": g.index.to_numpy(np.int64),
+                             "c": g.to_numpy(np.int64)})
+
+    stats = (emb.map_batches(arrow_combiner(partial),
+                             batch_format="pyarrow")
+             .groupby("label")
+             .aggregate(Sum("c", alias_name="n_label"))
+             .to_pandas())
+    stats = ensure_cols(stats, {"label": np.int64, "n_label": np.int64})
+    n = float(int(stats["n_label"].sum()))
+    k = float(len(stats))
+    out = pd.DataFrame({
+        "label": stats["label"].to_numpy(np.int64),
+        "n_label": stats["n_label"].to_numpy(np.int64),
+        "weight": n / (k * stats["n_label"].to_numpy(np.float64)),
+    })
+    return out.sort_values("label", ignore_index=True)
+
+
+def q_ordinal_encode(sf_dir: str):
+    """Target-guided ordinal encoding: categories ranked by mean event
+    value (descending, category name as the deterministic tiebreak)
+    and each event tagged with its category's rank — the monotone
+    integer encoding tree models split on. Means are single divisions
+    of exact int64 cent sums (bit-identical to the oracle); the rank
+    table is |types| rows on the driver, broadcast into a batch-local
+    map. Shuffle: the |types|-row stats aggregate only."""
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                           "n": np.ones(len(df), dtype=np.int64),
+                           "s1": c})
+             .groupby("event_type", sort=False, as_index=False).sum())
+        return g
+
+    stats = (ev.map_batches(arrow_combiner(partial),
+                            batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("s1", alias_name="s1"))
+             .to_pandas())
+    stats = ensure_cols(stats, {"event_type": object, "n": np.int64,
+                                "s1": np.int64})
+    mean = (stats["s1"].to_numpy(np.int64).astype(np.float64)
+            / stats["n"].to_numpy(np.int64).astype(np.float64))
+    order = np.lexsort((stats["event_type"].to_numpy(), -mean))
+    keys = stats["event_type"].to_numpy()[order]
+    codes = np.arange(1, len(keys) + 1, dtype=np.int64)
+    ref = ray.put((keys, codes))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        keys, codes = ray.get(ref)
+        pos = pd.Index(keys).get_indexer(df["event_type"])
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "event_type": df["event_type"].to_numpy(),
+            "ord_code": codes[pos],
+        })
+
+    return ev.map_batches(finish, batch_format="pandas")

@@ -704,3 +704,82 @@ def psi_drift(ds, *, value_col="value", ts_col="ts", bins=10,
     cur, prv = p[1:], p[:-1]
     psi = ((cur - prv) * np.log(cur / prv)).sum(axis=1)
     return pd.DataFrame({"day": days[1:], "psi": psi})
+
+
+def grouped_moments(ds, group_col: str, value_col: str, *,
+                    scale: int = 100, ndigits: int = 6):
+    """Per-group mean / std / skewness / excess kurtosis from EXACT
+    integer power sums at fixed-point ``scale`` (cents for 2-decimal
+    values).
+
+    Why exact: float power sums are summation-order dependent, so a
+    distributed engine and a sequential oracle would drift in the last
+    ulps and flip 6-digit rounds. Here each batch quantizes to int64
+    cents and accumulates S1..S4 per group as PYTHON ints (pandas
+    object-dtype groupby-sum — arbitrary precision, no overflow at any
+    row count), ships the per-batch partials as decimal strings, and
+    merges them per group with ``map_groups`` over the tiny
+    (groups x blocks) partial table. The single int->float conversion
+    happens once per group at the end, and every float expression is
+    written in the DuckDB oracle's operation order (+, -, *, /, sqrt
+    only — all IEEE-deterministic; no pow), so engine and oracle are
+    bit-identical before the round.
+
+    Scale: the shuffle moves groups x blocks string rows (bytes per
+    group per block), never data; skew/kurtosis are scale-invariant so
+    the cent quantization cancels; mean/std divide by ``scale`` once.
+    """
+    import ray  # noqa: F401  (symmetry with siblings)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df[value_col].to_numpy(np.float64)
+                     * float(scale) + 0.5).astype(np.int64)
+        # per-element powers exact in Python ints via object dtype
+        co = pd.Series(c, dtype=object)
+        g = pd.DataFrame({
+            group_col: df[group_col].to_numpy(),
+            "n": np.ones(len(df), dtype=np.int64),
+            "s1": co, "s2": co * co, "s3": co * co * co,
+            "s4": (co * co) * (co * co),
+        }).groupby(group_col, sort=False, as_index=False).sum()
+        return arrow_block(pd.DataFrame({
+            group_col: g[group_col],
+            "n": g["n"].astype(np.int64),
+            "s1": g["s1"].map(str), "s2": g["s2"].map(str),
+            "s3": g["s3"].map(str), "s4": g["s4"].map(str),
+        }))
+
+    partials = (ds.select_columns([group_col, value_col])
+                .map_batches(arrow_combiner(partial),
+                             batch_format="pyarrow"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        s1 = sum(int(x) for x in g["s1"])
+        s2 = sum(int(x) for x in g["s2"])
+        s3 = sum(int(x) for x in g["s3"])
+        s4 = sum(int(x) for x in g["s4"])
+        nf = float(n)
+        m = float(s1) / nf
+        r2 = float(s2) / nf
+        r3 = float(s3) / nf
+        r4 = float(s4) / nf
+        q2 = r2 - m * m
+        m3 = r3 - 3.0 * m * r2 + 2.0 * (m * m * m)
+        m4 = (r4 - 4.0 * m * r3 + 6.0 * (m * m) * r2
+              - 3.0 * ((m * m) * (m * m)))
+        import math
+        sq = math.sqrt(q2) if q2 > 0.0 else 0.0
+        return pd.DataFrame({
+            group_col: [g[group_col].iloc[0]],
+            "n": np.array([n], dtype=np.int64),
+            "mean_value": [np.round(m / float(scale), ndigits)],
+            "std_value": [np.round(sq / float(scale), ndigits)],
+            "skewness": [np.round(m3 / (q2 * sq), ndigits)
+                         if q2 > 0.0 else np.nan],
+            "kurtosis": [np.round(m4 / (q2 * q2) - 3.0, ndigits)
+                         if q2 > 0.0 else np.nan],
+        })
+
+    return partials.groupby(group_col).map_groups(
+        merge, batch_format="pandas")

@@ -3400,3 +3400,108 @@ def test_cyclical_time_identity(ray_session):
     d_wrap = np.linalg.norm(pt(23) - pt(0))
     d_noon = np.linalg.norm(pt(23) - pt(12))
     assert d_wrap < d_noon
+
+
+def test_grouped_moments_exact_and_partition_invariant(ray_session):
+    """Engine skew/kurtosis equal a direct Python-int recomputation at
+    sf0.001, are invariant to the input partitioning, and a constant
+    group yields std 0 with null skew/kurtosis."""
+    import math
+    import ray.data as rd
+    from pystreamfs_ray.stages.grouped import grouped_moments
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_parquet(sf + "/events.parquet",
+                      columns=["event_type", "value"])
+    got = grouped_moments(ev, "event_type", "value").to_pandas()
+    got = got.sort_values("event_type", ignore_index=True)
+
+    raw = read_parquet(sf + "/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    c = np.floor(raw["value"].to_numpy(np.float64) * 100.0
+                 + 0.5).astype(np.int64)
+    for _, row in got.iterrows():
+        cc = [int(x) for x in c[raw["event_type"] == row["event_type"]]]
+        n = len(cc)
+        s1, s2 = sum(cc), sum(x * x for x in cc)
+        s3, s4 = sum(x**3 for x in cc), sum(x**4 for x in cc)
+        m = float(s1) / float(n)
+        r2, r3, r4 = (float(s2) / n, float(s3) / n, float(s4) / n)
+        q2 = r2 - m * m
+        m3 = r3 - 3.0 * m * r2 + 2.0 * (m * m * m)
+        m4 = (r4 - 4.0 * m * r3 + 6.0 * (m * m) * r2
+              - 3.0 * ((m * m) * (m * m)))
+        assert row["n"] == n
+        assert row["mean_value"] == np.round(m / 100.0, 6)
+        assert row["std_value"] == np.round(math.sqrt(q2) / 100.0, 6)
+        assert row["skewness"] == np.round(
+            m3 / (q2 * math.sqrt(q2)), 6)
+        assert row["kurtosis"] == np.round(m4 / (q2 * q2) - 3.0, 6)
+
+    # partition invariance: exact sums don't care about block layout
+    got2 = grouped_moments(ev.repartition(13), "event_type",
+                           "value").to_pandas()
+    got2 = got2.sort_values("event_type", ignore_index=True)
+    pd.testing.assert_frame_equal(got, got2)
+
+    # constant group: zero spread, null shape stats
+    const = rd.from_pandas(pd.DataFrame(
+        {"g": ["a"] * 5 + ["b"] * 3,
+         "v": [2.0] * 5 + [1.0, 2.0, 3.0]}))
+    gm = grouped_moments(const, "g", "v").to_pandas()
+    gm = gm.set_index("g")
+    assert gm.loc["a", "std_value"] == 0.0
+    assert np.isnan(gm.loc["a", "skewness"])
+    assert np.isnan(gm.loc["a", "kurtosis"])
+    assert gm.loc["b", "skewness"] == 0.0  # symmetric
+
+
+def test_freq_onehot_class_weights_ordinal(ray_session):
+    """The four encoder queries agree with direct pandas recomputation
+    at sf0.001: frequency = count/total; one-hot emits exactly one hot
+    slot per event across all k categories; balanced weights satisfy
+    n_c * w_c * k = n; ordinal codes are 1..k descending by mean."""
+    from pystreamfs_ray.pipelines.queries import (
+        q_class_weights, q_freq_encode, q_onehot, q_ordinal_encode)
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    raw = read_parquet(sf + "/events.parquet",
+                       columns=["event_id", "event_type",
+                                "value"]).to_pandas()
+    vc = raw["event_type"].value_counts()
+
+    fe = q_freq_encode(sf).to_pandas()
+    assert len(fe) == len(raw)
+    for t, c in vc.items():
+        sub = fe[fe["event_type"] == t]
+        assert (sub["type_count"] == c).all()
+        assert np.allclose(sub["freq"], c / len(raw), rtol=0, atol=0)
+
+    oh = q_onehot(sf).to_pandas()
+    k = raw["event_type"].nunique()
+    assert len(oh) == len(raw) * k
+    per_ev = oh.groupby("event_id")["ind"].sum()
+    assert (per_ev == 1).all()
+    hot = oh[oh["ind"] == 1].set_index("event_id")["category"]
+    assert (hot.loc[raw["event_id"]].to_numpy()
+            == raw["event_type"].to_numpy()).all()
+
+    cw = q_class_weights(sf)
+    cw = cw.to_pandas() if hasattr(cw, "to_pandas") else cw
+    n, kk = cw["n_label"].sum(), len(cw)
+    assert np.allclose(cw["weight"] * cw["n_label"] * kk, n)
+
+    oe = q_ordinal_encode(sf).to_pandas()
+    codes = (oe.drop_duplicates("event_type")
+             .set_index("event_type")["ord_code"])
+    assert sorted(codes) == list(range(1, k + 1))
+    cents = np.floor(raw["value"].to_numpy(np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+    means = (pd.DataFrame({"t": raw["event_type"], "c": cents})
+             .groupby("t")["c"].agg(["sum", "count"]))
+    mean_by_code = {codes[t]: float(r["sum"]) / float(r["count"])
+                    for t, r in means.iterrows()}
+    seq = [mean_by_code[i] for i in range(1, k + 1)]
+    assert all(a >= b for a, b in zip(seq, seq[1:]))
