@@ -350,6 +350,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_onehot": q.q_onehot,
         "q_class_weights": q.q_class_weights,
         "q_ordinal_encode": q.q_ordinal_encode,
+        "q_anova_f": q.q_anova_f,
+        "q_cramers_v": q.q_cramers_v,
+        "q_equal_width_bins": q.q_equal_width_bins,
+        "q_calibration": q.q_calibration,
     }
 
 
@@ -4401,5 +4405,115 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             )
             SELECT e.event_id, e.event_type, r.ord_code
             FROM events e JOIN r USING (event_type)
+        """,
+        # one-way ANOVA F: exact HUGEINT sums; the cross-group
+        # Σ s1_g²/n_g splits into an exact integer quotient + a <1-per-
+        # group float residue (order-insensitive below the ulp)
+        "q_anova_f": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS HUGEINT) AS v
+              FROM events
+            ), g AS (
+              SELECT event_type, COUNT(*) AS n_g, SUM(v) AS s1_g,
+                     SUM(v*v) AS s2_g
+              FROM c GROUP BY event_type
+            ), d AS (
+              SELECT n_g, s1_g, s2_g,
+                     (s1_g * s1_g) // n_g AS q_g,
+                     (s1_g * s1_g) % n_g AS r_g
+              FROM g
+            ), t AS (
+              SELECT COUNT(*) AS k, SUM(n_g) AS n, SUM(s1_g) AS s1,
+                     SUM(s2_g) AS s2, SUM(q_g) AS q,
+                     SUM(CAST(r_g AS DOUBLE) / CAST(n_g AS DOUBLE)) AS res
+              FROM d
+            ), f AS (
+              SELECT k, n,
+                     CAST(s2 AS DOUBLE)
+                       - (CAST(q AS DOUBLE) + res) AS ssw,
+                     (CAST(q AS DOUBLE) + res)
+                       - CAST(s1 * s1 AS DOUBLE) / CAST(n AS DOUBLE) AS ssb
+              FROM t
+            )
+            SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+                   ROUND((ssb / CAST(k - 1 AS DOUBLE))
+                         / (ssw / CAST(n - k AS DOUBLE)), 6) AS f_stat,
+                   ROUND(ssb / (ssb + ssw), 6) AS eta_sq
+            FROM f
+        """,
+        # Cramér's V: same exact-divmod chi² split as q_anova_f
+        "q_cramers_v": """
+            WITH c0 AS (
+              SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+              FROM documents GROUP BY lang, source
+            ),
+            -- full cross product: observed-0 cells still contribute E
+            c AS (
+              SELECT l.lang, s2.source, COALESCE(c0.o, 0) AS o
+              FROM (SELECT DISTINCT lang FROM documents) l
+              CROSS JOIN (SELECT DISTINCT source FROM documents) s2
+              LEFT JOIN c0 ON c0.lang = l.lang AND c0.source = s2.source
+            ),
+            r AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt
+                  FROM c GROUP BY lang),
+            s AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct
+                  FROM c GROUP BY source),
+            nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+            d AS (
+              SELECT (CAST(c.o AS HUGEINT) * n.n
+                      - CAST(r.rt AS HUGEINT) * s.ct)
+                     * (CAST(c.o AS HUGEINT) * n.n
+                        - CAST(r.rt AS HUGEINT) * s.ct) AS num,
+                     CAST(n.n AS HUGEINT) * r.rt * s.ct AS den
+              FROM c JOIN r USING (lang) JOIN s USING (source), nn n
+            ),
+            t AS (SELECT SUM(num // den) AS q,
+                         SUM(CAST(num % den AS DOUBLE)
+                             / CAST(den AS DOUBLE)) AS res FROM d),
+            m AS (SELECT COUNT(DISTINCT lang) AS r_cnt,
+                         COUNT(DISTINCT source) AS c_cnt FROM c)
+            SELECT n.n AS n,
+                   CAST((m.r_cnt - 1) * (m.c_cnt - 1) AS BIGINT) AS dof,
+                   ROUND(CAST(t.q AS DOUBLE) + t.res, 6) AS chi2,
+                   ROUND(SQRT(((CAST(t.q AS DOUBLE) + t.res)
+                               / CAST(n.n AS DOUBLE))
+                              / CAST(LEAST(m.r_cnt, m.c_cnt) - 1
+                                     AS DOUBLE)), 6) AS cramers_v
+            FROM t, m, nn n
+        """,
+        # equal-width bins: pure integer cent arithmetic, edge-stable
+        "q_equal_width_bins": """
+            WITH c AS (
+              SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+              FROM events
+            ), b AS (
+              SELECT MIN(v) AS lo, MAX(v) - MIN(v) + 1 AS span FROM c
+            ), a AS (
+              SELECT (v - b.lo) * 10 // b.span AS bin FROM c, b
+            ), g AS (
+              SELECT bin, COUNT(*) AS n FROM a GROUP BY bin
+            )
+            SELECT g.bin, g.n,
+                   CAST(b.lo + (g.bin * b.span + 9) // 10 AS DOUBLE)
+                     / 100.0 AS lo_value,
+                   CAST(b.lo + ((g.bin + 1) * b.span + 9) // 10 - 1
+                        AS DOUBLE) / 100.0 AS hi_value
+            FROM g, b
+        """,
+        # per-decile purchase rate (exact NTILE + one count division)
+        "q_calibration": """
+            WITH t AS (
+              SELECT event_type,
+                     NTILE(10) OVER (ORDER BY value, event_id) AS decile
+              FROM events
+            )
+            SELECT decile, COUNT(*) AS n,
+                   SUM(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS purchases,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS rate
+            FROM t GROUP BY decile
         """,
     }

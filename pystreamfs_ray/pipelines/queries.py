@@ -25,7 +25,7 @@ import ray
 import ray.data as rd
 
 from pystreamfs_ray.sources import read_parquet
-from ray.data.aggregate import Count, Max, Mean, Sum
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from pystreamfs_ray.pipelines.flagship import feature_windows
 from pystreamfs_ray.pipelines.transcripts import transcripts_from_events
@@ -5851,3 +5851,206 @@ def q_ordinal_encode(sf_dir: str):
         })
 
     return ev.map_batches(finish, batch_format="pandas")
+
+
+def q_anova_f(sf_dir: str):
+    """One-way ANOVA F of event value across event types — the
+    f_classif feature-selection statistic (does the categorical
+    feature explain variance in the target?). Everything that can be
+    exact IS exact: per-group cent sums are int64 combiner partials,
+    and the cross-group sum-of-squares term Σ S1_g²/n_g is split by
+    integer divmod into an exact arbitrary-precision quotient plus a
+    <1-per-group float residue, so summation order can only perturb
+    the result below the double's ulp. The final float chain mirrors
+    the oracle op-for-op. Shuffle: the |types|-row stats aggregate."""
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                           "n_g": np.ones(len(df), dtype=np.int64),
+                           "s1_g": c, "s2_g": c * c})
+             .groupby("event_type", sort=False, as_index=False).sum())
+        return g
+
+    stats = (ev.map_batches(arrow_combiner(partial),
+                            batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("n_g", alias_name="n_g"),
+                        Sum("s1_g", alias_name="s1_g"),
+                        Sum("s2_g", alias_name="s2_g"))
+             .to_pandas())
+    stats = ensure_cols(stats, {"event_type": object, "n_g": np.int64,
+                                "s1_g": np.int64, "s2_g": np.int64})
+    k = len(stats)
+    n = int(stats["n_g"].sum())
+    s1 = sum(int(x) for x in stats["s1_g"])
+    s2 = sum(int(x) for x in stats["s2_g"])
+    # T2 = Σ s1_g²/n_g exactly: integer quotient + tiny float residue
+    q_int, res = 0, 0.0
+    for s1g, ng in zip(stats["s1_g"], stats["n_g"]):
+        sq = int(s1g) * int(s1g)
+        q_int += sq // int(ng)
+        res += float(sq % int(ng)) / float(int(ng))
+    t2 = float(q_int) + res
+    ssw = float(s2) - t2
+    ssb = t2 - float(s1 * s1) / float(n)
+    f_stat = (ssb / float(k - 1)) / (ssw / float(n - k))
+    eta_sq = ssb / (ssb + ssw)
+    return pd.DataFrame({
+        "k": np.array([k], dtype=np.int64),
+        "n": np.array([n], dtype=np.int64),
+        "f_stat": [np.round(f_stat, 6)],
+        "eta_sq": [np.round(eta_sq, 6)],
+    })
+
+
+def q_cramers_v(sf_dir: str):
+    """Cramér's V association strength between lang and source over
+    documents — the normalized chi² that ranks categorical feature
+    pairs for redundancy pruning. Reuses the q_chi2_cells combiner
+    shape; the cross-cell chi² sum uses the same exact-divmod split as
+    q_anova_f (chi² = Σ (o·n − rt·ct)² / (n·rt·ct); the integer
+    quotient is exact, the float residue is <1 per cell), so the
+    one-row output is order-independent to below the double's ulp."""
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["lang", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["lang", "source"], sort=False)
+               .size().rename("observed").reset_index())
+        out["observed"] = out["observed"].astype(np.int64)
+        return out
+
+    cells = (docs.map_batches(arrow_combiner(partial),
+                              batch_format="pyarrow")
+             .groupby(["lang", "source"])
+             .aggregate(Sum("observed", alias_name="observed"))
+             .to_pandas())
+    cells = ensure_cols(cells, {"lang": object, "source": object,
+                                "observed": np.int64})
+    # chi² runs over the FULL cross product: an absent (lang, source)
+    # combo is an observed-0 cell that still contributes E
+    full = pd.MultiIndex.from_product(
+        [sorted(cells["lang"].unique()), sorted(cells["source"].unique())],
+        names=["lang", "source"])
+    cells = (cells.set_index(["lang", "source"])
+             .reindex(full, fill_value=0).reset_index())
+    cells["observed"] = cells["observed"].astype(np.int64)
+    row_tot = cells.groupby("lang")["observed"].transform("sum")
+    col_tot = cells.groupby("source")["observed"].transform("sum")
+    n = int(cells["observed"].sum())
+    q_int, res = 0, 0.0
+    for o, rt, ct in zip(cells["observed"], row_tot, col_tot):
+        num = (int(o) * n - int(rt) * int(ct)) ** 2
+        den = n * int(rt) * int(ct)
+        q_int += num // den
+        res += float(num % den) / float(den)
+    chi2 = float(q_int) + res
+    r = cells["lang"].nunique()
+    c = cells["source"].nunique()
+    dof = (r - 1) * (c - 1)
+    import math
+    v = math.sqrt((chi2 / float(n)) / float(min(r, c) - 1))
+    return pd.DataFrame({
+        "n": np.array([n], dtype=np.int64),
+        "dof": np.array([dof], dtype=np.int64),
+        "chi2": [np.round(chi2, 6)],
+        "cramers_v": [np.round(v, 6)],
+    })
+
+
+def q_equal_width_bins(sf_dir: str):
+    """Equal-width discretization profile of event value: global
+    (min, max) from a combiner pass, 10 equal bins, per-bin counts and
+    edges — the KBinsDiscretizer('uniform') fit report. Bin assignment
+    is PURE integer arithmetic on cents (bin = (v−min)·10 // (max−min+1),
+    exact and edge-stable), so engine and oracle can never disagree on
+    a boundary row. Shuffles: two tiny aggregates (minmax, bin counts);
+    values never move."""
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["value"])
+
+    def mm(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({"k": [0], "lo": [c.min()], "hi": [c.max()]})
+
+    bounds = (ev.map_batches(arrow_combiner(mm), batch_format="pyarrow")
+              .groupby("k")
+              .aggregate(Min("lo", alias_name="lo"),
+                         Max("hi", alias_name="hi"))
+              .to_pandas())
+    lo = int(bounds["lo"].iloc[0])
+    hi = int(bounds["hi"].iloc[0])
+    span = hi - lo + 1  # half-open integer bins; max lands in bin 9
+    nbins = 10
+
+    def binned(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5).astype(np.int64)
+        b = (c - lo) * nbins // span
+        g = pd.Series(b).value_counts()
+        return pd.DataFrame({"bin": g.index.to_numpy(np.int64),
+                             "n": g.to_numpy(np.int64)})
+
+    counts = (ev.map_batches(arrow_combiner(binned),
+                             batch_format="pyarrow")
+              .groupby("bin")
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    counts = ensure_cols(counts, {"bin": np.int64, "n": np.int64})
+    b = counts["bin"].to_numpy(np.int64)
+    # integer cent edges: first/last cent whose bin index is b
+    edge_lo = lo + (b * span + nbins - 1) // nbins
+    edge_hi = lo + ((b + 1) * span + nbins - 1) // nbins - 1
+    out = pd.DataFrame({
+        "bin": b, "n": counts["n"].to_numpy(np.int64),
+        "lo_value": edge_lo.astype(np.float64) / 100.0,
+        "hi_value": edge_hi.astype(np.float64) / 100.0,
+    })
+    return out.sort_values("bin", ignore_index=True)
+
+
+def q_calibration(sf_dir: str):
+    """Calibration table: events bucketed into value deciles (exact
+    SQL NTILE semantics over (value, event_id)) × purchase rate per
+    decile — the binned target-rate curve that sanity-checks a score
+    or feature against the label before training. The label rides the
+    ntile range exchange as a passthrough column (no join back); the
+    rate is one float division of two exact int64 counts. Shuffles:
+    the one ntile range partition + a 10-row count aggregate."""
+    from pystreamfs_ray.stages.rank import global_ntile
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "event_type", "value"])
+    tiled = global_ntile(ev, 10, value_col="value", id_col="event_id",
+                         out_col="decile", extra_cols=["event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        is_p = (df["event_type"].to_numpy() == "purchase").astype(np.int64)
+        g = (pd.DataFrame({"decile": df["decile"].to_numpy(np.int64),
+                           "n": np.ones(len(df), dtype=np.int64),
+                           "purchases": is_p})
+             .groupby("decile", sort=False, as_index=False).sum())
+        return g
+
+    out = (tiled.map_batches(arrow_combiner(partial),
+                             batch_format="pyarrow")
+           .groupby("decile")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("purchases", alias_name="purchases"))
+           .to_pandas())
+    out = ensure_cols(out, {"decile": np.int64, "n": np.int64,
+                            "purchases": np.int64})
+    out["rate"] = (out["purchases"].to_numpy(np.int64).astype(np.float64)
+                   / out["n"].to_numpy(np.int64).astype(np.float64))
+    return out.sort_values("decile", ignore_index=True)

@@ -83,7 +83,8 @@ def global_percent_rank(ds, *, value_col: str, id_col: str,
 
 def global_ntile(ds, n: int, *, value_col: str, id_col: str,
                  out_col: str = "bucket", num_partitions: int = 64,
-                 boundary_sample: int = 8192):
+                 boundary_sample: int = 8192,
+                 extra_cols: list[str] | None = None):
     """Equal-size quantile bucketing: exactly SQL
     ``NTILE(n) OVER (ORDER BY value, id)`` — the first ``total % n``
     buckets get ``ceil(total/n)`` rows, the rest ``floor(total/n)``.
@@ -93,7 +94,12 @@ def global_ntile(ds, n: int, *, value_col: str, id_col: str,
     within-partition order is ``(value, id)``, partition offset +
     local (value, id) rank IS the global 0-based row number; the NTILE
     bucket is then arithmetic on that row number. No global sort, no
-    total-order materialization."""
+    total-order materialization.
+
+    ``extra_cols``: passthrough columns that ride the one range
+    partition exchange and come back next to the bucket (e.g. a label
+    for a per-decile calibration table) — cheaper than joining the
+    bucket back to the source afterwards."""
     from pystreamfs_ray.util import ensure_cols, quantile_bounds, spread_sample_values
 
     vals = spread_sample_values(
@@ -105,7 +111,8 @@ def global_ntile(ds, n: int, *, value_col: str, id_col: str,
                                side="left")
         return t.append_column(_PART, pa.array(part.astype(np.int32)))
 
-    parted = ds.select_columns([id_col, value_col]).map_batches(
+    extra = list(extra_cols or [])
+    parted = ds.select_columns([id_col, value_col] + extra).map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=False)
 
     from ray.data.aggregate import Count
@@ -134,7 +141,10 @@ def global_ntile(ds, n: int, *, value_col: str, id_col: str,
             rownum // max(q + 1, 1) + 1,
             (r + (rownum - big) // max(q, 1) + 1) if q > 0 else r,
         ).astype(np.int64)
-        return pd.DataFrame({id_col: g[id_col].to_numpy(), out_col: bucket})
+        out = pd.DataFrame({id_col: g[id_col].to_numpy(), out_col: bucket})
+        for c in extra:
+            out[c] = g[c].to_numpy()
+        return out
 
     return parted.groupby(_PART).map_groups(tile_part, batch_format="pandas")
 

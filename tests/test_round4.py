@@ -3505,3 +3505,85 @@ def test_freq_onehot_class_weights_ordinal(ray_session):
                     for t, r in means.iterrows()}
     seq = [mean_by_code[i] for i in range(1, k + 1)]
     assert all(a >= b for a, b in zip(seq, seq[1:]))
+
+
+def test_anova_f_and_cramers_v(ray_session):
+    """ANOVA F matches a direct float recomputation (rtol 1e-9) and
+    SSB+SSW equals total SS; Cramér's V matches a pandas crosstab
+    chi² and lands in [0, 1]."""
+    from pystreamfs_ray.pipelines.queries import q_anova_f, q_cramers_v
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_anova_f(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    raw = read_parquet(sf + "/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    c = np.floor(raw["value"].to_numpy(np.float64) * 100.0
+                 + 0.5).astype(np.int64) / 100.0
+    df = pd.DataFrame({"t": raw["event_type"], "v": c})
+    gm = df.groupby("t")["v"]
+    n, k = len(df), df["t"].nunique()
+    grand = df["v"].mean()
+    ssb = (gm.count() * (gm.mean() - grand) ** 2).sum()
+    ssw = (gm.apply(lambda s: ((s - s.mean()) ** 2).sum())).sum()
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got["k"].iloc[0] == k and got["n"].iloc[0] == n
+    assert np.isclose(got["f_stat"].iloc[0], f_ref, rtol=1e-6)
+    sst = ((df["v"] - grand) ** 2).sum()
+    assert np.isclose(ssb + ssw, sst, rtol=1e-9)
+    assert np.isclose(got["eta_sq"].iloc[0], ssb / sst, rtol=1e-6)
+
+    cv = q_cramers_v(sf)
+    cv = cv.to_pandas() if hasattr(cv, "to_pandas") else cv
+    docs = read_parquet(sf + "/documents.parquet",
+                        columns=["lang", "source"]).to_pandas()
+    ct = pd.crosstab(docs["lang"], docs["source"])
+    e = np.outer(ct.sum(1), ct.sum(0)) / ct.to_numpy().sum()
+    chi2 = ((ct.to_numpy() - e) ** 2 / e).sum()
+    v_ref = np.sqrt((chi2 / len(docs)) / (min(ct.shape) - 1))
+    assert np.isclose(cv["chi2"].iloc[0], chi2, rtol=1e-6)
+    assert np.isclose(cv["cramers_v"].iloc[0], v_ref, rtol=0, atol=1e-6)
+    assert 0.0 <= cv["cramers_v"].iloc[0] <= 1.0
+    assert cv["dof"].iloc[0] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+
+
+def test_equal_width_bins_and_calibration(ray_session):
+    """Bin counts partition the table with edge-stable integer
+    assignment; the calibration deciles are SQL-NTILE-sized and the
+    purchase totals reconcile."""
+    from pystreamfs_ray.pipelines.queries import (
+        q_calibration, q_equal_width_bins)
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    raw = read_parquet(sf + "/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    c = np.floor(raw["value"].to_numpy(np.float64) * 100.0
+                 + 0.5).astype(np.int64)
+    lo, hi = int(c.min()), int(c.max())
+    span = hi - lo + 1
+    bins = (c - lo) * 10 // span
+    want = pd.Series(bins).value_counts().sort_index()
+
+    got = q_equal_width_bins(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    assert got["n"].sum() == len(raw)
+    gm = got.set_index("bin")["n"]
+    assert (gm.sort_index() == want).all()
+    # every observed cent value lies inside its bin's reported edges
+    for b_, grp in pd.DataFrame({"b": bins, "c": c}).groupby("b"):
+        row = got[got["bin"] == b_].iloc[0]
+        assert row["lo_value"] <= grp["c"].min() / 100.0
+        assert grp["c"].max() / 100.0 <= row["hi_value"]
+
+    cal = q_calibration(sf)
+    cal = cal.to_pandas() if hasattr(cal, "to_pandas") else cal
+    assert sorted(cal["decile"]) == list(range(1, 11))
+    assert cal["n"].sum() == len(raw)
+    assert cal["purchases"].sum() == (raw["event_type"] == "purchase").sum()
+    n, q10 = len(raw), len(raw) // 10
+    r = n % 10
+    sizes = cal.sort_values("decile")["n"].to_numpy()
+    assert (sizes[:r] == q10 + 1).all() and (sizes[r:] == q10).all()
+    assert ((cal["rate"] >= 0) & (cal["rate"] <= 1)).all()
