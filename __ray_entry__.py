@@ -357,6 +357,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rolling_median": q.q_rolling_median,
         "q_feature_ttest": q.q_feature_ttest,
         "q_activity_slope": q.q_activity_slope,
+        "q_rare_categories": q.q_rare_categories,
+        "q_standard_scale": q.q_standard_scale,
     }
 
 
@@ -4595,5 +4597,35 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                          / CAST(n_days * sxx - sx * sx AS DOUBLE),
                          6) AS slope
             FROM m
+        """,
+        # rare-category consolidation: exact integer 0.5% cutoff
+        "q_rare_categories": """
+            WITH c AS (SELECT user_id, COUNT(*) AS n
+                       FROM events GROUP BY user_id),
+                 t AS (SELECT COUNT(*) AS total FROM events)
+            SELECT e.event_id,
+                   CASE WHEN c.n >= t.total * 5 // 1000
+                        THEN CAST(e.user_id AS VARCHAR)
+                        ELSE '__other__' END AS user_cat
+            FROM events e JOIN c USING (user_id) CROSS JOIN t
+        """,
+        # global StandardScaler: sample std from exact cent sums
+        "q_standard_scale": """
+            WITH c AS (
+              SELECT event_id, FLOOR(value * 100.0 + 0.5) AS cf,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+              FROM events
+            ), s AS (
+              SELECT COUNT(*) AS n, SUM(v) AS s1, SUM(v * v) AS s2
+              FROM c
+            ), f AS (
+              SELECT CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+                     SQRT((CAST(s2 AS DOUBLE)
+                           - CAST(s1 * s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                          / CAST(n - 1 AS DOUBLE)) AS sd
+              FROM s
+            )
+            SELECT c.event_id, ROUND((c.cf - f.m) / f.sd, 6) AS z_value
+            FROM c, f
         """,
     }

@@ -6183,3 +6183,92 @@ def q_activity_slope(sf_dir: str):
 
     return W.per_bucket(ev, part, entity_col="user_id",
                         num_buckets=_BUCKETS)
+
+
+def q_rare_categories(sf_dir: str):
+    """Rare-category consolidation of user_id: users contributing
+    fewer than 0.5% of all events collapse to '__other__' — the
+    cardinality-capping encoder that keeps one-hot/target encodings
+    bounded when a categorical column has a long tail. The cutoff is
+    EXACT integer arithmetic (total·5 // 1000), the per-user counts are
+    one combiner aggregate, and the keep-set broadcasts into a
+    batch-local relabel. Shuffle: the |users|-row count aggregate."""
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False).size().rename("c")
+        return pd.DataFrame({"user_id": g.index.to_numpy(np.int64),
+                             "c": g.to_numpy(np.int64)})
+
+    counts = (ev.map_batches(arrow_combiner(partial),
+                             batch_format="pyarrow")
+              .groupby("user_id")
+              .aggregate(Sum("c", alias_name="c"))
+              .to_pandas())
+    counts = ensure_cols(counts, {"user_id": np.int64, "c": np.int64})
+    total = int(counts["c"].sum())
+    cutoff = total * 5 // 1000
+    keep = set(counts.loc[counts["c"].to_numpy(np.int64) >= cutoff,
+                          "user_id"].astype(np.int64))
+    ref = ray.put(np.array(sorted(keep), dtype=np.int64))
+
+    def relabel(df: pd.DataFrame) -> pd.DataFrame:
+        kept = ray.get(ref)
+        u = df["user_id"].to_numpy(np.int64)
+        is_kept = np.isin(u, kept)
+        cat = np.where(is_kept, u.astype(str), "__other__")
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_cat": cat,
+        })
+
+    return ev.map_batches(relabel, batch_format="pandas")
+
+
+def q_standard_scale(sf_dir: str):
+    """Global StandardScaler of event value: z = (v − mean)/std with
+    mean/std from exact int64 cent sums (sample std) — the canonical
+    numeric feature normalization. One combiner aggregate for (n, Σc,
+    Σc²), broadcast scalars, batch-local vectorized z; every float op
+    mirrors the oracle. Shuffle: a 1-row aggregate."""
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({"k": np.zeros(1, dtype=np.int64),
+                             "n": [np.int64(len(df))],
+                             "s1": [c.sum()], "s2": [(c * c).sum()]})
+
+    stats = (ev.map_batches(arrow_combiner(partial),
+                            batch_format="pyarrow")
+             .groupby("k")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("s1", alias_name="s1"),
+                        Sum("s2", alias_name="s2"))
+             .to_pandas())
+    stats = ensure_cols(stats, {"k": np.int64, "n": np.int64,
+                                "s1": np.int64, "s2": np.int64})
+    n = int(stats["n"].iloc[0])
+    s1 = int(stats["s1"].iloc[0])
+    s2 = int(stats["s2"].iloc[0])
+    import math
+    m = float(s1) / float(n)
+    sd = math.sqrt((float(s2) - float(s1 * s1) / float(n))
+                   / float(n - 1))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "z_value": np.round((c - m) / sd, 6),
+        })
+
+    return ev.map_batches(finish, batch_format="pandas")

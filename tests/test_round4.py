@@ -3649,3 +3649,40 @@ def test_feature_ttest_and_activity_slope(ray_session):
                           g["c"].to_numpy(np.float64), 1)[0]
         assert sl.loc[u, "n_days"] == len(g)
         assert np.isclose(sl.loc[u, "slope"], coef, rtol=0, atol=1e-4)
+
+
+def test_rare_categories_and_standard_scale(ray_session):
+    """Rare-category consolidation keeps exactly the ≥0.5% users and
+    relabels the rest '__other__'; the standard scaler's z has
+    mean ~0 / std ~1 and matches a direct recomputation."""
+    from pystreamfs_ray.pipelines.queries import (
+        q_rare_categories, q_standard_scale)
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    raw = read_parquet(sf + "/events.parquet",
+                       columns=["event_id", "user_id",
+                                "value"]).to_pandas()
+    vc = raw["user_id"].value_counts()
+    cutoff = len(raw) * 5 // 1000
+    keep = set(vc[vc >= cutoff].index)
+
+    rc = q_rare_categories(sf).to_pandas()
+    assert len(rc) == len(raw)
+    m = rc.set_index("event_id")["user_cat"].loc[raw["event_id"]]
+    want = np.where(raw["user_id"].isin(keep),
+                    raw["user_id"].astype(str), "__other__")
+    assert (m.to_numpy() == want).all()
+    # classes appear exactly when the reference mapping has them
+    assert ((rc["user_cat"] == "__other__").any()
+            == ("__other__" in set(want)))
+    assert (rc["user_cat"] != "__other__").any()  # head survives
+
+    ss = q_standard_scale(sf).to_pandas()
+    c = np.floor(raw["value"].to_numpy(np.float64) * 100.0 + 0.5)
+    z_ref = (c - c.mean()) / c.std(ddof=1)
+    have = ss.set_index("event_id").loc[raw["event_id"],
+                                        "z_value"].to_numpy()
+    assert np.allclose(have, z_ref, rtol=0, atol=1e-5)
+    assert abs(have.mean()) < 1e-5
+    assert abs(have.std(ddof=1) - 1.0) < 1e-4
