@@ -359,6 +359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_activity_slope": q.q_activity_slope,
         "q_rare_categories": q.q_rare_categories,
         "q_standard_scale": q.q_standard_scale,
+        "q_user_type_profile": q.q_user_type_profile,
+        "q_poly_features": q.q_poly_features,
     }
 
 
@@ -4627,5 +4629,27 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             )
             SELECT c.event_id, ROUND((c.cf - f.m) / f.sd, 6) AS z_value
             FROM c, f
+        """,
+        # user × type preference profile: share = n / user_total
+        "q_user_type_profile": """
+            WITH c AS (
+              SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY user_id, event_type
+            ), t AS (
+              SELECT user_id, CAST(SUM(n) AS BIGINT) AS tot
+              FROM c GROUP BY user_id
+            )
+            SELECT c.user_id, c.event_type, c.n,
+                   CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+            FROM c JOIN t USING (user_id)
+        """,
+        # degree-2 polynomial expansion (single IEEE products per row)
+        "q_poly_features": """
+            SELECT event_id,
+                   value * value AS value_sq,
+                   value * CAST(hour(ts) AS DOUBLE) AS value_x_hour,
+                   CAST(hour(ts) AS DOUBLE)
+                     * CAST(hour(ts) AS DOUBLE) AS hour_sq
+            FROM events
         """,
     }

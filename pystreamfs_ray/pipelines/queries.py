@@ -6272,3 +6272,66 @@ def q_standard_scale(sf_dir: str):
         })
 
     return ev.map_batches(finish, batch_format="pandas")
+
+
+def q_user_type_profile(sf_dir: str):
+    """Per-(user, event_type) count and within-user share — the
+    entity×category preference profile a feature store serves as the
+    user's behavioral fingerprint (long form, pivot-ready). One
+    (user, type) combiner exchange; the share is one float division of
+    two exact int64 counts computed inside a per-user map_groups over
+    the ALREADY-AGGREGATED |users|×|types| table (bounded by |types|
+    rows per group — never raw events, never a driver-side total)."""
+    from pystreamfs_ray.util import arrow_combiner
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["user_id", "event_type"], sort=False)
+             .size().rename("c").reset_index())
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    agg = (ev.map_batches(arrow_combiner(partial),
+                          batch_format="pyarrow")
+           .groupby(["user_id", "event_type"])
+           .aggregate(Sum("c", alias_name="c")))
+
+    def share(g: pd.DataFrame) -> pd.DataFrame:
+        tot = int(g["c"].sum())
+        c = g["c"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "event_type": g["event_type"].to_numpy(),
+            "n": c,
+            "share": c.astype(np.float64) / float(tot),
+        })
+
+    return agg.groupby("user_id").map_groups(share,
+                                             batch_format="pandas")
+
+
+def q_poly_features(sf_dir: str):
+    """Degree-2 polynomial/interaction features per event: value²,
+    value × hour-of-day, and the hour² term — the PolynomialFeatures
+    expansion that lets linear models fit curvature. Shuffle-free
+    stateless vectorized map; every product is a single IEEE float op
+    mirrored by the oracle (value is used as-read, hour is an exact
+    small integer)."""
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "ts", "value"])
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        tsi = df["ts"].astype("int64").to_numpy()
+        hour = ((tsi % 86_400_000_000)
+                // 3_600_000_000).astype(np.float64)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "value_sq": v * v,
+            "value_x_hour": v * hour,
+            "hour_sq": hour * hour,
+        })
+
+    return ev.map_batches(feats, batch_format="pandas")

@@ -117,3 +117,17 @@ def test_example_feature_selection():
     assert "mi ranking:" in out.stdout
     assert "woe encoding:" in out.stdout
     assert "psi drift:" in out.stdout
+
+
+def test_example_encoders():
+    """Categorical-encoder + scaler readout — subprocess so it owns
+    its own Ray session."""
+    out = subprocess.run(
+        [sys.executable, f"{EX}/example_encoders.py"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "freq encode:" in out.stdout
+    assert "ordinal encode:" in out.stdout
+    assert "standard scale:" in out.stdout
+    assert "calibration:" in out.stdout

@@ -3686,3 +3686,35 @@ def test_rare_categories_and_standard_scale(ray_session):
     assert np.allclose(have, z_ref, rtol=0, atol=1e-5)
     assert abs(have.mean()) < 1e-5
     assert abs(have.std(ddof=1) - 1.0) < 1e-4
+
+
+def test_user_type_profile_and_poly_features(ray_session):
+    """Per-user shares sum to 1 and match a crosstab recomputation;
+    the polynomial terms equal direct numpy products."""
+    from pystreamfs_ray.pipelines.queries import (
+        q_poly_features, q_user_type_profile)
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    prof = q_user_type_profile(sf).to_pandas()
+    raw = read_parquet(sf + "/events.parquet",
+                       columns=["event_id", "ts", "user_id",
+                                "event_type", "value"]).to_pandas()
+    want = (raw.groupby(["user_id", "event_type"])
+            .size().rename("n").reset_index())
+    got = prof.sort_values(["user_id", "event_type"],
+                           ignore_index=True)
+    want = want.sort_values(["user_id", "event_type"],
+                            ignore_index=True)
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+    sums = prof.groupby("user_id")["share"].sum()
+    assert np.allclose(sums, 1.0, rtol=0, atol=1e-12)
+
+    pf = q_poly_features(sf).to_pandas().set_index("event_id")
+    v = raw["value"].to_numpy(np.float64)
+    hour = ((raw["ts"].astype("int64").to_numpy() % 86_400_000_000)
+            // 3_600_000_000).astype(np.float64)
+    have = pf.loc[raw["event_id"]]
+    assert (have["value_sq"].to_numpy() == v * v).all()
+    assert (have["value_x_hour"].to_numpy() == v * hour).all()
+    assert (have["hour_sq"].to_numpy() == hour * hour).all()
