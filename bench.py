@@ -124,6 +124,13 @@ BENCH_QUERIES = [
     # day-bounded reduce)
     "q_event_transitions",
     "q_survival",
+    # session-7 families: exact grouped shape moments (string-partial
+    # merge), the encoder combiner→broadcast shape, rolling median in
+    # the user bucket, calibration through the ntile range exchange
+    "q_grouped_moments",
+    "q_freq_encode",
+    "q_rolling_median",
+    "q_calibration",
 ]
 
 

@@ -3718,3 +3718,43 @@ def test_user_type_profile_and_poly_features(ray_session):
     assert (have["value_sq"].to_numpy() == v * v).all()
     assert (have["value_x_hour"].to_numpy() == v * hour).all()
     assert (have["hour_sq"].to_numpy() == hour * hour).all()
+
+
+def test_grouped_moments_no_overflow_and_empty_safe(ray_session):
+    """The string-partial power sums are genuinely arbitrary-precision:
+    values around $20M (cents ~2e9, c⁴ ~1.6e37 ≫ int64) still produce
+    exact moments matching a Python-int reference; an empty input
+    yields an empty result instead of raising."""
+    import math
+    import ray.data as rd
+    from pystreamfs_ray.stages.grouped import grouped_moments
+
+    rng = np.random.RandomState(7)
+    vals = np.round(2.0e7 + rng.rand(400) * 1.0e7, 2)
+    df = pd.DataFrame({"g": np.where(np.arange(400) % 3 == 0, "a", "b"),
+                       "v": vals})
+    got = (grouped_moments(rd.from_pandas(df).repartition(7), "g", "v")
+           .to_pandas().set_index("g"))
+    for key, grp in df.groupby("g"):
+        cc = [int(x) for x in np.floor(grp["v"].to_numpy() * 100.0
+                                       + 0.5).astype(np.int64)]
+        n = len(cc)
+        s1, s2 = sum(cc), sum(x * x for x in cc)
+        s3, s4 = sum(x**3 for x in cc), sum(x**4 for x in cc)
+        assert s4 > 2**63  # the int64-overflow regime, by construction
+        m = float(s1) / float(n)
+        r2, r3, r4 = float(s2) / n, float(s3) / n, float(s4) / n
+        q2 = r2 - m * m
+        m3 = r3 - 3.0 * m * r2 + 2.0 * (m * m * m)
+        m4 = (r4 - 4.0 * m * r3 + 6.0 * (m * m) * r2
+              - 3.0 * ((m * m) * (m * m)))
+        assert got.loc[key, "n"] == n
+        assert got.loc[key, "skewness"] == np.round(
+            m3 / (q2 * math.sqrt(q2)), 6)
+        assert got.loc[key, "kurtosis"] == np.round(
+            m4 / (q2 * q2) - 3.0, 6)
+
+    empty = rd.from_pandas(pd.DataFrame({"g": pd.Series([], dtype=object),
+                                         "v": pd.Series([], dtype=float)}))
+    out = grouped_moments(empty, "g", "v").to_pandas()
+    assert len(out) == 0
