@@ -361,6 +361,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_standard_scale": q.q_standard_scale,
         "q_user_type_profile": q.q_user_type_profile,
         "q_poly_features": q.q_poly_features,
+        "q_date_parts": q.q_date_parts,
+        "q_pct_change": q.q_pct_change,
+        "q_running_total": q.q_running_total,
     }
 
 
@@ -4650,6 +4653,47 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    value * CAST(hour(ts) AS DOUBLE) AS value_x_hour,
                    CAST(hour(ts) AS DOUBLE)
                      * CAST(hour(ts) AS DOUBLE) AS hour_sq
+            FROM events
+        """,
+        # calendar feature bundle (row-local integer arithmetic)
+        "q_date_parts": """
+            SELECT event_id,
+                   CAST(day(ts) AS BIGINT) AS day,
+                   CAST(month(ts) AS BIGINT) AS month,
+                   (epoch_us(ts) // 86400000000 + 4) // 7 AS week,
+                   CAST(CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7
+                                  IN (0, 6)
+                             THEN 1 ELSE 0 END AS BIGINT) AS is_weekend,
+                   CAST(day(last_day(ts)) - day(ts) AS BIGINT)
+                     AS days_to_month_end
+            FROM events
+        """,
+        # per-user lag-1 percent change on exact cents
+        "q_pct_change": """
+            WITH w AS (
+              SELECT event_id,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c,
+                     LAG(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS p
+              FROM events
+            )
+            SELECT event_id,
+                   CASE WHEN p IS NULL OR p = 0 THEN NULL
+                        ELSE (CAST(c AS DOUBLE) - CAST(p AS DOUBLE))
+                             / CAST(p AS DOUBLE)
+                   END AS pct_change
+            FROM w
+        """,
+        # per-user exact running total (window SUM of cents)
+        "q_running_total": """
+            SELECT event_id,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                          OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS DOUBLE)
+                     / 100.0 AS running_total
             FROM events
         """,
     }

@@ -6335,3 +6335,91 @@ def q_poly_features(sf_dir: str):
         })
 
     return ev.map_batches(feats, batch_format="pandas")
+
+
+def q_date_parts(sf_dir: str):
+    """Calendar feature bundle per event: day-of-month, month,
+    ISO-ish week index, weekend flag, and days-until-month-end — the
+    date-part expansion every tabular pipeline derives from a
+    timestamp. Shuffle-free row-local integer arithmetic on epoch
+    micros (the same day/dow derivations as q_cyclical_time), exactly
+    mirrorable in SQL."""
+    ev = read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts"])
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"]
+        dt = ts.dt
+        tsi = ts.astype("int64").to_numpy()
+        days = tsi // 86_400_000_000
+        dow = ((days + 4) % 7).astype(np.int64)  # 0 = Sunday
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "day": dt.day.to_numpy(np.int64),
+            "month": dt.month.to_numpy(np.int64),
+            "week": ((days + 4) // 7).astype(np.int64),  # epoch weeks,
+            # anchored so week boundaries fall on Sundays like dow
+            "is_weekend": ((dow == 0) | (dow == 6)).astype(np.int64),
+            "days_to_month_end": (dt.days_in_month.to_numpy(np.int64)
+                                  - dt.day.to_numpy(np.int64)),
+        })
+
+    return ev.map_batches(feats, batch_format="pandas")
+
+
+def q_pct_change(sf_dir: str):
+    """Per-user percent change of value vs the user's previous event —
+    the 'returns' transform that converts levels into relative moves.
+    Lag-1 is exact inside the user's entity bucket; the ratio is one
+    float expression over two exact int64 cent values in the oracle's
+    op order, emitted UNROUNDED (the quotient is bit-identical on both
+    sides; a 6-digit round would hit half-even-vs-half-away ties on
+    the dyadic quotients that power-of-two cent denominators produce).
+    Null on each user's first event and where the previous value is 0.
+    Shuffle: one user-bucket exchange."""
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "ts", "user_id", "value"])
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        u = g["user_id"].to_numpy()
+        c = np.floor(g["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5).astype(np.int64)
+        prev = np.empty(len(g), dtype=np.float64)
+        prev[0] = np.nan
+        prev[1:] = np.where(u[1:] == u[:-1], c[:-1], np.nan)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pct = (c - prev) / prev
+        pct = np.where(prev == 0, np.nan, pct)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "pct_change": pct,
+        })
+
+    return W.per_bucket(ev, part, entity_col="user_id",
+                        num_buckets=_BUCKETS)
+
+
+def q_running_total(sf_dir: str):
+    """Per-user running total of value up to and including each event
+    — the expanding cumulative-spend feature a serving store keeps hot.
+    Exact int64 cent cumsum inside the user's entity bucket, one
+    division by 100 at the end; bit-identical to the oracle's window
+    SUM. Shuffle: one user-bucket exchange."""
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "ts", "user_id", "value"])
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = W.sort_entity(g, entity_col="user_id",
+                          order_cols=("ts", "event_id"))
+        c = np.floor(g["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5).astype(np.int64)
+        run = (pd.Series(c).groupby(g["user_id"].to_numpy(), sort=False)
+               .cumsum().to_numpy(np.int64))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "running_total": run.astype(np.float64) / 100.0,
+        })
+
+    return W.per_bucket(ev, part, entity_col="user_id",
+                        num_buckets=_BUCKETS)

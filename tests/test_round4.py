@@ -3758,3 +3758,54 @@ def test_grouped_moments_no_overflow_and_empty_safe(ray_session):
                                          "v": pd.Series([], dtype=float)}))
     out = grouped_moments(empty, "g", "v").to_pandas()
     assert len(out) == 0
+
+
+def test_date_parts_pct_change_running_total(ray_session):
+    """Calendar parts match pandas datetime accessors; pct_change and
+    running_total match per-user pandas shift/cumsum recomputation
+    (nulls exactly on first events and zero-denominators)."""
+    from pystreamfs_ray.pipelines.queries import (
+        q_date_parts, q_pct_change, q_running_total)
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    raw = read_parquet(sf + "/events.parquet",
+                       columns=["event_id", "ts", "user_id",
+                                "value"]).to_pandas()
+
+    dp = q_date_parts(sf).to_pandas().set_index("event_id")
+    have = dp.loc[raw["event_id"]]
+    assert (have["day"].to_numpy() == raw["ts"].dt.day.to_numpy()).all()
+    assert (have["month"].to_numpy()
+            == raw["ts"].dt.month.to_numpy()).all()
+    dow_pd = raw["ts"].dt.dayofweek.to_numpy()  # Mon=0..Sun=6
+    assert (have["is_weekend"].to_numpy()
+            == ((dow_pd == 5) | (dow_pd == 6)).astype(int)).all()
+    assert (have["days_to_month_end"].to_numpy()
+            == (raw["ts"].dt.days_in_month
+                - raw["ts"].dt.day).to_numpy()).all()
+    # week increments exactly at Sunday boundaries
+    days = raw["ts"].astype("int64").to_numpy() // 86_400_000_000
+    assert (have["week"].to_numpy() == (days + 4) // 7).all()
+
+    srt = raw.sort_values(["user_id", "ts", "event_id"],
+                          ignore_index=True)
+    c = np.floor(srt["value"].to_numpy(np.float64) * 100.0
+                 + 0.5).astype(np.int64)
+    grp = pd.Series(c).groupby(srt["user_id"].to_numpy(), sort=False)
+
+    pc_ = q_pct_change(sf).to_pandas().set_index("event_id")
+    prev = grp.shift(1).to_numpy()
+    want = (c - prev) / prev
+    want = np.where(prev == 0, np.nan, want)
+    have = pc_.loc[srt["event_id"], "pct_change"].to_numpy()
+    both_nan = np.isnan(have) & np.isnan(want)
+    assert (both_nan | (have == want)).all()
+    # first event of every user is null
+    first = ~pd.Series(srt["user_id"]).duplicated().to_numpy()
+    assert np.isnan(have[first]).all()
+
+    rt = q_running_total(sf).to_pandas().set_index("event_id")
+    want_rt = grp.cumsum().to_numpy(np.int64) / 100.0
+    have_rt = rt.loc[srt["event_id"], "running_total"].to_numpy()
+    assert (have_rt == want_rt).all()
