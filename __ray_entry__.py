@@ -366,6 +366,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_running_total": q.q_running_total,
         "q_ks_drift": q.q_ks_drift,
         "q_hist2d": q.q_hist2d,
+        "q_corr_matrix": q.q_corr_matrix,
+        "q_variance_filter": q.q_variance_filter,
     }
 
 
@@ -4745,5 +4747,100 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                          / CAST(COUNT(*) AS DOUBLE) / 100.0, 6)
                      AS mean_value
             FROM c GROUP BY dow, hour
+        """,
+        # pairwise Pearson from exact HUGEINT cross-moments; each term
+        # crosses to float with one correctly-rounded cast
+        "q_corr_matrix": """
+            WITH c AS (
+              SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS x,
+                     (epoch_us(ts) % 86400000000) // 3600000000 AS y,
+                     (epoch_us(ts) // 86400000000 + 4) % 7 AS z
+              FROM events
+            ), s AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(x) AS HUGEINT) AS sx,
+                     CAST(SUM(y) AS HUGEINT) AS sy,
+                     CAST(SUM(z) AS HUGEINT) AS sz,
+                     CAST(SUM(x*x) AS HUGEINT) AS sxx,
+                     CAST(SUM(y*y) AS HUGEINT) AS syy,
+                     CAST(SUM(z*z) AS HUGEINT) AS szz,
+                     CAST(SUM(x*y) AS HUGEINT) AS sxy,
+                     CAST(SUM(x*z) AS HUGEINT) AS sxz,
+                     CAST(SUM(y*z) AS HUGEINT) AS syz
+              FROM c
+            )
+            SELECT * FROM (
+              SELECT 'value' AS feat_a, 'hour' AS feat_b,
+                     CAST(n*sxy - sx*sy AS DOUBLE)
+                       / SQRT(CAST(n*sxx - sx*sx AS DOUBLE)
+                              * CAST(n*syy - sy*sy AS DOUBLE)) AS corr
+              FROM s
+              UNION ALL
+              SELECT 'value', 'dow',
+                     CAST(n*sxz - sx*sz AS DOUBLE)
+                       / SQRT(CAST(n*sxx - sx*sx AS DOUBLE)
+                              * CAST(n*szz - sz*sz AS DOUBLE))
+              FROM s
+              UNION ALL
+              SELECT 'hour', 'dow',
+                     CAST(n*syz - sy*sz AS DOUBLE)
+                       / SQRT(CAST(n*syy - sy*sy AS DOUBLE)
+                              * CAST(n*szz - sz*sz AS DOUBLE))
+              FROM s
+            )
+        """,
+        # VarianceThreshold screen from exact sums (one division each)
+        "q_variance_filter": """
+            WITH c AS (
+              SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v,
+                     (epoch_us(ts) % 86400000000) // 3600000000 AS h,
+                     (epoch_us(ts) // 86400000000 + 4) % 7 AS d
+              FROM events
+            ), c2 AS (
+              SELECT v, h, d,
+                     CASE WHEN d IN (0, 6) THEN 1 ELSE 0 END AS w
+              FROM c
+            ), s AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(v) AS HUGEINT) AS sv,
+                     CAST(SUM(v*v) AS HUGEINT) AS svv,
+                     CAST(SUM(h) AS HUGEINT) AS sh,
+                     CAST(SUM(h*h) AS HUGEINT) AS shh,
+                     CAST(SUM(d) AS HUGEINT) AS sd,
+                     CAST(SUM(d*d) AS HUGEINT) AS sdd,
+                     CAST(SUM(w) AS HUGEINT) AS sw,
+                     CAST(SUM(w*w) AS HUGEINT) AS sww
+              FROM c2
+            )
+            SELECT * FROM (
+              SELECT 'value' AS feature,
+                     CAST(n*svv - sv*sv AS DOUBLE)
+                       / CAST(n*(n-1) AS DOUBLE) / 10000.0 AS variance,
+                     CAST(CAST(n*svv - sv*sv AS DOUBLE)
+                          / CAST(n*(n-1) AS DOUBLE) / 10000.0
+                          > 0.01 AS BIGINT) AS keep
+              FROM s
+              UNION ALL
+              SELECT 'hour',
+                     CAST(n*shh - sh*sh AS DOUBLE)
+                       / CAST(n*(n-1) AS DOUBLE),
+                     CAST(CAST(n*shh - sh*sh AS DOUBLE)
+                          / CAST(n*(n-1) AS DOUBLE) > 0.01 AS BIGINT)
+              FROM s
+              UNION ALL
+              SELECT 'dow',
+                     CAST(n*sdd - sd*sd AS DOUBLE)
+                       / CAST(n*(n-1) AS DOUBLE),
+                     CAST(CAST(n*sdd - sd*sd AS DOUBLE)
+                          / CAST(n*(n-1) AS DOUBLE) > 0.01 AS BIGINT)
+              FROM s
+              UNION ALL
+              SELECT 'is_weekend',
+                     CAST(n*sww - sw*sw AS DOUBLE)
+                       / CAST(n*(n-1) AS DOUBLE),
+                     CAST(CAST(n*sww - sw*sw AS DOUBLE)
+                          / CAST(n*(n-1) AS DOUBLE) > 0.01 AS BIGINT)
+              FROM s
+            )
         """,
     }

@@ -6512,3 +6512,122 @@ def q_hist2d(sf_dir: str):
          / cells["n"].to_numpy(np.int64).astype(np.float64)) / 100.0, 6)
     return (cells[["dow", "hour", "n", "mean_value"]]
             .sort_values(["dow", "hour"], ignore_index=True))
+
+
+def q_corr_matrix(sf_dir: str):
+    """Pairwise Pearson correlation matrix (long form) over the three
+    base numeric features value-cents / hour / dow — the redundancy
+    screen run before feature selection. ONE wide combiner row per
+    batch carries every cross-moment (n, Σx.., Σxy..); the correlation
+    numerator/denominator terms are computed as EXACT integers first
+    and cross into float with one correctly-rounded cast each, in the
+    oracle's op order. Shuffle: a 1-row aggregate."""
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5).astype(np.int64)
+        tsi = df["ts"].astype("int64").to_numpy()
+        h = ((tsi % 86_400_000_000) // 3_600_000_000).astype(np.int64)
+        d = ((tsi // 86_400_000_000 + 4) % 7).astype(np.int64)
+        return pd.DataFrame({
+            "k": np.zeros(1, dtype=np.int64),
+            "n": [np.int64(len(df))],
+            "sx": [c.sum()], "sy": [h.sum()], "sz": [d.sum()],
+            "sxx": [(c * c).sum()], "syy": [(h * h).sum()],
+            "szz": [(d * d).sum()],
+            "sxy": [(c * h).sum()], "sxz": [(c * d).sum()],
+            "syz": [(h * d).sum()],
+        })
+
+    agg = (ev.map_batches(arrow_combiner(partial),
+                          batch_format="pyarrow")
+           .groupby("k")
+           .aggregate(*[Sum(c, alias_name=c) for c in
+                        ("n", "sx", "sy", "sz", "sxx", "syy", "szz",
+                         "sxy", "sxz", "syz")])
+           .to_pandas())
+    agg = ensure_cols(agg, {c: np.int64 for c in
+                            ("k", "n", "sx", "sy", "sz", "sxx", "syy",
+                             "szz", "sxy", "sxz", "syz")})
+    r = {c: int(agg[c].iloc[0]) for c in agg.columns}
+    n = r["n"]
+    import math
+
+    def corr(sab, sa, sb, saa, sbb):
+        num = n * sab - sa * sb            # exact int
+        da = n * saa - sa * sa             # exact int
+        db = n * sbb - sb * sb             # exact int
+        return float(num) / math.sqrt(float(da) * float(db))
+
+    rows = [
+        ("value", "hour", corr(r["sxy"], r["sx"], r["sy"],
+                               r["sxx"], r["syy"])),
+        ("value", "dow", corr(r["sxz"], r["sx"], r["sz"],
+                              r["sxx"], r["szz"])),
+        ("hour", "dow", corr(r["syz"], r["sy"], r["sz"],
+                             r["syy"], r["szz"])),
+    ]
+    return pd.DataFrame({
+        "feat_a": [a for a, _, _ in rows],
+        "feat_b": [b for _, b, _ in rows],
+        "corr": [c for _, _, c in rows],
+    })
+
+
+def q_variance_filter(sf_dir: str):
+    """VarianceThreshold feature screen: sample variance of each base
+    feature (value in dollars, hour, dow, is_weekend) plus the keep
+    flag at the 0.01 threshold — the first filter of any selection
+    pipeline (a near-constant feature carries nothing). All moments
+    are exact int64 combiner sums; each variance is one float division
+    of two exact integers. Shuffle: a 1-row aggregate."""
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5).astype(np.int64)
+        tsi = df["ts"].astype("int64").to_numpy()
+        h = ((tsi % 86_400_000_000) // 3_600_000_000).astype(np.int64)
+        d = ((tsi // 86_400_000_000 + 4) % 7).astype(np.int64)
+        w = ((d == 0) | (d == 6)).astype(np.int64)
+        return pd.DataFrame({
+            "k": np.zeros(1, dtype=np.int64),
+            "n": [np.int64(len(df))],
+            "sv": [c.sum()], "svv": [(c * c).sum()],
+            "sh": [h.sum()], "shh": [(h * h).sum()],
+            "sd": [d.sum()], "sdd": [(d * d).sum()],
+            "sw": [w.sum()], "sww": [(w * w).sum()],
+        })
+
+    agg = (ev.map_batches(arrow_combiner(partial),
+                          batch_format="pyarrow")
+           .groupby("k")
+           .aggregate(*[Sum(c, alias_name=c) for c in
+                        ("n", "sv", "svv", "sh", "shh", "sd", "sdd",
+                         "sw", "sww")])
+           .to_pandas())
+    agg = ensure_cols(agg, {c: np.int64 for c in agg.columns})
+    r = {c: int(agg[c].iloc[0]) for c in agg.columns}
+    n = r["n"]
+
+    def var(s, ss, scale_sq=1.0):
+        num = n * ss - s * s               # exact int
+        den = n * (n - 1)                  # exact int
+        return float(num) / float(den) / scale_sq
+
+    rows = [
+        ("value", var(r["sv"], r["svv"], 10000.0)),
+        ("hour", var(r["sh"], r["shh"])),
+        ("dow", var(r["sd"], r["sdd"])),
+        ("is_weekend", var(r["sw"], r["sww"])),
+    ]
+    return pd.DataFrame({
+        "feature": [f for f, _ in rows],
+        "variance": [v for _, v in rows],
+        "keep": np.array([v > 0.01 for _, v in rows], dtype=np.int64),
+    })

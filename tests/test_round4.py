@@ -3854,3 +3854,45 @@ def test_ks_drift_and_hist2d(ray_session):
     assert np.allclose(got["mean_value"].sort_index().to_numpy(),
                        want["mean"].sort_index().to_numpy() / 100.0,
                        rtol=0, atol=1e-6)
+
+
+def test_corr_matrix_and_variance_filter(ray_session):
+    """Correlations match np.corrcoef over the derived features and
+    land in [-1, 1]; variances match np.var(ddof=1) with the weekend
+    indicator correctly flagged by the threshold."""
+    from pystreamfs_ray.pipelines.queries import (
+        q_corr_matrix, q_variance_filter)
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    raw = read_parquet(sf + "/events.parquet",
+                       columns=["ts", "value"]).to_pandas()
+    c = np.floor(raw["value"].to_numpy(np.float64) * 100.0
+                 + 0.5).astype(np.float64)
+    tsi = raw["ts"].astype("int64").to_numpy()
+    h = ((tsi % 86_400_000_000) // 3_600_000_000).astype(np.float64)
+    d = ((tsi // 86_400_000_000 + 4) % 7).astype(np.float64)
+    w = ((d == 0) | (d == 6)).astype(np.float64)
+
+    cm = q_corr_matrix(sf)
+    cm = cm.to_pandas() if hasattr(cm, "to_pandas") else cm
+    ref = {("value", "hour"): np.corrcoef(c, h)[0, 1],
+           ("value", "dow"): np.corrcoef(c, d)[0, 1],
+           ("hour", "dow"): np.corrcoef(h, d)[0, 1]}
+    for _, row in cm.iterrows():
+        assert np.isclose(row["corr"], ref[(row["feat_a"],
+                                            row["feat_b"])],
+                          rtol=0, atol=1e-9)
+        assert -1.0 <= row["corr"] <= 1.0
+
+    vf = q_variance_filter(sf)
+    vf = vf.to_pandas() if hasattr(vf, "to_pandas") else vf
+    got = vf.set_index("feature")["variance"]
+    assert np.isclose(got["value"], np.var(c / 100.0, ddof=1),
+                      rtol=1e-12)
+    assert np.isclose(got["hour"], np.var(h, ddof=1), rtol=1e-12)
+    assert np.isclose(got["dow"], np.var(d, ddof=1), rtol=1e-12)
+    assert np.isclose(got["is_weekend"], np.var(w, ddof=1), rtol=1e-12)
+    keep = vf.set_index("feature")["keep"]
+    for f, v in got.items():
+        assert keep[f] == int(v > 0.01)
