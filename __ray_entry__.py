@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hist2d": q.q_hist2d,
         "q_corr_matrix": q.q_corr_matrix,
         "q_variance_filter": q.q_variance_filter,
+        "q_spearman": q.q_spearman,
     }
 
 
@@ -4842,5 +4843,40 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                           / CAST(n*(n-1) AS DOUBLE) > 0.01 AS BIGINT)
               FROM s
             )
+        """,
+        # exact Spearman: doubled average ranks over bounded support
+        # (integers), Pearson chain on exact HUGEINT moments
+        "q_spearman": """
+            WITH e AS (
+              SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v,
+                     (epoch_us(ts) % 86400000000) // 3600000000 AS h
+              FROM events
+            ), rv AS (
+              SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY v
+            ), rv2 AS (
+              SELECT v, 2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS r2
+              FROM rv
+            ), rh AS (
+              SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY h
+            ), rh2 AS (
+              SELECT h, 2 * (SUM(c) OVER (ORDER BY h) - c) + c + 1 AS r2
+              FROM rh
+            ), j AS (
+              SELECT rv2.r2 AS x, rh2.r2 AS y
+              FROM e JOIN rv2 USING (v) JOIN rh2 USING (h)
+            ), s AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(x) AS HUGEINT) AS sx,
+                     CAST(SUM(y) AS HUGEINT) AS sy,
+                     CAST(SUM(x*x) AS HUGEINT) AS sxx,
+                     CAST(SUM(y*y) AS HUGEINT) AS syy,
+                     CAST(SUM(x*y) AS HUGEINT) AS sxy
+              FROM j
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                     / SQRT(CAST(n*sxx - sx*sx AS DOUBLE)
+                            * CAST(n*syy - sy*sy AS DOUBLE)) AS spearman
+            FROM s
         """,
     }

@@ -6631,3 +6631,80 @@ def q_variance_filter(sf_dir: str):
         "variance": [v for _, v in rows],
         "keep": np.array([v > 0.01 for _, v in rows], dtype=np.int64),
     })
+
+
+def q_spearman(sf_dir: str):
+    """EXACT distributed Spearman rank correlation between value and
+    hour-of-day — the monotone-relationship screen that Pearson
+    misses. Both variables quantize to bounded integer support (cents,
+    hours), so the average-rank-with-ties table is a support-sized
+    aggregate: rank2(v) = 2·cum_before + count + 1 (TWICE the average
+    rank — an exact integer, no .5 halves). The doubled ranks broadcast
+    into a second pass that accumulates exact int64 cross-moments;
+    Pearson on the doubled ranks IS Spearman (affine invariance), and
+    the float chain mirrors the oracle op-for-op. Shuffles: two
+    support-sized count aggregates + a 1-row moment aggregate."""
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["ts", "value"])
+
+    def _vh(df: pd.DataFrame):
+        v = np.floor(df["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5).astype(np.int64)
+        tsi = df["ts"].astype("int64").to_numpy()
+        h = ((tsi % 86_400_000_000) // 3_600_000_000).astype(np.int64)
+        return v, h
+
+    def counts_of(col: str):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            v, h = _vh(df)
+            x = v if col == "v" else h
+            g = pd.Series(x).value_counts()
+            return pd.DataFrame({"x": g.index.to_numpy(np.int64),
+                                 "c": g.to_numpy(np.int64)})
+
+        agg = (ev.map_batches(arrow_combiner(partial),
+                              batch_format="pyarrow")
+               .groupby("x")
+               .aggregate(Sum("c", alias_name="c"))
+               .to_pandas())
+        agg = ensure_cols(agg, {"x": np.int64, "c": np.int64})
+        agg = agg.sort_values("x", ignore_index=True)
+        c = agg["c"].to_numpy(np.int64)
+        cum_before = np.concatenate(([0], c.cumsum()[:-1]))
+        r2 = 2 * cum_before + c + 1  # exact doubled average rank
+        return agg["x"].to_numpy(np.int64), r2
+
+    vx, vr2 = counts_of("v")
+    hx, hr2 = counts_of("h")
+    ref = ray.put((vx, vr2, hx, hr2))
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        vx, vr2, hx, hr2 = ray.get(ref)
+        v, h = _vh(df)
+        x = vr2[np.searchsorted(vx, v)]
+        y = hr2[np.searchsorted(hx, h)]
+        return pd.DataFrame({
+            "k": np.zeros(1, dtype=np.int64),
+            "n": [np.int64(len(df))],
+            "sx": [x.sum()], "sy": [y.sum()],
+            "sxx": [(x * x).sum()], "syy": [(y * y).sum()],
+            "sxy": [(x * y).sum()],
+        })
+
+    agg = (ev.map_batches(arrow_combiner(moments),
+                          batch_format="pyarrow")
+           .groupby("k")
+           .aggregate(*[Sum(c, alias_name=c) for c in
+                        ("n", "sx", "sy", "sxx", "syy", "sxy")])
+           .to_pandas())
+    agg = ensure_cols(agg, {c: np.int64 for c in agg.columns})
+    r = {c: int(agg[c].iloc[0]) for c in agg.columns}
+    n = r["n"]
+    import math
+    num = n * r["sxy"] - r["sx"] * r["sy"]
+    da = n * r["sxx"] - r["sx"] * r["sx"]
+    db = n * r["syy"] - r["sy"] * r["sy"]
+    rho = float(num) / math.sqrt(float(da) * float(db))
+    return pd.DataFrame({"n": np.array([n], dtype=np.int64),
+                         "spearman": [rho]})

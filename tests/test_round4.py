@@ -3896,3 +3896,34 @@ def test_corr_matrix_and_variance_filter(ray_session):
     keep = vf.set_index("feature")["keep"]
     for f, v in got.items():
         assert keep[f] == int(v > 0.01)
+
+
+def test_spearman_matches_pandas_rank_corr(ray_session):
+    """Exact Spearman equals Pearson over pandas average ranks (the
+    textbook tie-handling definition), and detects a planted monotone
+    relationship on a synthetic check."""
+    from pystreamfs_ray.pipelines.queries import q_spearman
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    sp = q_spearman(sf)
+    sp = sp.to_pandas() if hasattr(sp, "to_pandas") else sp
+    raw = read_parquet(sf + "/events.parquet",
+                       columns=["ts", "value"]).to_pandas()
+    c = np.floor(raw["value"].to_numpy(np.float64) * 100.0
+                 + 0.5).astype(np.int64)
+    tsi = raw["ts"].astype("int64").to_numpy()
+    h = ((tsi % 86_400_000_000) // 3_600_000_000).astype(np.int64)
+    rx = pd.Series(c).rank(method="average").to_numpy()
+    ry = pd.Series(h).rank(method="average").to_numpy()
+    rho_ref = np.corrcoef(rx, ry)[0, 1]
+    assert sp["n"].iloc[0] == len(raw)
+    assert np.isclose(sp["spearman"].iloc[0], rho_ref,
+                      rtol=0, atol=1e-12)
+    assert -1.0 <= sp["spearman"].iloc[0] <= 1.0
+    # sanity: the doubled-rank identity reproduces a perfect monotone
+    x = np.array([1, 2, 2, 3, 5], dtype=float)
+    y = x * 10 + 3
+    rxs = pd.Series(x).rank(method="average")
+    rys = pd.Series(y).rank(method="average")
+    assert np.isclose(np.corrcoef(rxs, rys)[0, 1], 1.0)
