@@ -3126,12 +3126,12 @@ def q_incremental_minhash(sf_dir: str):
     # every CPU and starves the downstream shuffle (4-CPU test
     # sessions deadlock with two (2, 8) pools)
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    # warm-start up to 4 actors per pool when the session can afford
-    # the reserved CPUs (autoscaling from 1 pays ~2s of ramp at
-    # sf0.1); cap each pool at 3/8 of the session so the two pools
-    # plus the banding shuffle never starve each other (measured
-    # 9.4s → 6.2s at sf0.1 going (2,8) → (4,12) on 32 CPUs)
-    conc = (max(1, min(4, cpus // 8)), max(2, (3 * cpus) // 8))
+    # warm-start 2 actors per pool (a larger min pays more cold ramp
+    # than it saves — the bench runs every query cold); cap each pool
+    # at 3/8 of the session so the two pools plus the banding shuffle
+    # never starve each other (measured 7.7s → 6.2s warm at sf0.1
+    # raising the cap 8 → 12 on 32 CPUs)
+    conc = (max(1, min(2, cpus // 8)), max(2, (3 * cpus) // 8))
     index_sigs = minhash_signatures(
         docs.map_batches(side(0), batch_format="pandas"),
         concurrency=conc)
