@@ -369,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_corr_matrix": q.q_corr_matrix,
         "q_variance_filter": q.q_variance_filter,
         "q_spearman": q.q_spearman,
+        "q_psi_split": q.q_psi_split,
     }
 
 
@@ -4879,4 +4880,44 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                             * CAST(n*syy - sy*sy AS DOUBLE)) AS spearman
             FROM s
         """,
+        # PSI between the md5 splits: same bins/smoothing as psi_drift
+        "q_psi_split": f"""
+            WITH e AS (
+              SELECT CASE WHEN md5_number_lower(CAST(event_id AS VARCHAR))
+                               % 65536 < {{ct}} THEN 'train'
+                          WHEN md5_number_lower(CAST(event_id AS VARCHAR))
+                               % 65536 < {{cv}} THEN 'val'
+                          ELSE 'test' END AS split,
+                     LEAST(GREATEST(CAST(FLOOR(value * 100.0 + 0.5)
+                                    AS BIGINT) // 5000, 0), 9) AS bin
+              FROM events
+            ), grid AS (
+              SELECT s.split, b.bin
+              FROM (SELECT unnest(['train', 'test']) AS split) s,
+                   (SELECT unnest(range(10)) AS bin) b
+            ), c AS (
+              SELECT g.split, g.bin, COALESCE(x.cnt, 0) AS cnt
+              FROM grid g LEFT JOIN (
+                SELECT split, bin, COUNT(*) AS cnt FROM e
+                WHERE split IN ('train', 'test') GROUP BY split, bin
+              ) x ON g.split = x.split AND g.bin = x.bin
+            ), n AS (
+              SELECT CAST(SUM(CASE WHEN split = 'train' THEN cnt
+                                   ELSE 0 END) AS BIGINT) AS n1,
+                     CAST(SUM(CASE WHEN split = 'test' THEN cnt
+                                   ELSE 0 END) AS BIGINT) AS n2
+              FROM c
+            ), pq AS (
+              SELECT c1.bin,
+                     CAST(c1.cnt + 1 AS DOUBLE)
+                       / CAST(n.n1 + 10 AS DOUBLE) AS p,
+                     CAST(c2.cnt + 1 AS DOUBLE)
+                       / CAST(n.n2 + 10 AS DOUBLE) AS q
+              FROM c c1 JOIN c c2 ON c1.bin = c2.bin, n
+              WHERE c1.split = 'train' AND c2.split = 'test'
+            )
+            SELECT n.n1 AS n_train, n.n2 AS n_test,
+                   SUM((q - p) * ln(q / p)) AS psi
+            FROM pq, n GROUP BY n.n1, n.n2
+        """.format(ct=_cut_train, cv=_cut_val),
     }

@@ -6724,3 +6724,54 @@ def q_spearman(sf_dir: str):
     rho = float(num) / math.sqrt(float(da) * float(db))
     return pd.DataFrame({"n": np.array([n], dtype=np.int64),
                          "spearman": [rho]})
+
+
+def q_psi_split(sf_dir: str):
+    """PSI of the value distribution between the md5 train and test
+    splits — the third leg of the split-drift family (q_feature_ttest
+    tests the mean, q_ks_drift the exact distribution, PSI the binned
+    industry score with its 0.1/0.25 rules of thumb). Same fixed
+    cent-bin + Laplace smoothing scheme as q_psi_drift; one
+    2×10-cell combiner aggregate, driver finish."""
+    from pystreamfs_ray.sources import split_labels
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "value"])
+    bins, lo_c, hi_c = 10, 0, 50_000
+    width = (hi_c - lo_c) // bins
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lab = split_labels(df["event_id"].to_numpy())
+        keep = (lab == "train") | (lab == "test")
+        cents = np.floor(df["value"].to_numpy(np.float64)
+                         * 100.0 + 0.5).astype(np.int64)[keep]
+        b = np.clip((cents - lo_c) // width, 0, bins - 1)
+        g = (pd.DataFrame({"split": lab[keep], "bin": b})
+             .groupby(["split", "bin"], sort=False)
+             .size().rename("cnt").reset_index())
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    counts = (ev.map_batches(arrow_combiner(partial),
+                             batch_format="pyarrow")
+              .groupby(["split", "bin"])
+              .aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas())
+    counts = ensure_cols(counts, {"split": object, "bin": np.int64,
+                                  "cnt": np.int64})
+    piv = (counts.pivot_table(index="bin", columns="split",
+                              values="cnt", aggfunc="sum", fill_value=0)
+           .reindex(index=range(bins), columns=["train", "test"],
+                    fill_value=0))
+    ct = piv["train"].to_numpy(np.int64)
+    cs = piv["test"].to_numpy(np.int64)
+    n1, n2 = int(ct.sum()), int(cs.sum())
+    p = (ct + 1).astype(np.float64) / float(n1 + bins)
+    q_ = (cs + 1).astype(np.float64) / float(n2 + bins)
+    psi = float(((q_ - p) * np.log(q_ / p)).sum())
+    return pd.DataFrame({
+        "n_train": np.array([n1], dtype=np.int64),
+        "n_test": np.array([n2], dtype=np.int64),
+        "psi": [psi],
+    })

@@ -3927,3 +3927,32 @@ def test_spearman_matches_pandas_rank_corr(ray_session):
     rxs = pd.Series(x).rank(method="average")
     rys = pd.Series(y).rank(method="average")
     assert np.isclose(np.corrcoef(rxs, rys)[0, 1], 1.0)
+
+
+def test_psi_split_same_distribution_small(ray_session):
+    """PSI between the random md5 halves of the SAME distribution is
+    tiny (well under the 0.1 'stable' rule of thumb) and matches a
+    direct recomputation over the same bins and smoothing."""
+    from pystreamfs_ray.pipelines.queries import q_psi_split
+    from pystreamfs_ray.sources import read_parquet, split_labels
+
+    sf = "/root/testdata/sf0.001"
+    got = q_psi_split(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    raw = read_parquet(sf + "/events.parquet",
+                       columns=["event_id", "value"]).to_pandas()
+    lab = split_labels(raw["event_id"].to_numpy())
+    cents = np.floor(raw["value"].to_numpy(np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+    b = np.clip(cents // 5000, 0, 9)
+    ct = np.bincount(b[lab == "train"], minlength=10)
+    cs = np.bincount(b[lab == "test"], minlength=10)
+    p = (ct + 1) / (ct.sum() + 10)
+    q_ = (cs + 1) / (cs.sum() + 10)
+    psi_ref = ((q_ - p) * np.log(q_ / p)).sum()
+    assert np.isclose(got["psi"].iloc[0], psi_ref, rtol=0, atol=1e-12)
+    # ~100 test rows at sf0.001 inflate PSI with sampling noise; the
+    # bound only asserts "same distribution, same order of magnitude"
+    assert 0.0 <= got["psi"].iloc[0] < 0.5
+    assert got["n_train"].iloc[0] == (lab == "train").sum()
+    assert got["n_test"].iloc[0] == (lab == "test").sum()
