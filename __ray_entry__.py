@@ -370,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_variance_filter": q.q_variance_filter,
         "q_spearman": q.q_spearman,
         "q_psi_split": q.q_psi_split,
+        "q_auc": q.q_auc,
     }
 
 
@@ -4920,4 +4921,32 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    SUM((q - p) * ln(q / p)) AS psi
             FROM pq, n GROUP BY n.n1, n.n2
         """.format(ct=_cut_train, cv=_cut_val),
+        # exact AUC: Mann-Whitney rank sum on doubled average ranks;
+        # integer throughout, one float division
+        "q_auc": """
+            WITH e AS (
+              SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v,
+                     CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END AS y
+              FROM events
+            ), c AS (
+              SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+                     CAST(SUM(y) AS BIGINT) AS cp
+              FROM e GROUP BY v
+            ), r AS (
+              SELECT v, cp,
+                     2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS r2
+              FROM c
+            ), s AS (
+              SELECT CAST(SUM(cp * r2) AS HUGEINT) AS s2,
+                     CAST(SUM(cp) AS HUGEINT) AS n1,
+                     (SELECT CAST(COUNT(*) AS HUGEINT) FROM e) AS n
+              FROM r
+            )
+            SELECT CAST(n1 AS BIGINT) AS n_pos,
+                   CAST(n - n1 AS BIGINT) AS n_neg,
+                   CAST(s2 - n1 * (n1 + 1) AS DOUBLE)
+                     / CAST(2 * n1 * (n - n1) AS DOUBLE) AS auc
+            FROM s
+        """,
     }

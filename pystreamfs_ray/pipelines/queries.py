@@ -6775,3 +6775,53 @@ def q_psi_split(sf_dir: str):
         "n_test": np.array([n2], dtype=np.int64),
         "psi": [psi],
     })
+
+
+def q_auc(sf_dir: str):
+    """EXACT distributed ROC AUC of the value score against the
+    purchase label — the Mann-Whitney rank-sum form with proper tie
+    handling, computed without ever materializing a global sort: the
+    (cent-value, total-count, positive-count) support table is one
+    bounded aggregate, doubled average ranks make every term an exact
+    integer (same trick as q_spearman), and
+    AUC = (Σ 2·rank⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) is ONE float division of
+    two exact integers — bit-identical to the oracle. Shuffle: the
+    |support|-row count aggregate."""
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.floor(df["value"].to_numpy(np.float64)
+                     * 100.0 + 0.5).astype(np.int64)
+        y = (df["event_type"].to_numpy() == "purchase").astype(np.int64)
+        g = (pd.DataFrame({"v": v,
+                           "c": np.ones(len(df), dtype=np.int64),
+                           "cp": y})
+             .groupby("v", sort=False, as_index=False).sum())
+        return g
+
+    counts = (ev.map_batches(arrow_combiner(partial),
+                             batch_format="pyarrow")
+              .groupby("v")
+              .aggregate(Sum("c", alias_name="c"),
+                         Sum("cp", alias_name="cp"))
+              .to_pandas())
+    counts = ensure_cols(counts, {"v": np.int64, "c": np.int64,
+                                  "cp": np.int64})
+    counts = counts.sort_values("v", ignore_index=True)
+    c = counts["c"].to_numpy(np.int64)
+    cp = counts["cp"].to_numpy(np.int64)
+    cum_before = np.concatenate(([0], c.cumsum()[:-1]))
+    r2 = 2 * cum_before + c + 1
+    s2 = int((cp * r2).sum())          # Σ doubled ranks of positives
+    n1 = int(cp.sum())
+    n = int(c.sum())
+    n0 = n - n1
+    auc = float(s2 - n1 * (n1 + 1)) / float(2 * n1 * n0)
+    return pd.DataFrame({
+        "n_pos": np.array([n1], dtype=np.int64),
+        "n_neg": np.array([n0], dtype=np.int64),
+        "auc": [auc],
+    })

@@ -3956,3 +3956,32 @@ def test_psi_split_same_distribution_small(ray_session):
     assert 0.0 <= got["psi"].iloc[0] < 0.5
     assert got["n_train"].iloc[0] == (lab == "train").sum()
     assert got["n_test"].iloc[0] == (lab == "test").sum()
+
+
+def test_auc_rank_formula_and_probability_meaning(ray_session):
+    """AUC equals the tie-aware rank-sum recomputation AND the direct
+    pairwise probability P(score⁺ > score⁻) + ½P(tie), checked by
+    brute force at sf0.001."""
+    from pystreamfs_ray.pipelines.queries import q_auc
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_auc(sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    raw = read_parquet(sf + "/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    v = np.floor(raw["value"].to_numpy(np.float64) * 100.0
+                 + 0.5).astype(np.int64)
+    y = (raw["event_type"].to_numpy() == "purchase")
+    ranks = pd.Series(v).rank(method="average").to_numpy()
+    n1, n0 = int(y.sum()), int((~y).sum())
+    auc_rank = (ranks[y].sum() - n1 * (n1 + 1) / 2) / (n1 * n0)
+    assert got["n_pos"].iloc[0] == n1 and got["n_neg"].iloc[0] == n0
+    assert np.isclose(got["auc"].iloc[0], auc_rank, rtol=0, atol=1e-12)
+    # probability interpretation by brute force (1000 rows → fast)
+    pos, neg = v[y], v[~y]
+    gt = (pos[:, None] > neg[None, :]).sum()
+    eq = (pos[:, None] == neg[None, :]).sum()
+    auc_pairs = (gt + 0.5 * eq) / (n1 * n0)
+    assert np.isclose(got["auc"].iloc[0], auc_pairs, rtol=0, atol=1e-12)
+    assert 0.0 <= got["auc"].iloc[0] <= 1.0
