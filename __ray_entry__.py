@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_spearman": q.q_spearman,
         "q_psi_split": q.q_psi_split,
         "q_auc": q.q_auc,
+        "q_lift_curve": q.q_lift_curve,
     }
 
 
@@ -4948,5 +4949,39 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(s2 - n1 * (n1 + 1) AS DOUBLE)
                      / CAST(2 * n1 * (n - n1) AS DOUBLE) AS auc
             FROM s
+        """,
+        # cumulative gains/lift from the top value decile down
+        "q_lift_curve": """
+            WITH t AS (
+              SELECT event_type,
+                     NTILE(10) OVER (ORDER BY value, event_id) AS decile
+              FROM events
+            ), g AS (
+              SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS purchases
+              FROM t GROUP BY decile
+            ), c AS (
+              SELECT 11 - decile AS bucket,
+                     CAST(SUM(n) OVER (ORDER BY decile DESC)
+                          AS BIGINT) AS cum_n,
+                     CAST(SUM(purchases) OVER (ORDER BY decile DESC)
+                          AS BIGINT) AS cum_purchases
+              FROM g
+            ), tot AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS tn,
+                     CAST(SUM(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS tp
+              FROM t
+            )
+            SELECT c.bucket, c.cum_n, c.cum_purchases,
+                   CAST(c.cum_purchases AS DOUBLE)
+                     / CAST(tot.tp AS DOUBLE) AS gain,
+                   (CAST(c.cum_purchases AS DOUBLE)
+                      / CAST(tot.tp AS DOUBLE))
+                     / (CAST(c.cum_n AS DOUBLE)
+                          / CAST(tot.tn AS DOUBLE)) AS lift
+            FROM c, tot
         """,
     }

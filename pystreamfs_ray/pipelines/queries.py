@@ -6825,3 +6825,51 @@ def q_auc(sf_dir: str):
         "n_neg": np.array([n0], dtype=np.int64),
         "auc": [auc],
     })
+
+
+def q_lift_curve(sf_dir: str):
+    """Cumulative gains / lift table: events ranked into value deciles
+    (exact NTILE, same machinery as q_calibration), walked from the
+    top decile down — what fraction of all purchases the top-k% of the
+    score captures, and the lift over random targeting. The decile
+    counts are exact int64; gain and lift are single divisions of
+    exact integers in the oracle's op order. Shuffles: the one ntile
+    range exchange + a 10-row aggregate."""
+    from pystreamfs_ray.stages.rank import global_ntile
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "event_type", "value"])
+    tiled = global_ntile(ev, 10, value_col="value", id_col="event_id",
+                         out_col="decile", extra_cols=["event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        is_p = (df["event_type"].to_numpy() == "purchase").astype(np.int64)
+        g = (pd.DataFrame({"decile": df["decile"].to_numpy(np.int64),
+                           "n": np.ones(len(df), dtype=np.int64),
+                           "purchases": is_p})
+             .groupby("decile", sort=False, as_index=False).sum())
+        return g
+
+    per = (tiled.map_batches(arrow_combiner(partial),
+                             batch_format="pyarrow")
+           .groupby("decile")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("purchases", alias_name="purchases"))
+           .to_pandas())
+    per = ensure_cols(per, {"decile": np.int64, "n": np.int64,
+                            "purchases": np.int64})
+    # bucket 1 = TOP decile (highest values): walk deciles descending
+    per = per.sort_values("decile", ascending=False, ignore_index=True)
+    cum_n = per["n"].to_numpy(np.int64).cumsum()
+    cum_p = per["purchases"].to_numpy(np.int64).cumsum()
+    tot_n, tot_p = int(cum_n[-1]), int(cum_p[-1])
+    gain = cum_p.astype(np.float64) / float(tot_p)
+    frac = cum_n.astype(np.float64) / float(tot_n)
+    return pd.DataFrame({
+        "bucket": np.arange(1, len(per) + 1, dtype=np.int64),
+        "cum_n": cum_n,
+        "cum_purchases": cum_p,
+        "gain": gain,
+        "lift": gain / frac,
+    })

@@ -3985,3 +3985,30 @@ def test_auc_rank_formula_and_probability_meaning(ray_session):
     auc_pairs = (gt + 0.5 * eq) / (n1 * n0)
     assert np.isclose(got["auc"].iloc[0], auc_pairs, rtol=0, atol=1e-12)
     assert 0.0 <= got["auc"].iloc[0] <= 1.0
+
+
+def test_lift_curve_monotone_and_reconciles(ray_session):
+    """Gains are monotone to 1.0, the final bucket covers every row,
+    and bucket 1's lift equals its purchase-rate ratio vs global."""
+    from pystreamfs_ray.pipelines.queries import q_lift_curve
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    lc = q_lift_curve(sf)
+    lc = lc.to_pandas() if hasattr(lc, "to_pandas") else lc
+    lc = lc.sort_values("bucket", ignore_index=True)
+    raw = read_parquet(sf + "/events.parquet",
+                       columns=["event_id", "event_type",
+                                "value"]).to_pandas()
+    n, p = len(raw), int((raw["event_type"] == "purchase").sum())
+    assert lc["cum_n"].iloc[-1] == n
+    assert lc["cum_purchases"].iloc[-1] == p
+    assert np.isclose(lc["gain"].iloc[-1], 1.0)
+    assert (np.diff(lc["gain"]) >= 0).all()
+    assert (np.diff(lc["cum_n"]) > 0).all()
+    # bucket 1 = top-value decile: recompute its lift directly
+    srt = raw.sort_values(["value", "event_id"], ignore_index=True)
+    top = srt.iloc[-int(lc["cum_n"].iloc[0]):]
+    gain1 = (top["event_type"] == "purchase").sum() / p
+    lift1 = gain1 / (len(top) / n)
+    assert np.isclose(lc["lift"].iloc[0], lift1, rtol=0, atol=1e-12)
