@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_psi_split": q.q_psi_split,
         "q_auc": q.q_auc,
         "q_lift_curve": q.q_lift_curve,
+        "q_sorted_neighborhood": q.q_sorted_neighborhood,
     }
 
 
@@ -4983,5 +4984,23 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                      / (CAST(c.cum_n AS DOUBLE)
                           / CAST(tot.tn AS DOUBLE)) AS lift
             FROM c, tot
+        """,
+        "q_sorted_neighborhood": """
+            WITH ranked AS (
+              SELECT doc_id,
+                     substr(regexp_replace(lower(text), '[^a-z0-9]', '',
+                                           'g'), 1, 12) AS key,
+                     row_number() OVER (
+                       ORDER BY substr(regexp_replace(lower(text),
+                                                      '[^a-z0-9]', '', 'g'),
+                                       1, 12), doc_id) - 1 AS r
+              FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(b.r - a.r AS BIGINT) AS gap,
+                   CAST(levenshtein(a.key, b.key) AS BIGINT) AS edit
+            FROM ranked a JOIN ranked b
+              ON b.r > a.r AND b.r - a.r < 8
+            WHERE levenshtein(a.key, b.key) <= 2
         """,
     }

@@ -5168,6 +5168,22 @@ def q_containment(sf_dir: str):
     return ngram_containment_pairs(pairs, docs, k=3, num_partitions=4)
 
 
+def q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood (merge/purge) near-dup blocking: global
+    (normalized-key-prefix, id) order, an 8-row sliding neighborhood,
+    and Levenshtein ≤ 2 verification of the 12-char blocking keys —
+    the classic entity-resolution blocking family, complementary to
+    MinHash/SimHash (catches short typo'd/truncated keys; candidate
+    volume hard-bounded at n×(window−1) regardless of key skew). One
+    (key, id) range exchange, exact O(P×window) boundary carry; text
+    never shuffles. Oracle: ROW_NUMBER self-join + ``levenshtein()``."""
+    from pystreamfs_ray.stages.dedup import sorted_neighborhood_pairs
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return sorted_neighborhood_pairs(docs, window=8, key_len=12, max_edit=2,
+                                     num_partitions=8)
+
+
 def q_group_kfold(sf_dir: str):
     """GROUP-aware 5-fold CV assignment: the fold is a function of
     user_id (md5-of-key), so ALL of a user's events land in one fold

@@ -1703,3 +1703,230 @@ def ngram_containment_pairs(pairs_ds, docs_ds, *, k=3, id_a="id_a",
         })
 
     return j.map_batches(verify, batch_format="pandas")
+
+
+def levenshtein_batch(a, b) -> np.ndarray:
+    """Unit-cost Levenshtein distance for paired string arrays,
+    vectorized ACROSS the pair axis: the DP table is walked cell by
+    cell (``max_len²`` iterations of O(n_pairs) numpy ops), never pair
+    by pair — the per-pair Python loop is ~100× slower at blocking
+    candidate volumes. Semantics match DuckDB ``levenshtein()``
+    exactly (insert/delete/substitute all cost 1). Intended for
+    BOUNDED key/candidate columns (sorted-neighborhood blocking keys),
+    not whole documents; callers keep keys in an ascii-normalized
+    domain ([a-z0-9]) where byte comparison equals DuckDB's character
+    comparison."""
+    a = np.asarray(a, dtype=object)
+    b = np.asarray(b, dtype=object)
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    enc_a = [s.encode() for s in a]
+    enc_b = [s.encode() for s in b]
+    la = np.fromiter((len(s) for s in enc_a), dtype=np.int64, count=n)
+    lb = np.fromiter((len(s) for s in enc_b), dtype=np.int64, count=n)
+    ma, mb = int(la.max()), int(lb.max())
+    # padded byte matrices; pads are distinct out-of-band sentinels so
+    # padding never equals a real byte (or the other side's padding)
+    mat_a = np.full((n, max(ma, 1)), 256, dtype=np.int32)
+    mat_b = np.full((n, max(mb, 1)), 257, dtype=np.int32)
+    for r, bs in enumerate(enc_a):
+        if bs:
+            mat_a[r, :len(bs)] = np.frombuffer(bs, dtype=np.uint8)
+    for r, bs in enumerate(enc_b):
+        if bs:
+            mat_b[r, :len(bs)] = np.frombuffer(bs, dtype=np.uint8)
+    out = np.empty(n, dtype=np.int64)
+    rows = np.arange(n)
+    prev = np.broadcast_to(np.arange(mb + 1, dtype=np.int64),
+                           (n, mb + 1)).copy()
+    done = la == 0
+    out[done] = lb[done]  # empty a → pure insertions
+    for i in range(1, ma + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = mat_a[:, i - 1]
+        for j in range(1, mb + 1):
+            cost = (ai != mat_b[:, j - 1]).astype(np.int64)
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost)
+        at_end = la == i
+        if at_end.any():
+            out[at_end] = cur[rows[at_end], lb[at_end]]
+        prev = cur
+    return out
+
+
+def _snm_key(texts: pa.ChunkedArray, key_len: int) -> pa.Array:
+    """Sorted-neighborhood blocking key: first ``key_len`` characters
+    of the lowercased text with everything outside [a-z0-9] stripped —
+    ascii-only by construction, so byte order == character order and
+    the key mirrors SQL ``substr(regexp_replace(lower(text),
+    '[^a-z0-9]', '', 'g'), 1, key_len)`` exactly. Zero-copy Arrow (RE2)
+    end to end."""
+    k = pc.utf8_lower(texts)
+    k = pc.replace_substring_regex(k, pattern="[^a-z0-9]", replacement="")
+    return pc.utf8_slice_codeunits(k, 0, key_len)
+
+
+def sorted_neighborhood_pairs(ds, *, id_col: str = "doc_id",
+                              text_col: str = "text", window: int = 8,
+                              key_len: int = 12, max_edit: int = 2,
+                              num_partitions: int = 32,
+                              boundary_per_block: int = 8):
+    """Sorted-neighborhood (SNM) near-dup blocking: order the corpus by
+    a normalized key prefix, slide a ``window``-row neighborhood over
+    the GLOBAL (key, id) order, and keep candidate pairs whose keys are
+    within ``max_edit`` Levenshtein — the classic entity-resolution
+    blocking family (Hernández & Stolfo's merge/purge), complementary
+    to MinHash/SimHash: it catches short near-identical keys (typos,
+    truncated openers) that shingle signatures blur, and its candidate
+    volume is HARD-BOUNDED at n×(window−1) regardless of key skew.
+
+    Execution (one (key, id) exchange — text never shuffles):
+    range-partition rows on the key (spread-sampled boundaries, ties
+    never straddle because equal keys share a searchsorted bucket);
+    inside each partition sort by (key, id) and form pairs within the
+    window — contiguous in the global order, so within-partition pairs
+    are exact. Pairs that straddle partitions are recovered exactly
+    from an O(P × window) boundary carry: every partition ships its
+    first/last ``window−1`` (key, id, local-rank) rows plus its row
+    count to the driver, which reconstructs true global ranks from the
+    partition-count prefix sum and forms the missing cross-partition
+    pairs with the same predicate. Any hidden interior row would put a
+    candidate pair ≥ window apart, so the carry is complete, not a
+    heuristic. Boundary sample quality affects balance only, never the
+    result. Returns (doc_a, doc_b, gap, edit) with doc_a the lower
+    global rank and gap its rank distance ∈ [1, window).
+
+    100 TB shape: candidates bounded linearly, keys are ≤ key_len
+    ascii bytes, the only exchange moves (key, id), and the driver
+    holds P × 2×window tiny rows. Raise ``num_partitions`` with the
+    corpus (data-sized, like every range partition in this engine)."""
+    from pystreamfs_ray.util import quantile_bounds, spread_sample_values
+
+    w = int(window)
+    if w < 2:
+        raise ValueError("window must be ≥ 2")
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            "__key": _snm_key(t[text_col], key_len),
+        })
+
+    kd = ds.map_batches(keyed, batch_format="pyarrow")
+    sample = spread_sample_values(kd, "__key",
+                                  per_block=boundary_per_block)
+    bounds = quantile_bounds(np.asarray(sample, dtype=object),
+                             num_partitions)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        part = np.searchsorted(bounds, df["__key"].to_numpy(dtype=object),
+                               side="left")
+        return df.assign(__part=part.astype(np.int32))
+
+    parted = kd.map_batches(assign, batch_format="pandas")
+
+    def _pairs_from(keys, ia, ib):
+        """Verify candidate index pairs (rank order ia < ib): length
+        prefilter, then the batched DP. Returns (ia, ib, edit) of the
+        surviving pairs as INDEX arrays so callers align ids/gaps."""
+        ka, kb = keys[ia], keys[ib]
+        # cheap length prefilter: |len_a − len_b| > max_edit can never
+        # pass the DP
+        lena = np.fromiter((len(s) for s in ka), dtype=np.int64,
+                           count=len(ka))
+        lenb = np.fromiter((len(s) for s in kb), dtype=np.int64,
+                           count=len(kb))
+        keep = np.abs(lena - lenb) <= max_edit
+        ia, ib, ka, kb = ia[keep], ib[keep], ka[keep], kb[keep]
+        if len(ia) == 0:
+            return ia, ib, np.zeros(0, dtype=np.int64)
+        edit = levenshtein_batch(ka, kb)
+        ok = edit <= max_edit
+        return ia[ok], ib[ok], edit[ok]
+
+    def local_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g[id_col].to_numpy(),
+                            g["__key"].to_numpy(dtype=object)))
+        ids = g[id_col].to_numpy(np.int64)[order]
+        keys = g["__key"].to_numpy(dtype=object)[order]
+        npart = len(g)
+        part = int(g["__part"].iloc[0])
+        frames = []
+        for s in range(1, min(w, npart)):
+            cand = np.arange(npart - s, dtype=np.int64)
+            ia, ib, edit = _pairs_from(keys, cand, cand + s)
+            if len(ia):
+                frames.append(pd.DataFrame({
+                    "doc_a": ids[ia], "doc_b": ids[ib],
+                    "gap": np.full(len(ia), s, dtype=np.int64),
+                    "edit": edit}))
+        pairs = (pd.concat(frames, ignore_index=True) if frames
+                 else pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                    "doc_b": pd.Series([], dtype=np.int64),
+                                    "gap": pd.Series([], dtype=np.int64),
+                                    "edit": pd.Series([], dtype=np.int64)}))
+        pairs.insert(0, "__kind", np.zeros(len(pairs), dtype=np.int8))
+        # boundary carry: first/last (w−1) rows in rank order (deduped
+        # when the partition is shorter than two windows)
+        lidx = np.unique(np.concatenate([
+            np.arange(min(w - 1, npart), dtype=np.int64),
+            np.arange(max(npart - (w - 1), 0), npart, dtype=np.int64)]))
+        border = pd.DataFrame({
+            "__kind": np.ones(len(lidx), dtype=np.int8),
+            "doc_a": ids[lidx], "doc_b": np.zeros(len(lidx), np.int64),
+            "gap": lidx, "edit": np.zeros(len(lidx), np.int64),
+        })
+        border["__bkey"] = keys[lidx]
+        border["__part2"] = np.full(len(lidx), part, dtype=np.int64)
+        border["__npart"] = np.full(len(lidx), npart, dtype=np.int64)
+        pairs["__bkey"] = [""] * len(pairs)
+        pairs["__part2"] = np.zeros(len(pairs), dtype=np.int64)
+        pairs["__npart"] = np.zeros(len(pairs), dtype=np.int64)
+        return pd.concat([pairs, border], ignore_index=True)
+
+    both = parted.groupby("__part").map_groups(
+        local_pairs, batch_format="pandas").materialize()
+
+    out_cols = ["doc_a", "doc_b", "gap", "edit"]
+    pairs_ds = both.filter(expr="__kind == 0").select_columns(out_cols)
+
+    borders = both.filter(expr="__kind == 1").to_pandas()
+    cross = None
+    if len(borders):
+        borders = borders.sort_values(["__part2", "gap"],
+                                      ignore_index=True)  # gap = local idx
+        counts = (borders.groupby("__part2")["__npart"].first())
+        offsets = counts.cumsum().shift(fill_value=0)
+        grank = (borders["gap"].to_numpy(np.int64)
+                 + offsets.reindex(borders["__part2"]).to_numpy(np.int64))
+        ids = borders["doc_a"].to_numpy(np.int64)
+        keys = borders["__bkey"].to_numpy(dtype=object)
+        parts = borders["__part2"].to_numpy(np.int64)
+        frames = []
+        m = len(borders)
+        for s in range(1, w):  # list-shift: any <w-gap pair has every
+            # interior row present in the border list (see docstring)
+            cand = np.arange(m - s, dtype=np.int64)
+            sel = ((grank[cand + s] - grank[cand] < w)
+                   & (parts[cand] != parts[cand + s]))  # same-part
+            # pairs were already emitted distributedly
+            cand = cand[sel]
+            if len(cand) == 0:
+                continue
+            ia, ib, edit = _pairs_from(keys, cand, cand + s)
+            if len(ia):
+                frames.append(pd.DataFrame({
+                    "doc_a": ids[ia], "doc_b": ids[ib],
+                    "gap": grank[ib] - grank[ia],
+                    "edit": edit}))
+        if frames:
+            cross = pd.concat(frames, ignore_index=True)
+    if cross is not None and len(cross):
+        import ray.data as rd
+
+        pairs_ds = pairs_ds.union(rd.from_pandas(cross[out_cols]))
+    return pairs_ds

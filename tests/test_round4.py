@@ -4012,3 +4012,101 @@ def test_lift_curve_monotone_and_reconciles(ray_session):
     gain1 = (top["event_type"] == "purchase").sum() / p
     lift1 = gain1 / (len(top) / n)
     assert np.isclose(lc["lift"].iloc[0], lift1, rtol=0, atol=1e-12)
+
+
+def test_levenshtein_batch_matches_reference():
+    """Batched DP vs plain Wagner-Fischer on random short keys,
+    including empty/equal/extreme-length cases."""
+    import random
+
+    from pystreamfs_ray.stages.dedup import levenshtein_batch
+
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev = dp[:]
+            dp[0] = i
+            for j, cb in enumerate(b, 1):
+                dp[j] = min(prev[j] + 1, dp[j - 1] + 1,
+                            prev[j - 1] + (ca != cb))
+        return dp[len(b)]
+
+    rng = random.Random(7)
+    alpha = "ab01"
+    pairs = [("kitten", "sitting"), ("", "abc"), ("abc", ""), ("", ""),
+             ("same", "same"), ("a" * 12, "b" * 12)]
+    pairs += [("".join(rng.choices(alpha, k=rng.randint(0, 12))),
+               "".join(rng.choices(alpha, k=rng.randint(0, 12))))
+              for _ in range(400)]
+    a = np.array([p[0] for p in pairs], dtype=object)
+    b = np.array([p[1] for p in pairs], dtype=object)
+    got = levenshtein_batch(a, b)
+    want = np.array([ref(x, y) for x, y in pairs], dtype=np.int64)
+    assert (got == want).all()
+
+
+def _snm_bruteforce(df, *, window, key_len, max_edit):
+    """Single-process reference of the sorted-neighborhood definition."""
+    import re
+
+    def ref_edit(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev = dp[:]
+            dp[0] = i
+            for j, cb in enumerate(b, 1):
+                dp[j] = min(prev[j] + 1, dp[j - 1] + 1,
+                            prev[j - 1] + (ca != cb))
+        return dp[len(b)]
+
+    keys = [re.sub(r"[^a-z0-9]", "", t.lower())[:key_len]
+            for t in df["text"]]
+    order = sorted(range(len(df)),
+                   key=lambda i: (keys[i], int(df["doc_id"].iloc[i])))
+    rows = []
+    for x in range(len(order)):
+        for y in range(x + 1, min(x + window, len(order))):
+            i, j = order[x], order[y]
+            e = ref_edit(keys[i], keys[j])
+            if e <= max_edit:
+                rows.append((int(df["doc_id"].iloc[i]),
+                             int(df["doc_id"].iloc[j]), y - x, e))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "gap", "edit"])
+
+
+def test_sorted_neighborhood_matches_bruteforce_and_partition_invariant(
+        ray_session):
+    """The distributed SNM (range partition + exact boundary carry)
+    equals the single-process definition at EVERY partition count —
+    including counts that force partitions shorter than two windows
+    (head/tail overlap) and empty ranges."""
+    import ray.data as rd
+
+    from pystreamfs_ray.stages.dedup import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(42)
+    # heavy key collisions + near keys: families of typo'd openers
+    stems = ["the quick brown fox", "the quick brown fx",
+             "lorem ipsum dolor", "lorem ipsum d0lor", "zzz unique"]
+    texts, ids = [], []
+    for i in range(180):
+        s = stems[int(rng.integers(0, len(stems)))]
+        if rng.random() < 0.3:
+            s = s + " tail" + str(int(rng.integers(0, 5)))
+        texts.append(s)
+        ids.append(1000 + i)
+    df = pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
+                       "text": texts})
+    want = _snm_bruteforce(df, window=5, key_len=10, max_edit=2)
+    want = want.sort_values(["doc_a", "doc_b"], ignore_index=True)
+    assert len(want) > 50  # non-trivial fixture
+
+    for parts in (1, 4, 23):
+        ds = rd.from_pandas(df).repartition(6)
+        got = sorted_neighborhood_pairs(
+            ds, window=5, key_len=10, max_edit=2,
+            num_partitions=parts).to_pandas()
+        got = got.sort_values(["doc_a", "doc_b"], ignore_index=True)
+        pd.testing.assert_frame_equal(
+            got.astype(np.int64), want.astype(np.int64),
+            check_dtype=False), parts
