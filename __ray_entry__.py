@@ -373,6 +373,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_auc": q.q_auc,
         "q_lift_curve": q.q_lift_curve,
         "q_sorted_neighborhood": q.q_sorted_neighborhood,
+        "q_l_diversity": q.q_l_diversity,
+        "q_xcorr_daily": q.q_xcorr_daily,
     }
 
 
@@ -5002,5 +5004,54 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM ranked a JOIN ranked b
               ON b.r > a.r AND b.r - a.r < 8
             WHERE levenshtein(a.key, b.key) <= 2
+        """,
+        "q_l_diversity": """
+            WITH cells AS (
+              SELECT lang, source, n_chars // 256 AS sb,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY lang, source, sb
+            ), cls AS (
+              SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS l,
+                     CAST(SUM(n) AS BIGINT) AS n
+              FROM cells GROUP BY lang, source
+            )
+            SELECT CAST(t.l_thr AS BIGINT) AS l_threshold,
+                   CAST(COALESCE(SUM(CASE WHEN cls.l < t.l_thr
+                                          THEN cls.n END), 0) AS BIGINT)
+                     AS n_at_risk,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(MIN(cls.l) AS BIGINT) AS min_l
+            FROM (VALUES (2), (3), (5)) t(l_thr) CROSS JOIN cls
+            GROUP BY t.l_thr
+        """,
+        "q_xcorr_daily": """
+            WITH bounds AS (
+              SELECT CAST(MIN(ts) AS DATE) AS d0,
+                     CAST(MAX(ts) AS DATE) AS d1
+              FROM events
+            ), cal AS (
+              SELECT unnest(generate_series(d0, d1,
+                                            INTERVAL 1 DAY))::DATE AS day
+              FROM bounds
+            ), c AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     SUM(CASE WHEN event_type = 'click'
+                              THEN 1 ELSE 0 END) AS nx,
+                     SUM(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS ny
+              FROM events GROUP BY 1
+            ), s AS (
+              SELECT cal.day,
+                     CAST(COALESCE(c.nx, 0) AS DOUBLE) AS x,
+                     CAST(COALESCE(c.ny, 0) AS DOUBLE) AS y
+              FROM cal LEFT JOIN c ON c.day = cal.day
+            )
+            SELECT CAST(t.k AS BIGINT) AS lag_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   corr(a.x, b.y) AS xcorr
+            FROM (VALUES (0), (1), (2), (3)) t(k)
+            JOIN s a ON TRUE
+            JOIN s b ON b.day = a.day + t.k
+            GROUP BY t.k
         """,
     }

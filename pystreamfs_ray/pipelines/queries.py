@@ -4358,6 +4358,93 @@ def q_k_anonymity(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_l_diversity(sf_dir: str):
+    """l-diversity audit over the (lang, source) quasi-identifier
+    (Machanavajjhala et al., the companion to q_k_anonymity): a class
+    can be k-anonymous yet leak its sensitive attribute if every
+    member shares one value. Sensitive attribute: the 256-char length
+    bucket of the document. For each l in {2, 3, 5}: documents in
+    classes with fewer than l distinct sensitive values, class count,
+    and the minimum diversity. One combiner pass over the bounded
+    (lang, source, bucket) cell domain; the threshold sweep is a
+    driver finish on the cell table."""
+    from pystreamfs_ray.util import arrow_combiner
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["lang", "source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(sb=(df["n_chars"].to_numpy(np.int64) // 256))
+        out = (df.groupby(["lang", "source", "sb"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    cells = (docs.map_batches(arrow_combiner(partial),
+                              batch_format="pyarrow")
+             .groupby(["lang", "source", "sb"])
+             .aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    cls = (cells.groupby(["lang", "source"])
+           .agg(l=("sb", "size"), n=("n", "sum")))
+    ls = cls["l"].to_numpy(np.int64)
+    ns = cls["n"].to_numpy(np.int64)
+    rows = [{
+        "l_threshold": np.int64(l),
+        "n_at_risk": np.int64(ns[ls < l].sum()),
+        "n_classes": np.int64(len(cls)),
+        "min_l": np.int64(ls.min()),
+    } for l in (2, 3, 5)]
+    return pd.DataFrame(rows)
+
+
+def q_xcorr_daily(sf_dir: str):
+    """Lagged cross-correlation between the calendar-complete daily
+    click series and the purchase series shifted k ∈ {0..3} days later
+    — the lead/lag feature-screening statistic ('do clicks predict
+    purchases days ahead?'). One bounded (day, x, y) combiner exchange
+    (missing days zero-filled on both engines); the 4 Pearson
+    coefficients are a driver finish over the days-long series.
+    Oracle: generate_series calendar + DuckDB ``corr()``."""
+    from pystreamfs_ray.util import arrow_combiner
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].to_numpy("datetime64[D]")
+        et = df["event_type"].to_numpy()
+        out = pd.DataFrame({"day": day,
+                            "x": (et == "click").astype(np.int64),
+                            "y": (et == "purchase").astype(np.int64)})
+        return (out.groupby("day", sort=False, as_index=False)
+                [["x", "y"]].sum())
+
+    daily = (ev.map_batches(arrow_combiner(partial),
+                            batch_format="pyarrow")
+             .groupby("day")
+             .aggregate(Sum("x", alias_name="x"),
+                        Sum("y", alias_name="y"))
+             .to_pandas())
+    daily["day"] = daily["day"].to_numpy("datetime64[D]")
+    daily = daily.sort_values("day", ignore_index=True)
+    d0, d1 = daily["day"].iloc[0], daily["day"].iloc[-1]
+    cal = pd.DataFrame({"day": np.arange(d0, d1 + np.timedelta64(1, "D"),
+                                         dtype="datetime64[D]")})
+    s = cal.merge(daily, on="day", how="left").fillna(0)
+    x = s["x"].to_numpy(np.float64)
+    y = s["y"].to_numpy(np.float64)
+    rows = []
+    for k in (0, 1, 2, 3):
+        a = x[:len(x) - k] if k else x
+        b = y[k:]
+        rows.append({
+            "lag_days": np.int64(k),
+            "n_days": np.int64(len(a)),
+            "xcorr": float(np.corrcoef(a, b)[0, 1]),
+        })
+    return pd.DataFrame(rows)
+
+
 def q_gini(sf_dir: str):
     """Exact Gini coefficient of per-user total value — the inequality
     metric next to q_pareto_share's 80/20 cut, via the rank formula

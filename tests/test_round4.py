@@ -4110,3 +4110,58 @@ def test_sorted_neighborhood_matches_bruteforce_and_partition_invariant(
         pd.testing.assert_frame_equal(
             got.astype(np.int64), want.astype(np.int64),
             check_dtype=False), parts
+
+
+def test_l_diversity_matches_pandas(ray_session):
+    """Threshold sweep equals a pandas recomputation of distinct
+    length-bucket counts per (lang, source) class."""
+    from pystreamfs_ray.pipelines.queries import q_l_diversity
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    got = q_l_diversity(sf).sort_values("l_threshold", ignore_index=True)
+    raw = read_parquet(sf + "/documents.parquet",
+                       columns=["lang", "source", "n_chars"]).to_pandas()
+    raw["sb"] = raw["n_chars"].to_numpy(np.int64) // 256
+    cls = (raw.groupby(["lang", "source"])
+           .agg(l=("sb", "nunique"), n=("sb", "size")))
+    for _, r in got.iterrows():
+        at_risk = int(cls.loc[cls["l"] < r["l_threshold"], "n"].sum())
+        assert r["n_at_risk"] == at_risk
+        assert r["n_classes"] == len(cls)
+        assert r["min_l"] == int(cls["l"].min())
+
+
+def test_xcorr_daily_planted_lag(ray_session, tmp_path):
+    """A purchase series that IS the click series shifted 2 days later
+    must peak (r = 1) at lag 2 and stay sub-perfect elsewhere."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pystreamfs_ray.pipelines.queries import q_xcorr_daily
+
+    rng = np.random.default_rng(3)
+    days = np.arange(np.datetime64("2024-01-01"),
+                     np.datetime64("2024-03-01"), dtype="datetime64[D]")
+    clicks = rng.integers(1, 40, size=len(days))
+    rows_ts, rows_ty = [], []
+    for d, c in zip(days, clicks):
+        rows_ts += [d.astype("datetime64[us]")] * int(c)
+        rows_ty += ["click"] * int(c)
+    for d, c in zip(days[:-2], clicks[:-2]):   # purchases = clicks << 2d
+        d2 = (d + np.timedelta64(2, "D")).astype("datetime64[us]")
+        rows_ts += [d2] * int(c)
+        rows_ty += ["purchase"] * int(c)
+    t = pa.table({
+        "ts": pa.array(rows_ts, type=pa.timestamp("us")),
+        "event_type": pa.array(rows_ty),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = q_xcorr_daily(str(tmp_path)).set_index("lag_days")
+    assert np.isclose(got.loc[2, "xcorr"], 1.0, atol=1e-12)
+    for k in (0, 1, 3):
+        assert got.loc[k, "xcorr"] < 0.95
+    # the calendar spans exactly the click days (the shifted purchases
+    # end on the same last day); n_days shrinks by one per lag day
+    assert (got["n_days"].to_numpy() == len(days) -
+            np.array([0, 1, 2, 3])).all()
