@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sorted_neighborhood": q.q_sorted_neighborhood,
         "q_l_diversity": q.q_l_diversity,
         "q_xcorr_daily": q.q_xcorr_daily,
+        "q_shard_plan": q.q_shard_plan,
     }
 
 
@@ -5053,5 +5054,18 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             JOIN s a ON TRUE
             JOIN s b ON b.day = a.day + t.k
             GROUP BY t.k
+        """,
+        "q_shard_plan": """
+            WITH pre AS (
+              SELECT n_chars,
+                     (SUM(n_chars) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_chars) // 4096
+                       AS shard
+              FROM documents
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM pre GROUP BY shard
         """,
     }

@@ -4358,6 +4358,42 @@ def q_k_anonymity(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_shard_plan(sf_dir: str):
+    """Shard-balance write plan: assign every document to the output
+    shard ``floor(exclusive_char_prefix / 4096)`` in doc_id order and
+    report per-shard doc counts and char mass — the layout step that
+    sizes resumable partitioned parquet writes to a byte budget
+    instead of a row count (one straggler-free shard per ~target
+    bytes; a failed 100 TB run skips finished shards). Exact two-phase
+    prefix scan (O(P) driver ints, stages/packing.py) — no global sort
+    — then a |shards|-bounded count/sum reduce. Oracle: running-sum
+    window // target."""
+    from pystreamfs_ray.stages.packing import distributed_prefix_sum
+    from pystreamfs_ray.util import arrow_combiner
+
+    target = 4096
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "n_chars"])
+    pre = distributed_prefix_sum(docs, order_col="doc_id",
+                                 value_col="n_chars",
+                                 out_col="prefix_excl", num_partitions=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        shard = df["prefix_excl"].to_numpy(np.int64) // target
+        out = pd.DataFrame({"shard": shard,
+                            "n_chars": df["n_chars"].to_numpy(np.int64)})
+        g = (out.groupby("shard", sort=False)
+             .agg(n_docs=("n_chars", "size"),
+                  total_chars=("n_chars", "sum")).reset_index())
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        return g
+
+    return (pre.map_batches(arrow_combiner(partial), batch_format="pyarrow")
+            .groupby("shard")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("total_chars", alias_name="total_chars")))
+
+
 def q_l_diversity(sf_dir: str):
     """l-diversity audit over the (lang, source) quasi-identifier
     (Machanavajjhala et al., the companion to q_k_anonymity): a class

@@ -4165,3 +4165,43 @@ def test_xcorr_daily_planted_lag(ray_session, tmp_path):
     # end on the same last day); n_days shrinks by one per lag day
     assert (got["n_days"].to_numpy() == len(days) -
             np.array([0, 1, 2, 3])).all()
+
+
+def test_shard_plan_exact_and_partition_invariant(ray_session):
+    """Shard assignment equals the sequential running-sum definition;
+    masses cover the corpus; identical at 1 and 16 prefix partitions."""
+    from pystreamfs_ray.sources import read_parquet
+    from pystreamfs_ray.stages.packing import distributed_prefix_sum
+
+    sf = "/root/testdata/sf0.001"
+    raw = (read_parquet(sf + "/documents.parquet",
+                        columns=["doc_id", "n_chars"]).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    cum = raw["n_chars"].to_numpy(np.int64).cumsum()
+    shard = (cum - raw["n_chars"].to_numpy(np.int64)) // 4096
+    want = (pd.DataFrame({"shard": shard, "n": raw["n_chars"]})
+            .groupby("shard").agg(n_docs=("n", "size"),
+                                  total_chars=("n", "sum")))
+
+    from pystreamfs_ray.pipelines.queries import q_shard_plan
+    got = (q_shard_plan(sf).to_pandas()
+           .sort_values("shard", ignore_index=True).set_index("shard"))
+    assert (got["n_docs"].to_numpy() == want["n_docs"].to_numpy()).all()
+    assert (got["total_chars"].to_numpy()
+            == want["total_chars"].to_numpy()).all()
+    assert got["total_chars"].sum() == raw["n_chars"].sum()
+    # every shard but the last is filled to at least the target
+    # (a shard closes only once the running mass crosses its budget)
+    closes = got["total_chars"].to_numpy()[:-1].cumsum()
+    assert (closes >= 4096 * np.arange(1, len(got))).all()
+    # prefix partition count must not change the plan
+    import ray.data as rd
+
+    ds = rd.from_pandas(raw).repartition(5)
+    for parts in (1, 16):
+        pre = distributed_prefix_sum(ds, order_col="doc_id",
+                                     value_col="n_chars",
+                                     num_partitions=parts).to_pandas()
+        pre = pre.sort_values("doc_id", ignore_index=True)
+        assert (pre["prefix_excl"].to_numpy(np.int64)
+                == cum - raw["n_chars"].to_numpy(np.int64)).all()
