@@ -5303,8 +5303,11 @@ def q_sorted_neighborhood(sf_dir: str):
     from pystreamfs_ray.stages.dedup import sorted_neighborhood_pairs
 
     docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    return sorted_neighborhood_pairs(docs, window=8, key_len=12, max_edit=2,
-                                     num_partitions=8)
+    # data-sized range partitions: only (key, id) shuffles, so target
+    # finer partitions than a payload join would
+    return sorted_neighborhood_pairs(
+        docs, window=8, key_len=12, max_edit=2,
+        num_partitions=_join_partitions(docs, target_bytes=32 << 20))
 
 
 def q_group_kfold(sf_dir: str):
