@@ -376,6 +376,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_l_diversity": q.q_l_diversity,
         "q_xcorr_daily": q.q_xcorr_daily,
         "q_shard_plan": q.q_shard_plan,
+        "q_interval_union": q.q_interval_union,
+        "q_kmv_distinct": q.q_kmv_distinct,
+        "q_js_divergence": q.q_js_divergence,
+        "q_discounted_return": q.q_discounted_return,
     }
 
 
@@ -5067,5 +5071,113 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM pre GROUP BY shard
+        """,
+        "q_interval_union": """
+            WITH iv AS (
+              SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS s,
+                     CAST(epoch_us(ts) AS BIGINT)
+                       + CAST(ROUND(value * 1e6) AS BIGINT) AS e
+              FROM events
+            ), m AS (
+              SELECT *, MAX(e) OVER (PARTITION BY user_id
+                        ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS pme
+              FROM iv
+            ), isl AS (
+              SELECT *, SUM(CASE WHEN pme IS NULL OR s > pme
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY s, event_id)
+                        AS island
+              FROM m
+            ), g AS (
+              SELECT user_id, island, MAX(e) - MIN(s) AS len,
+                     COUNT(*) AS ne
+              FROM isl GROUP BY 1, 2
+            )
+            SELECT user_id, CAST(SUM(len) AS BIGINT) AS covered_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_intervals,
+                   CAST(SUM(ne) AS BIGINT) AS n_events
+            FROM g GROUP BY 1
+        """,
+        "q_kmv_distinct": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+              FROM events
+            ), r AS (
+              SELECT event_type, hv,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY hv) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS d
+              FROM h
+            )
+            SELECT event_type,
+                   CAST(LEAST(d, 16) AS BIGINT) AS n_kept,
+                   ROUND(CAST(MAX(CASE WHEN rn = LEAST(d, 16) THEN hv END)
+                              AS DOUBLE) / 18446744073709551616.0, 9)
+                     AS kth_norm,
+                   CASE WHEN d < 16 THEN CAST(d AS DOUBLE)
+                        ELSE ROUND(15.0 /
+                          (CAST(MAX(CASE WHEN rn = LEAST(d, 16) THEN hv END)
+                                AS DOUBLE) / 18446744073709551616.0), 6)
+                   END AS est_distinct
+            FROM r GROUP BY event_type, d
+        """,
+        "q_js_divergence": """
+            WITH lohi AS (
+              SELECT MIN(n_chars) AS lo,
+                     MAX(n_chars) - MIN(n_chars) + 1 AS width
+              FROM documents
+            ), b AS (
+              SELECT source, (n_chars - lo) * 16 // width AS bin,
+                     COUNT(*) AS n
+              FROM documents, lohi GROUP BY 1, 2
+            ), tot AS (
+              SELECT source, SUM(n) AS ns FROM b GROUP BY 1
+            ), grid AS (
+              SELECT s.source, g.bin
+              FROM (SELECT DISTINCT source FROM b) s,
+                   (SELECT UNNEST(range(16)) AS bin) g
+            ), dense AS (
+              SELECT grid.source, grid.bin, COALESCE(b.n, 0) AS n
+              FROM grid LEFT JOIN b
+                ON b.source = grid.source AND b.bin = grid.bin
+            ), p AS (
+              SELECT dense.source, bin, CAST(n AS DOUBLE) / ns AS pr, ns
+              FROM dense JOIN tot ON tot.source = dense.source
+            ), pairs AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     a.bin, a.pr AS pa, b.pr AS pb,
+                     a.ns AS na, b.ns AS nb
+              FROM p a JOIN p b ON a.bin = b.bin AND a.source < b.source
+            )
+            SELECT source_a, source_b,
+                   CAST(MAX(na) AS BIGINT) AS n_a,
+                   CAST(MAX(nb) AS BIGINT) AS n_b,
+                   ROUND(SUM(
+                     CASE WHEN pa > 0
+                          THEN 0.5 * pa * log2(pa / (0.5 * (pa + pb)))
+                          ELSE 0 END
+                   + CASE WHEN pb > 0
+                          THEN 0.5 * pb * log2(pb / (0.5 * (pa + pb)))
+                          ELSE 0 END), 6) AS js_div
+            FROM pairs GROUP BY 1, 2
+        """,
+        "q_discounted_return": """
+            WITH o AS (
+              SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS vc,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) - 1 AS rn
+              FROM events
+            )
+            SELECT a.user_id, a.rn,
+                   CAST(SUM(b.vc
+                        * CAST(POW(9, b.rn - a.rn) AS BIGINT)
+                        * CAST(POW(10, 7 - (b.rn - a.rn)) AS BIGINT))
+                        AS BIGINT) AS ret_scaled
+            FROM o a JOIN o b
+              ON b.user_id = a.user_id AND b.rn BETWEEN a.rn AND a.rn + 7
+            GROUP BY 1, 2
         """,
     }

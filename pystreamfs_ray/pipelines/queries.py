@@ -7015,3 +7015,202 @@ def q_lift_curve(sf_dir: str):
         "gain": gain,
         "lift": gain / frac,
     })
+
+
+def q_interval_union(sf_dir: str):
+    """Per-user merged-interval coverage: each event claims the span
+    ``[ts, ts + round(value)·1s]`` (variable-length — NOT reducible to
+    a fixed-gap sessionize), overlapping/touching spans are merged by
+    the classic gaps-and-islands scan, and the output is the exact
+    integer union length, merged-interval count and event count per
+    user. One entity shuffle; inside the bucket the running max-end is
+    a vectorized grouped cummax (no Python row loop). All-integer
+    output, so no float-rounding policy is needed."""
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "user_id", "ts", "value"])
+
+    def union(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        s = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        # value has 2 decimals, so value*1e6 is integral up to float
+        # noise — np.round (half-even) and SQL ROUND (half-away) agree
+        dur = np.round(g["value"].to_numpy(np.float64) * 1e6).astype(np.int64)
+        e = s + dur
+        u = g["user_id"].to_numpy()
+        # keep the running max-end in int64: µs epochs exceed 2^53, so
+        # a float (NaN-shift) path would round ends to ~256 µs grains
+        cm = (pd.Series(e).groupby(u, sort=False)
+              .cummax().to_numpy(np.int64))
+        prev_max_e = np.empty(len(g), dtype=np.int64)
+        prev_max_e[0] = np.iinfo(np.int64).min
+        prev_max_e[1:] = cm[:-1]
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        new_island = first | (s > prev_max_e)
+        island = np.cumsum(new_island)
+        t = pd.DataFrame({"user_id": u, "island": island, "s": s, "e": e})
+        isl = (t.groupby(["user_id", "island"], sort=False, as_index=False)
+               .agg(lo=("s", "min"), hi=("e", "max")))
+        out = (isl.assign(covered_us=isl["hi"] - isl["lo"])
+               .groupby("user_id", sort=False, as_index=False)
+               .agg(covered_us=("covered_us", "sum"),
+                    n_intervals=("covered_us", "size")))
+        cnt = (t.groupby("user_id", sort=False, as_index=False)
+               .agg(n_events=("s", "size")))
+        out = out.merge(cnt, on="user_id")
+        for c in ("covered_us", "n_intervals", "n_events"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return W.per_bucket(ev, union, entity_col="user_id",
+                        num_buckets=_BUCKETS)
+
+
+def q_kmv_distinct(sf_dir: str):
+    """Per-event-type distinct-user estimate via a KMV (bottom-k /
+    k-minimum-values) sketch — the third mergeable-sketch family next
+    to HLL and CMS. Each batch keeps at most k=16 distinct
+    md5-low-64 hashes per type (a combiner), the per-type merge keeps
+    the k smallest of the union (bottom-k is closed under union, so
+    the sketch is layout- and parallelism-invariant), and the
+    estimate is exact when fewer than k hashes exist, else
+    ``(k-1) / (kth_hash / 2^64)``. State shuffled is ≤ k rows per
+    (type, block) — never the raw users."""
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+    from pystreamfs_ray.util import arrow_combiner
+
+    K = 16
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["event_type", "user_id"]].drop_duplicates()
+        h = _md5_lower64([str(v) for v in d["user_id"].tolist()])
+        t = pd.DataFrame({"event_type": d["event_type"].to_numpy(),
+                          "hv": h})
+        t = t.drop_duplicates()
+        t = t.sort_values(["event_type", "hv"], kind="mergesort")
+        return t.groupby("event_type", sort=False).head(K)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        hv = np.unique(g["hv"].to_numpy(np.uint64))[:K]
+        n_kept = len(hv)
+        kth_norm = float(hv[-1]) / 18446744073709551616.0
+        if n_kept < K:
+            est = float(n_kept)
+        else:
+            est = round((K - 1) / kth_norm, 6)
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_kept": [np.int64(n_kept)],
+            "kth_norm": [round(kth_norm, 9)],
+            "est_distinct": [est],
+        })
+
+    return (ev.map_batches(arrow_combiner(partial),
+                           batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(finish, batch_format="pandas"))
+
+
+def q_js_divergence(sf_dir: str):
+    """Pairwise Jensen-Shannon divergence (base 2) between the
+    per-source document-length distributions on a 16-bin equal-width
+    grid over the GLOBAL [min, max] char range: a drift/contrast
+    metric across corpus feeds. Bin assignment is exact integer
+    arithmetic; the shuffled state is the |sources|×16 count table (a
+    combiner pre-aggregates per batch), and the ≤ C(|sources|,2)
+    divergences finish on the driver. ROUND 6 on both sides absorbs
+    libm log2 ulp differences."""
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    BINS = 16
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["source", "n_chars"])
+    lohi = docs.aggregate(Min("n_chars"), Max("n_chars"))
+    lo, hi = int(lohi["min(n_chars)"]), int(lohi["max(n_chars)"])
+    width = hi - lo + 1
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = (df["n_chars"].to_numpy(np.int64) - lo) * BINS // width
+        return (pd.DataFrame({"source": df["source"].to_numpy(),
+                              "bin": b,
+                              "n": np.ones(len(df), dtype=np.int64)})
+                .groupby(["source", "bin"], sort=False, as_index=False)
+                .sum())
+
+    per = (docs.map_batches(arrow_combiner(partial),
+                            batch_format="pyarrow")
+           .groupby(["source", "bin"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    per = ensure_cols(per, {"source": object, "bin": np.int64,
+                            "n": np.int64})
+    sources = sorted(per["source"].unique())
+    dense = np.zeros((len(sources), BINS), dtype=np.float64)
+    s_idx = {s: i for i, s in enumerate(sources)}
+    for s, b, n in per.itertuples(index=False):  # |sources|×16 rows
+        dense[s_idx[s], int(b)] = float(n)
+    probs = dense / dense.sum(axis=1, keepdims=True)
+
+    def _js(p: np.ndarray, q: np.ndarray) -> float:
+        m = 0.5 * (p + q)
+        terms = 0.0
+        for dist in (p, q):
+            mask = dist > 0
+            terms += 0.5 * float(
+                (dist[mask] * np.log2(dist[mask] / m[mask])).sum())
+        return terms
+
+    rows = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            rows.append({
+                "source_a": a, "source_b": b,
+                "n_a": np.int64(dense[s_idx[a]].sum()),
+                "n_b": np.int64(dense[s_idx[b]].sum()),
+                "js_div": round(_js(probs[s_idx[a]], probs[s_idx[b]]), 6),
+            })
+    return pd.DataFrame(rows)
+
+
+def q_discounted_return(sf_dir: str):
+    """Per-event discounted return over the user's next H=8 events
+    (gamma 0.9) — RL-style credit assignment over agent-transcript
+    streams: ``G_i = Σ_{j<H} 0.9^j · value_{i+j}`` within the user, in
+    (ts, event_id) order. EXACT arithmetic: value is quantized to
+    integer cents and each term weighted by the integer
+    ``9^j · 10^(H-1-j)``, so ``ret_scaled = G · 10^9`` is an int64 (a
+    ROUND-4 float variant hit a decimal-tie boundary at sf0.001 —
+    0.9^j has exactly j decimal digits, so true returns land ON round
+    boundaries and summation-order noise flips them). The bounded
+    horizon keeps the scan a fixed 8-shift vectorized add inside the
+    entity bucket (one shuffle, no per-row loop). Output stays in the
+    scaled-integer domain: ``/1e9`` terminates in decimal, so ANY float
+    rounding of it has exact ties where half-even (numpy) and
+    half-away (SQL ROUND) disagree — consumers divide at display
+    time."""
+    H = 8
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "user_id", "ts", "value"])
+    weights = np.array([9 ** j * 10 ** (H - 1 - j) for j in range(H)],
+                       dtype=np.int64)
+
+    def ret(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        u = g["user_id"].to_numpy()
+        vc = np.round(g["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        n = len(g)
+        acc = np.zeros(n, dtype=np.int64)
+        for j in range(min(H, n)):
+            same = u[j:] == u[: n - j]
+            acc[: n - j] += np.where(same, vc[j:], 0) * weights[j]
+        rn = (g.groupby("user_id", sort=False).cumcount()
+              .to_numpy(np.int64))
+        return pd.DataFrame({"user_id": u, "rn": rn,
+                             "ret_scaled": acc})
+
+    return W.per_bucket(ev, ret, entity_col="user_id",
+                        num_buckets=_BUCKETS)

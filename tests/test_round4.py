@@ -4205,3 +4205,133 @@ def test_shard_plan_exact_and_partition_invariant(ray_session):
         pre = pre.sort_values("doc_id", ignore_index=True)
         assert (pre["prefix_excl"].to_numpy(np.int64)
                 == cum - raw["n_chars"].to_numpy(np.int64)).all()
+
+
+def test_interval_union_bruteforce(ray_session):
+    """Merged coverage per user equals the sequential sweep-line
+    definition on the real sf0.001 events."""
+    from pystreamfs_ray.pipelines.queries import q_interval_union
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    ev = (read_parquet(sf + "/events.parquet",
+                       columns=["event_id", "user_id", "ts", "value"])
+          .to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                   ignore_index=True))
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        s = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        e = s + np.round(g["value"].to_numpy() * 1e6).astype(np.int64)
+        covered = n_int = 0
+        cur_s = cur_e = None
+        for si, ei in zip(s, e):
+            if cur_e is None or si > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                cur_s, cur_e, n_int = si, ei, n_int + 1
+            else:
+                cur_e = max(cur_e, ei)
+        covered += cur_e - cur_s
+        want[uid] = (covered, n_int, len(g))
+
+    got = q_interval_union(sf).to_pandas().set_index("user_id")
+    assert len(got) == len(want)
+    for uid, (cov, ni, ne) in want.items():
+        row = got.loc[uid]
+        assert row["covered_us"] == cov
+        assert row["n_intervals"] == ni
+        assert row["n_events"] == ne
+
+
+def test_kmv_distinct_branches(ray_session, tmp_path):
+    """Exact branch (distinct < k) returns the true count; the sketch
+    branch estimates within the KMV error envelope; the bottom-k state
+    is layout-invariant (same result at any partitioning)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pystreamfs_ray.pipelines.queries import q_kmv_distinct
+
+    small = [("rare", u) for u in range(7)]
+    big = [("common", u) for u in range(900)]
+    rows = small + big
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array([0] * len(rows), type=pa.timestamp("us")),
+        "user_id": pa.array([u for _, u in rows], type=pa.int64()),
+        "event_type": pa.array([ty for ty, _ in rows]),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["x"] * len(rows)),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = (q_kmv_distinct(str(tmp_path)).to_pandas()
+           .set_index("event_type"))
+    assert got.loc["rare", "n_kept"] == 7
+    assert got.loc["rare", "est_distinct"] == 7.0
+    assert got.loc["common", "n_kept"] == 16
+    # KMV stderr ~ 1/sqrt(k-2) ~ 27% at k=16; 900 +- 3 sigma
+    assert 900 * 0.2 < got.loc["common", "est_distinct"] < 900 * 2.5
+
+    # layout invariance: 1-row blocks vs default must agree exactly
+    import ray.data as rd
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+
+    # driver-side truth for the sketch branch: k-th smallest hash
+    hv = np.sort(np.unique(_md5_lower64([str(u) for _, u in big])))
+    kth = float(hv[15]) / 2.0 ** 64
+    assert got.loc["common", "kth_norm"] == round(kth, 9)
+    assert got.loc["common", "est_distinct"] == round(15.0 / kth, 6)
+
+
+def test_js_divergence_bounds_and_zero(ray_session, tmp_path):
+    """JS(base 2) is 0 for identical per-source distributions and
+    bounded by 1; mirrored sources land exactly on 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pystreamfs_ray.pipelines.queries import q_js_divergence
+
+    rng = np.random.default_rng(11)
+    n = rng.integers(5, 500, size=400)
+    t = pa.table({
+        "doc_id": pa.array(range(800), type=pa.int64()),
+        "text": pa.array(["x"] * 800),
+        "lang": pa.array(["en"] * 800),
+        "source": pa.array(["a"] * 400 + ["b"] * 400),
+        "n_chars": pa.array(np.concatenate([n, n]), type=pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = q_js_divergence(str(tmp_path))
+    assert len(got) == 1
+    assert got.loc[0, "js_div"] == 0.0
+    assert got.loc[0, "n_a"] == 400 and got.loc[0, "n_b"] == 400
+
+    real = q_js_divergence("/root/testdata/sf0.001")
+    assert ((real["js_div"] >= 0) & (real["js_div"] <= 1)).all()
+    # pairs are ordered and unique
+    assert (real["source_a"] < real["source_b"]).all()
+    assert not real.duplicated(["source_a", "source_b"]).any()
+
+
+def test_discounted_return_bruteforce(ray_session):
+    """ret_scaled equals the literal per-user horizon-8 definition on
+    sf0.001 — exact integers, no tolerance."""
+    from pystreamfs_ray.pipelines.queries import q_discounted_return
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    ev = (read_parquet(sf + "/events.parquet",
+                       columns=["event_id", "user_id", "ts", "value"])
+          .to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                   ignore_index=True))
+    got = (q_discounted_return(sf).to_pandas()
+           .set_index(["user_id", "rn"]).sort_index())
+    n_rows = 0
+    for uid, g in ev.groupby("user_id"):
+        vc = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        for i in range(len(g)):
+            ref = sum(int(vc[i + j]) * 9 ** j * 10 ** (7 - j)
+                      for j in range(min(8, len(g) - i)))
+            assert got.loc[(uid, i), "ret_scaled"] == ref
+            n_rows += 1
+    assert len(got) == n_rows
