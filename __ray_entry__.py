@@ -380,6 +380,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kmv_distinct": q.q_kmv_distinct,
         "q_js_divergence": q.q_js_divergence,
         "q_discounted_return": q.q_discounted_return,
+        "q_bottomk_sample": q.q_bottomk_sample,
+        "q_unpivot_metrics": q.q_unpivot_metrics,
+        "q_daily_ffill": q.q_daily_ffill,
+        "q_turns_since_tool": q.q_turns_since_tool,
     }
 
 
@@ -5179,5 +5183,62 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM o a JOIN o b
               ON b.user_id = a.user_id AND b.rn BETWEEN a.rn AND a.rn + 7
             GROUP BY 1, 2
+        """,
+        "q_bottomk_sample": """
+            SELECT CAST(row_number() OVER (
+                     ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                              doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM documents
+            QUALIFY rank <= 64
+        """,
+        "q_unpivot_metrics": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                   l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   l_discount FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax',
+                   l_tax FROM lineitem
+        """,
+        "q_daily_ffill": """
+            WITH d AS (
+              SELECT user_id,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+              FROM events GROUP BY 1, 2
+            ), spans AS (
+              SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+              FROM d GROUP BY 1
+            ), grid AS (
+              SELECT user_id, UNNEST(range(lo, hi + 1)) AS day
+              FROM spans
+            )
+            SELECT grid.user_id, CAST(grid.day AS BIGINT) AS day,
+                   CAST(LAST_VALUE(d.cents IGNORE NULLS) OVER (
+                     PARTITION BY grid.user_id ORDER BY grid.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cents,
+                   d.cents IS NOT NULL AS is_observed
+            FROM grid LEFT JOIN d
+              ON d.user_id = grid.user_id AND d.day = grid.day
+        """,
+        "q_turns_since_tool": f"""
+            WITH {_TRANSCRIPTS_CTE}
+            SELECT conv_id, turn_idx,
+                   turn_idx - prev_tool AS turns_since_tool
+            FROM (
+              SELECT conv_id, turn_idx,
+                     MAX(CASE WHEN tool <> '' THEN turn_idx END) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_tool
+              FROM transcripts
+            )
+            WHERE prev_tool IS NOT NULL
         """,
     }

@@ -7214,3 +7214,136 @@ def q_discounted_return(sf_dir: str):
 
     return W.per_bucket(ev, ret, entity_col="user_id",
                         num_buckets=_BUCKETS)
+
+
+def q_bottomk_sample(sf_dir: str):
+    """Exact-k deterministic uniform sample: the k=64 documents with
+    the smallest md5-low-64 of their id (a bottom-k sample — the
+    sampling twin of the KMV sketch). Unlike the rate-based
+    ``sample_by_hash`` this yields EXACTLY k rows, is reproducible,
+    and is partition-invariant: each batch pre-cuts to its local k
+    smallest (a combiner), so the global sort-limit touches ≤ k rows
+    per block, never the corpus."""
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+    from pystreamfs_ray.util import arrow_combiner
+
+    K = 64
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_lower64([str(v) for v in df["doc_id"].tolist()])
+        t = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                          # full-width uint64 hash: a float cast would
+                          # quantize to 53 bits and could reorder ties
+                          # near the rank-k boundary vs the SQL oracle
+                          "hv": h})
+        return t.nsmallest(K, ["hv", "doc_id"])
+
+    pre = (docs.map_batches(arrow_combiner(partial),
+                            batch_format="pyarrow")
+           .to_pandas())  # ≤ k rows per block
+    pre = pre.sort_values(["hv", "doc_id"], ignore_index=True).head(K)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(pre) + 1, dtype=np.int64),
+        "doc_id": pre["doc_id"].to_numpy(np.int64),
+    })
+
+
+def q_unpivot_metrics(sf_dir: str):
+    """Wide→long reshape (melt / UNPIVOT): the four lineitem measure
+    columns become (metric, value) rows — the layout step feeding any
+    metric-generic downstream (per-metric stats, drift, histograms).
+    Pure row-expanding Arrow concat inside ``map_batches``: zero
+    shuffles, zero Python row loops, 4× the input rows out. Values
+    pass through untouched (no arithmetic → no rounding policy)."""
+    MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = read_parquet(_p(sf_dir, "lineitem"),
+                      columns=["l_orderkey", "l_linenumber"] + MEASURES)
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for m in MEASURES:
+            parts.append(pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "metric": pa.array([m] * len(t), type=pa.string()),
+                "value": t[m].cast(pa.float64()),
+            }))
+        return pa.concat_tables(parts)
+
+    return li.map_batches(melt, batch_format="pyarrow")
+
+
+def q_daily_ffill(sf_dir: str):
+    """Per-user daily calendar densification with forward fill: the
+    observed per-day spend (exact integer cents) is re-indexed onto
+    every day between the user's first and last active day, missing
+    days carry the last observed value (the classic
+    as-of/ffill feature-store fill). Row expansion is bounded by
+    users × day-span; the fill is a vectorized grouped ffill inside
+    the entity bucket — one shuffle, all-integer output."""
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["user_id", "ts", "value"])
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        day = (g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+               // 86_400_000_000)
+        cents = np.round(g["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        d = (pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                           "day": day, "cents": cents})
+             .groupby(["user_id", "day"], sort=True, as_index=False)
+             .agg(cents=("cents", "sum")))
+        spans = (d.groupby("user_id", sort=False)["day"]
+                 .agg(["min", "max"]))
+        n_days = (spans["max"] - spans["min"] + 1).to_numpy(np.int64)
+        uid = np.repeat(spans.index.to_numpy(), n_days)
+        base = np.repeat(spans["min"].to_numpy(np.int64), n_days)
+        offs = np.concatenate([np.arange(n, dtype=np.int64)
+                               for n in n_days]) if len(n_days) else \
+            np.array([], dtype=np.int64)
+        grid = pd.DataFrame({"user_id": uid, "day": base + offs})
+        out = grid.merge(d, on=["user_id", "day"], how="left")
+        out["is_observed"] = out["cents"].notna()
+        out["cents"] = (out.groupby("user_id", sort=False)["cents"]
+                        .ffill().astype(np.int64))
+        out["day"] = out["day"].astype(np.int64)
+        return out
+
+    return W.per_bucket(ev, fill, entity_col="user_id",
+                        num_buckets=_BUCKETS)
+
+
+def q_turns_since_tool(sf_dir: str):
+    """Backward-looking distance feature over transcripts: for each
+    turn, how many turns since the conversation's PREVIOUS tool-using
+    turn (strictly earlier — leakage-safe by construction; turns with
+    no prior tool use are omitted). A vectorized grouped cummax over
+    the tool-turn indices inside the entity bucket; exact integers."""
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+
+    def dist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort",
+                          ignore_index=True)
+        rn = g["turn_idx"].to_numpy(np.int64)
+        is_tool = (g["tool"].astype(str) != "").to_numpy()
+        marked = np.where(is_tool, rn, np.int64(-1))
+        at_or_before = (pd.Series(marked)
+                        .groupby(g["conv_id"].to_numpy(), sort=False)
+                        .cummax().to_numpy(np.int64))
+        prev = np.empty(len(g), dtype=np.int64)
+        prev[0] = -1
+        prev[1:] = at_or_before[:-1]
+        first = np.ones(len(g), dtype=bool)
+        conv = g["conv_id"].to_numpy()
+        first[1:] = conv[1:] != conv[:-1]
+        prev[first] = -1
+        keep = prev >= 0
+        return pd.DataFrame({
+            "conv_id": conv[keep],
+            "turn_idx": rn[keep],
+            "turns_since_tool": rn[keep] - prev[keep],
+        })
+
+    out = W.per_bucket(t, dist, entity_col="conv_id",
+                       num_buckets=_BUCKETS)
+    return out

@@ -4335,3 +4335,97 @@ def test_discounted_return_bruteforce(ray_session):
             assert got.loc[(uid, i), "ret_scaled"] == ref
             n_rows += 1
     assert len(got) == n_rows
+
+
+def test_bottomk_sample_exact_k_and_partition_invariant(ray_session):
+    """Exactly k rows, equal to the k smallest md5 hashes computed on
+    the driver, regardless of block layout."""
+    from pystreamfs_ray.pipelines.queries import q_bottomk_sample
+    from pystreamfs_ray.sources import read_parquet
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+
+    sf = "/root/testdata/sf0.001"
+    ids = (read_parquet(sf + "/documents.parquet", columns=["doc_id"])
+           .to_pandas()["doc_id"].to_numpy(np.int64))
+    h = _md5_lower64([str(v) for v in ids])
+    order = np.lexsort((ids, h))
+    want = ids[order][:64]
+
+    got = q_bottomk_sample(sf)
+    assert len(got) == 64
+    assert (got["rank"].to_numpy() == np.arange(1, 65)).all()
+    assert (got["doc_id"].to_numpy(np.int64) == want).all()
+
+
+def test_unpivot_metrics_reshape(ray_session):
+    """4x the input rows; each metric column round-trips exactly."""
+    from pystreamfs_ray.pipelines.queries import q_unpivot_metrics
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    wide = (read_parquet(sf + "/lineitem.parquet")
+            .to_pandas().sort_values(["l_orderkey", "l_linenumber"],
+                                     ignore_index=True))
+    long = q_unpivot_metrics(sf).to_pandas()
+    assert len(long) == 4 * len(wide)
+    for m in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        sub = (long[long["metric"] == m]
+               .sort_values(["l_orderkey", "l_linenumber"],
+                            ignore_index=True))
+        assert (sub["value"].to_numpy() == wide[m].to_numpy()).all()
+
+
+def test_daily_ffill_carries_and_bounds(ray_session, tmp_path):
+    """Missing days carry the previous observed value; the grid spans
+    exactly [first, last] active day per user."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pystreamfs_ray.pipelines.queries import q_daily_ffill
+
+    day_us = 86_400_000_000
+    rows = [  # user 1: days 0, 3 (gap 1-2 carries 150); user 2: day 5
+        (1, 0 * day_us, 1.5), (1, 0 * day_us + 7, 0.0),
+        (1, 3 * day_us, 2.25), (2, 5 * day_us, 9.0),
+    ]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array(["click"] * len(rows)),
+        "value": pa.array([r[2] for r in rows]),
+        "props": pa.array(["x"] * len(rows)),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = (q_daily_ffill(str(tmp_path)).to_pandas()
+           .sort_values(["user_id", "day"], ignore_index=True))
+    assert got[got["user_id"] == 1]["day"].tolist() == [0, 1, 2, 3]
+    assert got[got["user_id"] == 1]["cents"].tolist() == [150, 150, 150, 225]
+    assert got[got["user_id"] == 1]["is_observed"].tolist() == [
+        True, False, False, True]
+    assert got[got["user_id"] == 2]["day"].tolist() == [5]
+    assert got[got["user_id"] == 2]["cents"].tolist() == [900]
+
+
+def test_turns_since_tool_bruteforce(ray_session):
+    """Distance to the strictly-previous tool turn, per conversation,
+    vs a literal replay on sf0.001 transcripts."""
+    from pystreamfs_ray.pipelines.queries import q_turns_since_tool
+    from pystreamfs_ray.pipelines.transcripts import transcripts_from_events
+
+    sf = "/root/testdata/sf0.001"
+    t = (transcripts_from_events(sf).to_pandas()
+         .sort_values(["conv_id", "turn_idx"], ignore_index=True))
+    want = {}
+    for cid, g in t.groupby("conv_id"):
+        last = None
+        for _, row in g.iterrows():
+            if last is not None:
+                want[(cid, row["turn_idx"])] = row["turn_idx"] - last
+            if row["tool"] != "":
+                last = row["turn_idx"]
+    got = (q_turns_since_tool(sf).to_pandas()
+           .set_index(["conv_id", "turn_idx"])["turns_since_tool"])
+    assert len(got) == len(want)
+    for k, v in want.items():
+        assert got.loc[k] == v
