@@ -384,6 +384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_unpivot_metrics": q.q_unpivot_metrics,
         "q_daily_ffill": q.q_daily_ffill,
         "q_turns_since_tool": q.q_turns_since_tool,
+        "q_cusum": q.q_cusum,
+        "q_embedding_anomaly": q.q_embedding_anomaly,
     }
 
 
@@ -5240,5 +5242,54 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               FROM transcripts
             )
             WHERE prev_tool IS NOT NULL
+        """,
+        "q_cusum": """
+            WITH d AS (
+              SELECT user_id,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+              FROM events GROUP BY 1, 2
+            ), u AS (
+              SELECT user_id, CAST(SUM(cents) AS BIGINT) AS total,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM d GROUP BY 1
+            ), c AS (
+              SELECT d.user_id, day,
+                     CAST(SUM(cents) OVER (PARTITION BY d.user_id
+                          ORDER BY day) AS BIGINT) AS pre,
+                     CAST(row_number() OVER (PARTITION BY d.user_id
+                          ORDER BY day) AS BIGINT) AS t
+              FROM d
+            ), s AS (
+              SELECT c.user_id, day, u.n,
+                     ABS(u.n * pre - t * u.total) AS a
+              FROM c JOIN u USING (user_id)
+            )
+            SELECT user_id, n AS n_days, day AS peak_day,
+                   CAST(a AS BIGINT) AS cusum_abs_scaled
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                           ORDER BY a DESC, day) AS rnk FROM s)
+            WHERE rnk = 1
+        """,
+        "q_embedding_anomaly": """
+            WITH q AS (
+              SELECT vec_id, t.i,
+                     CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 4096)
+                          AS BIGINT) AS qv
+              FROM embeddings,
+                   UNNEST(range(1, len(embedding) + 1)) t(i)
+            ), d AS (
+              SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(qv) AS BIGINT) AS s,
+                     CAST(SUM(qv * qv) AS BIGINT) AS ss
+              FROM q GROUP BY i
+            )
+            SELECT vec_id,
+                   ROUND(SUM(CAST(d.n * q.qv - d.s AS DOUBLE)
+                           * CAST(d.n * q.qv - d.s AS DOUBLE)
+                           / CAST(d.n * d.ss - d.s * d.s AS DOUBLE)), 6)
+                     AS anomaly
+            FROM q JOIN d USING (i)
+            GROUP BY vec_id
         """,
     }

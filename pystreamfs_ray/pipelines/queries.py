@@ -7347,3 +7347,90 @@ def q_turns_since_tool(sf_dir: str):
     out = W.per_bucket(t, dist, entity_col="conv_id",
                        num_buckets=_BUCKETS)
     return out
+
+
+def q_cusum(sf_dir: str):
+    """Per-user CUSUM change-point peak over the daily spend series:
+    the day where the cumulative deviation from the user's own mean
+    peaks, plus the peak magnitude — the classic drift/shift detector
+    as a FEATURE. Exact integer arithmetic end to end: with daily
+    cents ``d_t``, prefix ``P_t``, total ``T`` over ``n`` days, the
+    n-scaled statistic ``|n·P_t − t·T|`` avoids the mean division, so
+    peaks and argmax (earliest-day tie-break) are layout-invariant
+    integers. One entity shuffle; everything else is grouped cumsums
+    inside the bucket."""
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["user_id", "ts", "value"])
+
+    def cusum(g: pd.DataFrame) -> pd.DataFrame:
+        day = (g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+               // 86_400_000_000)
+        cents = np.round(g["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        d = (pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                           "day": day, "cents": cents})
+             .groupby(["user_id", "day"], sort=True, as_index=False)
+             .agg(cents=("cents", "sum")))
+        grp = d.groupby("user_id", sort=False)
+        pre = grp["cents"].cumsum().to_numpy(np.int64)
+        t = (grp.cumcount() + 1).to_numpy(np.int64)
+        total = grp["cents"].transform("sum").to_numpy(np.int64)
+        n = grp["cents"].transform("size").to_numpy(np.int64)
+        a = np.abs(n * pre - t * total)
+        s = pd.DataFrame({"user_id": d["user_id"], "day": d["day"],
+                          "a": a, "n": n})
+        # earliest day wins ties: stable sort desc by a, asc by day
+        s = s.sort_values(["user_id", "a", "day"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+        out = s.groupby("user_id", sort=False, as_index=False).first()
+        return pd.DataFrame({
+            "user_id": out["user_id"],
+            "n_days": out["n"].astype(np.int64),
+            "peak_day": out["day"].astype(np.int64),
+            "cusum_abs_scaled": out["a"].astype(np.int64),
+        })
+
+    return W.per_bucket(ev, cusum, entity_col="user_id",
+                        num_buckets=_BUCKETS)
+
+
+def q_embedding_anomaly(sf_dir: str):
+    """Per-vector anomaly score: the diagonal-covariance (standardized
+    Euclidean) Mahalanobis distance of each embedding from the corpus
+    centroid. Embeddings are quantized to an exact 2^12 integer grid
+    FIRST, so the per-dimension sums (Σq, Σq²) are layout-invariant
+    int64 and both engine and oracle derive bit-identical per-dim
+    doubles ``a=n·q−S``, ``b=n·SS−S²``; the only float noise left is
+    the 64-term summation order, absorbed by ROUND 6. Combiner shape:
+    one (Σq, Σq²) vector pair per batch, O(blocks·d) exchange; scoring
+    is a broadcast vectorized pass. At 10^12 rows the int64 power sums
+    need the same arbitrary-precision escalation as the grouped-moment
+    operators (documented there); the grid keeps sf-scale sums ≪2^63."""
+    GRID = 4096.0
+    emb = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(df["embedding"].to_numpy())
+        Q = np.floor(X.astype(np.float64) * GRID).astype(np.int64)
+        return pd.DataFrame({"n": [len(Q)],
+                             "s": [Q.sum(axis=0)],
+                             "ss": [(Q * Q).sum(axis=0)]})
+
+    parts = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    S = np.sum(np.stack(parts["s"].to_list()), axis=0).astype(np.int64)
+    SS = np.sum(np.stack(parts["ss"].to_list()), axis=0).astype(np.int64)
+    b = (n * SS - S * S).astype(np.float64)  # n²·var per dim, exact
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(df["embedding"].to_numpy())
+        Q = np.floor(X.astype(np.float64) * GRID).astype(np.int64)
+        a = (n * Q - S).astype(np.float64)   # n·(q−mean) per dim, exact
+        maha = ((a * a) / b).sum(axis=1)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy(np.int64),
+            "anomaly": np.round(maha, 6),
+        })
+
+    return emb.map_batches(score, batch_format="pandas")

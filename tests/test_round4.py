@@ -4429,3 +4429,63 @@ def test_turns_since_tool_bruteforce(ray_session):
     assert len(got) == len(want)
     for k, v in want.items():
         assert got.loc[k] == v
+
+
+def test_cusum_planted_shift(ray_session, tmp_path):
+    """A user whose daily spend jumps halfway through peaks at the
+    last pre-shift day; a flat user peaks trivially with a small
+    statistic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pystreamfs_ray.pipelines.queries import q_cusum
+
+    day_us = 86_400_000_000
+    rows = []
+    for d in range(20):   # user 1: 1.00/day then 5.00/day from day 10
+        rows.append((1, d * day_us, 1.0 if d < 10 else 5.0))
+    for d in range(20):   # user 2: constant
+        rows.append((2, d * day_us, 2.0))
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array(["click"] * len(rows)),
+        "value": pa.array([r[2] for r in rows]),
+        "props": pa.array(["x"] * len(rows)),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = q_cusum(str(tmp_path)).to_pandas().set_index("user_id")
+    assert got.loc[1, "peak_day"] == 9       # deviation bottoms out
+    # |n*P_t - t*T| at t=10: |20*1000 - 10*6000| = 40000
+    assert got.loc[1, "cusum_abs_scaled"] == 40_000
+    assert got.loc[2, "cusum_abs_scaled"] == 0
+    assert got.loc[2, "peak_day"] == 0       # earliest-day tie-break
+    assert (got["n_days"] == 20).all()
+
+
+def test_embedding_anomaly_flags_planted_outlier(ray_session, tmp_path):
+    """A vector far from the centroid scores far above the pack; the
+    mean anomaly over the corpus is ~d (sum of d unit z-scores)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pystreamfs_ray.pipelines.queries import q_embedding_anomaly
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(0, 1, size=(300, 16)).astype(np.float32)
+    X[0] = 8.0   # planted outlier
+    t = pa.table({
+        "vec_id": pa.array(range(300), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * 300, type=pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = (q_embedding_anomaly(str(tmp_path)).to_pandas()
+           .set_index("vec_id")["anomaly"])
+    assert got.idxmax() == 0
+    assert got.loc[0] > 5 * got.drop(0).mean()
+    # the n factors cancel (a²/b = dev²/var), so the corpus mean of a
+    # standardized squared distance is ~d
+    assert 10 < got.drop(0).mean() < 22
