@@ -386,6 +386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_turns_since_tool": q.q_turns_since_tool,
         "q_cusum": q.q_cusum,
         "q_embedding_anomaly": q.q_embedding_anomaly,
+        "q_markov_baseline": q.q_markov_baseline,
+        "q_mrr": q.q_mrr,
     }
 
 
@@ -600,6 +602,61 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     _tm_case = " ".join(
         f"WHEN '{s}' THEN {int(r * 65536)}" for s, r in sorted(_tm_rates.items())
     )
+
+    # q_mrr: one ranked-BM25 + both-terms-relevance block per fixed
+    # query, UNION ALLed; scores round to 6 BEFORE ranking and ties
+    # break on doc_id, identical to q_rrf's proven ordering
+    from pystreamfs_ray.pipelines.queries import _MRR_QUERIES
+
+    def _mrr_block(qi: int, t1: str, t2: str) -> str:
+        return f"""
+            SELECT {qi} AS query_id, '{t1}' AS term_a, '{t2}' AS term_b,
+                   CAST(COALESCE(MIN(rnk), 0) AS BIGINT) AS first_rel_rank
+            FROM (
+              SELECT row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS rnk, doc_id
+              FROM (
+                SELECT t.doc_id,
+                       ROUND(SUM(LN((n - df + 0.5) / (df + 0.5) + 1)
+                                 * tf * 2.2::DOUBLE
+                                 / (tf + 1.2::DOUBLE
+                                    * (0.25::DOUBLE
+                                       + 0.75::DOUBLE * dl.len / avgdl))), 6)
+                         AS score
+                FROM (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+                      FROM toks WHERE w IN ('{t1}', '{t2}')
+                      GROUP BY doc_id, w) t
+                JOIN (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+                      FROM toks WHERE w IN ('{t1}', '{t2}')
+                      GROUP BY w) USING (w)
+                JOIN dl USING (doc_id), stats
+                GROUP BY t.doc_id
+              ) QUALIFY rnk <= 10
+            )
+            WHERE doc_id IN (SELECT doc_id FROM toks
+                             WHERE w IN ('{t1}', '{t2}')
+                             GROUP BY doc_id
+                             HAVING COUNT(DISTINCT w) = 2)
+        """
+
+    _mrr_sql = """
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+          FROM documents
+        ), stats AS (
+          SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+                 CAST((SELECT COUNT(*) FROM toks) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM documents) AS avgdl
+        ), dl AS (
+          SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id
+        )
+        SELECT query_id, term_a, term_b, first_rel_rank,
+               CAST(CASE WHEN first_rel_rank = 0 THEN 0
+                         ELSE 1000000 // first_rel_rank END AS BIGINT)
+                 AS rr_ppm
+        FROM (""" + "\n UNION ALL \n".join(
+        _mrr_block(qi, a, b) for qi, (a, b) in enumerate(_MRR_QUERIES)
+    ) + ")"
     # shared by q_minhash_pairs and q_neardup_leakage (which wraps it)
     _minhash_pairs_sql = r"""
         WITH docs AS (
@@ -5292,4 +5349,27 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM q JOIN d USING (i)
             GROUP BY vec_id
         """,
+        "q_markov_baseline": """
+            WITH p AS (
+              SELECT event_type AS cur,
+                     LEAD(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS nxt
+              FROM events
+            ), c AS (
+              SELECT cur, nxt, COUNT(*) AS n
+              FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2
+            ), r AS (
+              SELECT cur, nxt, n,
+                     row_number() OVER (PARTITION BY cur
+                                        ORDER BY n DESC, nxt) AS rnk,
+                     SUM(n) OVER (PARTITION BY cur) AS n_total
+              FROM c
+            )
+            SELECT cur AS event_type, nxt AS majority_next,
+                   CAST(n AS BIGINT) AS n_correct,
+                   CAST(n_total AS BIGINT) AS n_total,
+                   CAST(n * 1000000 // n_total AS BIGINT) AS acc_ppm
+            FROM r WHERE rnk = 1
+        """,
+        "q_mrr": _mrr_sql,
     }

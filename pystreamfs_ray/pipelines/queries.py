@@ -7434,3 +7434,121 @@ def q_embedding_anomaly(sf_dir: str):
         })
 
     return emb.map_batches(score, batch_format="pandas")
+
+
+def q_markov_baseline(sf_dir: str):
+    """First-order Markov baseline for next-event prediction: per
+    current event type, the majority next type (count-desc,
+    lexicographic tie-break) and its exact hit count over every
+    consecutive within-user pair — the sanity baseline any sequence
+    model over the transcript stream has to beat. Pair extraction is
+    a vectorized shift inside the entity bucket; the reduce is the
+    |types|² count table. All-integer output — accuracy ships as exact
+    floor-divided parts-per-million (a float n/total can land exactly
+    on a rounding tie, e.g. 5/80000)."""
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "user_id", "ts", "event_type"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        return (pd.DataFrame({"cur": t[:-1][same], "nxt": t[1:][same],
+                              "n": np.int64(1)})
+                .groupby(["cur", "nxt"], sort=False, as_index=False)
+                .sum())
+
+    counts = (W.per_bucket(ev, pairs, entity_col="user_id",
+                           num_buckets=_BUCKETS)
+              .groupby(["cur", "nxt"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    counts["n"] = counts["n"].astype(np.int64)
+    counts = counts.sort_values(["cur", "n", "nxt"],
+                                ascending=[True, False, True],
+                                kind="mergesort", ignore_index=True)
+    top = counts.groupby("cur", sort=False, as_index=False).first()
+    tot = (counts.groupby("cur", sort=False, as_index=False)
+           .agg(n_total=("n", "sum")))
+    out = top.merge(tot, on="cur")
+    return pd.DataFrame({
+        "event_type": out["cur"],
+        "majority_next": out["nxt"],
+        "n_correct": out["n"].astype(np.int64),
+        "n_total": out["n_total"].astype(np.int64),
+        "acc_ppm": (out["n"].to_numpy(np.int64) * 1_000_000
+                    // out["n_total"].to_numpy(np.int64)),
+    })
+
+
+_MRR_QUERIES = [("join", "filter"), ("sort", "merge"),
+                ("window", "hash"), ("stream", "batch")]
+
+
+def q_mrr(sf_dir: str):
+    """MRR@10 of BM25 lexical retrieval — the ranking-quality eval for
+    the lexical side of the retrieval family (the vector side has
+    recall@k and nDCG). For each fixed two-term query, docs rank by
+    (ROUND-6 BM25 desc, doc_id asc) — identical to ``q_rrf``'s proven
+    ordering — and a doc is relevant iff it contains BOTH terms.
+    Per-block top-10 combiners keep the rank cut distributed; the
+    single relevance pass scans the corpus once for all queries but
+    emits only the ≤ |Q|·10 candidate ids. Reciprocal rank ships as
+    exact floor ppm."""
+    import re as _re
+
+    from pystreamfs_ray.stages.index import bm25_scores
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    K = 10
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "text"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["score", "doc_id"],
+                              ascending=[False, True]).head(K)
+
+    tops = {}
+    for qi, terms in enumerate(_MRR_QUERIES):
+        scored = bm25_scores(docs, list(terms))
+        top = ensure_cols(
+            scored.map_batches(arrow_combiner(topk),
+                               batch_format="pyarrow").to_pandas(),
+            {"doc_id": "int64", "score": "float64"})
+        tops[qi] = (top.sort_values(["score", "doc_id"],
+                                    ascending=[False, True],
+                                    ignore_index=True).head(K))
+
+    cand = sorted(set().union(*(set(t["doc_id"]) for t in tops.values())))
+    pats = [(qi,
+             _re.compile(r"(?<!\S)" + _re.escape(a) + r"(?!\S)"),
+             _re.compile(r"(?<!\S)" + _re.escape(b) + r"(?!\S)"))
+            for qi, (a, b) in enumerate(_MRR_QUERIES)]
+
+    def rel(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["doc_id"].isin(cand)]
+        qid, did = [], []
+        for qi, p1, p2 in pats:
+            m = sub[(sub["text"].str.count(p1) > 0)
+                    & (sub["text"].str.count(p2) > 0)]
+            qid.extend([qi] * len(m))
+            did.extend(m["doc_id"].tolist())
+        return pd.DataFrame({"query_id": np.array(qid, dtype=np.int64),
+                             "doc_id": np.array(did, dtype=np.int64)})
+
+    rel_pairs = set(map(tuple, docs.map_batches(
+        rel, batch_format="pandas").to_pandas().itertuples(index=False)))
+
+    rows = []
+    for qi, (a, b) in enumerate(_MRR_QUERIES):
+        rank = 0
+        for r, doc in enumerate(tops[qi]["doc_id"].tolist(), start=1):
+            if (qi, doc) in rel_pairs:
+                rank = r
+                break
+        rows.append({"query_id": np.int64(qi), "term_a": a, "term_b": b,
+                     "first_rel_rank": np.int64(rank),
+                     "rr_ppm": np.int64(1_000_000 // rank if rank else 0)})
+    return pd.DataFrame(rows)

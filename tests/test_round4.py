@@ -4489,3 +4489,67 @@ def test_embedding_anomaly_flags_planted_outlier(ray_session, tmp_path):
     # the n factors cancel (a²/b = dev²/var), so the corpus mean of a
     # standardized squared distance is ~d
     assert 10 < got.drop(0).mean() < 22
+
+
+def test_markov_baseline_planted_chain(ray_session, tmp_path):
+    """A deterministic A→B chain scores 100% for A; ties break
+    lexicographically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pystreamfs_ray.pipelines.queries import q_markov_baseline
+
+    # user 1: A B A B A B ... (A always followed by B and vice versa)
+    # user 2: C then alternating D/E so C's successors tie 1-1
+    seq1 = ["A", "B"] * 10
+    seq2 = ["C", "D", "C", "E"]
+    rows = [(1, i, t) for i, t in enumerate(seq1)]
+    rows += [(2, i, t) for i, t in enumerate(seq2)]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array([r[1] * 1_000_000 for r in rows],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["x"] * len(rows)),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = (q_markov_baseline(str(tmp_path))
+           .set_index("event_type"))
+    assert got.loc["A", "majority_next"] == "B"
+    assert got.loc["A", "acc_ppm"] == 1_000_000
+    assert got.loc["A", "n_correct"] == got.loc["A", "n_total"] == 10
+    # C→D and C→E are 1-1: lexicographic tie-break picks D
+    assert got.loc["C", "majority_next"] == "D"
+    assert got.loc["C", "acc_ppm"] == 500_000
+
+
+def test_mrr_planted_relevance(ray_session, tmp_path):
+    """A corpus where exactly one doc contains both terms of the first
+    fixed query: it must surface with rank 1 (it has the highest BM25
+    mass); queries whose term pairs never co-occur score rr 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pystreamfs_ray.pipelines.queries import q_mrr
+
+    texts = (["join filter join filter"]          # both terms, doc 0
+             + ["join alpha beta"] * 5            # one term only
+             + ["filter gamma delta"] * 5
+             + ["epsilon zeta"] * 5)              # neither
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = q_mrr(str(tmp_path)).set_index("query_id")
+    assert got.loc[0, "first_rel_rank"] == 1
+    assert got.loc[0, "rr_ppm"] == 1_000_000
+    # sort/merge, window/hash, stream/batch never co-occur here
+    for qi in (1, 2, 3):
+        assert got.loc[qi, "first_rel_rank"] == 0
+        assert got.loc[qi, "rr_ppm"] == 0
