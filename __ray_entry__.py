@@ -388,6 +388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_anomaly": q.q_embedding_anomaly,
         "q_markov_baseline": q.q_markov_baseline,
         "q_mrr": q.q_mrr,
+        "q_expanding_minmax": q.q_expanding_minmax,
+        "q_lsh_quality": q.q_lsh_quality,
     }
 
 
@@ -5372,4 +5374,75 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM r WHERE rnk = 1
         """,
         "q_mrr": _mrr_sql,
+        # LSH quality audit: the restricted minhash pipeline vs exact
+        # hashed-shingle Jaccard truth on the doc_id<100 audit subset;
+        # τ=0.2 as the integer cross-product 5·|∩| ≥ |∪|
+        "q_lsh_quality": ("""
+            WITH cand AS (SELECT * FROM ("""
+            + _minhash_pairs_sql.replace(
+                "FROM documents", "FROM documents WHERE doc_id < 100")
+            + r""")),
+            rdocs AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents WHERE doc_id < 100
+            ), rsh AS (
+              SELECT DISTINCT doc_id,
+                CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+                     ELSE array_to_string(ws[i.i:i.i+2], ' ') END AS s
+              FROM rdocs CROSS JOIN LATERAL (
+                SELECT unnest(range(1, GREATEST(len(ws) - 2, 1) + 1)) AS i) i
+            ), hsh AS (
+              SELECT DISTINCT doc_id, md5_number_lower(s) AS h FROM rsh
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS n FROM hsh GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+              FROM hsh a JOIN hsh b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), truth AS (
+              SELECT ia, ib
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = ia
+              JOIN sizes sb ON sb.doc_id = ib
+              WHERE 5 * i >= sa.n + sb.n - i
+            ), m AS (
+              SELECT (SELECT COUNT(*) FROM cand) AS nc,
+                     (SELECT COUNT(*) FROM truth) AS nt,
+                     (SELECT COUNT(*) FROM cand JOIN truth
+                        ON truth.ia = cand.id_a
+                       AND truth.ib = cand.id_b) AS nh
+            )
+            SELECT CAST(nc AS BIGINT) AS n_candidates,
+                   CAST(nt AS BIGINT) AS n_truth,
+                   CAST(nh AS BIGINT) AS n_hit,
+                   CAST(CASE WHEN nc = 0 THEN 0
+                             ELSE nh * 1000000 // nc END AS BIGINT)
+                     AS precision_ppm,
+                   CAST(CASE WHEN nt = 0 THEN 0
+                             ELSE nh * 1000000 // nt END AS BIGINT)
+                     AS recall_ppm
+            FROM m
+        """),
+        "q_expanding_minmax": """
+            WITH o AS (
+              SELECT user_id,
+                     CAST(ROUND(value * 100) AS BIGINT) AS vc,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) - 1 AS rn,
+                     MIN(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS mn,
+                     MAX(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS mx
+              FROM events
+            )
+            SELECT user_id, rn, vc AS cents,
+                   CASE WHEN mx > mn
+                        THEN (vc - mn) * 1000000 // (mx - mn)
+                        ELSE -1 END AS pos_ppm
+            FROM o
+        """,
     }

@@ -7552,3 +7552,88 @@ def q_mrr(sf_dir: str):
                      "first_rel_rank": np.int64(rank),
                      "rr_ppm": np.int64(1_000_000 // rank if rank else 0)})
     return pd.DataFrame(rows)
+
+
+def q_expanding_minmax(sf_dir: str):
+    """Causal expanding min-max normalization per user — the
+    reference's per-window min-max scaling (pystreamfs prepares
+    features with min-max per batch, pystreamfs.py:61 area) recast as
+    a STREAMING feature: each event's value is positioned within the
+    user's history SO FAR ([0,1] over the expanding min..max), so the
+    feature is leakage-safe by construction. Grouped cummin/cummax
+    (vectorized) inside the entity bucket; the position ships as exact
+    floor ppm over integer cents — a float ratio of small-denominator
+    rationals can terminate exactly on a ROUND tie. Rows before the
+    user's range opens (max == min) are emitted with pos_ppm = -1."""
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "user_id", "ts", "value"])
+
+    def pos(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        u = g["user_id"].to_numpy()
+        vc = np.round(g["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        grp = pd.Series(vc).groupby(u, sort=False)
+        mn = grp.cummin().to_numpy(np.int64)
+        mx = grp.cummax().to_numpy(np.int64)
+        rn = (g.groupby("user_id", sort=False).cumcount()
+              .to_numpy(np.int64))
+        span = mx - mn
+        ppm = np.where(span > 0, (vc - mn) * 1_000_000 // np.maximum(span, 1),
+                       np.int64(-1))
+        return pd.DataFrame({"user_id": u, "rn": rn,
+                             "cents": vc, "pos_ppm": ppm})
+
+    return W.per_bucket(ev, pos, entity_col="user_id",
+                        num_buckets=_BUCKETS)
+
+
+def q_lsh_quality(sf_dir: str):
+    """Precision/recall audit of the MinHash-LSH near-dup detector
+    against EXACT word-3-shingle Jaccard ground truth on the bounded
+    doc_id<100 audit subset (the sampled-eval methodology: production
+    dedup stays LSH; this measures what it buys). The threshold
+    compare is integer cross-multiplied (5·|∩| ≥ |∪| for τ=0.2), so
+    truth has no float anywhere; shingle identity uses md5-low-64 on
+    BOTH sides. Ratios ship as exact floor ppm."""
+    import pyarrow.dataset as pds
+
+    from pystreamfs_ray.stages.dedup import (_md5_lower64, _shingle_set,
+                                             minhash_lsh_pairs)
+    from pystreamfs_ray.util import ensure_cols
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"],
+                        filter=(pds.field("doc_id") < 100))
+    cand = ensure_cols(minhash_lsh_pairs(docs, threshold=0.2,
+                                         concurrency=2).to_pandas(),
+                       {"id_a": "int64", "id_b": "int64"})
+    cand_set = set(zip(cand["id_a"].tolist(), cand["id_b"].tolist()))
+
+    def shingles(df: pd.DataFrame) -> pd.DataFrame:
+        hs = [np.unique(_md5_lower64(_shingle_set(t, 3)))
+              for t in df["text"]]
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "hs": hs})
+
+    sh = docs.map_batches(shingles, batch_format="pandas").to_pandas()
+    sets = {int(r.doc_id): set(r.hs.tolist()) for r in sh.itertuples()}
+    ids = sorted(sets)
+    truth = set()
+    for i, a in enumerate(ids):          # bounded audit subset only
+        sa = sets[a]
+        for b in ids[i + 1:]:
+            inter = len(sa & sets[b])
+            if 5 * inter >= len(sa) + len(sets[b]) - inter:
+                truth.add((a, b))
+
+    n_cand, n_truth = len(cand_set), len(truth)
+    n_hit = len(cand_set & truth)
+    return pd.DataFrame({
+        "n_candidates": [np.int64(n_cand)],
+        "n_truth": [np.int64(n_truth)],
+        "n_hit": [np.int64(n_hit)],
+        "precision_ppm": [np.int64(n_hit * 1_000_000 // n_cand
+                                   if n_cand else 0)],
+        "recall_ppm": [np.int64(n_hit * 1_000_000 // n_truth
+                                if n_truth else 0)],
+    })

@@ -4553,3 +4553,65 @@ def test_mrr_planted_relevance(ray_session, tmp_path):
     for qi in (1, 2, 3):
         assert got.loc[qi, "first_rel_rank"] == 0
         assert got.loc[qi, "rr_ppm"] == 0
+
+
+def test_expanding_minmax_replay(ray_session):
+    """pos_ppm equals the literal expanding-window definition on
+    sf0.001 — exact integers."""
+    from pystreamfs_ray.pipelines.queries import q_expanding_minmax
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    ev = (read_parquet(sf + "/events.parquet",
+                       columns=["event_id", "user_id", "ts", "value"])
+          .to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                   ignore_index=True))
+    got = (q_expanding_minmax(sf).to_pandas()
+           .set_index(["user_id", "rn"]).sort_index())
+    n = 0
+    for uid, g in ev.groupby("user_id"):
+        vc = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        lo = hi = None
+        for i, v in enumerate(vc):
+            lo = v if lo is None else min(lo, v)
+            hi = v if hi is None else max(hi, v)
+            want = (int(v - lo) * 1_000_000 // int(hi - lo)
+                    if hi > lo else -1)
+            row = got.loc[(uid, i)]
+            assert row["pos_ppm"] == want
+            assert row["cents"] == v
+            n += 1
+    assert len(got) == n
+    # first row of every user has a degenerate range
+    assert (got.xs(0, level="rn")["pos_ppm"] == -1).all()
+
+
+def test_lsh_quality_planted_neardups(ray_session, tmp_path):
+    """Planted exact-duplicate pairs must be found (recall 1e6); the
+    audit's integer threshold matches the literal jaccard >= 0.2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pystreamfs_ray.pipelines.queries import q_lsh_quality
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = []
+    for i in range(0, 40, 2):   # 20 exact-dup pairs
+        t = " ".join(rng.choice(vocab, size=30))
+        texts += [t, t]
+    for _ in range(40):         # 40 unrelated docs
+        texts.append(" ".join(rng.choice(vocab, size=30)))
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = q_lsh_quality(str(tmp_path)).iloc[0]
+    assert got["n_truth"] >= 20          # at least the planted pairs
+    assert got["recall_ppm"] == 1_000_000  # identical sigs always collide
+    assert got["n_hit"] == got["n_truth"]
+    assert 0 < got["precision_ppm"] <= 1_000_000
