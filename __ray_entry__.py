@@ -1004,7 +1004,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                      lag(p) OVER (PARTITION BY bin ORDER BY day) AS q
               FROM p
             )
-            SELECT day, SUM((p - q) * ln(p / q)) AS psi
+            SELECT day, ROUND(SUM((p - q) * ln(p / q)), 6) AS psi
             FROM pq WHERE q IS NOT NULL GROUP BY day
         """,
         # agent-snapshot dedup: keep only snapshots (cumulative per-turn
@@ -4600,8 +4600,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               FROM events
             )
             SELECT decile, COUNT(*) AS n,
-                   SUM(CASE WHEN event_type = 'purchase'
-                            THEN 1 ELSE 0 END) AS purchases,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
                    CAST(SUM(CASE WHEN event_type = 'purchase'
                                  THEN 1 ELSE 0 END) AS DOUBLE)
                      / CAST(COUNT(*) AS DOUBLE) AS rate
@@ -5118,7 +5118,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             )
             SELECT CAST(t.k AS BIGINT) AS lag_days,
                    CAST(COUNT(*) AS BIGINT) AS n_days,
-                   corr(a.x, b.y) AS xcorr
+                   ROUND(corr(a.x, b.y), 6) AS xcorr
             FROM (VALUES (0), (1), (2), (3)) t(k)
             JOIN s a ON TRUE
             JOIN s b ON b.day = a.day + t.k

@@ -4476,7 +4476,9 @@ def q_xcorr_daily(sf_dir: str):
         rows.append({
             "lag_days": np.int64(k),
             "n_days": np.int64(len(a)),
-            "xcorr": float(np.corrcoef(a, b)[0, 1]),
+            # ROUND 6 on both sides: engine corrcoef vs DuckDB corr()
+            # agree only to last-ulp (different op order / libm)
+            "xcorr": round(float(np.corrcoef(a, b)[0, 1]), 6),
         })
     return pd.DataFrame(rows)
 

@@ -702,7 +702,9 @@ def psi_drift(ds, *, value_col="value", ts_col="ts", bins=10,
         counts["bin"].to_numpy(np.int64)] = counts["cnt"].to_numpy(np.int64)
     p = (mat + 1).astype(np.float64) / (mat.sum(axis=1, keepdims=True) + bins)
     cur, prv = p[1:], p[:-1]
-    psi = ((cur - prv) * np.log(cur / prv)).sum(axis=1)
+    # ROUND 6 on both sides: the 10-term float sum is summation-order
+    # dependent vs the SQL aggregate (and np.log vs ln differ in ulps)
+    psi = np.round(((cur - prv) * np.log(cur / prv)).sum(axis=1), 6)
     return pd.DataFrame({"day": days[1:], "psi": psi})
 
 

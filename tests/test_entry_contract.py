@@ -59,11 +59,21 @@ def assert_frames_match(mine: pd.DataFrame, want: pd.DataFrame, name: str):
     assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} != {list(b.columns)}"
     assert len(a) == len(b), f"{name}: rows {len(a)} != {len(b)}"
     for c in a.columns:
+        # dtype KIND must match (the driver's schema compare would
+        # flag an int64 engine column vs a DOUBLE oracle column — a
+        # missing CAST in the SQL; caught q_calibration's purchases)
+        assert a[c].dtype.kind == b[c].dtype.kind, (
+            f"{name}: column {c} dtype {a[c].dtype} != {b[c].dtype}")
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if a[c].dtype.kind == "f":
+            # EXACT float equality — the driver hashes raw values, so
+            # the repo float policy (exact integers, or ROUND 6 of
+            # bit-identical doubles) must hold to the last bit; an
+            # approximate gate here let three unrounded outputs
+            # (psi/xcorr/calibration) sit latent until the r4 sweep
             both_nan = np.isnan(av) & np.isnan(bv)
-            close = np.isclose(av, bv, rtol=0, atol=1e-8)
-            assert (both_nan | close).all(), f"{name}: column {c} float mismatch"
+            assert (both_nan | (av == bv)).all(), (
+                f"{name}: column {c} float mismatch")
         else:
             assert (pd.isna(av) == pd.isna(bv)).all() and (
                 (av == bv) | pd.isna(av)
