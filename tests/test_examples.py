@@ -131,3 +131,14 @@ def test_example_encoders():
     assert "ordinal encode:" in out.stdout
     assert "standard scale:" in out.stdout
     assert "calibration:" in out.stdout
+
+
+def test_example_quality_audit():
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, f"{EX}/example_quality_audit.py"],
+        capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "LSH audit:" in r.stdout
+    assert "CUSUM:" in r.stdout
