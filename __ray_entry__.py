@@ -390,6 +390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mrr": q.q_mrr,
         "q_expanding_minmax": q.q_expanding_minmax,
         "q_lsh_quality": q.q_lsh_quality,
+        "q_tail_mean": q.q_tail_mean,
+        "q_day_overlap": q.q_day_overlap,
     }
 
 
@@ -5444,5 +5446,44 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         THEN (vc - mn) * 1000000 // (mx - mn)
                         ELSE -1 END AS pos_ppm
             FROM o
+        """,
+        "q_tail_mean": """
+            WITH o AS (
+              SELECT user_id,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC,
+                                event_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(cents) AS BIGINT) AS tail_sum_cents,
+                   CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS tail_mean_cents
+            FROM o WHERE rn <= (n + 9) // 10
+            GROUP BY user_id
+        """,
+        "q_day_overlap": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+              FROM events
+            ), act AS (
+              SELECT day, COUNT(*) AS n FROM d GROUP BY 1
+            ), inter AS (
+              SELECT a.day, COUNT(*) AS i
+              FROM d a JOIN d b
+                ON b.user_id = a.user_id AND b.day = a.day + 1
+              GROUP BY 1
+            )
+            SELECT a.day, a.n AS n_day, b.n AS n_next_day,
+                   CAST(COALESCE(i.i, 0) AS BIGINT) AS n_both,
+                   COALESCE(i.i, 0) * 1000000
+                     // (a.n + b.n - COALESCE(i.i, 0)) AS jaccard_ppm
+            FROM act a
+            JOIN act b ON b.day = a.day + 1
+            LEFT JOIN inter i ON i.day = a.day
         """,
     }

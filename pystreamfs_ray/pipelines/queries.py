@@ -7639,3 +7639,97 @@ def q_lsh_quality(sf_dir: str):
         "recall_ppm": [np.int64(n_hit * 1_000_000 // n_truth
                                 if n_truth else 0)],
     })
+
+
+def q_tail_mean(sf_dir: str):
+    """Per-user tail risk: the mean of the user's top-decile event
+    values (expected-shortfall style — the heavy-spend feature a
+    mean hides). k = ceil(n/10) top values by (cents desc, event_id
+    asc); the sum and k are exact int64 and the mean is ONE division
+    of identical integers on both sides (bit-equal without rounding).
+    One entity shuffle; per-bucket vectorized sort + grouped head."""
+    ev = read_parquet(_p(sf_dir, "events"),
+                      columns=["event_id", "user_id", "value"])
+
+    def tail(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(g["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        t = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                          "cents": cents,
+                          "event_id": g["event_id"].to_numpy(np.int64)})
+        t = t.sort_values(["user_id", "cents", "event_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+        grp = t.groupby("user_id", sort=False)
+        rn = grp.cumcount().to_numpy(np.int64)
+        n = grp["cents"].transform("size").to_numpy(np.int64)
+        k = -(-n // 10)   # ceil(n/10)
+        kept = t[rn < k]
+        out = (kept.groupby("user_id", sort=False, as_index=False)
+               .agg(k=("cents", "size"), tail_sum_cents=("cents", "sum")))
+        out["k"] = out["k"].astype(np.int64)
+        out["tail_sum_cents"] = out["tail_sum_cents"].astype(np.int64)
+        out["tail_mean_cents"] = (
+            out["tail_sum_cents"].to_numpy(np.float64)
+            / out["k"].to_numpy(np.float64))
+        return out
+
+    return W.per_bucket(ev, tail, entity_col="user_id",
+                        num_buckets=_BUCKETS)
+
+
+def q_day_overlap(sf_dir: str):
+    """Day-over-day audience Jaccard: for each consecutive observed
+    day pair, |users active both days| / |users active either day| —
+    the stickiness curve behind retention. The intersection is counted
+    INSIDE the user bucket (a user's sorted distinct days: each
+    (d, d+1) adjacency contributes one), so only per-day int counts
+    shuffle; Jaccard ships as exact floor ppm."""
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    ev = read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def days(g: pd.DataFrame) -> pd.DataFrame:
+        day = (g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+               // 86_400_000_000)
+        d = (pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                           "day": day})
+             .drop_duplicates().sort_values(["user_id", "day"],
+                                            kind="mergesort",
+                                            ignore_index=True))
+        u = d["user_id"].to_numpy()
+        dy = d["day"].to_numpy(np.int64)
+        adj = (u[1:] == u[:-1]) & (dy[1:] == dy[:-1] + 1)
+        act = pd.DataFrame({"day": dy, "n_act": np.int64(1),
+                            "n_next": np.int64(0)})
+        nxt = pd.DataFrame({"day": dy[:-1][adj],
+                            "n_act": np.int64(0),
+                            "n_next": np.int64(1)})
+        return (pd.concat([act, nxt], ignore_index=True)
+                .groupby("day", sort=False, as_index=False).sum())
+
+    per_day = (W.per_bucket(ev, days, entity_col="user_id",
+                            num_buckets=_BUCKETS)
+               .groupby("day")
+               .aggregate(Sum("n_act", alias_name="n_act"),
+                          Sum("n_next", alias_name="n_next"))
+               .to_pandas())
+    per_day = ensure_cols(per_day, {"day": np.int64, "n_act": np.int64,
+                                    "n_next": np.int64})
+    per_day = per_day.sort_values("day", ignore_index=True)
+    d = per_day["day"].to_numpy(np.int64)
+    act = per_day["n_act"].to_numpy(np.int64)
+    inter = per_day["n_next"].to_numpy(np.int64)
+    keep = np.zeros(len(d), dtype=bool)
+    keep[:-1] = d[1:] == d[:-1] + 1
+    day_a = d[keep]
+    i_ = inter[keep]
+    n_a = act[keep]
+    n_b = act[np.roll(keep, 1)]
+    union = n_a + n_b - i_
+    return pd.DataFrame({
+        "day": day_a,
+        "n_day": n_a,
+        "n_next_day": n_b,
+        "n_both": i_,
+        "jaccard_ppm": i_ * 1_000_000 // union,
+    })

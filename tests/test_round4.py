@@ -4615,3 +4615,53 @@ def test_lsh_quality_planted_neardups(ray_session, tmp_path):
     assert got["recall_ppm"] == 1_000_000  # identical sigs always collide
     assert got["n_hit"] == got["n_truth"]
     assert 0 < got["precision_ppm"] <= 1_000_000
+
+
+def test_tail_mean_bruteforce(ray_session):
+    """Top-decile mean equals the literal per-user definition."""
+    from pystreamfs_ray.pipelines.queries import q_tail_mean
+    from pystreamfs_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    ev = (read_parquet(sf + "/events.parquet",
+                       columns=["event_id", "user_id", "value"])
+          .to_pandas())
+    got = q_tail_mean(sf).to_pandas().set_index("user_id")
+    for uid, g in ev.groupby("user_id"):
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(), -cents))
+        k = -(-len(cents) // 10)
+        top = cents[order][:k]
+        assert got.loc[uid, "k"] == k
+        assert got.loc[uid, "tail_sum_cents"] == top.sum()
+        assert got.loc[uid, "tail_mean_cents"] == top.sum() / k
+    assert len(got) == ev["user_id"].nunique()
+
+
+def test_day_overlap_planted(ray_session, tmp_path):
+    """Two users overlapping on exactly one of two consecutive days
+    produce the hand-computed Jaccard."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pystreamfs_ray.pipelines.queries import q_day_overlap
+
+    day_us = 86_400_000_000
+    # day 0: users {1, 2, 3}; day 1: users {2, 4} -> both {2},
+    # union {1,2,3,4} -> jaccard 1/4
+    rows = [(1, 0), (2, 0), (3, 0), (2, 1), (4, 1), (2, 0)]  # dup event
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array([r[1] * day_us for r in rows],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array(["click"] * len(rows)),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["x"] * len(rows)),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = q_day_overlap(str(tmp_path))
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["day"], r["n_day"], r["n_next_day"], r["n_both"]) == (0, 3, 2, 1)
+    assert r["jaccard_ppm"] == 1_000_000 // 4
