@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lsh_quality": q.q_lsh_quality,
         "q_tail_mean": q.q_tail_mean,
         "q_day_overlap": q.q_day_overlap,
+        "q_ttr": q.q_ttr,
     }
 
 
@@ -5485,5 +5486,22 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM act a
             JOIN act b ON b.day = a.day + 1
             LEFT JOIN inter i ON i.day = a.day
+        """,
+        "q_ttr": r"""
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                        END AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(list_distinct(
+                               regexp_split_to_array(trim(text), '\s+')))
+                        END AS BIGINT) AS n_types,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(list_distinct(
+                               regexp_split_to_array(trim(text), '\s+')))
+                             * 1000000
+                             // len(regexp_split_to_array(trim(text), '\s+'))
+                        END AS BIGINT) AS ttr_ppm
+            FROM documents
         """,
     }

@@ -7733,3 +7733,34 @@ def q_day_overlap(sf_dir: str):
         "n_both": i_,
         "jaccard_ppm": i_ * 1_000_000 // union,
     })
+
+
+def q_ttr(sf_dir: str):
+    """Type-token ratio (lexical diversity) per document — the repeat-
+    vocabulary quality signal next to the repetition filters: distinct
+    words / words, doc-local and shuffle-free. The counts are exact
+    ints (explode + grouped nunique, C-level — no Python row loop);
+    the ratio ships as floor ppm."""
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "text"])
+
+    def ttr(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.strip().str.split(r"\s+")
+        ex = words.explode()
+        grp = ex.groupby(level=0)
+        n_tokens = grp.size().to_numpy(np.int64)
+        n_types = grp.nunique().to_numpy(np.int64)
+        empty = df["text"].str.strip().eq("").to_numpy()
+        n_tokens = np.where(empty, 0, n_tokens)
+        n_types = np.where(empty, 0, n_types)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_tokens": n_tokens,
+            "n_types": n_types,
+            "ttr_ppm": np.where(n_tokens > 0,
+                                n_types * 1_000_000
+                                // np.maximum(n_tokens, 1),
+                                np.int64(0)),
+        })
+
+    return docs.map_batches(ttr, batch_format="pandas")

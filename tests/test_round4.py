@@ -4665,3 +4665,26 @@ def test_day_overlap_planted(ray_session, tmp_path):
     r = got.iloc[0]
     assert (r["day"], r["n_day"], r["n_next_day"], r["n_both"]) == (0, 3, 2, 1)
     assert r["jaccard_ppm"] == 1_000_000 // 4
+
+
+def test_ttr_known_values(ray_session, tmp_path):
+    """Hand-computed type-token ratios, including the empty doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pystreamfs_ray.pipelines.queries import q_ttr
+
+    texts = ["a b a b", "x y z", "w w w w", ""]
+    t = pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = (q_ttr(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert got["n_tokens"].tolist() == [4, 3, 4, 0]
+    assert got["n_types"].tolist() == [2, 3, 1, 0]
+    assert got["ttr_ppm"].tolist() == [500_000, 1_000_000, 250_000, 0]
