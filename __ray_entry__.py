@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tail_mean": q.q_tail_mean,
         "q_day_overlap": q.q_day_overlap,
         "q_ttr": q.q_ttr,
+        "q_ngram_novelty": q.q_ngram_novelty,
     }
 
 
@@ -5503,5 +5504,35 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                              // len(regexp_split_to_array(trim(text), '\s+'))
                         END AS BIGINT) AS ttr_ppm
             FROM documents
+        """,
+        "q_ngram_novelty": r"""
+            WITH docs AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+                     ELSE array_to_string(ws[i.i:i.i+2], ' ') END AS s
+              FROM docs CROSS JOIN LATERAL (
+                SELECT unnest(range(1, GREATEST(len(ws) - 2, 1) + 1))
+                  AS i) i
+            ), h AS (
+              SELECT DISTINCT doc_id, md5_number_lower(s) AS hv FROM sh
+            ), first AS (
+              SELECT hv, MIN(doc_id) AS first_doc FROM h GROUP BY hv
+            ), novel AS (
+              SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+              FROM first GROUP BY 1
+            ), total AS (
+              SELECT doc_id, COUNT(*) AS n_grams FROM h GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   CAST(t.n_grams AS BIGINT) AS n_grams,
+                   CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+                   CAST(COALESCE(n.n_novel, 0) * 1000000
+                        // GREATEST(t.n_grams, 1) AS BIGINT)
+                     AS novelty_ppm
+            FROM total t LEFT JOIN novel n ON n.doc_id = t.doc_id
         """,
     }

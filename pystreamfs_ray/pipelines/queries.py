@@ -7764,3 +7764,75 @@ def q_ttr(sf_dir: str):
         })
 
     return docs.map_batches(ttr, batch_format="pandas")
+
+
+def q_ngram_novelty(sf_dir: str):
+    """Corpus novelty curve: per document (in doc_id order), how many
+    of its distinct word-3-shingles appear in NO earlier document —
+    the diminishing-returns signal dataset curation reads before
+    adding a feed. Shingles hash to md5-low-64 (text never shuffles);
+    one grouped MIN(doc_id) attributes each shingle to its first doc,
+    and both per-doc tallies (distinct shingles, novel shingles) are
+    bounded combiner aggregates joined on doc_id. Novelty ships as
+    exact floor ppm."""
+    from pystreamfs_ray.stages.dedup import _md5_lower64, _shingle_set
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "text"])
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        ids, hs = [], []
+        for d, t in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            u = np.unique(_md5_lower64(_shingle_set(t, 3)))
+            ids.append(np.full(len(u), d, dtype=np.int64))
+            # int64 two's-complement view: h is only ever a GROUP key
+            # (bijective, same groups) and Ray's shuffle falls back to
+            # pickled objects on uint64 columns
+            hs.append(u.view(np.int64))
+        return pd.DataFrame({
+            "doc_id": np.concatenate(ids) if ids else
+            np.array([], dtype=np.int64),
+            "h": np.concatenate(hs) if hs else
+            np.array([], dtype=np.int64),
+        })
+
+    pairs = docs.map_batches(arrow_combiner(grams),
+                             batch_format="pyarrow")
+    # two tallies re-keyed onto doc_id and merged by ONE aggregate —
+    # no |docs|-sized driver table (the docs axis is data-sized at
+    # 10^12 turns, so the per-doc join must stay distributed)
+
+    def tag_total(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_grams": t["_cnt"].cast(pa.int64()),
+                         "n_novel": pa.array([0] * len(t),
+                                             type=pa.int64())})
+
+    def tag_novel(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["first_doc"],
+                         "n_grams": pa.array([0] * len(t),
+                                             type=pa.int64()),
+                         "n_novel": t["_cnt"].cast(pa.int64())})
+
+    total = (pairs.groupby("doc_id")
+             .aggregate(Count(alias_name="_cnt"))
+             .map_batches(tag_total, batch_format="pyarrow"))
+    novel = (pairs.groupby("h")
+             .aggregate(Min("doc_id", alias_name="first_doc"))
+             .groupby("first_doc")
+             .aggregate(Count(alias_name="_cnt"))
+             .map_batches(tag_novel, batch_format="pyarrow"))
+    merged = (total.union(novel)
+              .groupby("doc_id")
+              .aggregate(Sum("n_grams", alias_name="n_grams"),
+                         Sum("n_novel", alias_name="n_novel"))
+              .to_pandas())
+    merged = ensure_cols(merged, {"doc_id": np.int64, "n_grams": np.int64,
+                                  "n_novel": np.int64})
+    for c in ("doc_id", "n_grams", "n_novel"):
+        merged[c] = merged[c].astype(np.int64)
+    merged["novelty_ppm"] = (
+        merged["n_novel"].to_numpy(np.int64) * 1_000_000
+        // np.maximum(merged["n_grams"].to_numpy(np.int64), 1))
+    return merged

@@ -4688,3 +4688,32 @@ def test_ttr_known_values(ray_session, tmp_path):
     assert got["n_tokens"].tolist() == [4, 3, 4, 0]
     assert got["n_types"].tolist() == [2, 3, 1, 0]
     assert got["ttr_ppm"].tolist() == [500_000, 1_000_000, 250_000, 0]
+
+
+def test_ngram_novelty_replay(ray_session, tmp_path):
+    """First doc is all-novel; an exact duplicate later contributes
+    zero novelty; totals reconcile with the distinct-shingle counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pystreamfs_ray.pipelines.queries import q_ngram_novelty
+
+    texts = ["a b c d e",        # doc 0: 3 shingles, all novel
+             "a b c d e",        # doc 1: exact dup -> 0 novel
+             "a b c x y",        # doc 2: shares 'a b c' only
+             "p q"]              # doc 3: short text -> whole-text shingle
+    t = pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = (q_ngram_novelty(str(tmp_path))
+           .set_index("doc_id").sort_index())
+    assert got["n_grams"].tolist() == [3, 3, 3, 1]
+    assert got["n_novel"].tolist() == [3, 0, 2, 1]
+    assert got.loc[0, "novelty_ppm"] == 1_000_000
+    assert got.loc[1, "novelty_ppm"] == 0
+    assert got.loc[2, "novelty_ppm"] == 2_000_000 // 3
