@@ -1515,7 +1515,8 @@ def prefix_dedup(ds, *, text_col: str = "text", num_partitions: int = 32,
 def incremental_minhash_pairs(new_ds, index_sigs, *, id_col="doc_id",
                               text_col="text", num_perm=128, bands=32,
                               shingle_k=3, threshold=0.5, concurrency=4,
-                              num_partitions=None, pair_buckets=64):
+                              num_partitions=None, pair_buckets=64,
+                              new_presigned=False):
     """Incremental near-dup ingestion: match an ARRIVAL batch against a
     PERSISTED corpus signature index (``minhash_signatures`` output,
     e.g. read back from parquet) and emit
@@ -1532,7 +1533,12 @@ def incremental_minhash_pairs(new_ds, index_sigs, *, id_col="doc_id",
     ONE partitioned hash join keyed on the indexed id. Re-running with
     the same batch is idempotent; arrivals matching nothing simply
     emit no row (compose with ``incremental_exact_dedup`` for the
-    exact-identity tier)."""
+    exact-identity tier).
+
+    ``new_presigned=True`` means ``new_ds`` already IS a signature
+    dataset (``minhash_signatures`` schema) — callers that sign both
+    sides from one source (or load persisted arrival signatures) skip
+    the second signature actor pool and its cold ramp entirely."""
     import ray
     import ray.data as rd
 
@@ -1540,10 +1546,13 @@ def incremental_minhash_pairs(new_ds, index_sigs, *, id_col="doc_id",
 
     assert num_perm % bands == 0
 
-    new_sigs = minhash_signatures(
-        new_ds, id_col=id_col, text_col=text_col, num_perm=num_perm,
-        shingle_k=shingle_k, concurrency=concurrency,
-    ).materialize()  # reused: banding + broadcast verification
+    if new_presigned:
+        new_sigs = new_ds.materialize()
+    else:
+        new_sigs = minhash_signatures(
+            new_ds, id_col=id_col, text_col=text_col, num_perm=num_perm,
+            shingle_k=shingle_k, concurrency=concurrency,
+        ).materialize()  # reused: banding + broadcast verification
 
     if new_sigs.count() == 0:
         # empty arrival batch: 0-row to_pandas drops the schema, so

@@ -5,12 +5,18 @@ feature-extract / resize / frame-sample are actor-pool ``map_batches``
 stages with SMALL batch sizes (payloads are big — batch × concurrency
 must fit worker heap; see the memory notes in SURVEY.md §4).
 
-The sandbox has no image/audio libraries, so the actual codec step is
-STUBBED: ``DecodeStub(fake=True)`` produces deterministic pseudo-decoded
-features from the payload bytes (hash-derived width/height/duration,
-mean byte value); ``fake=False`` raises ``NotImplementedError`` with the
-library it would use. The Ray-side plumbing — schema, actor signature,
-batch sizing, output layout — is real and tested.
+COMPRESSED formats (JPEG/MP3/MP4) need codec libraries the sandbox
+lacks, so that decode step is STUBBED: ``DecodeStub(fake=True)``
+produces deterministic pseudo-decoded features from the payload bytes
+(hash-derived width/height/duration, mean byte value); ``fake=False``
+raises ``NotImplementedError`` with the library it would use. The
+Ray-side plumbing — schema, actor signature, batch sizing, output
+layout — is real and tested.
+
+UNCOMPRESSED containers decode for REAL: ``stages/codecs.py`` parses
+BMP (BI_RGB 24bpp) and RIFF/WAVE PCM16 byte-for-byte with pure
+struct+numpy (driver queries ``q_decode_bmp`` / ``q_decode_wav``,
+oracle-checked round trips).
 """
 
 from __future__ import annotations

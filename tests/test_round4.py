@@ -449,15 +449,36 @@ def test_document_frequency_matches_naive(ray_session):
 
 
 def test_ann_recall_bounds(ray_session):
-    """Partial-probe IVF keeps usable recall, and the metric itself is
-    well-formed (hits ≤ k, recall in [0, 1], one row per query)."""
-    from pystreamfs_ray.pipelines.queries import q_ann_recall
+    """Partial-probe IVF is a real quality gate: nprobe=10/16 holds
+    mean recall ≥ 0.8 on the unclustered sf fixtures (measured 0.83,
+    deterministic under the seeded k-means), full probing is exact
+    (≥ 0.99), and the metric itself is well-formed (hits ≤ k, recall
+    in [0, 1], one row per query)."""
+    import numpy as np
+
+    from pystreamfs_ray.pipelines.queries import (
+        _p, _pds, _recall_frame, q_ann_recall, read_parquet)
+    from pystreamfs_ray.stages.similarity import brute_force_topk, ivf_topk
 
     out = q_ann_recall("/root/testdata/sf0.001")
     assert len(out) == 10
     assert (out["n_hits"] <= out["k"]).all()
     assert out["recall"].between(0, 1).all()
-    assert out["recall"].mean() >= 0.5
+    assert out["recall"].mean() >= 0.8, out["recall"].mean()
+
+    # full probe must recover the exact top-k
+    sf = "/root/testdata/sf0.001"
+    emb = read_parquet(_p(sf, "embeddings"), columns=["vec_id", "embedding"])
+    qdf = read_parquet(_p(sf, "embeddings"),
+                       columns=["vec_id", "embedding"],
+                       filter=(_pds.field("vec_id") < 10)).to_pandas()
+    qmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy()
+    exact = brute_force_topk(emb, qids, qmat, k=10, concurrency=2).to_pandas()
+    full = ivf_topk(emb, qids, qmat, k=10, n_cells=16, nprobe=16,
+                    concurrency=2).to_pandas()
+    assert _recall_frame(exact, full)["recall"].mean() >= 0.99
 
 
 def test_export_jsonl_sharded_layout_resume_determinism(ray_session, tmp_path):
@@ -1019,7 +1040,10 @@ def test_ivf_int8_composition(ray_session):
         true = set(exact.loc[exact["query_id"] == qid, "vec_id"])
         got = set(part.loc[part["query_id"] == qid, "vec_id"])
         recalls.append(len(true & got) / len(true))
-    assert np.mean(recalls) >= 0.5, recalls
+    # measured 1.0 on this well-separated seeded fixture (each query's
+    # own cluster is always probed); 0.9 leaves headroom only for a
+    # k-means seeding change, not for a broken probe mask
+    assert np.mean(recalls) >= 0.9, recalls
 
 
 def test_snapshot_diff_hand_case_and_empty(ray_session):
@@ -4483,12 +4507,37 @@ def test_embedding_anomaly_flags_planted_outlier(ray_session, tmp_path):
     })
     pq.write_table(t, str(tmp_path / "embeddings.parquet"))
     got = (q_embedding_anomaly(str(tmp_path)).to_pandas()
-           .set_index("vec_id")["anomaly"])
+           .set_index("vec_id")["anomaly_ppm"]) / 1e6
     assert got.idxmax() == 0
     assert got.loc[0] > 5 * got.drop(0).mean()
     # the n factors cancel (a²/b = dev²/var), so the corpus mean of a
     # standardized squared distance is ~d
     assert 10 < got.drop(0).mean() < 22
+
+
+def test_embedding_anomaly_zero_variance_dim(ray_session, tmp_path):
+    """A constant (zero-variance) dimension contributes 0 instead of
+    inf/NaN — the explicit b == 0 guard (ADVICE r4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pystreamfs_ray.pipelines.queries import q_embedding_anomaly
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(0, 1, size=(50, 8)).astype(np.float32)
+    X[:, 3] = 0.25   # constant dim → b == 0 after quantization
+    t = pa.table({
+        "vec_id": pa.array(range(50), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * 50, type=pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = q_embedding_anomaly(str(tmp_path)).to_pandas()
+    assert got["anomaly_ppm"].notna().all()
+    assert (got["anomaly_ppm"] >= 0).all()
+    # 7 live unit-variance dims → corpus mean ≈ 7
+    assert 4 < got["anomaly_ppm"].mean() / 1e6 < 10
 
 
 def test_markov_baseline_planted_chain(ray_session, tmp_path):
