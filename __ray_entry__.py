@@ -173,6 +173,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_incremental_minhash": q.q_incremental_minhash,
         "q_prior_ctr": q.q_prior_ctr,
         "q_bpe_train": q.q_bpe_train,
+        # rows-only like q_bpe_train (iterative merges are not SQL);
+        # pytest pins sequential-reference parity (test_round5.py)
+        "q_bpe_encode": q.q_bpe_encode,
         "q_footer_stats": q.q_footer_stats,
         "q_zorder": q.q_zorder,
         "q_attribution": q.q_attribution,

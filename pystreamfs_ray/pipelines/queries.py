@@ -3213,6 +3213,21 @@ def q_bpe_train(sf_dir: str):
     return bpe_train(docs, num_merges=32)
 
 
+def q_bpe_encode(sf_dir: str):
+    """Tokenizer APPLICATION: train a 64-merge BPE table on the corpus
+    (bounded vocab-table loop), then encode every document with it —
+    the train-once/encode-corpus lifecycle a pretraining pipeline runs
+    to budget true token counts before packing. Encoding is one
+    actor-pool pass (ranks dict built per actor, per-distinct-word
+    memoization); non-SQL like q_bpe_train (rows-only; pytest pins the
+    sequential-reference parity and the merge monotonicity)."""
+    from pystreamfs_ray.stages.textstats import bpe_encode_counts, bpe_train
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    merges = bpe_train(docs, num_merges=64)
+    return bpe_encode_counts(docs, merges, concurrency=2)
+
+
 def q_footer_stats(sf_dir: str):
     """Shard-planning audit: per-row-group min/max/null stats of every
     plain-int64 column across all table files, read from parquet

@@ -1291,6 +1291,87 @@ def bpe_train(ds, *, text_col: str = "text", num_merges: int = 32,
         {"rank": np.int64, "pair_count": np.int64})
 
 
+def bpe_apply_word(word: str, ranks: dict) -> int:
+    """Sequential-reference BPE application for ONE word: repeatedly
+    merge the lowest-rank adjacent pair until none applies; returns the
+    token count. ``ranks`` maps (left, right) → merge rank. This is
+    the published greedy algorithm (GPT-2 encoder.py shape), kept
+    minimal because the distributed path memoizes per distinct word."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i: best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return len(syms)
+
+
+class BpeEncoder:
+    """Actor-pool tokenizer APPLICATION: count true BPE tokens per
+    document under a TRAINED merge table (`bpe_train` output) — the
+    second half of the tokenizer lifecycle (train once, encode the
+    corpus). The merge table is a broadcast-sized model artifact: the
+    ranks dict builds once per actor in ``__init__`` (never per
+    batch), and encoding memoizes per DISTINCT word — Zipf makes the
+    distinct-word set per batch ≪ the token count, and the cache
+    carries across batches within an actor (bounded; oldest-insertion
+    eviction at ``cache_cap``). Doc-local, zero shuffles; payloads
+    never leave the read task."""
+
+    def __init__(self, merges_records: tuple, text_col: str = "text",
+                 cache_cap: int = 1 << 20):
+        self.text_col = text_col
+        self.ranks = {(l, r): k for k, l, r in merges_records}
+        self.cache: dict = {}
+        self.cache_cap = cache_cap
+        self.word_re = re.compile(r"[a-z0-9_]+")
+
+    def _count(self, word: str) -> int:
+        n = self.cache.get(word)
+        if n is None:
+            n = bpe_apply_word(word, self.ranks)
+            if len(self.cache) >= self.cache_cap:
+                self.cache.pop(next(iter(self.cache)))
+            self.cache[word] = n
+        return n
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[self.text_col].str.lower().str.findall(self.word_re)
+        flat = toks.explode().dropna()
+        # batch-level distinct-word encode, then a vectorized gather
+        uniq = flat.unique()
+        enc = {w: self._count(w) for w in uniq}
+        per_tok = flat.map(enc).astype(np.int64)
+        n_tokens = per_tok.groupby(level=0).sum()
+        n_words = toks.str.len().astype(np.int64)
+        out = pd.DataFrame({
+            "n_words": n_words.to_numpy(np.int64),
+            "n_tokens": n_tokens.reindex(df.index, fill_value=0)
+                                .to_numpy(np.int64),
+        }, index=df.index)
+        keep = [c for c in df.columns if c != self.text_col]
+        return pd.concat([df[keep], out], axis=1)
+
+
+def bpe_encode_counts(ds, merges: pd.DataFrame, *, text_col: str = "text",
+                      concurrency=4, batch_size: int = 1024):
+    """Corpus-wide token accounting under a trained BPE merge table —
+    what a pretraining pipeline runs to budget token counts before
+    packing. One actor-pool pass; the merge table rides as positional
+    constructor args (hashable, so Ray's operator fusion works)."""
+    records = tuple((int(r), str(l), str(rt)) for r, l, rt in zip(
+        merges["rank"], merges["left"], merges["right"]))
+    return ds.map_batches(
+        BpeEncoder, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_args=(records, text_col),
+    )
+
+
 def span_corrupt(ds, *, id_col: str = "doc_id", text_col: str = "text",
                  every: int = 4, phase: int = 1, sentinel: str = "<mask>"):
     """T5-style denoising-objective preparation, deterministic variant:

@@ -1,0 +1,98 @@
+"""Round-5 operator tests: BPE tokenizer application."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def _naive_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply merges strictly in rank order, full passes — the
+    textbook formulation (equivalent to lowest-rank-pair greedy)."""
+    syms = list(word)
+    for a, b in merges:
+        i, out = 0, []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_apply_word_matches_rank_order_reference():
+    from pystreamfs_ray.stages.textstats import bpe_apply_word
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er")]
+    ranks = {m: i for i, m in enumerate(merges)}
+    for w in ("lower", "low", "lowest", "hello", "roller", "x", ""):
+        want = len(_naive_encode(w, merges)) if w else 0
+        got = bpe_apply_word(w, ranks) if w else 0
+        assert got == want, (w, got, want)
+
+
+def test_bpe_encode_counts_distributed_matches_sequential(ray_session):
+    """Distributed actor-pool encode == driver-side sequential encode
+    with the SAME trained merge table, at any partitioning."""
+    from pystreamfs_ray.stages.textstats import (bpe_apply_word,
+                                                 bpe_encode_counts,
+                                                 bpe_train)
+    import re
+
+    texts = [
+        "the lower river flows lower and lower",
+        "a slow yellow fellow followed the flow",
+        "rivers flow; followers follow the lower road",
+        "",
+        "THE THE the the then there those",
+    ] * 4
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    ds = rd.from_pandas(df).repartition(5)
+    merges = bpe_train(ds, num_merges=12)
+    got = (bpe_encode_counts(ds, merges, concurrency=2, batch_size=4)
+           .to_pandas().set_index("doc_id").sort_index())
+
+    ranks = {(l, r): k for k, l, r in zip(
+        merges["rank"], merges["left"], merges["right"])}
+    word_re = re.compile(r"[a-z0-9_]+")
+    for i, t in enumerate(texts):
+        words = word_re.findall(t.lower())
+        want_tokens = sum(bpe_apply_word(w, ranks) for w in words)
+        assert got.loc[i, "n_words"] == len(words)
+        assert got.loc[i, "n_tokens"] == want_tokens, (i, t)
+
+
+def test_bpe_encode_merge_monotonicity(ray_session):
+    """More merges never increases the token count; zero merges
+    degenerates to character count."""
+    from pystreamfs_ray.stages.textstats import bpe_encode_counts, bpe_train
+
+    texts = ["banana bandana cabana", "ban the banner banning bans"] * 3
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    ds = rd.from_pandas(df)
+    prev = None
+    for k in (0, 4, 16):
+        merges = bpe_train(ds, num_merges=k)
+        out = (bpe_encode_counts(ds, merges).to_pandas()
+               .set_index("doc_id").sort_index()["n_tokens"])
+        if k == 0:
+            chars = [sum(len(w) for w in t.lower().split()) for t in texts]
+            assert out.tolist() == chars
+        if prev is not None:
+            assert (out <= prev).all()
+        prev = out
+
+
+def test_q_bpe_encode_runs(ray_session):
+    from pystreamfs_ray.pipelines.queries import q_bpe_encode
+
+    out = q_bpe_encode("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert (out["n_tokens"] <= out["text"].str.len().sum()
+            if "text" in out.columns else True)
+    assert (out["n_tokens"] >= out["n_words"]).all()
+    assert set(["doc_id", "n_words", "n_tokens"]) <= set(out.columns)
