@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cube_counts": q.q_cube_counts,
         "q_sorted_neighborhood": q.q_sorted_neighborhood,
         "q_l_diversity": q.q_l_diversity,
+        "q_t_closeness": q.q_t_closeness,
         "q_xcorr_daily": q.q_xcorr_daily,
         "q_shard_plan": q.q_shard_plan,
         "q_interval_union": q.q_interval_union,
@@ -229,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_js_divergence": q.q_js_divergence,
         "q_discounted_return": q.q_discounted_return,
         "q_bottomk_sample": q.q_bottomk_sample,
+        "q_proportional_sample": q.q_proportional_sample,
         "q_unpivot_metrics": q.q_unpivot_metrics,
         "q_daily_ffill": q.q_daily_ffill,
         "q_turns_since_tool": q.q_turns_since_tool,
@@ -5165,6 +5167,48 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM (VALUES (2), (3), (5)) t(l_thr) CROSS JOIN cls
             GROUP BY t.l_thr
         """,
+        # t-closeness: ordered-bucket EMD on the exact common
+        # denominator n_c·N; the |cum| window sum is over int64 terms
+        # and the final emd_ppm is one integer floor division — float-
+        # free on both engines
+        "q_t_closeness": """
+            WITH cells AS (
+              SELECT lang, source, n_chars // 256 AS sb,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY lang, source, sb
+            ), tot AS (
+              SELECT sb, CAST(SUM(n) AS BIGINT) AS nb
+              FROM cells GROUP BY sb
+            ), consts AS (
+              SELECT CAST(SUM(nb) AS BIGINT) AS n_all,
+                     CAST(COUNT(*) AS BIGINT) AS b
+              FROM tot
+            ), cls AS (
+              SELECT lang, source, CAST(SUM(n) AS BIGINT) AS nc
+              FROM cells GROUP BY lang, source
+            ), grid AS (
+              SELECT c.lang, c.source, c.nc, t.sb, t.nb,
+                     COALESCE(x.n, 0) AS ncb
+              FROM cls c CROSS JOIN tot t
+              LEFT JOIN cells x
+                ON x.lang = c.lang AND x.source = c.source
+               AND x.sb = t.sb
+            ), cum AS (
+              SELECT lang, source, nc,
+                     SUM(ncb * (SELECT n_all FROM consts) - nb * nc)
+                       OVER (PARTITION BY lang, source
+                             ORDER BY sb) AS cd
+              FROM grid
+            )
+            SELECT lang, source,
+                   CAST(nc AS BIGINT) AS n_docs,
+                   CAST(CASE WHEN (SELECT b FROM consts) <= 1 THEN 0
+                        ELSE SUM(ABS(cd)) * 1000000
+                             // (nc * (SELECT n_all FROM consts)
+                                 * ((SELECT b FROM consts) - 1))
+                        END AS BIGINT) AS emd_ppm
+            FROM cum GROUP BY lang, source, nc
+        """,
         "q_xcorr_daily": """
             WITH bounds AS (
               SELECT CAST(MIN(ts) AS DATE) AS d0,
@@ -5318,6 +5362,42 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM o a JOIN o b
               ON b.user_id = a.user_id AND b.rn BETWEEN a.rn AND a.rn + 7
             GROUP BY 1, 2
+        """,
+        # exact largest-remainder stratified sample: allocation and
+        # remainder ranking are exact integer arithmetic; in-stratum
+        # order is the same full-width md5 used by q_bottomk_sample
+        "q_proportional_sample": """
+            WITH n AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+              FROM documents GROUP BY source
+            ), tot AS (
+              SELECT CAST(SUM(ns) AS BIGINT) AS n FROM n
+            ), base AS (
+              SELECT source, ns,
+                     ns * 200 // (SELECT n FROM tot) AS b,
+                     ns * 200 % (SELECT n FROM tot) AS rem
+              FROM n
+            ), extra AS (
+              SELECT source, b,
+                     CASE WHEN row_number() OVER (ORDER BY rem DESC,
+                                                  source)
+                          <= 200 - (SELECT SUM(b) FROM base)
+                          THEN 1 ELSE 0 END AS e
+              FROM base
+            ), alloc AS (
+              SELECT source, b + e AS k_s FROM extra
+            ), ranked AS (
+              SELECT source, doc_id,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rnk
+              FROM documents
+            )
+            SELECT r.source, r.doc_id,
+                   CAST(r.rnk AS BIGINT) AS rank_in_source
+            FROM ranked r JOIN alloc a ON a.source = r.source
+            WHERE r.rnk <= a.k_s
         """,
         "q_bottomk_sample": """
             SELECT CAST(row_number() OVER (

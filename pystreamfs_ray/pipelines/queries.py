@@ -4484,6 +4484,59 @@ def q_l_diversity(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_t_closeness(sf_dir: str):
+    """t-closeness audit (Li/Li/Venkatasubramanian), completing the
+    k-anonymity → l-diversity → t-closeness privacy trio: a class can
+    be diverse yet still leak if its sensitive-value DISTRIBUTION
+    differs sharply from the corpus's. Sensitive attribute: the
+    256-char length bucket (ordered), distance = the ordered-bucket
+    earth-mover's distance ``EMD = Σ_i |Σ_{j≤i}(p_j − q_j)| / (B−1)``.
+    EXACT integers throughout: the cumulative difference is computed
+    on the common denominator ``n_c·N`` (``Σ_{j≤i} (n_cj·N − N_j·n_c)``,
+    int64), and the reported ``emd_ppm`` is ONE integer floor division
+    — no float anywhere. Shape: the same bounded
+    (lang, source, bucket) combiner cell table as q_l_diversity; the
+    per-class finish is |classes|×B driver work."""
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["lang", "source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(sb=(df["n_chars"].to_numpy(np.int64) // 256))
+        out = (df.groupby(["lang", "source", "sb"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    cells = (docs.map_batches(arrow_combiner(partial),
+                              batch_format="pyarrow")
+             .groupby(["lang", "source", "sb"])
+             .aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    cells = ensure_cols(cells, {"lang": object, "source": object,
+                                "sb": np.int64, "n": np.int64})
+    buckets = np.sort(cells["sb"].unique())
+    B = len(buckets)
+    tot_b = (cells.groupby("sb")["n"].sum()
+             .reindex(buckets, fill_value=0).to_numpy(np.int64))
+    N = int(tot_b.sum())
+    rows = []
+    for (lang, source), g in cells.groupby(["lang", "source"], sort=True):
+        n_cb = (g.set_index("sb")["n"]
+                .reindex(buckets, fill_value=0).to_numpy(np.int64))
+        n_c = int(n_cb.sum())
+        # cum_i = Σ_{j≤i} (n_cj·N − N_j·n_c) — exact on denominator n_c·N
+        cum = np.cumsum(n_cb * N - tot_b * n_c)
+        emd_num = int(np.abs(cum).sum())
+        emd_ppm = (0 if B <= 1 else
+                   emd_num * 1_000_000 // (n_c * N * (B - 1)))
+        rows.append({"lang": lang, "source": source,
+                     "n_docs": np.int64(n_c),
+                     "emd_ppm": np.int64(emd_ppm)})
+    return pd.DataFrame(rows)
+
+
 def q_xcorr_daily(sf_dir: str):
     """Lagged cross-correlation between the calendar-complete daily
     click series and the purchase series shifted k ∈ {0..3} days later
@@ -7306,6 +7359,65 @@ def q_bottomk_sample(sf_dir: str):
     return pd.DataFrame({
         "rank": np.arange(1, len(pre) + 1, dtype=np.int64),
         "doc_id": pre["doc_id"].to_numpy(np.int64),
+    })
+
+
+def q_proportional_sample(sf_dir: str):
+    """Exact proportional stratified sampling via the largest-remainder
+    (Hamilton) method: K=200 documents allocated across sources so
+    every stratum gets EXACTLY ``floor(n_s·K/N)`` plus one of the
+    ``K − Σfloor`` leftovers by remainder rank (remainder desc, source
+    asc tie-break) — the exact-count complement to the rate-based
+    ``stratified_sample_by_hash`` (which only approximates stratum
+    sizes). Selection within a stratum is the deterministic md5 order,
+    so the sample is reproducible and partition-invariant. Shape: a
+    bounded per-source count exchange → driver allocation on the
+    |sources| table → per-batch per-source k_s-smallest combiner (≤ K
+    rows leave each block) → final |sources|-grouped cut. All-integer;
+    the allocation arithmetic is exact (n_s·K ≪ 2^63)."""
+    from pystreamfs_ray.stages.dedup import _md5_lower64
+    from pystreamfs_ray.util import arrow_combiner, ensure_cols
+
+    K = 200
+    docs = read_parquet(_p(sf_dir, "documents"),
+                        columns=["doc_id", "source"])
+    counts = ensure_cols(
+        docs.groupby("source").aggregate(Count(alias_name="ns")).to_pandas(),
+        {"source": object, "ns": np.int64})
+    N = int(counts["ns"].sum())
+    counts["base"] = counts["ns"].to_numpy(np.int64) * K // N
+    counts["rem"] = counts["ns"].to_numpy(np.int64) * K % N
+    leftovers = K - int(counts["base"].sum())
+    counts = counts.sort_values(["rem", "source"],
+                                ascending=[False, True],
+                                kind="mergesort", ignore_index=True)
+    counts["k_s"] = counts["base"] + (
+        np.arange(len(counts)) < leftovers).astype(np.int64)
+    alloc = dict(zip(counts["source"], counts["k_s"].astype(int)))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_lower64([str(v) for v in df["doc_id"].tolist()])
+        t = pd.DataFrame({"source": df["source"].to_numpy(),
+                          "doc_id": df["doc_id"].to_numpy(np.int64),
+                          "hv": h})
+        # per-source local k_s-smallest (full-width uint64 order)
+        t = t.sort_values(["source", "hv", "doc_id"], kind="mergesort")
+        keep = t.groupby("source", sort=False).cumcount().to_numpy()
+        ks = t["source"].map(alloc).to_numpy(np.int64)
+        return t[keep < ks]
+
+    pre = (docs.map_batches(arrow_combiner(partial),
+                            batch_format="pyarrow")
+           .to_pandas())  # ≤ K rows per block
+    pre = pre.sort_values(["source", "hv", "doc_id"], kind="mergesort",
+                          ignore_index=True)
+    rnk = pre.groupby("source", sort=False).cumcount().to_numpy() + 1
+    ks = pre["source"].map(alloc).to_numpy(np.int64)
+    out = pre[rnk <= ks]
+    return pd.DataFrame({
+        "source": out["source"].to_numpy(),
+        "doc_id": out["doc_id"].to_numpy(np.int64),
+        "rank_in_source": rnk[rnk <= ks].astype(np.int64),
     })
 
 

@@ -87,6 +87,78 @@ def test_bpe_encode_merge_monotonicity(ray_session):
         prev = out
 
 
+def test_t_closeness_planted_skew(ray_session, tmp_path):
+    """A class whose length distribution matches the corpus scores
+    ~0; a class concentrated in one extreme bucket scores high; the
+    exact-integer EMD matches a brute-force rational computation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from fractions import Fraction
+
+    from pystreamfs_ray.pipelines.queries import q_t_closeness
+
+    # buckets 0 and 1 (n_chars 0 / 256). 'bal' mirrors the corpus mix,
+    # 'skew' sits entirely in bucket 1.
+    rows = ([("en", "bal", 0)] * 30 + [("en", "bal", 256)] * 30
+            + [("en", "skew", 256)] * 40)
+    t = pa.table({
+        "doc_id": pa.array(range(len(rows)), type=pa.int64()),
+        "lang": pa.array([r[0] for r in rows]),
+        "source": pa.array([r[1] for r in rows]),
+        "n_chars": pa.array([r[2] for r in rows], type=pa.int64()),
+        "text": pa.array(["x"] * len(rows)),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = (q_t_closeness(str(tmp_path))
+           .set_index("source")["emd_ppm"])
+
+    # brute force: q = (30/100, 70/100); B=2, denominator (B-1)=1
+    def emd(p, q):
+        cum = Fraction(0)
+        total = Fraction(0)
+        for a, b in zip(p, q):
+            cum += a - b
+            total += abs(cum)
+        return total
+
+    q_glob = [Fraction(30, 100), Fraction(70, 100)]
+    want_bal = emd([Fraction(1, 2), Fraction(1, 2)], q_glob)      # 1/5
+    want_skew = emd([Fraction(0), Fraction(1)], q_glob)           # 3/10
+    assert got.loc["bal"] == int(want_bal * 1_000_000)
+    assert got.loc["skew"] == int(want_skew * 1_000_000)
+    assert got.loc["skew"] > got.loc["bal"]
+
+
+def test_proportional_sample_exact_allocation(ray_session):
+    """Sample size is EXACTLY K, per-stratum counts follow the
+    largest-remainder allocation, and the selection is deterministic
+    across runs."""
+    from pystreamfs_ray.pipelines.queries import q_proportional_sample
+
+    out = q_proportional_sample("/root/testdata/sf0.001")
+    assert len(out) == 200
+    got_alloc = out.groupby("source").size()
+
+    # hand-computed Hamilton allocation from the true stratum counts
+    import pyarrow.parquet as pq
+    src = (pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["source"]).to_pandas()["source"])
+    ns = src.value_counts().sort_index()
+    N = int(ns.sum())
+    base = (ns * 200 // N).astype(int)
+    rem = (ns * 200 % N).astype(int)
+    order = sorted(ns.index, key=lambda s: (-rem[s], s))
+    want = base.copy()
+    for s in order[: 200 - int(base.sum())]:
+        want[s] += 1
+    assert got_alloc.sort_index().tolist() == want.sort_index().tolist()
+
+    again = q_proportional_sample("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(
+        out.sort_values(["source", "doc_id"], ignore_index=True),
+        again.sort_values(["source", "doc_id"], ignore_index=True))
+
+
 def test_q_bpe_encode_runs(ray_session):
     from pystreamfs_ray.pipelines.queries import q_bpe_encode
 
