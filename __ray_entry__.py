@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_diversity": q.q_embedding_diversity,
         "q_pareto_share": q.q_pareto_share,
         "q_user_features": q.q_user_features,
+        # rows-only: iterative greedy argmax (pytest brute replica)
+        "q_mmr_select": q.q_mmr_select,
         "q_compression": q.q_compression,
         "q_ann_ndcg": q.q_ann_ndcg,
         "q_k_anonymity": q.q_k_anonymity,

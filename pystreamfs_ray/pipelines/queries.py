@@ -2486,6 +2486,26 @@ def q_ann_recall(sf_dir: str):
     return _recall_frame(exact, approx)
 
 
+def q_mmr_select(sf_dir: str):
+    """Maximal-marginal-relevance diversity selection: the top-10
+    redundancy-penalized neighbors of vec_id 0 (λ=0.7) — how a
+    curation pipeline picks a DIVERSE retrieval set instead of ten
+    near-copies of the best hit. Distributed relevance top-m prefilter
+    (per-block combiners, ≤ m rows leave each block) + bounded greedy
+    driver finish. Iterative greedy argmax is not SQL (rows-only);
+    pytest pins the diversity property and a brute-force replica."""
+    from pystreamfs_ray.stages.similarity import mmr_select
+
+    emb = read_parquet(_p(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"])
+    qvec = (read_parquet(_p(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"],
+                         filter=(_pds.field("vec_id") == 0))
+            .to_pandas()["embedding"].iloc[0])
+    return mmr_select(emb, np.asarray(qvec, dtype=np.float64),
+                      k=10, lam=0.7, concurrency=2)
+
+
 def q_split_leakage(sf_dir: str):
     """Holdout contamination audit: exact-duplicate text groups that
     straddle the train/val/test hash split, per split pair (see

@@ -562,3 +562,78 @@ def range_search(ds, query_ids, query_matrix, *, threshold=0.3,
         concurrency=concurrency,
         fn_constructor_args=(ref, id_col, vec_col, threshold),
     )
+
+
+class _MmrCandidateScorer:
+    """Actor: per-block relevance top-m prefilter that KEEPS the
+    candidate vectors (the MMR loop needs pairwise sims)."""
+
+    def __init__(self, query_ref, id_col: str, vec_col: str, m: int):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float64)[None, :])[0]
+        self.id_col, self.vec_col, self.m = id_col, vec_col, m
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        vecs = _normalize(_as_matrix(df[self.vec_col]))
+        ids = df[self.id_col].to_numpy(np.int64)
+        sims = vecs @ self.q
+        keep = _topk_rounded(sims, ids, min(self.m, len(ids)))
+        return pd.DataFrame({
+            self.id_col: ids[keep],
+            "relevance": np.round(sims[keep], 6),
+            "__vec": list(vecs[keep]),
+        })
+
+
+def mmr_select(ds, query_vec, *, k=10, lam=0.7, candidate_factor=4,
+               id_col="vec_id", vec_col="embedding", concurrency=4,
+               batch_size=4096):
+    """Maximal-marginal-relevance diversity selection (Carbonell &
+    Goldstein 1998): greedily pick k vectors maximizing
+    ``λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s)`` — the standard
+    redundancy-penalized retrieval used to build diverse eval/SFT
+    subsets instead of k near-duplicates of the single best hit.
+
+    Scale shape: a distributed relevance top-m prefilter
+    (m = candidate_factor·k) with per-block partial top-m combiners —
+    only ≤ m (id, relevance, vector) rows leave each block — then the
+    greedy k-step loop runs on the m-candidate table (k·m dot
+    products, driver-side, bounded). The prefilter is the documented
+    MMR-at-scale approximation: any pick must sit in the global
+    relevance top-m (λ ≥ 0.5 keeps this tight in practice). Fully
+    deterministic: round-6 scores, id-asc ties at every boundary."""
+    ref = ray.put(np.asarray(query_vec, dtype=np.float64))
+    m = candidate_factor * k
+    pre = ds.map_batches(
+        _MmrCandidateScorer, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency, fn_constructor_args=(ref, id_col, vec_col, m),
+    ).to_pandas()
+    pre = pre.sort_values(["relevance", id_col], ascending=[False, True],
+                          kind="mergesort", ignore_index=True).head(m)
+    if not len(pre):
+        return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                             "mmr_rank": pd.Series(dtype=np.int64),
+                             "relevance": pd.Series(dtype=np.float64),
+                             "mmr_score": pd.Series(dtype=np.float64)})
+    ids = pre[id_col].to_numpy(np.int64)
+    rel = pre["relevance"].to_numpy(np.float64)
+    vecs = np.stack(pre["__vec"].to_numpy())
+    pair = np.round(vecs @ vecs.T, 6)          # m×m, bounded
+    chosen: list[int] = []
+    max_sim = np.zeros(len(ids))
+    picked = np.zeros(len(ids), dtype=bool)
+    rows = []
+    for rank in range(min(k, len(ids))):
+        score = np.round(lam * rel - (0.0 if not chosen else 1.0)
+                         * (1.0 - lam) * max_sim, 6)
+        score[picked] = -np.inf
+        # (score desc, id asc) deterministic pick
+        best = np.lexsort((ids, -score))[0]
+        picked[best] = True
+        chosen.append(best)
+        max_sim = np.maximum(max_sim, pair[best])
+        rows.append({id_col: ids[best],
+                     "mmr_rank": np.int64(rank + 1),
+                     "relevance": rel[best],
+                     "mmr_score": float(score[best])})
+    return pd.DataFrame(rows)

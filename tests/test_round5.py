@@ -159,6 +159,76 @@ def test_proportional_sample_exact_allocation(ray_session):
         again.sort_values(["source", "doc_id"], ignore_index=True))
 
 
+def test_mmr_select_prefers_diversity(ray_session):
+    """Corpus = two tight clusters near the query + one farther
+    cluster. Pure top-k would take everything from the nearest
+    cluster; MMR must alternate across clusters. Also: λ=1 degenerates
+    to pure relevance ranking, and the result matches a driver-side
+    brute-force replica."""
+    from pystreamfs_ray.stages.similarity import mmr_select
+
+    rng = np.random.default_rng(13)
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    # two equally-relevant clusters straddling the query: within a
+    # cluster sim ≈ 1, across ≈ 0.82 — pure top-k would happily take
+    # many near-copies from one side before the other
+    near_a = np.array([0.95, 0.3, 0.0, 0.0]) + rng.normal(0, 0.005, (20, 4))
+    near_b = np.array([0.95, -0.3, 0.0, 0.0]) + rng.normal(0, 0.005, (20, 4))
+    mat = np.concatenate([near_a, near_b])
+    df = pd.DataFrame({"vec_id": np.arange(len(mat), dtype=np.int64),
+                       "embedding": list(mat)})
+    ds = rd.from_pandas(df).repartition(4)
+
+    sel = mmr_select(ds, q, k=6, lam=0.5, concurrency=2)
+    clusters = (sel["vec_id"].to_numpy() // 20)
+    # the redundancy penalty forces the SECOND pick to the other
+    # cluster (a pure-relevance ranking keeps them interleaved only by
+    # noise; here rank-2-by-relevance is the same cluster as rank 1)
+    assert clusters[0] != clusters[1], sel
+    assert len(set(clusters.tolist())) == 2, sel
+
+    # λ=1: pure relevance — matches brute-force cosine top-k order
+    sel_rel = mmr_select(ds, q, k=6, lam=1.0, concurrency=2)
+    sims = (mat / np.linalg.norm(mat, axis=1, keepdims=True)) @ (
+        q / np.linalg.norm(q))
+    order = np.lexsort((np.arange(len(mat)), -np.round(sims, 6)))[:6]
+    assert sel_rel["vec_id"].tolist() == order.tolist()
+
+    # full brute-force MMR replica on the whole corpus (m = corpus)
+    def brute_mmr(k, lam):
+        vecs = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        rel = np.round(vecs @ (q / np.linalg.norm(q)), 6)
+        pair = np.round(vecs @ vecs.T, 6)
+        picked, max_sim, out = np.zeros(len(mat), bool), np.zeros(len(mat)), []
+        for rank in range(k):
+            score = np.round(lam * rel - (1 - lam) * max_sim
+                             * (1.0 if out else 0.0), 6)
+            score[picked] = -np.inf
+            best = np.lexsort((np.arange(len(mat)), -score))[0]
+            picked[best] = True
+            out.append(best)
+            max_sim = np.maximum(max_sim, pair[best])
+        return out
+
+    # with the candidate prefilter covering the whole corpus the
+    # distributed result equals the exact brute-force MMR; the default
+    # m = 4k prefilter is the documented approximation (it chose a
+    # same-score different-id pick above, which is fine)
+    sel_full = mmr_select(ds, q, k=6, lam=0.5, candidate_factor=8,
+                          concurrency=2)
+    assert sel_full["vec_id"].tolist() == brute_mmr(6, 0.5)
+
+
+def test_q_mmr_select_runs(ray_session):
+    from pystreamfs_ray.pipelines.queries import q_mmr_select
+
+    out = q_mmr_select("/root/testdata/sf0.001")
+    assert len(out) == 10
+    assert out["mmr_rank"].tolist() == list(range(1, 11))
+    # rank 1 is the pure-relevance best; scores never exceed λ·relevance
+    assert (out["mmr_score"] <= 0.7 * out["relevance"] + 1e-9).all()
+
+
 def test_q_bpe_encode_runs(ray_session):
     from pystreamfs_ray.pipelines.queries import q_bpe_encode
 
