@@ -31,6 +31,18 @@ def test_example_corpus_pipeline():
     assert "RRF top-5 doc ids:" in out.stdout
 
 
+def test_example_media_pipeline():
+    """Real-codec decode walk + MMR retrieval — subprocess so it owns
+    its own Ray session."""
+    out = subprocess.run(
+        [sys.executable, f"{EX}/example_media_pipeline.py"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "round-trip spot checks pass" in out.stdout
+    assert "MMR diverse top-8" in out.stdout
+
+
 def test_example_incremental_ingest(tmp_path):
     """Incremental-ingestion loop: bootstrap index → two arrival-batch
     runs, each deduped against the persisted index — subprocess so it
