@@ -210,6 +210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_features": q.q_user_features,
         # rows-only: iterative greedy argmax (pytest brute replica)
         "q_mmr_select": q.q_mmr_select,
+        # rows-only like q_ann_recall (probe-set membership is not SQL)
+        "q_ann_lsh": q.q_ann_lsh,
         "q_compression": q.q_compression,
         "q_ann_ndcg": q.q_ann_ndcg,
         "q_k_anonymity": q.q_k_anonymity,

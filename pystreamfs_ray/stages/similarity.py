@@ -637,3 +637,97 @@ def mmr_select(ds, query_vec, *, k=10, lam=0.7, candidate_factor=4,
                      "relevance": rel[best],
                      "mmr_score": float(score[best])})
     return pd.DataFrame(rows)
+
+
+def _lsh_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Seeded random hyperplanes — regenerated identically anywhere
+    from (dim, n_planes, seed), so nothing d×b ships to workers."""
+    return np.random.default_rng(seed).normal(size=(n_planes, dim))
+
+
+def _lsh_bucket(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Signed-random-projection bucket key per vector: b sign bits
+    packed into an int64 (b ≤ 62)."""
+    bits = (vecs @ planes.T) > 0
+    return bits.astype(np.int64) @ (1 << np.arange(planes.shape[0],
+                                                   dtype=np.int64))
+
+
+class _LshScorer:
+    """Actor: probe-set membership filter + exact rerank. Each query
+    probes its own bucket plus every Hamming-1 neighbor (flip one
+    plane's bit) — the standard multiprobe that rescues vectors
+    sitting just across one hyperplane."""
+
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int,
+                 n_planes: int, n_tables: int, seed: int):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = q["qids"]
+        self.qmat = _normalize(q["qmat"])
+        self.id_col, self.vec_col, self.k = id_col, vec_col, k
+        self.n_planes, self.n_tables, self.seed = n_planes, n_tables, seed
+        self.planes = None  # lazily sized from the first batch's dim
+        self.probe: list[list[set]] = []
+
+    def _setup(self, dim: int):
+        # L independent plane sets (seed offset per table); a vector's
+        # candidacy for a query is the UNION over tables
+        self.planes = [_lsh_planes(dim, self.n_planes, self.seed + t)
+                       for t in range(self.n_tables)]
+        flips = 1 << np.arange(self.n_planes, dtype=np.int64)
+        self.probe = []
+        for planes in self.planes:
+            qb = _lsh_bucket(self.qmat, planes)
+            self.probe.append(
+                [set((b ^ np.concatenate(([0], flips))).tolist())
+                 for b in qb])
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        vecs = _normalize(_as_matrix(df[self.vec_col]))
+        if self.planes is None:
+            self._setup(vecs.shape[1])
+        cells = [_lsh_bucket(vecs, p) for p in self.planes]
+        ids = df[self.id_col].to_numpy()
+        rows_q, rows_id, rows_sim = [], [], []
+        for qi in range(len(self.qids)):
+            mask = np.zeros(len(ids), dtype=bool)
+            for t in range(self.n_tables):
+                mask |= np.isin(cells[t], list(self.probe[t][qi]))
+            if not mask.any():
+                continue
+            sims = self.qmat[qi] @ vecs[mask].T
+            k = min(self.k, sims.shape[0])
+            top = _topk_rounded(sims, ids[mask], k)
+            rows_q.extend([self.qids[qi]] * k)
+            rows_id.extend(ids[mask][top])
+            rows_sim.extend(sims[top])
+        return pd.DataFrame({
+            "query_id": np.array(rows_q, dtype=np.int64),
+            self.id_col: np.array(rows_id, dtype=np.int64),
+            "cosine": np.array(rows_sim, dtype=np.float64),
+        })
+
+
+def lsh_topk(ds, query_ids, query_matrix, *, k=10, n_planes=10,
+             n_tables=4, seed=7, id_col="vec_id", vec_col="embedding",
+             concurrency=4, batch_size=4096):
+    """LSH-bucketed approximate top-k — the hash-partition scale path
+    next to IVF (SURVEY's 'IVF or LSH-bucketed variant'): vectors land
+    in signed-random-projection buckets; each query scores only the
+    vectors in its own bucket and its Hamming-1 multiprobe ring, then
+    the per-block partial top-k reduce ranks exactly like every other
+    ANN path (round-6 desc, id asc). Unlike IVF there is NO training
+    pass — the planes regenerate from the seed anywhere — which is the
+    operational win for incremental ingestion (new data buckets
+    without re-clustering). Expected candidate mass ≈ (b+1)/2^b of the
+    corpus at b planes."""
+    ref = ray.put({"qids": np.asarray(query_ids, dtype=np.int64),
+                   "qmat": np.asarray(query_matrix, dtype=np.float64)})
+    partials = ds.map_batches(
+        _LshScorer, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_args=(ref, id_col, vec_col, k, n_planes,
+                             n_tables, seed),
+    )
+    return partials.groupby("query_id").map_groups(
+        _reduce_topk("cosine", id_col, k), batch_format="pandas")

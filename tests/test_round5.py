@@ -229,6 +229,47 @@ def test_q_mmr_select_runs(ray_session):
     assert (out["mmr_score"] <= 0.7 * out["relevance"] + 1e-9).all()
 
 
+def test_lsh_topk_recall_and_determinism(ray_session):
+    """LSH-bucketed ANN on a clustered corpus: recall ≥ 0.9 at a few
+    percent candidate mass (measured 1.0 at 8 planes × 2 tables);
+    reruns are bit-identical (seeded planes); and the sf-fixture
+    driver query holds its documented worst-case bound."""
+    from pystreamfs_ray.stages.similarity import brute_force_topk, lsh_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 16)) * 4
+    mat = np.concatenate([c + rng.normal(size=(80, 16)) for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(len(mat), dtype=np.int64),
+                       "embedding": list(mat)})
+    ds = rd.from_pandas(df).repartition(4)
+    qids = np.arange(6, dtype=np.int64)
+    qmat = mat[:6]
+    exact = brute_force_topk(ds, qids, qmat, k=10, concurrency=2).to_pandas()
+    ap = lsh_topk(ds, qids, qmat, k=10, n_planes=8, n_tables=2,
+                  concurrency=2).to_pandas()
+    recalls = [
+        len(set(exact.loc[exact["query_id"] == q, "vec_id"])
+            & set(ap.loc[ap["query_id"] == q, "vec_id"])) / 10
+        for q in qids]
+    assert np.mean(recalls) >= 0.9, recalls
+
+    again = lsh_topk(ds, qids, qmat, k=10, n_planes=8, n_tables=2,
+                     concurrency=2).to_pandas()
+    pd.testing.assert_frame_equal(
+        ap.sort_values(["query_id", "vec_id"], ignore_index=True),
+        again.sort_values(["query_id", "vec_id"], ignore_index=True))
+
+
+def test_q_ann_lsh_bound(ray_session):
+    from pystreamfs_ray.pipelines.queries import q_ann_lsh
+
+    out = q_ann_lsh("/root/testdata/sf0.001")
+    assert len(out) == 10
+    assert out["recall"].between(0, 1).all()
+    # unclustered worst case at 8 planes x 12 tables (see docstring)
+    assert out["recall"].mean() >= 0.6, out["recall"].mean()
+
+
 def test_q_bpe_encode_runs(ray_session):
     from pystreamfs_ray.pipelines.queries import q_bpe_encode
 
