@@ -57,9 +57,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
           f"and {worst['source_b']}")
 
     an = q_embedding_anomaly(sf_dir).to_pandas()
-    top = an.nlargest(3, "anomaly")
+    top = an.nlargest(3, "anomaly_ppm")
     print("embedding anomalies (top 3): "
-          + ", ".join(f"vec {int(r.vec_id)}={r.anomaly:.1f}"
+          + ", ".join(f"vec {int(r.vec_id)}={r.anomaly_ppm / 1e6:.1f}"
                       for r in top.itertuples(index=False)))
 
     cu = q_cusum(sf_dir).to_pandas()
