@@ -99,6 +99,30 @@ def test_all_oracles_have_queries():
     assert set(mod.oracle_sql()) <= set(mod.queries())
 
 
+# the CLOSED set of queries allowed to ship without a DuckDB oracle —
+# every entry is a declared non-SQL computation (iterative training,
+# probe-set membership, greedy argmax, model evaluation) with its own
+# pytest gate. A new rows-only query MUST be added here deliberately,
+# so oracle coverage can never erode silently.
+ROWS_ONLY_ALLOWLIST = {
+    "q_select_ofs", "q_select_efs", "q_select_fsds", "q_select_mcnn",
+    "q_select_cancelout",                      # selector kernel folds
+    "q_metrics_summary", "q_accuracy_over_time", "q_eval_salted",
+    "q_ann_recall", "q_ann_ndcg", "q_ann_int8", "q_ann_ivf_int8",
+    "q_ann_pq", "q_ann_matryoshka", "q_ann_lsh",   # ANN recall gates
+    "q_bpe_train", "q_bpe_encode",             # iterative merge loops
+    "q_mmr_select",                            # greedy argmax
+}
+
+
+def test_rows_only_set_is_closed():
+    mod = _entry_module()
+    rows_only = set(mod.queries()) - set(mod.oracle_sql())
+    assert rows_only == ROWS_ONLY_ALLOWLIST, (
+        f"unexpected rows-only queries: {rows_only - ROWS_ONLY_ALLOWLIST}; "
+        f"allowlisted but oracled/missing: {ROWS_ONLY_ALLOWLIST - rows_only}")
+
+
 def test_entry_smoke(ray_session):
     mod = _entry_module()
     res = mod.entry()
