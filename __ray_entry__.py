@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chunk_dedup": q.q_chunk_dedup,
         "q_pii_rate": q.q_pii_rate,
         "q_best_of_n": q.q_best_of_n,
+        "q_dpo_pairs": q.q_dpo_pairs,
         "q_loss_spans": q.q_loss_spans,
         "q_nucleus_vocab": q.q_nucleus_vocab,
         "q_ann_pq": q.q_ann_pq,
@@ -1099,6 +1100,44 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY prompt
               ORDER BY score DESC, conv_id, turn_idx) = 1
+        """,
+        # DPO preference pairs: chosen/rejected extremes per prompt
+        # pool (>=2 candidates); tie rules mirror the engine exactly
+        "q_dpo_pairs": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            p AS (
+              SELECT a.conv_id, CAST(a.turn_idx AS BIGINT) AS turn_idx,
+                     a.text AS prompt,
+                     CAST(len(regexp_extract_all(b.text, '\\S+')) AS BIGINT)
+                       AS score
+              FROM transcripts a JOIN transcripts b
+                ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+              WHERE a.role = 'user' AND b.role = 'assistant'
+            ), ch AS (
+              SELECT prompt, conv_id AS chosen_conv_id,
+                     turn_idx AS chosen_turn_idx,
+                     score AS chosen_score,
+                     CAST(COUNT(*) OVER (PARTITION BY prompt) AS BIGINT)
+                       AS n_candidates
+              FROM p
+              QUALIFY row_number() OVER (
+                PARTITION BY prompt
+                ORDER BY score DESC, conv_id, turn_idx) = 1
+            ), rj AS (
+              SELECT prompt, conv_id AS rejected_conv_id,
+                     turn_idx AS rejected_turn_idx,
+                     score AS rejected_score
+              FROM p
+              QUALIFY row_number() OVER (
+                PARTITION BY prompt
+                ORDER BY score ASC, conv_id DESC, turn_idx DESC) = 1
+            )
+            SELECT ch.prompt, chosen_conv_id, chosen_turn_idx,
+                   chosen_score, n_candidates, rejected_conv_id,
+                   rejected_turn_idx, rejected_score,
+                   chosen_score - rejected_score AS margin
+            FROM ch JOIN rj ON rj.prompt = ch.prompt
+            WHERE n_candidates >= 2
         """,
         # SFT loss-mask spans: exclusive running token count per
         # conversation in turn order; emit assistant turns only

@@ -2962,6 +2962,19 @@ def q_best_of_n(sf_dir: str):
     return best_of_n(t, num_buckets=_BUCKETS)
 
 
+def q_dpo_pairs(sf_dir: str):
+    """Preference-pair construction (DPO/RLHF dataset step): per
+    distinct prompt with ≥2 candidates, the (chosen, rejected) extreme
+    pair with its score margin — deterministic tie rules make the pair
+    unique even for all-equal pools (chosen → smallest
+    (conv_id, turn_idx), rejected → largest). Same two-shuffle shape
+    as q_best_of_n."""
+    from pystreamfs_ray.pipelines.transcripts import dpo_pairs
+
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+    return dpo_pairs(t, num_buckets=_BUCKETS)
+
+
 def q_loss_spans(sf_dir: str):
     """SFT loss-mask spans: per conversation laid end-to-end in
     turn_idx order (whitespace token counts), the [tok_start, tok_end)

@@ -181,6 +181,68 @@ def best_of_n(ts_ds, *, num_buckets: int = 64):
             .groupby("__h").map_groups(argmax, batch_format="pandas"))
 
 
+def dpo_pairs(ts_ds, *, num_buckets: int = 64):
+    """Preference-pair construction (the DPO/RLHF dataset step): for
+    every DISTINCT prompt with ≥ 2 candidate responses, emit the
+    (chosen, rejected) pair — chosen = highest-scoring candidate,
+    rejected = lowest — plus the score margin. Deterministic score =
+    response whitespace-token count (the reward-model stand-in shared
+    with ``best_of_n``; swap the score expression, keep the shape).
+    Tie rules make the pair unique: chosen breaks ties to the
+    lexicographically SMALLEST (conv_id, turn_idx), rejected to the
+    LARGEST, so an all-equal pool still yields two distinct rows.
+
+    Scale shape: identical to ``best_of_n`` — pair mining rides the
+    conv bucket shuffle, then ONE prompt-content-hash shuffle
+    co-locates each candidate pool; both extremes come from two
+    vectorized sorts + groupby-first inside the bucket. Output is one
+    row per multi-candidate prompt."""
+    pairs = sft_pairs(ts_ds, num_buckets=num_buckets)
+
+    def add_score(df: pd.DataFrame):
+        from pystreamfs_ray.util import arrow_block, content_hash64
+
+        out = pd.DataFrame({
+            "prompt": df["prompt"],
+            "conv_id": df["conv_id"],
+            "turn_idx": df["turn_idx"].astype(np.int64),
+            "score": df["response"].str.count(r"\S+").to_numpy(np.int64),
+        })
+        out["__h"] = (content_hash64(out["prompt"].to_numpy())
+                      % np.uint64(num_buckets)).astype(np.int64)
+        return arrow_block(out)
+
+    def extremes(g: pd.DataFrame) -> pd.DataFrame:
+        ch = (g.sort_values(["prompt", "score", "conv_id", "turn_idx"],
+                            ascending=[True, False, True, True],
+                            kind="mergesort")
+              .groupby("prompt", sort=False)
+              .agg(chosen_conv_id=("conv_id", "first"),
+                   chosen_turn_idx=("turn_idx", "first"),
+                   chosen_score=("score", "first"),
+                   n_candidates=("score", "size")))
+        rj = (g.sort_values(["prompt", "score", "conv_id", "turn_idx"],
+                            ascending=[True, True, False, False],
+                            kind="mergesort")
+              .groupby("prompt", sort=False)
+              .agg(rejected_conv_id=("conv_id", "first"),
+                   rejected_turn_idx=("turn_idx", "first"),
+                   rejected_score=("score", "first")))
+        out = ch.join(rj).reset_index()
+        out = out[out["n_candidates"] >= 2]
+        for c in ("chosen_turn_idx", "chosen_score", "rejected_turn_idx",
+                  "rejected_score", "n_candidates"):
+            out[c] = out[c].astype(np.int64)
+        out["margin"] = out["chosen_score"] - out["rejected_score"]
+        return out.reset_index(drop=True)
+
+    from pystreamfs_ray.util import arrow_combiner
+
+    return (pairs.map_batches(arrow_combiner(add_score),
+                              batch_format="pyarrow")
+            .groupby("__h").map_groups(extremes, batch_format="pandas"))
+
+
 def loss_spans(ts_ds, *, num_buckets: int = 64):
     """SFT loss-mask spans: lay each conversation's turns end-to-end in
     turn_idx order (whitespace token counts, matching ``token_stats``)

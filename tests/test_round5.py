@@ -270,6 +270,38 @@ def test_q_ann_lsh_bound(ray_session):
     assert out["recall"].mean() >= 0.6, out["recall"].mean()
 
 
+def test_dpo_pairs_semantics(ray_session):
+    """Hand case: a 3-candidate pool yields (longest, shortest) with
+    the right margin; an all-equal pool still yields two DISTINCT
+    rows via the mirrored tie rules; singleton prompts are dropped."""
+    from pystreamfs_ray.pipelines.transcripts import dpo_pairs
+
+    rows = []
+    # prompt "ask" answered in convs a/b/c with 1-, 3-, 2-token replies
+    for conv, resp in [("a", "one"), ("b", "three tok reply"),
+                       ("c", "two tokens")]:
+        rows += [(conv, 0, "user", "ask"), (conv, 1, "assistant", resp)]
+    # prompt "tie" with two equal-length replies in convs d/e
+    for conv in ("d", "e"):
+        rows += [(conv, 0, "user", "tie"),
+                 (conv, 1, "assistant", "same size")]
+    # singleton prompt
+    rows += [("f", 0, "user", "solo"), ("f", 1, "assistant", "only one")]
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    df["turn_idx"] = df["turn_idx"].astype(np.int32)
+    df["tool"] = ""
+    df["ts"] = pd.Timestamp("2026-01-01")
+    out = (dpo_pairs(rd.from_pandas(df), num_buckets=4).to_pandas()
+           .set_index("prompt").sort_index())
+    assert list(out.index) == ["ask", "tie"]   # singleton dropped
+    ask = out.loc["ask"]
+    assert (ask["chosen_conv_id"], ask["rejected_conv_id"]) == ("b", "a")
+    assert ask["margin"] == 2 and ask["n_candidates"] == 3
+    tie = out.loc["tie"]
+    assert tie["chosen_conv_id"] == "d" and tie["rejected_conv_id"] == "e"
+    assert tie["margin"] == 0
+
+
 def test_q_bpe_encode_runs(ray_session):
     from pystreamfs_ray.pipelines.queries import q_bpe_encode
 
