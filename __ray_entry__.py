@@ -193,6 +193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_needle_scan": q.q_needle_scan,
         "q_tool_loops": q.q_tool_loops,
         "q_alternation": q.q_alternation,
+        "q_self_repetition": q.q_self_repetition,
+        "q_echo_rate": q.q_echo_rate,
         "q_dup_rate_by_source": q.q_dup_rate_by_source,
         "q_tool_entropy": q.q_tool_entropy,
         "q_len_slope": q.q_len_slope,
@@ -1727,6 +1729,74 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM runs GROUP BY conv_id
         """,
         # adjacent-turn speaker switches per conversation
+        # context-rot: exact-text repeats within the conversation's
+        # assistant subsequence
+        "q_self_repetition": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            a AS (
+              SELECT conv_id, text,
+                     row_number() OVER (PARTITION BY conv_id, text
+                                        ORDER BY turn_idx) AS occ
+              FROM transcripts WHERE role = 'assistant'
+            )
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_assistant,
+                   CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_repeats
+            FROM a GROUP BY conv_id
+        """,
+        # parroting: distinct response word-3-grams present in the
+        # prompt; gram separator chr(31) mirrors the engine's \\x1f
+        "q_echo_rate": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            p AS (
+              SELECT a.conv_id, CAST(a.turn_idx AS BIGINT) AS turn_idx,
+                     a.text AS prompt, b.text AS response
+              FROM transcripts a JOIN transcripts b
+                ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+              WHERE a.role = 'user' AND b.role = 'assistant'
+            ), rg AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     ws[i.i] || chr(31) || ws[i.i+1] || chr(31)
+                       || ws[i.i+2] AS g
+              FROM (SELECT conv_id, turn_idx,
+                           regexp_split_to_array(trim(response), '\\s+')
+                             AS ws FROM p) t
+              CROSS JOIN LATERAL (
+                SELECT unnest(range(1, GREATEST(len(ws) - 2, 0) + 1))
+                  AS i) i
+            ), pg AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     ws[i.i] || chr(31) || ws[i.i+1] || chr(31)
+                       || ws[i.i+2] AS g
+              FROM (SELECT conv_id, turn_idx,
+                           regexp_split_to_array(trim(prompt), '\\s+')
+                             AS ws FROM p) t
+              CROSS JOIN LATERAL (
+                SELECT unnest(range(1, GREATEST(len(ws) - 2, 0) + 1))
+                  AS i) i
+            ), cnt AS (
+              SELECT conv_id, turn_idx, COUNT(*) AS n_g
+              FROM rg GROUP BY 1, 2
+            ), hits AS (
+              SELECT rg.conv_id, rg.turn_idx, COUNT(*) AS n_hit
+              FROM rg JOIN pg ON pg.conv_id = rg.conv_id
+                             AND pg.turn_idx = rg.turn_idx
+                             AND pg.g = rg.g
+              GROUP BY 1, 2
+            )
+            SELECT p.conv_id, p.turn_idx,
+                   CAST(COALESCE(c.n_g, 0) AS BIGINT) AS n_resp_grams,
+                   CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_echoed,
+                   CAST(CASE WHEN COALESCE(c.n_g, 0) > 0
+                        THEN COALESCE(h.n_hit, 0) * 1000000 // c.n_g
+                        ELSE -1 END AS BIGINT) AS echo_ppm
+            FROM p
+            LEFT JOIN cnt c ON c.conv_id = p.conv_id
+                           AND c.turn_idx = p.turn_idx
+            LEFT JOIN hits h ON h.conv_id = p.conv_id
+                            AND h.turn_idx = p.turn_idx
+        """,
         "q_alternation": f"""
             WITH {_TRANSCRIPTS_CTE},
             d AS (

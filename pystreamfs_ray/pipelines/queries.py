@@ -3753,6 +3753,91 @@ def q_alternation(sf_dir: str):
     return W.per_bucket(t, fn, entity_col="conv_id", num_buckets=_BUCKETS)
 
 
+def q_self_repetition(sf_dir: str):
+    """Context-rot signal: per conversation, how many assistant turns
+    REPEAT the exact text of an earlier assistant turn in the same
+    conversation (a looping/stuck agent repeats itself). Rides the
+    entity bucket; the repeat test is a vectorized per-conversation
+    ``duplicated()`` over the assistant subsequence — no shuffles
+    beyond the one entity exchange, all-integer output."""
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["role"].to_numpy() == "assistant"]
+        if not len(a):
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype=g["conv_id"].dtype),
+                "n_assistant": pd.Series([], dtype=np.int64),
+                "n_repeats": pd.Series([], dtype=np.int64)})
+        a = W.sort_entity(a, entity_col="conv_id", order_cols=("turn_idx",))
+        rep = a.duplicated(subset=["conv_id", "text"]).to_numpy()
+        d = pd.DataFrame({"conv_id": a["conv_id"].to_numpy(),
+                          "rep": rep.astype(np.int64),
+                          "one": np.int64(1)})
+        out = (d.groupby("conv_id", sort=False)
+               .agg(n_assistant=("one", "sum"), n_repeats=("rep", "sum"))
+               .reset_index())
+        for c in ("n_assistant", "n_repeats"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return W.per_bucket(t, fn, entity_col="conv_id", num_buckets=_BUCKETS)
+
+
+def q_echo_rate(sf_dir: str):
+    """Parroting signal over mined SFT pairs: the fraction of each
+    response's word-3-grams that already appear in its prompt (a
+    response that mostly echoes the prompt teaches nothing). Doc-local
+    after the pair mining's conv shuffle — per pair, two hashed
+    3-gram sets and one intersection; ``echo_ppm`` is an exact
+    integer floor division (responses with <3 words report -1)."""
+    from pystreamfs_ray.pipelines.transcripts import sft_pairs
+
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+    pairs = sft_pairs(t, num_buckets=_BUCKETS)
+
+    def _distinct_grams(texts: pd.Series) -> pd.DataFrame:
+        """(row, gram) table of DISTINCT word-3-grams per row — the
+        flattened-shingle idiom (seam knockout over the concatenated
+        token stream), no per-row Python."""
+        s = texts.str.split()
+        n = s.map(len).to_numpy(np.int64)
+        if int(n.sum()) < 3:
+            return pd.DataFrame({"row": pd.Series([], dtype=np.int64),
+                                 "g": pd.Series([], dtype=object)})
+        flat = np.concatenate([np.asarray(v, dtype=object) for v in s])
+        doc_of = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        valid = doc_of[:-2] == doc_of[2:]
+        a = flat[:-2][valid].astype(str)
+        b = flat[1:-1][valid].astype(str)
+        c = flat[2:][valid].astype(str)
+        key = np.char.add(np.char.add(np.char.add(a, "\x1f"), b),
+                          np.char.add(np.full(len(a), "\x1f"), c))
+        return (pd.DataFrame({"row": doc_of[:-2][valid], "g": key})
+                .drop_duplicates())
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        rg = _distinct_grams(df["response"])
+        pg = _distinct_grams(df["prompt"])
+        n_g = (rg.groupby("row")["g"].size()
+               .reindex(range(len(df)), fill_value=0).to_numpy(np.int64))
+        hit = rg.merge(pg, on=["row", "g"], how="inner")
+        n_hit = (hit.groupby("row")["g"].size()
+                 .reindex(range(len(df)), fill_value=0).to_numpy(np.int64))
+        echo = np.where(n_g > 0, n_hit * 1_000_000 // np.maximum(n_g, 1),
+                        np.int64(-1))
+        return pd.DataFrame({
+            "conv_id": df["conv_id"].to_numpy(),
+            "turn_idx": df["turn_idx"].to_numpy(np.int64),
+            "n_resp_grams": n_g,
+            "n_echoed": n_hit,
+            "echo_ppm": echo.astype(np.int64),
+        })
+
+    return pairs.map_batches(fn, batch_format="pandas")
+
+
 def q_dup_rate_by_source(sf_dir: str):
     """Curation dashboard metric: per source, distinct-text count vs
     total docs (the duplicate rate that decides which feed needs

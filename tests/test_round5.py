@@ -302,6 +302,61 @@ def test_dpo_pairs_semantics(ray_session):
     assert tie["margin"] == 0
 
 
+def test_self_repetition_and_echo_rate(ray_session, tmp_path):
+    """Planted cases through the raw stage functions: a conversation
+    whose assistant repeats itself exactly twice, and a response that
+    echoes half its 3-grams from the prompt."""
+    from pystreamfs_ray.pipelines.queries import (q_echo_rate,
+                                                  q_self_repetition)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # events → transcripts derivation: user role = 'click', assistant
+    # role mapping comes from ROLE_OF_EVENT; build events directly
+    from pystreamfs_ray.pipelines.transcripts import ROLE_OF_EVENT
+    user_ev = next(k for k, v in ROLE_OF_EVENT.items() if v == "user")
+    asst_ev = next(k for k, v in ROLE_OF_EVENT.items() if v == "assistant")
+
+    rows = []
+    ts0 = pd.Timestamp("2026-01-01")
+
+    def ev(uid, i, typ, props):
+        rows.append((len(rows), ts0 + pd.Timedelta(seconds=i), uid,
+                     typ, props))
+
+    # user 1: assistant says "same answer here" 3x (2 repeats) + 1 new
+    ev(1, 0, user_ev, "q one two three")
+    for i in (1, 2, 3):
+        ev(1, i, asst_ev, "same answer here")
+    ev(1, 4, asst_ev, "fresh reply")
+    # user 2: prompt 4 words → 2 grams; response repeats the prompt's
+    # first 3 words then diverges: grams = (w1 w2 w3), (w2 w3 X),
+    # (w3 X Y) → 1 of 3 echoed
+    ev(2, 0, user_ev, "alpha beta gamma delta")
+    ev(2, 1, asst_ev, "alpha beta gamma zeta eta")
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "props": pa.array([r[4] for r in rows]),
+        "value": pa.array([0.0] * len(rows), type=pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    rep = (q_self_repetition(str(tmp_path)).to_pandas()
+           .set_index("conv_id").sort_index())
+    assert rep.loc["1", "n_assistant"] == 4
+    assert rep.loc["1", "n_repeats"] == 2
+    assert rep.loc["2", "n_repeats"] == 0
+
+    echo = q_echo_rate(str(tmp_path)).to_pandas().set_index("conv_id")
+    e2 = echo.loc["2"]
+    assert e2["n_resp_grams"] == 3 and e2["n_echoed"] == 1
+    assert e2["echo_ppm"] == 1_000_000 // 3
+
+
 def test_q_bpe_encode_runs(ray_session):
     from pystreamfs_ray.pipelines.queries import q_bpe_encode
 
