@@ -31,6 +31,17 @@ def test_example_corpus_pipeline():
     assert "RRF top-5 doc ids:" in out.stdout
 
 
+def test_example_preference_data():
+    """RLHF/DPO data-prep walk — subprocess owns its Ray session."""
+    out = subprocess.run(
+        [sys.executable, f"{EX}/example_preference_data.py"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "DPO pairs:" in out.stdout
+    assert "loss spans:" in out.stdout
+
+
 def test_example_media_pipeline():
     """Real-codec decode walk + MMR retrieval — subprocess so it owns
     its own Ray session."""
