@@ -608,13 +608,14 @@ def mmr_select(ds, query_vec, *, k=10, lam=0.7, candidate_factor=4,
         _MmrCandidateScorer, batch_format="pandas", batch_size=batch_size,
         concurrency=concurrency, fn_constructor_args=(ref, id_col, vec_col, m),
     ).to_pandas()
-    pre = pre.sort_values(["relevance", id_col], ascending=[False, True],
-                          kind="mergesort", ignore_index=True).head(m)
-    if not len(pre):
+    # Ray drops the schema of a zero-row dataset — guard BEFORE sorting
+    if not len(pre) or "relevance" not in pre.columns:
         return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
                              "mmr_rank": pd.Series(dtype=np.int64),
                              "relevance": pd.Series(dtype=np.float64),
                              "mmr_score": pd.Series(dtype=np.float64)})
+    pre = pre.sort_values(["relevance", id_col], ascending=[False, True],
+                          kind="mergesort", ignore_index=True).head(m)
     ids = pre[id_col].to_numpy(np.int64)
     rel = pre["relevance"].to_numpy(np.float64)
     vecs = np.stack(pre["__vec"].to_numpy())

@@ -191,3 +191,43 @@ def drop_empty_blocks(ds, num_blocks: int):
     that feeds a join; pick ``num_blocks`` ≈ the join partition
     count."""
     return ds.repartition(num_blocks)
+
+
+def stats_table(ds) -> "pd.DataFrame":
+    """Parse ``ds.stats()`` into a compact per-operator observability
+    table: (operator, tasks, wall_total_s, cpu_total_s). The judge of
+    a pipeline's health at scale is whether wall time is dominated by
+    useful compute — this surfaces exactly that per stage without
+    reading the raw stats dump. Parsing is tolerant of missing
+    fields (barrier operators report no remote times) and of future
+    Ray wording changes (unmatched operators still appear with NaNs).
+    """
+    import re
+
+    import pandas as pd
+
+    text = ds.stats()
+    rows = []
+    for block in re.split(r"\n(?=Operator )", text):
+        m = re.match(r"Operator (\d+) (.+?):", block)
+        if not m:
+            continue
+        tasks = re.search(r"(\d+) tasks executed", block)
+        wall = re.search(
+            r"Remote wall time:.*?, ([\d.]+)(us|ms|s|m) total", block)
+        cpu = re.search(
+            r"Remote cpu time:.*?, ([\d.]+)(us|ms|s|m) total", block)
+
+        def _sec(g):
+            if not g:
+                return float("nan")
+            v, unit = float(g.group(1)), g.group(2)
+            return v * {"us": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0}[unit]
+
+        rows.append({
+            "operator": m.group(2).strip()[:80],
+            "tasks": int(tasks.group(1)) if tasks else 0,
+            "wall_total_s": round(_sec(wall), 3),
+            "cpu_total_s": round(_sec(cpu), 3),
+        })
+    return pd.DataFrame(rows)

@@ -357,6 +357,51 @@ def test_self_repetition_and_echo_rate(ray_session, tmp_path):
     assert e2["echo_ppm"] == 1_000_000 // 3
 
 
+def test_round5_stages_empty_input_safety(ray_session):
+    """Round-5 stages follow the engine convention: clean, typed
+    results on an empty corpus instead of crashes (Ray's empty
+    aggregates lose columns)."""
+    import numpy as np
+
+    from pystreamfs_ray.stages.similarity import lsh_topk, mmr_select
+    from pystreamfs_ray.stages.textstats import bpe_encode_counts, bpe_train
+
+    empty = rd.from_pandas(pd.DataFrame({
+        "vec_id": pd.Series([], dtype=np.int64),
+        "embedding": pd.Series([], dtype=object)}))
+    q = np.ones(8)
+    sel = mmr_select(empty, q, k=5, concurrency=1)
+    assert len(sel) == 0 and "mmr_rank" in sel.columns
+
+    lsh = lsh_topk(empty, np.array([0]), q[None, :], k=5,
+                   concurrency=1).to_pandas()
+    assert len(lsh) == 0
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype=np.int64),
+        "text": pd.Series([], dtype=str)}))
+    merges = bpe_train(docs, num_merges=4)
+    assert len(merges) == 0
+    enc = bpe_encode_counts(docs, merges, concurrency=1).to_pandas()
+    assert len(enc) == 0
+
+
+def test_stats_table_observability(ray_session):
+    """stats_table parses an executed pipeline's per-operator stats
+    into a usable frame (the wall-vs-useful-compute health check)."""
+    from pystreamfs_ray.util import stats_table
+
+    ds = (rd.range(10_000, override_num_blocks=4)
+          .map_batches(lambda b: {"x": b["id"] * 2}, batch_format="numpy")
+          .materialize())
+    t = stats_table(ds)
+    assert len(t) >= 1
+    assert set(["operator", "tasks", "wall_total_s",
+                "cpu_total_s"]) <= set(t.columns)
+    assert (t["tasks"] > 0).any()
+    assert t["wall_total_s"].fillna(0).ge(0).all()
+
+
 def test_q_bpe_encode_runs(ray_session):
     from pystreamfs_ray.pipelines.queries import q_bpe_encode
 
