@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tool_loops": q.q_tool_loops,
         "q_alternation": q.q_alternation,
         "q_self_repetition": q.q_self_repetition,
+        "q_collapse_repeats": q.q_collapse_repeats,
         "q_echo_rate": q.q_echo_rate,
         "q_dup_rate_by_source": q.q_dup_rate_by_source,
         "q_tool_entropy": q.q_tool_entropy,
@@ -1729,6 +1730,24 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM runs GROUP BY conv_id
         """,
         # adjacent-turn speaker switches per conversation
+        # stutter collapse: turns identical to the IMMEDIATELY
+        # preceding turn (same role + text) are the dropped set
+        "q_collapse_repeats": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            l AS (
+              SELECT conv_id,
+                     CASE WHEN role = LAG(role) OVER w
+                           AND text = LAG(text) OVER w
+                          THEN 1 ELSE 0 END AS dup
+              FROM transcripts
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(dup) AS BIGINT) AS n_dropped,
+                   CAST(COUNT(*) - SUM(dup) AS BIGINT) AS n_kept
+            FROM l GROUP BY conv_id
+        """,
         # context-rot: exact-text repeats within the conversation's
         # assistant subsequence
         "q_self_repetition": f"""

@@ -3753,6 +3753,36 @@ def q_alternation(sf_dir: str):
     return W.per_bucket(t, fn, entity_col="conv_id", num_buckets=_BUCKETS)
 
 
+def q_collapse_repeats(sf_dir: str):
+    """Streaming transcript cleaning: collapse IMMEDIATELY-consecutive
+    duplicate turns (same role, identical text — the stuck-agent
+    stutter that inflates context windows) and report per-conversation
+    kept/dropped counts. One entity shuffle; the adjacency test is a
+    vectorized shift inside the bucket; all-integer output."""
+    t = transcripts_from_events(sf_dir, num_buckets=_BUCKETS)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = W.sort_entity(g, entity_col="conv_id", order_cols=("turn_idx",))
+        conv = g["conv_id"].to_numpy()
+        role = g["role"].to_numpy()
+        text = g["text"].to_numpy()
+        same = np.r_[False, (conv[1:] == conv[:-1])
+                     & (role[1:] == role[:-1])
+                     & (text[1:] == text[:-1])]
+        d = pd.DataFrame({"conv_id": conv,
+                          "drop": same.astype(np.int64),
+                          "one": np.int64(1)})
+        out = (d.groupby("conv_id", sort=False)
+               .agg(n_turns=("one", "sum"), n_dropped=("drop", "sum"))
+               .reset_index())
+        out["n_kept"] = out["n_turns"] - out["n_dropped"]
+        for c in ("n_turns", "n_dropped", "n_kept"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return W.per_bucket(t, fn, entity_col="conv_id", num_buckets=_BUCKETS)
+
+
 def q_self_repetition(sf_dir: str):
     """Context-rot signal: per conversation, how many assistant turns
     REPEAT the exact text of an earlier assistant turn in the same

@@ -356,6 +356,16 @@ def test_self_repetition_and_echo_rate(ray_session, tmp_path):
     assert e2["n_resp_grams"] == 3 and e2["n_echoed"] == 1
     assert e2["echo_ppm"] == 1_000_000 // 3
 
+    # stutter collapse: user 1's three consecutive identical assistant
+    # turns collapse to one (2 dropped); user 2 drops nothing
+    from pystreamfs_ray.pipelines.queries import q_collapse_repeats
+    col = (q_collapse_repeats(str(tmp_path)).to_pandas()
+           .set_index("conv_id").sort_index())
+    assert col.loc["1", "n_turns"] == 5   # 1 user + 4 assistant
+    assert col.loc["1", "n_dropped"] == 2
+    assert col.loc["1", "n_kept"] == 3
+    assert col.loc["2", "n_dropped"] == 0
+
 
 def test_round5_stages_empty_input_safety(ray_session):
     """Round-5 stages follow the engine convention: clean, typed
