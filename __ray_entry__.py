@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_alternation": q.q_alternation,
         "q_self_repetition": q.q_self_repetition,
         "q_collapse_repeats": q.q_collapse_repeats,
+        "q_substr_dup": q.q_substr_dup,
         "q_echo_rate": q.q_echo_rate,
         "q_dup_rate_by_source": q.q_dup_rate_by_source,
         "q_tool_entropy": q.q_tool_entropy,
@@ -1730,6 +1731,41 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM runs GROUP BY conv_id
         """,
         # adjacent-turn speaker switches per conversation
+        # exact-substring duplicate coverage: stride-1 30-char grams,
+        # repeated set = corpus count >= 2, covered chars via the
+        # equal-length interval-union identity (LEAD gap clamp)
+        "q_substr_dup": """
+            WITH g AS (
+              SELECT doc_id, i.i AS p,
+                     md5_number_lower(substr(text, i.i + 1, 30)) AS h
+              FROM documents CROSS JOIN LATERAL (
+                SELECT UNNEST(range(GREATEST(len(text) - 29, 0)))
+                  AS i) i
+            ), rep AS (
+              SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2
+            ), pos AS (
+              SELECT g.doc_id, g.p,
+                     LEAD(g.p) OVER (PARTITION BY g.doc_id
+                                     ORDER BY g.p) AS np
+              FROM g JOIN rep USING (h)
+            ), cov AS (
+              SELECT doc_id, COUNT(*) AS n_rep,
+                     CAST(SUM(CASE WHEN np IS NULL THEN 30
+                                   ELSE LEAST(np - p, 30) END)
+                          AS BIGINT) AS covered
+              FROM pos GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(len(d.text) AS BIGINT) AS n_chars,
+                   CAST(COALESCE(c.n_rep, 0) AS BIGINT) AS n_rep_grams,
+                   CAST(COALESCE(c.covered, 0) AS BIGINT)
+                     AS covered_chars,
+                   CAST(CASE WHEN len(d.text) > 0
+                        THEN COALESCE(c.covered, 0) * 1000000
+                             // len(d.text)
+                        ELSE 0 END AS BIGINT) AS dup_ppm
+            FROM documents d LEFT JOIN cov c ON c.doc_id = d.doc_id
+        """,
         # stutter collapse: turns identical to the IMMEDIATELY
         # preceding turn (same role + text) are the dropped set
         "q_collapse_repeats": f"""

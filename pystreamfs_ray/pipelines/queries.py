@@ -3868,6 +3868,20 @@ def q_echo_rate(sf_dir: str):
     return pairs.map_batches(fn, batch_format="pandas")
 
 
+def q_substr_dup(sf_dir: str):
+    """Exact-substring duplicate coverage (the character-level
+    'ExactSubstr' dedup signal — Lee et al. 2022): per document, the
+    characters covered by some 30-char substring occurring anywhere
+    else in the corpus. Stride-1 gram-count combiner exchange →
+    size-gated repeated-set broadcast → doc-local interval-union
+    scoring (equal-length union identity, exact integers). See
+    stages/dedup.substr_dup_coverage for the 100-TB trade notes."""
+    from pystreamfs_ray.stages.dedup import substr_dup_coverage
+
+    docs = read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return substr_dup_coverage(docs, gram_len=30)
+
+
 def q_dup_rate_by_source(sf_dir: str):
     """Curation dashboard metric: per source, distinct-text count vs
     total docs (the duplicate rate that decides which feed needs

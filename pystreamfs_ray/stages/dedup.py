@@ -1939,3 +1939,113 @@ def sorted_neighborhood_pairs(ds, *, id_col: str = "doc_id",
 
         pairs_ds = pairs_ds.union(rd.from_pandas(cross[out_cols]))
     return pairs_ds
+
+
+# ------------------------------------------------- exact-substring coverage
+
+
+def substr_dup_coverage(ds, *, id_col: str = "doc_id",
+                        text_col: str = "text", gram_len: int = 30,
+                        broadcast_threshold: int = 5_000_000):
+    """Exact-substring duplicate coverage — the character-level
+    "ExactSubstr" signal from the training-data-dedup literature
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): for every document, how many of its characters
+    are covered by some length-``gram_len`` substring that occurs
+    ANYWHERE ELSE in the corpus (including elsewhere in the same
+    document). Catches verbatim boilerplate and quotations that
+    word-shingle Jaccard dilutes away.
+
+    Two passes. Pass 1: stride-1 character-gram md5-low-64 counts via
+    per-batch combiners → one gram-vocabulary-sized exchange → the
+    repeated set (count ≥ 2). Pass 2 (doc-local): each doc's repeated
+    positions merge into covered intervals with the equal-length
+    union identity ``covered = Σ min(gap, L) + L`` — exact integers,
+    one vectorized diff per doc batch, no per-row loop.
+
+    Scale notes: the repeated-gram set is size-gated — below
+    ``broadcast_threshold`` distinct repeated grams it broadcasts via
+    ``ray.put`` into the doc-local scoring pass (zero extra
+    shuffles); above it the honest fallback is a (id, pos, hash)
+    distributed join, which ships ~20 B per corpus character — at
+    that scale switch to a stride-sampled or rolling-hash-bucketed
+    screen first (documented trade; the md5 gram hash here exists for
+    DuckDB-oracle parity, production would swap in a rolling
+    polynomial hash with the same shape). Output: one row per doc
+    (id, n_chars, n_rep_grams, covered_chars, dup_ppm)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from pystreamfs_ray.util import arrow_combiner
+
+    L = gram_len
+
+    def _doc_grams(text: str) -> np.ndarray:
+        n = len(text)
+        if n < L:
+            return np.array([], dtype=np.int64)
+        # int64 VIEW of the uint64 hash: Arrow blocks carry int64
+        # natively (a uint64 column above 2^63 silently falls back to
+        # pickled python objects); the hash is engine-internal, so
+        # only internal consistency matters
+        return _md5_lower64(
+            [text[i:i + L] for i in range(n - L + 1)]).view(np.int64)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        gs = [_doc_grams(t) for t in df[text_col]]
+        flat = (np.concatenate(gs) if gs
+                else np.array([], dtype=np.int64))
+        if not len(flat):
+            return pd.DataFrame({"h": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        vc = pd.Series(flat).value_counts()
+        return pd.DataFrame({"h": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    counts = (ds.map_batches(arrow_combiner(count_partial),
+                             batch_format="pyarrow")
+              .groupby("h").aggregate(Sum("n", alias_name="n")))
+    rep = counts.filter(expr="n >= 2")
+    n_rep = rep.count()
+    if n_rep > broadcast_threshold:
+        raise NotImplementedError(
+            f"{n_rep} distinct repeated {L}-grams exceeds the broadcast "
+            "gate; at this scale run a stride-sampled screen or the "
+            "rolling-hash bucketed variant first (see docstring)")
+    rep_arr = (rep.to_pandas()["h"].to_numpy(np.int64)
+               if n_rep else np.array([], dtype=np.int64))
+    rep_ref = ray.put(np.sort(rep_arr))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        rset = ray.get(rep_ref)
+        ids = df[id_col].to_numpy()
+        out_n, out_rep, out_cov = [], [], []
+        for t in df[text_col]:
+            g = _doc_grams(t)
+            if len(g) and len(rset):
+                idx = np.searchsorted(rset, g)
+                idx[idx == len(rset)] = 0
+                hit = np.flatnonzero(rset[idx] == g)
+            else:
+                hit = np.array([], dtype=np.int64)
+            out_n.append(len(t))
+            out_rep.append(len(hit))
+            if len(hit):
+                gaps = np.diff(hit)
+                out_cov.append(int(np.minimum(gaps, L).sum()) + L)
+            else:
+                out_cov.append(0)
+        n_chars = np.array(out_n, dtype=np.int64)
+        covered = np.array(out_cov, dtype=np.int64)
+        return pd.DataFrame({
+            id_col: ids,
+            "n_chars": n_chars,
+            "n_rep_grams": np.array(out_rep, dtype=np.int64),
+            "covered_chars": covered,
+            "dup_ppm": np.where(
+                n_chars > 0,
+                covered * 1_000_000 // np.maximum(n_chars, 1),
+                np.int64(0)).astype(np.int64),
+        })
+
+    return ds.map_batches(score, batch_format="pandas")

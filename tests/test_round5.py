@@ -396,6 +396,41 @@ def test_round5_stages_empty_input_safety(ray_session):
     assert len(enc) == 0
 
 
+def test_substr_dup_coverage_planted(ray_session):
+    """Two docs share a 40-char verbatim span → both get ≥ 40 covered
+    chars (span + any flanking repeat grams); a unique doc scores 0;
+    within-doc repetition also counts (the same 30-gram twice in one
+    doc is corpus count 2)."""
+    from pystreamfs_ray.stages.dedup import substr_dup_coverage
+
+    import hashlib
+
+    shared = "the quick brown fox jumps over the lazy dog!"  # 44 chars
+    # truly aperiodic filler (a periodic formula self-repeats at the
+    # period and legitimately scores as covered)
+    uniq = "".join(
+        chr(97 + b % 26)
+        for i in range(4)
+        for b in hashlib.sha256(f"u{i}".encode()).digest())[:120]
+    selfrep = "z" * 10 + "abcdefghijklmnopqrstuvwxyz1234" * 2 + "y" * 10
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [f"A start. {shared} A tail one.",
+                 f"B opening. {shared} B ending two.",
+                 uniq,
+                 selfrep],
+    })
+    out = (substr_dup_coverage(rd.from_pandas(df).repartition(2),
+                               gram_len=30)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[0, "covered_chars"] >= 44
+    assert out.loc[1, "covered_chars"] >= 44
+    assert out.loc[2, "covered_chars"] == 0 and out.loc[2, "dup_ppm"] == 0
+    assert out.loc[3, "covered_chars"] >= 30    # within-doc repeat
+    assert (out["covered_chars"] <= out["n_chars"]).all()
+    assert (out["dup_ppm"] <= 1_000_000).all()
+
+
 def test_stats_table_observability(ray_session):
     """stats_table parses an executed pipeline's per-operator stats
     into a usable frame (the wall-vs-useful-compute health check)."""
