@@ -1946,7 +1946,8 @@ def sorted_neighborhood_pairs(ds, *, id_col: str = "doc_id",
 
 def substr_dup_coverage(ds, *, id_col: str = "doc_id",
                         text_col: str = "text", gram_len: int = 30,
-                        broadcast_threshold: int = 5_000_000):
+                        broadcast_threshold: int = 5_000_000,
+                        hash_kind: str = "md5"):
     """Exact-substring duplicate coverage — the character-level
     "ExactSubstr" signal from the training-data-dedup literature
     (Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -1972,7 +1973,14 @@ def substr_dup_coverage(ds, *, id_col: str = "doc_id",
     screen first (documented trade; the md5 gram hash here exists for
     DuckDB-oracle parity, production would swap in a rolling
     polynomial hash with the same shape). Output: one row per doc
-    (id, n_chars, n_rep_grams, covered_chars, dup_ppm)."""
+    (id, n_chars, n_rep_grams, covered_chars, dup_ppm).
+
+    ``hash_kind="rolling"`` IS that production path: a vectorized
+    Rabin-Karp-style polynomial gram hash (uint64 wraparound, odd
+    multiplier) — no per-position md5 calls, ~10× cheaper per char,
+    identical shapes. Collisions can only ADD coverage (a screen, not
+    a verdict), so the rolling screen upper-bounds the md5 one; it
+    has no SQL mirror (pytest-gated against the md5 path instead)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -1980,10 +1988,31 @@ def substr_dup_coverage(ds, *, id_col: str = "doc_id",
 
     L = gram_len
 
+    _pows_cache: list = []
+
     def _doc_grams(text: str) -> np.ndarray:
         n = len(text)
         if n < L:
             return np.array([], dtype=np.int64)
+        if hash_kind == "rolling":
+            # vectorized Rabin-Karp: codepoints × B^(L-1-j) summed per
+            # sliding window, uint64 wraparound (odd multiplier keeps
+            # per-term products bijective)
+            if not _pows_cache:
+                B = np.uint64(0x9E3779B97F4A7C15)
+                pows = np.empty(L, dtype=np.uint64)
+                acc = np.uint64(1)
+                with np.errstate(over="ignore"):
+                    for j in range(L - 1, -1, -1):
+                        pows[j] = acc
+                        acc = acc * B
+                _pows_cache.append(pows)
+            c = np.frombuffer(text.encode("utf-32-le"),
+                              dtype=np.uint32).astype(np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(c, L)
+            with np.errstate(over="ignore"):
+                h = (win * _pows_cache[0]).sum(axis=1)
+            return h.view(np.int64)
         # int64 VIEW of the uint64 hash: Arrow blocks carry int64
         # natively (a uint64 column above 2^63 silently falls back to
         # pickled python objects); the hash is engine-internal, so

@@ -430,6 +430,15 @@ def test_substr_dup_coverage_planted(ray_session):
     assert (out["covered_chars"] <= out["n_chars"]).all()
     assert (out["dup_ppm"] <= 1_000_000).all()
 
+    # production-path rolling hash: identical verdicts on the planted
+    # fixture, and coverage can only be >= the md5 screen (collisions
+    # only ADD candidates)
+    roll = (substr_dup_coverage(rd.from_pandas(df).repartition(2),
+                                gram_len=30, hash_kind="rolling")
+            .to_pandas().set_index("doc_id").sort_index())
+    assert (roll["covered_chars"] >= out["covered_chars"]).all()
+    pd.testing.assert_frame_equal(roll, out)
+
 
 def test_stats_table_observability(ray_session):
     """stats_table parses an executed pipeline's per-operator stats
