@@ -131,6 +131,15 @@ BENCH_QUERIES = [
     "q_freq_encode",
     "q_rolling_median",
     "q_calibration",
+    # round-5 families: real-codec round trip, character-level
+    # ExactSubstr coverage, t-closeness privacy audit, DPO pairs,
+    # MMR diverse retrieval, LSH-bucketed ANN
+    "q_decode_wav",
+    "q_substr_dup",
+    "q_t_closeness",
+    "q_dpo_pairs",
+    "q_mmr_select",
+    "q_ann_lsh",
 ]
 
 
